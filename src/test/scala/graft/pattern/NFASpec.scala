@@ -1,0 +1,183 @@
+package graft.pattern
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-Scala NFA unit tests — no Spark session. Event model: (ts, tag). */
+class NFASpec extends AnyFunSuite {
+
+  case class Ev(ts: Long, tag: String)
+  private def evs(tags: String*): IndexedSeq[Ev] =
+    tags.zipWithIndex.map { case (t, i) => Ev(i.toLong, t) }.toIndexedSeq
+
+  private def is(t: String): Ev => Boolean = _.tag.startsWith(t)
+
+  /** A B* C with strict stage contiguity — the reference's golden pattern shape. */
+  private def abc(skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastEvent,
+                  withinMs: Option[Long] = None): Pattern[Ev] = {
+    val p = Pattern.begin[Ev]("A", skip)
+      .where(is("a"))
+      .next("B").where(is("b")).oneOrMore.optional
+      .next("C").where(is("c"))
+    withinMs.fold(p)(p.within)
+  }
+
+  private def run(p: Pattern[Ev], events: IndexedSeq[Ev]) =
+    NFA.run(events.iterator, (_: Ev).ts, p)
+
+  test("golden shape: a b b c matches once, binds all stages") {
+    val (ms, ts) = run(abc(), evs("a", "b", "b", "c"))
+    assert(ts.isEmpty)
+    assert(ms.size == 1)
+    val m = ms.head
+    assert(m("A").map(_.tag) == Vector("a"))
+    assert(m("B").map(_.tag) == Vector("b", "b"))
+    assert(m("C").map(_.tag) == Vector("c"))
+    assert(m.startTs == 0 && m.endTs == 3)
+  }
+
+  test("B* is optional: a c matches with empty B") {
+    val (ms, _) = run(abc(), evs("a", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("B").isEmpty)
+  }
+
+  test("no A, no match; dangling partials flush as timeouts only when started") {
+    val (ms, ts) = run(abc(), evs("b", "c", "b"))
+    assert(ms.isEmpty && ts.isEmpty)
+  }
+
+  test("within: completion beyond the horizon times out instead of matching") {
+    // a@0, b@1, c@100 with within=50 → no match, one timeout carrying A
+    val events = IndexedSeq(Ev(0, "a"), Ev(1, "b"), Ev(100, "c"))
+    val (ms, ts) = run(abc(withinMs = Some(50)), events)
+    assert(ms.isEmpty)
+    assert(ts.size == 1)
+    assert(ts.head("A").map(_.ts) == Vector(0L))
+    assert(ts.head.deadline == 50L)
+  }
+
+  test("within boundary: event at exactly start+within does not complete") {
+    val events = IndexedSeq(Ev(0, "a"), Ev(50, "c"))
+    val (ms, ts) = run(abc(withinMs = Some(50)), events)
+    assert(ms.isEmpty && ts.size == 1)
+  }
+
+  test("within boundary: event just inside completes") {
+    val events = IndexedSeq(Ev(0, "a"), Ev(49, "c"))
+    val (ms, ts) = run(abc(withinMs = Some(50)), events)
+    assert(ms.size == 1 && ts.isEmpty)
+  }
+
+  test("end-of-input flushes un-expired partials as timeouts (batch = closed stream)") {
+    val (ms, ts) = run(abc(withinMs = Some(1000)), evs("a", "b"))
+    assert(ms.isEmpty)
+    assert(ts.size == 1)
+    assert(ts.head("B").size == 1)
+  }
+
+  test("skipPastLastEvent: overlapping matches pruned, resume after last row") {
+    // a1 b c1 a2 c2 → match1 = (a1, b, c1); a2 after c1 starts fresh → (a2, c2)
+    val (ms, _) = run(abc(), evs("a1", "b", "c1", "a2", "c2"))
+    assert(ms.map(m => (m("A").head.tag, m("C").head.tag)) ==
+      Vector(("a1", "c1"), ("a2", "c2")))
+  }
+
+  test("strict contiguity: non-matching event between A and B kills the partial") {
+    // x breaks A->B/C strictness (b/c preds don't match "x", no ignore under next())
+    val (ms, _) = run(abc(), evs("a", "x", "c"))
+    assert(ms.isEmpty)
+  }
+
+  test("relaxed contiguity (followedBy): non-matching events are skipped") {
+    val p = Pattern.begin[Ev]("A").where(is("a"))
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "x", "x", "c"))
+    assert(ms.size == 1)
+  }
+
+  test("followedBy is first-match: second c does not produce a second match") {
+    val p = Pattern.begin[Ev]("A").where(is("a"))
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "c1", "c2"))
+    assert(ms.map(_.apply("C").head.tag) == Vector("c1"))
+  }
+
+  test("followedByAny branches on every matching event") {
+    val p = Pattern.begin[Ev]("A").where(is("a"))
+      .followedByAny("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "c1", "c2"))
+    assert(ms.map(_.apply("C").head.tag).sorted == Vector("c1", "c2"))
+  }
+
+  test("times(2): exactly two repetitions required") {
+    val p = Pattern.begin[Ev]("A").where(is("a"))
+      .next("B").where(is("b")).times(2)
+      .next("C").where(is("c"))
+    assert(run(p, evs("a", "b", "b", "c"))._1.size == 1)
+    assert(run(p, evs("a", "b", "c"))._1.isEmpty)
+  }
+
+  test("times(1,2) with noSkip emits both the 1- and 2-rep variants") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.NoSkip).where(is("a"))
+      .followedBy("B").where(is("b")).times(1, 2)
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "b", "c"))
+    assert(ms.map(_.apply("B").size).sorted == Vector(1, 2))
+  }
+
+  test("consecutive loop: non-matching event closes the loop branch") {
+    // a b x b c: with consecutive B-internal + relaxed stage contiguity,
+    // the loop cannot resume after x; match binds only the first b.
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .followedBy("B").where(is("b")).oneOrMore.consecutive
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "x", "b", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("B").map(_.ts) == Vector(1L))
+  }
+
+  test("relaxed loop internal contiguity: loop resumes after non-matching event") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .followedBy("B").where(is("b")).oneOrMore
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "x", "b", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("B").map(_.ts) == Vector(1L, 3L))
+  }
+
+  test("noSkip emits overlapping matches") {
+    // a1 a2 c: both a1->c and a2->c complete at c (relaxed contiguity)
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.NoSkip).where(is("a"))
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a1", "a2", "c"))
+    assert(ms.size == 2)
+  }
+
+  test("skipPastLastEvent picks the earliest-starting match of simultaneous completions") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a1", "a2", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("A").head.tag == "a1")
+  }
+
+  test("golden fixture semantics end-to-end (pure NFA)") {
+    // Reference input-data.csv, key 2 then key 1, as (ts-minutes, before, after)
+    case class B(id: String, min: Long, before: Long, after: Long)
+    val all = IndexedSeq(
+      B("1", 0, 13, 9), B("2", 0, 11, 6), B("2", 15, 6, 4), B("2", 30, 4, 3),
+      B("2", 40, 3, 23), B("1", 45, 9, 5), B("1", 150, 5, 25))
+    val p = Pattern.begin[B]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(e => e.before >= 10 && e.after < 10)
+      .next("B").where(e => e.before >= e.after).oneOrMore.optional
+      .next("C").where(e => e.before < e.after)
+      .within(60) // minutes
+    val byKey = all.groupBy(_.id)
+    val (m2, t2) = NFA.run(byKey("2").sortBy(_.min).iterator, (_: B).min, p)
+    assert(m2.size == 1 && t2.isEmpty)
+    assert(m2.head("A").head.min == 0 && m2.head("C").head.min == 40)
+    val (m1, t1) = NFA.run(byKey("1").sortBy(_.min).iterator, (_: B).min, p)
+    assert(m1.isEmpty && t1.size == 1)
+    assert(t1.head("A").head.min == 0)
+  }
+}
