@@ -1,0 +1,170 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Join inventory (SURVEY.md §2.3): every join shape the engine exposes.
+  * The reference has no joins at all (its only temporal constraint is the CEP
+  * `within`, `FlinkCEPExample.scala:74`) — this is the engine's declared
+  * relational surface. All built-ins: Catalyst's JoinSelection + AQE pick
+  * broadcast/SMJ/shuffled-hash; hints pin strategies where the query name
+  * promises one.
+  */
+object Joins {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Inner equi-join, strategy left to Catalyst/AQE. */
+  def inner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey", $"c_name")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Sort-merge join pinned via MERGE hint (the at-scale fact⋈fact strategy). */
+  def sortMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").hint("merge")
+      .join(t(s, dir, "orders").hint("merge"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_orderstatus")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Left outer join + null-safe aggregation over the unmatched side. */
+  def left(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec2 = DecimalType(18, 2)
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum($"o_totalprice".cast(dec2)), lit(0).cast(dec2))
+          .cast(dec2).as("total"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-semi (EXISTS). */
+  def semi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti (NOT EXISTS) — against the urgent-order subset so the result
+    * is non-empty at every scale factor (every customer has SOME order). */
+  def anti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** Temporal range join: per user, (error, purchase) pairs within 1 hour —
+    * the relational cousin of the CEP `within` constraint. Equi on user_id
+    * (shuffle) + range residual; second-truncated on both engines (ns caveat).
+    */
+  def range(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", date_trunc("second", $"ts"))
+    val a = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"user_id", $"ts_sec".as("err_ts"))
+    val b = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pur_id"), $"user_id".as("u2"), $"ts_sec".as("pur_ts"))
+    a.join(b, $"user_id" === $"u2" &&
+        $"pur_ts" >= $"err_ts" && $"pur_ts" <= $"err_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"err_id", $"pur_id")
+      .orderBy($"err_id", $"pur_id")
+  }
+
+  /** As-of join: latest order at-or-before each event's time for the event's
+    * user. Composed as range join + per-event rank (preference (a) of the
+    * custom-operator ladder); deterministic tiebreak on (o_orderdate, o_orderkey).
+    */
+  def asOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts_sec"))
+    val o = t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    val w = Window.partitionBy($"event_id")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    ev.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts_sec")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"o_orderkey")
+      .orderBy($"event_id")
+  }
+
+  /** Bounded cross join (dims only). */
+  def cross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+      .select($"n_nationkey", $"r_regionkey")
+      .orderBy($"n_nationkey", $"r_regionkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> inner _,
+    "q_join_sortmerge" -> sortMerge _,
+    "q_join_left" -> left _,
+    "q_join_semi" -> semi _,
+    "q_join_anti" -> anti _,
+    "q_join_range" -> range _,
+    "q_join_asof" -> asOf _,
+    "q_join_cross" -> cross _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_sortmerge" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT a.event_id AS err_id, b.event_id AS pur_id
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events WHERE event_type = 'error') a
+        |JOIN (SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events WHERE event_type = 'purchase') b
+        |ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY err_id, pur_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, o_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events) e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+  )
+}

@@ -78,7 +78,8 @@ object Queries {
     "q_scan_filter_project" -> scanFilterProject _,
     "q_agg_group" -> aggGroup _,
     "q_join_broadcast" -> joinBroadcast _,
-  )
+  ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
+    SetOps.queries ++ Funcs.queries ++ TimeWindows.queries ++ TextSim.queries
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -100,5 +101,6 @@ object Queries {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
-  )
+  ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
+    SetOps.oracles ++ Funcs.oracles ++ TimeWindows.oracles ++ TextSim.oracles
 }

@@ -1,0 +1,72 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity-search and text-analysis queries over the `embeddings` and
+  * `documents` tables — the first slice of the training-data-pipeline surface
+  * (the full dedup/ANN/text suite lives in graft.pipeline).
+  */
+object TextSim {
+
+  /** dot(a, b) over two array<float> columns as a codegen'd expression chain:
+    * zip_with multiplies, aggregate folds in array order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-10 vs the vec_id=0 query vector. The query vector
+    * is fetched driver-side (one scalar row — a query CONSTANT, not data
+    * movement) and inlined as a literal so the scan stays a single pass;
+    * ranking doubles never leave the query (int keys out, FIXTURES.md §B.2).
+    */
+  def similarityCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.table(s, dir, "embeddings")
+    val q: Seq[Float] = emb.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head()
+    val qCol = array(q.map(v => lit(v)): _*)
+    emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", cosine($"embedding", qCol).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id")
+  }
+
+  /** Whitespace tokenization + global top-20 token counts. */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(explode(split(lower($"text"), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word")
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_similarity_cosine" -> similarityCosine _,
+    "q_text_tokens" -> textTokens _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_similarity_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirror of the driver's t1 smoke: entry() and every declared query must
+  * return rows at sf0.001. Catches empty-result and hard-failure regressions
+  * before the driver does.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is a documented non-oracle op") {
+    val nonOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // CEP is non-SQL-expressible (DuckDB has no MATCH_RECOGNIZE) — SURVEY §2.3
+    assert(nonOracle.forall(_.startsWith("q_cep_")), s"undocumented non-oracle: $nonOracle")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
