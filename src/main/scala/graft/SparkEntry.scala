@@ -22,14 +22,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Queries.all ++ Map[String, (SparkSession, String) => DataFrame](
-      "q_cep_low_balance" -> ((s, dir) => EventPatterns.lowBalance(s, dir)),
-      "q_cep_absence" -> ((s, dir) => EventPatterns.absence(s, dir)),
-    )
+    relational.Queries.all ++ pipeline.PipelineQueries.all ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "q_cep_low_balance" -> ((s, dir) => EventPatterns.lowBalance(s, dir)),
+        "q_cep_absence" -> ((s, dir) => EventPatterns.absence(s, dir)),
+      )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (CEP,
     * approximate, streaming-mode) → driver records a rows-only check.
     */
-  def oracleSql: Map[String, String] = relational.Queries.oracles
+  def oracleSql: Map[String, String] =
+    relational.Queries.oracles ++ pipeline.PipelineQueries.oracles
 }

@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import Hashing._
+
+/** Deduplication suite over `documents` / `embeddings` — the core
+  * training-data-pipeline operators, each in its at-scale shape:
+  *
+  *  - exact:      hash → groupBy (one shuffle on the digest)
+  *  - minhash:    shingle → MinHash signature → banded LSH bucket-join →
+  *                candidate pairs (no O(n²) anywhere; the bucket-join is the
+  *                only shuffle and its width is bounded by band cardinality)
+  *  - ngram:      exact Jaccard VERIFICATION of LSH candidates (the verify
+  *                stage of the candidates→verify pipeline)
+  *  - simhash:    per-doc 32-bit fingerprint; nearest neighbor by Hamming
+  *                distance with map-side-combinable min aggregation
+  *  - embedding:  cosine near-dup pairs inside label blocks (IVF-cell
+  *                analog), with EXACT integer arithmetic: cos ≥ τ decided as
+  *                dot²·25 ≥ |a|²·|b|²·4 over quantized vectors — no float
+  *                threshold boundary to disagree on across engines.
+  */
+object Dedup {
+
+  val MinhashK = 8
+  val Bands = 4 // 2 rows per band
+
+  /** Exact dedup: survivor (min doc_id) + copy count per text digest. */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .groupBy(md5($"text").as("digest"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  private def sigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select($"doc_id", minhashSig(shingles3(tokens($"text")), MinhashK).as("sig"))
+  }
+
+  /** MinHash LSH: banded bucket-join candidates with signature agreement ≥ 4/8. */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sg = sigs(s, dir)
+    val bands = sg.select($"doc_id", explode(
+      transform(sequence(lit(0), lit(Bands - 1)), b =>
+        struct(b.as("band"), concat(element_at($"sig", b * 2 + 1),
+          element_at($"sig", b * 2 + 2)).as("key")))).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .withColumn("matches",
+        aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .filter($"matches" >= 4)
+      .select($"doc_a", $"doc_b", $"matches")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** N-gram Jaccard: exact similarity over pairs sharing ≥1 minhash position
+    * (the LSH-candidates→verify shape); jaccard in integer percent. */
+  def ngram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+      .select($"doc_id", array_distinct(shingles3(tokens($"text"))).as("sh"),
+        minhashSig(shingles3(tokens($"text")), MinhashK).as("sig"))
+    val pos = docs.select($"doc_id", posexplode($"sig").as(Seq("i", "h")))
+    val cand = pos.as("a")
+      .join(pos.as("b"), col("a.i") === col("b.i") && col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("uni", size($"sh_a") + size($"sh_b") - $"inter")
+      .withColumn("jac_pct", floor($"inter" * 100L / $"uni").cast("long"))
+      .filter($"jac_pct" >= 30)
+      .select($"doc_a", $"doc_b", $"jac_pct")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash nearest neighbor: 32-bit fingerprint per doc; for each doc the
+    * closest other doc by Hamming distance (min doc_id tiebreak). */
+  def simhashNN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.table(s, dir, "documents")
+      .select($"doc_id",
+        simhash(transform(tokens($"text"), t => charFoldHash(t)), 32).as("fp"))
+    val pairs = fp.as("a").join(fp.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nn"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("h"))
+    val minh = pairs.groupBy($"doc_id").agg(min($"h").as("minh"))
+    pairs.join(minh, Seq("doc_id"))
+      .filter($"h" === $"minh")
+      .groupBy($"doc_id")
+      .agg(min($"nn").as("nn_doc"), min($"h").as("hamming"))
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.4 inside label blocks, decided in
+    * exact integer/decimal arithmetic over micro-quantized vectors. */
+  def embedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec38 = DecimalType(38, 0)
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", $"label", quantize($"embedding").as("q"))
+      .withColumn("n2", qdot($"q", $"q"))
+    val p = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        qdot(col("a.q"), col("b.q")).as("dot"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+    p.filter($"dot" > 0 &&
+        $"dot".cast(dec38) * $"dot" * 25 >= $"na2".cast(dec38) * $"nb2" * 4)
+      .select($"vec_a", $"vec_b")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> exact _,
+    "q_dedup_minhash" -> minhash _,
+    "q_dedup_ngram" -> ngram _,
+    "q_dedup_simhash" -> simhashNN _,
+    "q_dedup_embedding" -> embedding _,
+  )
+
+  private val sigCte =
+    s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles("w")} AS shingles FROM d),
+       |sig AS (SELECT doc_id, ${duckMinhashSig("shingles", MinhashK)} AS sigs FROM sh)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""$sigCte,
+         |bands AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, matches FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_filter(generate_series(1, $MinhashK),
+         |      i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS matches
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b)
+         |WHERE matches >= 4 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""$sigCte,
+         |ds AS (SELECT s1.doc_id, list_distinct(s1.shingles) AS sh, s2.sigs
+         |  FROM sh s1 JOIN sig s2 ON s1.doc_id = s2.doc_id),
+         |pos AS (SELECT doc_id, i, sigs[i] AS h
+         |  FROM ds, (SELECT unnest(generate_series(1, $MinhashK)) AS i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pos a JOIN pos b
+         |  ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jac_pct FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(floor(100.0 * len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x))))) AS BIGINT) AS jac_pct
+         |  FROM cand c JOIN ds da ON da.doc_id = c.doc_a
+         |  JOIN ds db ON db.doc_id = c.doc_b)
+         |WHERE jac_pct >= 30 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+         |th AS (SELECT doc_id, list_transform(w, t -> ${duckCharFold("t")}) AS hs FROM d),
+         |fp AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
+         |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS fp FROM th),
+         |pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS nn,
+         |    bit_count(xor(a.fp, b.fp)) AS h
+         |  FROM fp a JOIN fp b ON a.doc_id <> b.doc_id),
+         |mh AS (SELECT doc_id, min(h) AS minh FROM pairs GROUP BY doc_id)
+         |SELECT p.doc_id, min(p.nn) AS nn_doc, CAST(min(p.h) AS INT) AS hamming
+         |FROM pairs p JOIN mh ON p.doc_id = mh.doc_id AND p.h = mh.minh
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, q,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * q[i])) AS BIGINT) AS n2
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+        |    a.n2 AS na2, b.n2 AS nb2
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b FROM p
+        |WHERE dot > 0
+        |  AND CAST(dot AS HUGEINT) * dot * 25 >= CAST(na2 AS HUGEINT) * nb2 * 4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

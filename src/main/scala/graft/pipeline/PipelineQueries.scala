@@ -1,0 +1,14 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the training-data-pipeline operator suite (dedup, similarity
+  * search, text analysis, multimodal) — first-class alongside SURVEY.md §2.3.
+  */
+object PipelineQueries {
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+
+  val oracles: Map[String, String] =
+    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
+}

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Hashing._
+
+/** Text-analysis operators over `documents`: language ID (stopword-vote
+  * heuristic), quality scoring (length / punctuation / stopword ratios in
+  * exact integer basis points), token counting (whitespace + regex "BPE-ish"
+  * tokenization), and document fingerprinting (rolling char-fold hash).
+  * All single-pass narrow scans — no shuffle except the final ORDER BY.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+  private val stopDe = Seq("der", "und", "die", "das", "ein")
+  private val stopFr = Seq("le", "et", "les", "la", "un")
+  private val stopEs = Seq("el", "y", "los", "en", "un")
+
+  private def hits(w: Column, words: Seq[String]): Column =
+    size(filter(w, t => t.isInCollection(words)))
+
+  /** Stopword-vote language ID; deterministic tiebreak en > de > fr > es > unk. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .withColumn("w", tokens(lower($"text")))
+      .select(
+        $"doc_id",
+        hits($"w", stopEn).as("s_en"), hits($"w", stopDe).as("s_de"),
+        hits($"w", stopFr).as("s_fr"), hits($"w", stopEs).as("s_es"))
+      .withColumn("best", greatest($"s_en", $"s_de", $"s_fr", $"s_es"))
+      .withColumn("lang_pred",
+        when($"best" === 0, "unk")
+          .when($"s_en" === $"best", "en")
+          .when($"s_de" === $"best", "de")
+          .when($"s_fr" === $"best", "fr")
+          .otherwise("es"))
+      .select($"doc_id", $"s_en", $"s_de", $"s_fr", $"s_es", $"lang_pred")
+      .orderBy($"doc_id")
+  }
+
+  /** Quality metrics in exact integers: token count, mean token length in
+    * centichars, stopword ratio in basis points, punctuation count, and a
+    * composite score. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .withColumn("w", tokens(lower($"text")))
+      .withColumn("n_tok", size($"w"))
+      .withColumn("n_stop", hits($"w", stopEn))
+      .select(
+        $"doc_id",
+        $"n_chars",
+        $"n_tok",
+        // mean token length × 100, exact integer division
+        floor(aggregate($"w", lit(0L), (a, t) => a + length(t)) * 100L / $"n_tok")
+          .cast("long").as("tok_len_c"),
+        floor($"n_stop" * 10000L / $"n_tok").cast("long").as("stop_bp"),
+        (length($"text") - length(regexp_replace($"text", "[^a-z0-9 ]", "")))
+          .as("n_punct"),
+        // composite: long docs with healthy stopword share score higher
+        (floor(least($"n_chars", lit(1000)) / 10) +
+          floor(least(floor($"n_stop" * 10000L / $"n_tok"), lit(1000)) / 10))
+          .cast("long").as("score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Whitespace vs regex ("BPE-ish" word/number/symbol classes) token counts. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(tokens($"text")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_re"),
+        length($"text").as("len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling char-fold fingerprint of the full text (portable across engines). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select($"doc_id", charFoldHash($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> langId _,
+    "q_text_quality" -> quality _,
+    "q_text_token_stats" -> tokenStats _,
+    "q_text_fingerprint" -> fingerprint _,
+  )
+
+  private def duckHits(w: String, words: Seq[String]): String =
+    s"len(list_filter($w, t -> t IN (${words.map(x => s"'$x'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_langid" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
+         |sc AS (SELECT doc_id,
+         |    ${duckHits("w", stopEn)} AS s_en, ${duckHits("w", stopDe)} AS s_de,
+         |    ${duckHits("w", stopFr)} AS s_fr, ${duckHits("w", stopEs)} AS s_es
+         |  FROM d)
+         |SELECT doc_id, CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
+         |  CAST(s_fr AS INT) AS s_fr, CAST(s_es AS INT) AS s_es,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, text, ${duckTokens("lower(text)")} AS w
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_chars, text, w, len(w) AS n_tok,
+         |    ${duckHits("w", stopEn)} AS n_stop FROM d)
+         |SELECT doc_id, n_chars, CAST(n_tok AS INT) AS n_tok,
+         |  CAST(floor(CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
+         |    * 100 / n_tok) AS BIGINT) AS tok_len_c,
+         |  CAST(floor(n_stop * 10000 / n_tok) AS BIGINT) AS stop_bp,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         |  CAST(floor(least(n_chars, 1000) / 10)
+         |    + floor(least(floor(n_stop * 10000 / n_tok), 1000) / 10) AS BIGINT) AS score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${duckTokens("text")}) AS INT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INT) AS n_re,
+         |  CAST(length(text) AS INT) AS len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id, ${duckCharFold("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
