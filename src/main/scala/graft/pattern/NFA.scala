@@ -2,7 +2,7 @@ package graft.pattern
 
 import scala.collection.mutable.{ArrayBuffer, ListBuffer}
 
-/** NFA interpreter for [[Pattern]] over a single key's event-time-ordered
+/** NFA machinery for [[Pattern]] over a single key's event-time-ordered
   * event sequence.
   *
   * Semantics follow the reference's Flink CEP runtime as pinned by the golden
@@ -14,18 +14,20 @@ import scala.collection.mutable.{ArrayBuffer, ListBuffer}
   *     partial match; the partial match TIMES OUT instead (absence detection,
   *     `FlinkCEPAbsenceOfEventExample.scala:78-104`),
   *   - after-match skip strategies (`SKIP PAST LAST ROW` etc.),
-  *   - timeouts fire when event time (the batch analog of the watermark)
-  *     passes a partial match's deadline; at end of input all remaining
-  *     partial matches are flushed as timeouts (batch = closed stream).
+  *   - timeouts fire when the watermark (event time in batch) passes a
+  *     partial match's deadline.
   *
-  * The interpreter is SINGLE-PASS over a sorted `Iterator` — it never
-  * materializes the full per-key buffer. This is what lets the Spark adapter
-  * use `flatMapSortedGroups` (the shuffle delivers each key's events already
-  * sorted) so per-key memory is O(live partial matches), not O(events per
-  * key): live partials are bounded by the `within` horizon (every partial
-  * older than `within` is retired at the next event) and `SkipPastLastEvent`
-  * prunes all overlap after each match — memory is independent of total
-  * stream length, which is the contract that survives 100 TB.
+  * [[NfaRunner]] is INCREMENTAL: feed events one at a time (in event-time
+  * order), advance the watermark, snapshot/restore its state — this is what
+  * both the batch adapter (single pass over a sorted iterator, no per-key
+  * buffer) and the Structured Streaming `transformWithState` processor
+  * (state store round-trips between micro-batches) drive.
+  *
+  * State-size contract (100 TB note): live partials per key are bounded by
+  * the `within` horizon — every partial older than `within` is retired at the
+  * next event/watermark — and `SkipPastLastEvent` prunes all overlap after
+  * each match, so memory is O(events-in-horizon × pattern-branching),
+  * independent of total stream length.
   */
 object NFA {
 
@@ -48,14 +50,17 @@ object NFA {
     def first(stage: String): Option[T] = apply(stage).headOption
   }
 
-  private final case class Consumed[T](stage: Int, idx: Long, ev: T)
+  /** One consumed event inside a partial match. */
+  final case class Consumed[T](stage: Int, idx: Long, ev: T)
 
-  // Resident position: taken == 0 → about to enter `stage`;
-  // taken > 0 → inside looping `stage` having consumed `taken` events.
-  private final case class Partial[T](
+  /** A live partial match. Resident position: taken == 0 → about to enter
+    * `stage`; taken > 0 → inside looping `stage` after `taken` events.
+    * `consumed` is in reverse order.
+    */
+  final case class Partial[T](
       stage: Int,
       taken: Int,
-      consumed: List[Consumed[T]], // reverse order
+      consumed: List[Consumed[T]],
       startIdx: Long,
       startTs: Long) {
     def dedupKey: (Int, Int, List[(Int, Long)]) =
@@ -63,166 +68,207 @@ object NFA {
     def contentKey: List[(Int, Long)] = consumed.map(c => (c.stage, c.idx))
   }
 
-  /** Run the pattern over events ALREADY SORTED by event time (ties broken by
-    * a deterministic secondary key upstream). Returns (matches, timeouts).
+  /** Serializable snapshot of a runner's mutable state (streaming state store). */
+  final case class Snapshot[T](
+      partials: List[Partial[T]],
+      minStartIdx: Long,
+      nextIdx: Long)
+
+  /** Convenience single-shot run over a sorted iterator: feed every event,
+    * then flush (batch = closed stream → remaining partials time out).
     */
   def run[T](
       events: Iterator[T],
       ts: T => Long,
       pattern: Pattern[T]): (Vector[PatternMatch[T]], Vector[PatternTimeout[T]]) = {
-
-    val stages = pattern.stages
-    val n = stages.length
-    val within = pattern.withinMs
-
+    val runner = new NfaRunner[T](pattern, ts)
     val matches = Vector.newBuilder[PatternMatch[T]]
     val timeouts = Vector.newBuilder[PatternTimeout[T]]
-    var partials = ArrayBuffer.empty[Partial[T]]
-    // SkipPastLastEvent: new matches may not start at or before this index.
-    var minStartIdx = 0L
+    events.foreach { e =>
+      val (ms, tos) = runner.onEvent(e)
+      matches ++= ms
+      timeouts ++= tos
+    }
+    timeouts ++= runner.flush()
+    (matches.result(), timeouts.result())
+  }
+}
 
-    // Stages s, s+1, ... reachable for entry by epsilon-skipping optional stages.
-    def entryChain(s: Int): List[Int] = {
-      val out = ListBuffer.empty[Int]
-      var u = s
-      while (u < n) {
-        out += u
-        if (stages(u).optionalEntry) u += 1 else u = n + 1 // stop after first mandatory
-      }
-      out.toList
+/** Incremental NFA executor for one key. NOT thread-safe. */
+final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Serializable {
+  import NFA._
+
+  private val stages = pattern.stages
+  private val n = stages.length
+  private val within = pattern.withinMs
+
+  private var partials = ArrayBuffer.empty[Partial[T]]
+  private var minStartIdx = 0L // SkipPastLastEvent: no starts at or before this
+  private var nextIdx = 0L
+
+  def snapshot(): Snapshot[T] = Snapshot(partials.toList, minStartIdx, nextIdx)
+
+  def restore(s: Snapshot[T]): Unit = {
+    partials = ArrayBuffer.from(s.partials)
+    minStartIdx = s.minStartIdx
+    nextIdx = s.nextIdx
+  }
+
+  def hasLiveState: Boolean = partials.nonEmpty
+
+  /** Earliest pending timeout deadline, if any (streaming timer target). */
+  def earliestDeadline: Option[Long] =
+    within.flatMap(w => partials.map(_.startTs + w).minOption)
+
+  // Stages s, s+1, ... reachable for entry by epsilon-skipping optional stages.
+  private def entryChain(s: Int): List[Int] = {
+    val out = ListBuffer.empty[Int]
+    var u = s
+    while (u < n) {
+      out += u
+      if (stages(u).optionalEntry) u += 1 else u = n + 1 // stop after first mandatory
+    }
+    out.toList
+  }
+
+  private def positions(p: Partial[T]): List[(Int, Int)] =
+    if (p.taken == 0) entryChain(p.stage).map(u => (u, 0))
+    else {
+      val loopSelf = if (p.taken < stages(p.stage).max) List((p.stage, p.taken)) else Nil
+      val proceed =
+        if (p.taken >= stages(p.stage).min) entryChain(p.stage + 1).map(u => (u, 0))
+        else Nil
+      loopSelf ::: proceed
     }
 
-    // All concrete positions (stage, taken) from which `p` may consume/ignore.
-    def positions(p: Partial[T]): List[(Int, Int)] =
-      if (p.taken == 0) entryChain(p.stage).map(u => (u, 0))
-      else {
-        val loopSelf = if (p.taken < stages(p.stage).max) List((p.stage, p.taken)) else Nil
-        val proceed =
-          if (p.taken >= stages(p.stage).min) entryChain(p.stage + 1).map(u => (u, 0))
-          else Nil
-        loopSelf ::: proceed
-      }
-
-    def ignoreAllowed(stage: Int, taken: Int, e: T): Boolean = {
-      if (stage >= n) return false
-      val st = stages(stage)
-      val c = if (taken == 0) st.contiguity else st.internal
-      c match {
-        case Contiguity.Strict => false
-        case Contiguity.Relaxed => !st.pred(e)
-        case Contiguity.NonDeterministic => true
-      }
+  private def ignoreAllowed(stage: Int, taken: Int, e: T): Boolean = {
+    if (stage >= n) return false
+    val st = stages(stage)
+    val c = if (taken == 0) st.contiguity else st.internal
+    c match {
+      case Contiguity.Strict => false
+      case Contiguity.Relaxed => !st.pred(e)
+      case Contiguity.NonDeterministic => true
     }
+  }
 
-    // Can `(stage, taken)` epsilon-reach the accepting state?
-    def accepting(stage: Int, taken: Int): Boolean =
-      if (stage >= n) true
-      else if (taken == 0) (stage until n).forall(stages(_).optionalEntry)
-      else taken >= stages(stage).min && (stage + 1 until n).forall(stages(_).optionalEntry)
+  // Can `(stage, taken)` epsilon-reach the accepting state?
+  private def accepting(stage: Int, taken: Int): Boolean =
+    if (stage >= n) true
+    else if (taken == 0) (stage until n).forall(stages(_).optionalEntry)
+    else taken >= stages(stage).min && (stage + 1 until n).forall(stages(_).optionalEntry)
 
-    def toBindings(consumed: List[Consumed[T]]): Map[String, Vector[T]] =
-      consumed.reverse
-        .groupBy(_.stage)
-        .map { case (s, evs) => stages(s).name -> evs.map(_.ev).toVector }
+  private def toBindings(consumed: List[Consumed[T]]): Map[String, Vector[T]] =
+    consumed.reverse
+      .groupBy(_.stage)
+      .map { case (s, evs) => stages(s).name -> evs.map(_.ev).toVector }
 
-    def emitTimeout(p: Partial[T]): Unit =
-      timeouts += PatternTimeout(toBindings(p.consumed), p.startTs, p.startTs + within.getOrElse(0L))
+  private def toTimeout(p: Partial[T]): PatternTimeout[T] =
+    PatternTimeout(toBindings(p.consumed), p.startTs, p.startTs + within.getOrElse(0L))
 
-    var i = 0L
-    while (events.hasNext) {
-      val e = events.next()
-      val t = ts(e)
+  /** Retire partials whose `within` horizon is at or before watermark `w`. */
+  def onWatermark(w: Long): List[PatternTimeout[T]] = within match {
+    case None => Nil
+    case Some(h) =>
+      val (dead, alive) = partials.partition(p => w >= p.startTs + h)
+      partials = alive
+      // Branch partials may share an identical consumed set (they differ only
+      // in resident NFA position); one timeout per distinct partial content.
+      dead.distinctBy(_.contentKey).map(toTimeout).toList
+  }
 
-      // 1. Retire partials whose horizon has passed (watermark analog: events
-      //    arrive in time order, so t is the current watermark).
-      within.foreach { w =>
-        val (dead, alive) = partials.partition(p => t >= p.startTs + w)
-        // Branch partials may share an identical consumed set (they differ only
-        // in resident NFA position); one timeout per distinct partial content.
-        dead.distinctBy(_.contentKey).foreach(emitTimeout)
-        partials = alive
-      }
+  /** Feed the next event (must be >= all previously fed event times). */
+  def onEvent(e: T): (List[PatternMatch[T]], List[PatternTimeout[T]]) = {
+    val t = tsFn(e)
+    val i = nextIdx
+    nextIdx += 1
 
-      // 2. Advance every live partial plus the implicit initial state.
-      val next = ArrayBuffer.empty[Partial[T]]
-      val completed = ArrayBuffer.empty[Partial[T]]
-      val seen = scala.collection.mutable.HashSet.empty[(Int, Int, List[(Int, Long)])]
-      def add(p: Partial[T]): Unit = if (seen.add(p.dedupKey)) next += p
+    // 1. The event's own time is a watermark: horizons at or before it fire first.
+    val timeouts = onWatermark(t)
 
-      def step(p: Partial[T], isInitial: Boolean): Unit = {
-        positions(p).foreach { case (s, taken) =>
-          if (s < n) {
-            val st = stages(s)
-            // TAKE
-            if (taken < st.max && st.pred(e)) {
-              if (!isInitial || i >= minStartIdx) {
-                val newTaken = taken + 1
-                val (rs, rt) = if (newTaken >= st.max) (s + 1, 0) else (s, newTaken)
-                val np = Partial(rs, rt, Consumed(s, i, e) :: p.consumed,
-                  if (isInitial) i else p.startIdx,
-                  if (isInitial) t else p.startTs)
-                if (accepting(rs, rt)) completed += np
-                // Keep loop branches alive to extend (emits-and-continues for
-                // trailing loops); completed singleton-final branches are done.
-                if (rs < n) add(np)
-              }
+    // 2. Advance every live partial plus the implicit initial state.
+    val matches = ListBuffer.empty[PatternMatch[T]]
+    val next = ArrayBuffer.empty[Partial[T]]
+    val completed = ArrayBuffer.empty[Partial[T]]
+    val seen = scala.collection.mutable.HashSet.empty[(Int, Int, List[(Int, Long)])]
+    def add(p: Partial[T]): Unit = if (seen.add(p.dedupKey)) next += p
+
+    def step(p: Partial[T], isInitial: Boolean): Unit = {
+      positions(p).foreach { case (s, taken) =>
+        if (s < n) {
+          val st = stages(s)
+          // TAKE
+          if (taken < st.max && st.pred(e)) {
+            if (!isInitial || i >= minStartIdx) {
+              val newTaken = taken + 1
+              val (rs, rt) = if (newTaken >= st.max) (s + 1, 0) else (s, newTaken)
+              val np = Partial(rs, rt, Consumed(s, i, e) :: p.consumed,
+                if (isInitial) i else p.startIdx,
+                if (isInitial) t else p.startTs)
+              if (accepting(rs, rt)) completed += np
+              // Keep loop branches alive to extend (emit-and-continue for
+              // trailing loops); completed singleton-final branches are done.
+              if (rs < n) add(np)
             }
-            // IGNORE (not for the initial pseudo-partial: it is always present)
-            if (!isInitial && ignoreAllowed(s, taken, e)) {
-              add(if (s == p.stage && taken == p.taken) p
-                  else Partial(s, 0, p.consumed, p.startIdx, p.startTs))
-            }
+          }
+          // IGNORE (not for the initial pseudo-partial: it is always present)
+          if (!isInitial && ignoreAllowed(s, taken, e)) {
+            add(if (s == p.stage && taken == p.taken) p
+                else Partial(s, 0, p.consumed, p.startIdx, p.startTs))
           }
         }
       }
-
-      partials.foreach(step(_, isInitial = false))
-      step(Partial(0, 0, Nil, i, t), isInitial = true)
-
-      // 3. Emit completions per the after-match skip strategy.
-      def emitAllAndPruneBefore(v: String, first: Boolean): Unit = {
-        var bound = Long.MaxValue
-        completed.foreach { p =>
-          matches += PatternMatch(toBindings(p.consumed), p.startTs, t)
-          val idxs = p.consumed.filter(c => stages(c.stage).name == v).map(_.idx)
-          if (idxs.nonEmpty) bound = math.min(bound, if (first) idxs.min else idxs.max)
-        }
-        if (bound != Long.MaxValue)
-          next.filterInPlace(p => p.startIdx >= bound)
-      }
-
-      if (completed.nonEmpty) {
-        pattern.skip match {
-          case AfterMatchSkip.SkipPastLastEvent =>
-            // Sequential MATCH_RECOGNIZE semantics: the earliest-starting
-            // (then greediest) match wins; everything overlapping is pruned.
-            val win = completed.minBy(p => (p.startIdx, -p.consumed.length))
-            matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
-            partials.clear()
-            next.clear()
-            minStartIdx = i + 1
-          case AfterMatchSkip.NoSkip =>
-            completed.foreach { p =>
-              matches += PatternMatch(toBindings(p.consumed), p.startTs, t)
-            }
-          case AfterMatchSkip.SkipToNext =>
-            val starts = completed.map(_.startIdx).toSet
-            completed.groupBy(_.startIdx).toSeq.sortBy(_._1).foreach { case (_, ps) =>
-              val win = ps.minBy(p => -p.consumed.length)
-              matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
-            }
-            next.filterInPlace(p => !starts.contains(p.startIdx))
-          case AfterMatchSkip.SkipToFirst(v) => emitAllAndPruneBefore(v, first = true)
-          case AfterMatchSkip.SkipToLast(v) => emitAllAndPruneBefore(v, first = false)
-        }
-      }
-
-      partials = next
-      i += 1
     }
 
-    // 4. End of input = stream closes: flush all remaining partials as timeouts.
-    partials.distinctBy(_.contentKey).foreach(emitTimeout)
-    (matches.result(), timeouts.result())
+    partials.foreach(step(_, isInitial = false))
+    step(Partial(0, 0, Nil, i, t), isInitial = true)
+
+    // 3. Emit completions per the after-match skip strategy.
+    def emitAllAndPruneBefore(v: String, first: Boolean): Unit = {
+      var bound = Long.MaxValue
+      completed.foreach { p =>
+        matches += PatternMatch(toBindings(p.consumed), p.startTs, t)
+        val idxs = p.consumed.filter(c => stages(c.stage).name == v).map(_.idx)
+        if (idxs.nonEmpty) bound = math.min(bound, if (first) idxs.min else idxs.max)
+      }
+      if (bound != Long.MaxValue)
+        next.filterInPlace(p => p.startIdx >= bound)
+    }
+
+    if (completed.nonEmpty) {
+      pattern.skip match {
+        case AfterMatchSkip.SkipPastLastEvent =>
+          // Sequential MATCH_RECOGNIZE semantics: the earliest-starting
+          // (then greediest) match wins; everything overlapping is pruned.
+          val win = completed.minBy(p => (p.startIdx, -p.consumed.length))
+          matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
+          partials.clear()
+          next.clear()
+          minStartIdx = i + 1
+        case AfterMatchSkip.NoSkip =>
+          completed.foreach { p =>
+            matches += PatternMatch(toBindings(p.consumed), p.startTs, t)
+          }
+        case AfterMatchSkip.SkipToNext =>
+          val starts = completed.map(_.startIdx).toSet
+          completed.groupBy(_.startIdx).toSeq.sortBy(_._1).foreach { case (_, ps) =>
+            val win = ps.minBy(p => -p.consumed.length)
+            matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
+          }
+          next.filterInPlace(p => !starts.contains(p.startIdx))
+        case AfterMatchSkip.SkipToFirst(v) => emitAllAndPruneBefore(v, first = true)
+        case AfterMatchSkip.SkipToLast(v) => emitAllAndPruneBefore(v, first = false)
+      }
+    }
+
+    partials = next
+    (matches.toList, timeouts)
+  }
+
+  /** End of input (batch only): every remaining partial times out. */
+  def flush(): List[PatternTimeout[T]] = {
+    val out = partials.distinctBy(_.contentKey).map(toTimeout).toList
+    partials.clear()
+    out
   }
 }

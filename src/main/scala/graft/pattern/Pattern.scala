@@ -106,6 +106,13 @@ final case class Pattern[T](
   def withSkipStrategy(s: AfterMatchSkip): Pattern[T] = copy(skip = s)
 
   def stageNames: Vector[String] = stages.map(_.name)
+
+  /** Re-target the pattern onto a wrapper/projection of the event type
+    * (e.g. the same events with a watermark timestamp column attached). */
+  def contramap[U](f: U => T): Pattern[U] =
+    Pattern(
+      stages.map(s => Stage[U](s.name, u => s.pred(f(u)), s.min, s.max, s.contiguity, s.internal)),
+      withinMs, skip)
 }
 
 object Pattern {

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.events.BillingEvent
+import graft.operators.AlertOutput
+
+/** Streaming CEP: the golden scenario driven through MemoryStream across
+  * staged micro-batches, asserting watermark-gated emission (match appears
+  * only once the watermark passes it; timeout fires via event-time timer
+  * when the watermark passes A.ts + 1h — the 13:30 event's only role).
+  */
+class CepStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val golden = Seq(
+    BillingEvent("1", "2020-05-01 11:00:00", 13, 9),
+    BillingEvent("2", "2020-05-01 11:00:00", 11, 6),
+    BillingEvent("2", "2020-05-01 11:15:00", 6, 4),
+    BillingEvent("2", "2020-05-01 11:30:00", 4, 3),
+    BillingEvent("2", "2020-05-01 11:40:00", 3, 23),
+    BillingEvent("1", "2020-05-01 11:45:00", 9, 5))
+  private val lateTick = BillingEvent("1", "2020-05-01 13:30:00", 5, 25)
+
+  private def startQuery(input: MemoryStream[BillingEvent], name: String): StreamingQuery =
+    BillingAlertsStream.detect(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+
+  private def rows(name: String): Seq[(String, String, String, String)] = {
+    import spark.implicits._
+    spark.table(name).as[AlertOutput].collect().toSeq
+      .map(o => (o.kind, o.id, o.alarmTriggerDatetime, o.topupDatetime)).sorted
+  }
+
+  test("golden scenario end-to-end in one batch sequence") {
+    import spark.implicits._
+    val input = MemoryStream[BillingEvent]
+    val q = startQuery(input, "cep_all")
+    try {
+      input.addData(golden :+ lateTick)
+      q.processAllAvailable()
+      assert(rows("cep_all") == Seq(
+        ("match", "2", "2020-05-01 11:00:00", "2020-05-01 11:40:00"),
+        ("timeout", "1", "2020-05-01 11:00:00", "")))
+    } finally q.stop()
+  }
+
+  test("staged batches: emission is watermark-gated; timer fires the absence") {
+    import spark.implicits._
+    val input = MemoryStream[BillingEvent]
+    val q = startQuery(input, "cep_staged")
+    try {
+      // batch 1: events up to 11:30 — watermark still behind everything
+      input.addData(golden.take(4))
+      q.processAllAvailable()
+      assert(rows("cep_staged").isEmpty)
+
+      // batch 2: C arrives (11:40) + key-1 B — watermark (11:34) has passed
+      // key 2's A/B events but not C; still no completed match visible
+      input.addData(golden.drop(4))
+      q.processAllAvailable()
+      assert(!rows("cep_staged").exists(_._1 == "match"))
+
+      // batch 3: late tick advances the watermark to 13:24 — match completes
+      // and key 1's 12:00 deadline timer fires the absence timeout
+      input.addData(Seq(lateTick))
+      q.processAllAvailable()
+      assert(rows("cep_staged") == Seq(
+        ("match", "2", "2020-05-01 11:00:00", "2020-05-01 11:40:00"),
+        ("timeout", "1", "2020-05-01 11:00:00", "")))
+    } finally q.stop()
+  }
+
+  test("batch and streaming agree on the golden input") {
+    import spark.implicits._
+    val batchOut = graft.operators.BillingAlerts
+      .detect(spark.createDataset(golden :+ lateTick))
+      .collect().toSeq
+      .map(o => (o.kind, o.id, o.alarmTriggerDatetime, o.topupDatetime)).sorted
+    val input = MemoryStream[BillingEvent]
+    val q = startQuery(input, "cep_vs_batch")
+    try {
+      input.addData(golden :+ lateTick)
+      q.processAllAvailable()
+      assert(rows("cep_vs_batch") == batchOut)
+    } finally q.stop()
+  }
+}
