@@ -14,5 +14,7 @@ object TestSpark {
     // transformWithState needs multi-column-family state: RocksDB provider
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // MATCH_RECOGNIZE parser extension
+    .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
     .getOrCreate()
 }

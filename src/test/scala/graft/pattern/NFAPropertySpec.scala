@@ -1,0 +1,138 @@
+package graft.pattern
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: the NFA against an independent brute-force oracle that
+  * implements the `A B* C within, SKIP PAST LAST ROW` semantics literally
+  * (sequential earliest-match attempt scan, SURVEY.md §2.2), plus structural
+  * invariants (snapshot/restore at arbitrary cut points, sort-invariance).
+  * Uses scalacheck Gen directly (deterministic seed walk) — no scalatestplus.
+  */
+class NFAPropertySpec extends AnyFunSuite {
+
+  case class Ev(ts: Long, kind: Char) // 'a' alarm, 'b' decline, 'c' topup, 'x' other
+
+  private val genEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 40)
+    kinds <- Gen.listOfN(n, Gen.frequency(3 -> 'a', 4 -> 'b', 3 -> 'c', 2 -> 'x'))
+    gaps <- Gen.listOfN(n, Gen.choose(1L, 40L))
+  } yield {
+    val ts = gaps.scanLeft(0L)(_ + _).tail
+    ts.zip(kinds).map { case (t, k) => Ev(t, k) }
+  }
+
+  private def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val Within = 60L
+
+  private def pattern(within: Option[Long]): Pattern[Ev] = {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.kind == 'a')
+      .next("B").where(_.kind == 'b').oneOrMore.optional
+      .next("C").where(_.kind == 'c')
+    within.fold(p)(p.within)
+  }
+
+  /** Brute force, straight from the spec. Attempts are independent and
+    * resolved sequentially (earliest start wins; SKIP PAST LAST ROW then
+    * resumes after the match). Strict contiguity into B/C from A; once at
+    * least one B is taken, the loop's internal contiguity is RELAXED (Flink
+    * oneOrMore default): non-matching events are skipped. An event at or
+    * after A.ts + within retires the attempt as a timeout first; end of
+    * input retires open attempts.
+    */
+  private def brute(events: List[Ev], within: Option[Long]): (List[(Long, Long)], List[Long]) = {
+    val ev = events.toIndexedSeq
+    var matches = List.empty[(Long, Long)]
+    var timeouts = List.empty[Long]
+    var i = 0
+    while (i < ev.length) {
+      if (ev(i).kind != 'a') { i += 1 }
+      else {
+        val aTs = ev(i).ts
+        val deadline = within.map(aTs + _)
+        var j = i + 1
+        var inLoop = false
+        var result: Option[Either[Long, Int]] = None // Left timeout/-1 kill; Right matchEnd
+        while (j < ev.length && result.isEmpty) {
+          if (deadline.exists(ev(j).ts >= _)) result = Some(Left(aTs))
+          else ev(j).kind match {
+            case 'c' => result = Some(Right(j))
+            case 'b' => inLoop = true; j += 1
+            case _ => if (inLoop) j += 1 else result = Some(Left(-1L))
+          }
+        }
+        if (result.isEmpty) result = Some(Left(if (within.isDefined) aTs else -1L))
+        result.get match {
+          case Right(end) =>
+            matches ::= (aTs, ev(end).ts)
+            i = end + 1
+          case Left(t) =>
+            if (t >= 0) timeouts ::= t
+            i += 1
+        }
+      }
+    }
+    (matches.reverse, timeouts.reverse)
+  }
+
+  test("NFA matches the brute-force oracle on random sequences (with within)") {
+    forSamples(genEvents, 400) { events =>
+      val (bm, bt) = brute(events, Some(Within))
+      val (nm, nt) = NFA.run(events.iterator, (_: Ev).ts, pattern(Some(Within)))
+      assert(nm.map(m => (m.startTs, m.endTs)).toList == bm, s"matches differ for $events")
+      assert(nt.map(_.startTs).sorted.toList == bt.sorted, s"timeouts differ for $events")
+    }
+  }
+
+  test("NFA matches the brute-force oracle without within") {
+    forSamples(genEvents, 300) { events =>
+      val (bm, _) = brute(events, None)
+      val (nm, nt) = NFA.run(events.iterator, (_: Ev).ts, pattern(None))
+      assert(nm.map(m => (m.startTs, m.endTs)).toList == bm, s"matches differ for $events")
+    }
+  }
+
+  test("incremental runner with snapshot/restore at arbitrary cut == single-shot run") {
+    forSamples(genEvents.flatMap(es => Gen.choose(0, 40).map(c => (es, c))), 300) {
+      case (events, cutRaw) =>
+        val cut = if (events.isEmpty) 0 else cutRaw % (events.length + 1)
+        val single = NFA.run(events.iterator, (_: Ev).ts, pattern(Some(Within)))
+
+        val r1 = new NfaRunner[Ev](pattern(Some(Within)), _.ts)
+        val out1 = events.take(cut).flatMap { e =>
+          val (m, t) = r1.onEvent(e); m.map(Left(_)) ++ t.map(Right(_))
+        }
+        val r2 = new NfaRunner[Ev](pattern(Some(Within)), _.ts)
+        r2.restore(r1.snapshot())
+        val out2 = events.drop(cut).flatMap { e =>
+          val (m, t) = r2.onEvent(e); m.map(Left(_)) ++ t.map(Right(_))
+        } ++ r2.flush().map(Right(_))
+
+        val matches = (out1 ++ out2).collect { case Left(m) => (m.startTs, m.endTs) }
+        val timeouts = (out1 ++ out2).collect { case Right(t) => t.startTs }.sorted
+        assert(matches == single._1.map(m => (m.startTs, m.endTs)).toList)
+        assert(timeouts == single._2.map(_.startTs).sorted.toList)
+    }
+  }
+
+  test("sorting a shuffled buffer reproduces the in-order result") {
+    forSamples(genEvents.flatMap(es => Gen.long.map(s => (es, s))), 200) {
+      case (events, seedL) =>
+        val sorted = new scala.util.Random(seedL).shuffle(events).sortBy(_.ts)
+        val a = NFA.run(events.iterator, (_: Ev).ts, pattern(Some(Within)))
+        val b = NFA.run(sorted.iterator, (_: Ev).ts, pattern(Some(Within)))
+        assert(a == b)
+    }
+  }
+}
