@@ -38,10 +38,18 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Per-doc MinHash signatures, shingles materialized stepwise and the tiny
+    * result CACHED: signature columns feed several plan branches (band
+    * explode + two pair-side joins), and Column lambdas duplicate their
+    * input expression tree per use — without materialization the shingle +
+    * md5 work would re-run once per branch per hash position. */
   private def sigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.table(s, dir, "documents")
-      .select($"doc_id", minhashSig(shingles3(tokens($"text")), MinhashK).as("sig"))
+      .select($"doc_id", minhashBase(shingles3(tokens($"text"))).as("bh"))
+      .cache() // one md5 per shingle, materialized once
+      .select($"doc_id", minhashSigRot($"bh", MinhashK).as("sig"))
+      .cache()
   }
 
   /** MinHash LSH: banded bucket-join candidates with signature agreement ≥ 4/8. */
@@ -75,8 +83,10 @@ object Dedup {
   def ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
-      .select($"doc_id", array_distinct(shingles3(tokens($"text"))).as("sh"),
-        minhashSig(shingles3(tokens($"text")), MinhashK).as("sig"))
+      .select($"doc_id", shingles3(tokens($"text")).as("sh0"))
+      .select($"doc_id", array_distinct($"sh0").as("sh"), minhashBase($"sh0").as("bh"))
+      .cache()
+      .select($"doc_id", $"sh", minhashSigRot($"bh", MinhashK).as("sig"))
     val pos = docs.select($"doc_id", posexplode($"sig").as(Seq("i", "h")))
     val cand = pos.as("a")
       .join(pos.as("b"), col("a.i") === col("b.i") && col("a.h") === col("b.h") &&
@@ -98,17 +108,23 @@ object Dedup {
     * closest other doc by Hamming distance (min doc_id tiebreak). */
   def simhashNN(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Token hashes materialized BEFORE the 32 per-bit folds (each fold's
+    // lambda would otherwise embed — and re-execute — the whole char-fold
+    // tree), and the per-doc fingerprint table cached across both join sides.
     val fp = Tables.table(s, dir, "documents")
-      .select($"doc_id",
-        simhash(transform(tokens($"text"), t => charFoldHash(t)), 32).as("fp"))
-    val pairs = fp.as("a").join(fp.as("b"), col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nn"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("h"))
-    val minh = pairs.groupBy($"doc_id").agg(min($"h").as("minh"))
-    pairs.join(minh, Seq("doc_id"))
-      .filter($"h" === $"minh")
+      .select($"doc_id", transform(tokens($"text"), t => charFoldHash(t)).as("hs"))
+      .select($"doc_id", simhash($"hs", 32).as("fp"))
+      .cache()
+    // Single pass over the n² pair space: min(struct(h, nn)) is the
+    // lexicographic minimum — nearest Hamming neighbor, min-doc tiebreak —
+    // with map-side partial aggregation, so the shuffle carries one row per doc.
+    fp.as("a").join(fp.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        struct(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("h"),
+          col("b.doc_id").as("nn")).as("hn"))
       .groupBy($"doc_id")
-      .agg(min($"nn").as("nn_doc"), min($"h").as("hamming"))
+      .agg(min($"hn").as("m"))
+      .select($"doc_id", $"m.nn".as("nn_doc"), $"m.h".as("hamming"))
       .orderBy($"doc_id")
   }
 
@@ -142,7 +158,8 @@ object Dedup {
   private val sigCte =
     s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, ${duckShingles("w")} AS shingles FROM d),
-       |sig AS (SELECT doc_id, ${duckMinhashSig("shingles", MinhashK)} AS sigs FROM sh)""".stripMargin
+       |bh AS (SELECT doc_id, shingles, ${duckMinhashBase("shingles")} AS bh FROM sh),
+       |sig AS (SELECT doc_id, shingles, ${duckMinhashSigRot("bh", MinhashK)} AS sigs FROM bh)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->

@@ -45,6 +45,19 @@ object Hashing {
       array_min(transform(shingles, s =>
         md5(concat(i.cast("string"), lit("|"), s)))))
 
+  /** One md5 per shingle (materialize this BEFORE deriving signatures). */
+  def minhashBase(shingles: Column): Column =
+    transform(shingles, s => md5(concat(lit("|"), s)))
+
+  /** `k` signature positions from the base hashes via hex-rotation orderings:
+    * position i minimizes the md5 rotated left by 4·i hex chars — one md5
+    * per shingle instead of k, each rotation a distinct total order. */
+  def minhashSigRot(base: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(base, b =>
+        concat(substring(b, 4 * i + 1, 32), substring(b, 1, 4 * i))))
+    }: _*)
+
   /** `bits`-bit SimHash over token hashes: bit j set iff the sum of
     * (±1 per token, sign = bit j of the token's char-fold hash) is positive.
     */
@@ -84,4 +97,14 @@ object Hashing {
   def duckMinhashSig(sh: String, k: Int): String =
     s"list_transform(generate_series(0, ${k - 1}), i -> " +
       s"list_min(list_transform($sh, s -> md5(CAST(i AS VARCHAR) || '|' || s))))"
+
+  /** DuckDB: base md5 per shingle. */
+  def duckMinhashBase(sh: String): String =
+    s"list_transform($sh, s -> md5('|' || s))"
+
+  /** DuckDB: k rotation-derived signature positions from base hashes `bh`. */
+  def duckMinhashSigRot(bh: String, k: Int): String =
+    (0 until k).map { i =>
+      s"list_min(list_transform($bh, b -> substr(b, ${4 * i + 1}) || substr(b, 1, ${4 * i})))"
+    }.mkString("[", ", ", "]")
 }
