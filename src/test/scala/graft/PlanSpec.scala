@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the at-scale contract, checked continuously:
+  * filters reach the parquet scan, projections prune columns, hinted joins
+  * get their strategy, small dims broadcast, and the relational surface stays
+  * inside whole-stage codegen. A plan regression here is a 100-TB problem
+  * long before it is a wall-clock problem at sf0.1.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan_filter_project: filter pushed to parquet, columns pruned") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"), p)
+    // only the 4 needed columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount"), p)
+  }
+
+  test("q_join_broadcast: broadcast hash join, no shuffle of the dim") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_join_sortmerge: MERGE hint honored") {
+    val p = plan("q_join_sortmerge")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_agg_group: two-phase hash aggregation (partial then final)") {
+    val p = plan("q_agg_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_sort_limit: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("relational queries run inside whole-stage codegen") {
+    // AQE finalizes codegen per stage at execution: run, then inspect.
+    for (q <- Seq("q_scan_filter_project", "q_agg_group", "q_join_inner", "q_window_rank")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // whole-stage codegen spans render as "*(n) Operator" in the final plan
+      assert(p.contains("*("), s"$q lost codegen:\n$p")
+    }
+  }
+
+  test("CEP plan: single exchange on the key, sort satisfied by the shuffle") {
+    val p = plan("q_cep_low_balance")
+    // one hashpartitioning exchange for groupByKey; sort within partitions for
+    // flatMapSortedGroups rides it (no extra exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p)
+  }
+}
