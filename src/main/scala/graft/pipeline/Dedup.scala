@@ -52,22 +52,29 @@ object Dedup {
       .cache()
   }
 
-  /** MinHash LSH: banded bucket-join candidates with signature agreement ≥ 4/8. */
-  def minhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sg = sigs(s, dir)
+  /** Banded LSH candidate pairs from a (doc_id, sig) table: bucket-join on
+    * (band, concat of the band's signature rows) — the only shuffle of the
+    * candidate stage, with width bounded by band-key cardinality. */
+  private def bandCandidates(sg: DataFrame): DataFrame = {
+    import sg.sparkSession.implicits._
     val bands = sg.select($"doc_id", explode(
       transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"), concat(element_at($"sig", b * 2 + 1),
           element_at($"sig", b * 2 + 2)).as("key")))).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.key")
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+  }
+
+  /** MinHash LSH: banded bucket-join candidates with signature agreement ≥ 4/8. */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sg = sigs(s, dir)
+    bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .withColumn("matches",
@@ -78,8 +85,10 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** N-gram Jaccard: exact similarity over pairs sharing ≥1 minhash position
-    * (the LSH-candidates→verify shape); jaccard in integer percent. */
+  /** N-gram Jaccard: exact similarity verification over the banded LSH
+    * candidates (the candidates→verify pipeline shape; any-single-position
+    * blocking floods on small-vocabulary corpora where random pairs share
+    * minima); jaccard in integer percent. */
   def ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
@@ -87,12 +96,7 @@ object Dedup {
       .select($"doc_id", array_distinct($"sh0").as("sh"), minhashBase($"sh0").as("bh"))
       .cache()
       .select($"doc_id", $"sh", minhashSigRot($"bh", MinhashK).as("sig"))
-    val pos = docs.select($"doc_id", posexplode($"sig").as(Seq("i", "h")))
-    val cand = pos.as("a")
-      .join(pos.as("b"), col("a.i") === col("b.i") && col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandCandidates(docs.select($"doc_id", $"sig"))
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -182,13 +186,12 @@ object Dedup {
          |WHERE matches >= 4 ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram" ->
       s"""$sigCte,
-         |ds AS (SELECT s1.doc_id, list_distinct(s1.shingles) AS sh, s2.sigs
-         |  FROM sh s1 JOIN sig s2 ON s1.doc_id = s2.doc_id),
-         |pos AS (SELECT doc_id, i, sigs[i] AS h
-         |  FROM ds, (SELECT unnest(generate_series(1, $MinhashK)) AS i)),
+         |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sig),
+         |bands AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pos a JOIN pos b
-         |  ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id)
+         |  FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jac_pct FROM (
          |  SELECT c.doc_a, c.doc_b,
          |    CAST(floor(100.0 * len(list_filter(da.sh, x -> list_contains(db.sh, x)))

@@ -19,8 +19,16 @@ object Hashing {
   /** Fold modulus: largest prime below 2^53. */
   val M: Long = 9007199254740881L
 
-  /** Deterministic char-fold hash of a string column: (h*31 + ord(c)) % M. */
+  /** Deterministic char-fold hash of a string column: (h*31 + ord(c)) % M.
+    * Uses the native codegen'd [[graft.functions.CharFoldHash]] expression
+    * (tight per-byte Java loop); byte-fold == char-fold on ASCII corpora,
+    * which the DuckDB-oracle equivalence test pins. */
   def charFoldHash(s: Column, seed: Long = 0L): Column =
+    graft.functions.CharFoldHash(s, seed)
+
+  /** Built-in-only fold variant (one string alloc + two interpreted lambdas
+    * per char) — kept as the cross-implementation check for the native form. */
+  def charFoldHashHof(s: Column, seed: Long = 0L): Column =
     aggregate(
       filter(split(s, ""), c => c =!= ""),
       lit(seed),
