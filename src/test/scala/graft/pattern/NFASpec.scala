@@ -161,6 +161,38 @@ class NFASpec extends AnyFunSuite {
     assert(ms.head("A").head.tag == "a1")
   }
 
+  test("skipToFirst(B): resume from the first B of the emitted match") {
+    // a b1 b2 c: match binds B=[b1,b2]; skip-to-first(B) prunes partials
+    // starting before b1 but keeps later starts — next match may reuse b2.
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipToFirst("B")).where(is("a"))
+      .followedBy("B").where(is("b")).oneOrMore
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "b", "c"))
+    // all completions at c emit (B-run lengths 2, 1 — suffix branch), both
+    // starting at the same a; pruning bound = first B index
+    assert(ms.nonEmpty)
+    assert(ms.forall(_.apply("A").head.ts == 0L))
+  }
+
+  test("skipToLast(B): prunes partials starting before the last bound B") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipToLast("B")).where(is("a"))
+      .followedBy("B").where(is("b")).oneOrMore
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "b", "c"))
+    assert(ms.nonEmpty)
+  }
+
+  test("ambiguous event matching both B and C branches into both continuations") {
+    // 'd' matches B and C conditions; with NoSkip both readings emit:
+    // a d -> (A,C=d) and a d c -> (A,B=d,C=c)
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.NoSkip).where(is("a"))
+      .next("B").where(e => is("b")(e) || is("d")(e)).oneOrMore.optional
+      .next("C").where(e => is("c")(e) || is("d")(e))
+    val (ms, _) = run(p, evs("a", "d", "c"))
+    val readings = ms.map(m => (m("B").map(_.tag), m("C").map(_.tag))).toSet
+    assert(readings == Set((Vector(), Vector("d")), (Vector("d"), Vector("c"))))
+  }
+
   test("golden fixture semantics end-to-end (pure NFA)") {
     // Reference input-data.csv, key 2 then key 1, as (ts-minutes, before, after)
     case class B(id: String, min: Long, before: Long, after: Long)
