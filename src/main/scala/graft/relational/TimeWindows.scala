@@ -9,9 +9,12 @@ import graft.sources.Tables
 /** Event-time window inventory in batch form: tumbling / sliding / session
   * windows over the events table (the batch analogs of the streaming
   * operators; identical grouping semantics, no watermark needed on bounded
-  * input). Session-window semantics: a gap of EXACTLY the threshold starts a
-  * new session (Spark's window interval is [start, end)). All timestamps are
-  * second-truncated first (ns-parquet caveat, FIXTURES.md §B.1).
+  * input). Session-window semantics (verified empirically at sf0.1, user 511,
+  * events exactly 30 min apart): Spark MERGES sessions at the exact-gap
+  * boundary — the session interval end is inclusive for merging — so a new
+  * session starts only when the gap is STRICTLY GREATER than the threshold.
+  * All timestamps are second-truncated first (ns-parquet caveat,
+  * FIXTURES.md §B.1).
   */
 object TimeWindows {
 
@@ -87,7 +90,7 @@ object TimeWindows {
       """WITH s AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
         |brk AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS b
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS b
         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |grp AS (SELECT user_id, ts,
         |    sum(b) OVER (PARTITION BY user_id ORDER BY ts
