@@ -141,13 +141,20 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
       loopSelf ::: proceed
     }
 
-  private def ignoreAllowed(stage: Int, taken: Int, e: T): Boolean = {
+  // Lazy bindings view for iterative conditions (simple conditions never
+  // force it, so the common path allocates nothing but the closure).
+  private def ctxOf(p: Partial[T]): PatternContext[T] = new PatternContext[T] {
+    private lazy val b = toBindings(p.consumed)
+    def apply(stage: String): Vector[T] = b.getOrElse(stage, Vector.empty)
+  }
+
+  private def ignoreAllowed(stage: Int, taken: Int, e: T, ctx: PatternContext[T]): Boolean = {
     if (stage >= n) return false
     val st = stages(stage)
     val c = if (taken == 0) st.contiguity else st.internal
     c match {
       case Contiguity.Strict => false
-      case Contiguity.Relaxed => !st.pred(e)
+      case Contiguity.Relaxed => !st.pred(e, ctx)
       case Contiguity.NonDeterministic => true
     }
   }
@@ -194,11 +201,12 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     def add(p: Partial[T]): Unit = if (seen.add(p.dedupKey)) next += p
 
     def step(p: Partial[T], isInitial: Boolean): Unit = {
+      val ctx = ctxOf(p)
       positions(p).foreach { case (s, taken) =>
         if (s < n) {
           val st = stages(s)
           // TAKE
-          if (taken < st.max && st.pred(e)) {
+          if (taken < st.max && st.pred(e, ctx)) {
             if (!isInitial || i >= minStartIdx) {
               val newTaken = taken + 1
               val (rs, rt) = if (newTaken >= st.max) (s + 1, 0) else (s, newTaken)
@@ -212,7 +220,7 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
             }
           }
           // IGNORE (not for the initial pseudo-partial: it is always present)
-          if (!isInitial && ignoreAllowed(s, taken, e)) {
+          if (!isInitial && ignoreAllowed(s, taken, e, ctx)) {
             add(if (s == p.stage && taken == p.taken) p
                 else Partial(s, 0, p.consumed, p.startIdx, p.startTs))
           }

@@ -48,16 +48,35 @@ object AfterMatchSkip {
   final case class SkipToLast(variable: String) extends AfterMatchSkip
 }
 
-/** One pattern variable. `max = Int.MaxValue` encodes unbounded repetition. */
+/** Read-only view of a partial match's bound events, available to iterative
+  * conditions (the engine's analog of Flink's `IterativeCondition.Context`).
+  */
+trait PatternContext[T] {
+  /** Events bound to `stage` so far, in consumption order. */
+  def apply(stage: String): Vector[T]
+  def first(stage: String): Option[T] = apply(stage).headOption
+  def last(stage: String): Option[T] = apply(stage).lastOption
+}
+
+/** One pattern variable. `max = Int.MaxValue` encodes unbounded repetition.
+  * `pred` sees the candidate event and the partial match's current bindings
+  * (simple conditions ignore the context — no cost, it's computed lazily).
+  */
 final case class Stage[T](
     name: String,
-    pred: T => Boolean,
+    pred: (T, PatternContext[T]) => Boolean,
     min: Int,
     max: Int,
     contiguity: Contiguity,
     internal: Contiguity) {
   def isLoop: Boolean = max > 1
   def optionalEntry: Boolean = min == 0
+}
+
+object Stage {
+  def simple[T](name: String, p: T => Boolean, min: Int, max: Int,
+                contiguity: Contiguity, internal: Contiguity): Stage[T] =
+    Stage(name, (e, _) => p(e), min, max, contiguity, internal)
 }
 
 final case class Pattern[T](
@@ -70,14 +89,20 @@ final case class Pattern[T](
 
   /** AND an additional condition onto the current stage. */
   def where(p: T => Boolean): Pattern[T] =
-    updLast(s => s.copy(pred = e => s.pred(e) && p(e)))
+    updLast(s => s.copy(pred = (e, ctx) => s.pred(e, ctx) && p(e)))
+
+  /** AND an ITERATIVE condition (sees the partial match's bindings — the
+    * analog of Flink's IterativeCondition, e.g. "C's value exceeds first
+    * A's"). */
+  def whereContext(p: (T, PatternContext[T]) => Boolean): Pattern[T] =
+    updLast(s => s.copy(pred = (e, ctx) => s.pred(e, ctx) && p(e, ctx)))
 
   /** OR an alternative condition onto the current stage. */
   def or(p: T => Boolean): Pattern[T] =
-    updLast(s => s.copy(pred = e => s.pred(e) || p(e)))
+    updLast(s => s.copy(pred = (e, ctx) => s.pred(e, ctx) || p(e)))
 
   private def append(name: String, c: Contiguity): Pattern[T] =
-    copy(stages = stages :+ Stage[T](name, _ => true, 1, 1, c, Contiguity.Relaxed))
+    copy(stages = stages :+ Stage.simple[T](name, _ => true, 1, 1, c, Contiguity.Relaxed))
 
   /** Strict contiguity to the previous stage (Flink `next`). */
   def next(name: String): Pattern[T] = append(name, Contiguity.Strict)
@@ -111,7 +136,11 @@ final case class Pattern[T](
     * (e.g. the same events with a watermark timestamp column attached). */
   def contramap[U](f: U => T): Pattern[U] =
     Pattern(
-      stages.map(s => Stage[U](s.name, u => s.pred(f(u)), s.min, s.max, s.contiguity, s.internal)),
+      stages.map { s =>
+        Stage[U](s.name, (u, ctx) => s.pred(f(u), new PatternContext[T] {
+          def apply(stage: String): Vector[T] = ctx(stage).map(f)
+        }), s.min, s.max, s.contiguity, s.internal)
+      },
       withinMs, skip)
 }
 
@@ -119,6 +148,6 @@ object Pattern {
   /** Start a pattern with its first variable (Flink `Pattern.begin`). */
   def begin[T](name: String,
                skip: AfterMatchSkip = AfterMatchSkip.NoSkip): Pattern[T] =
-    Pattern(Vector(Stage[T](name, _ => true, 1, 1, Contiguity.Strict, Contiguity.Relaxed)),
+    Pattern(Vector(Stage.simple[T](name, _ => true, 1, 1, Contiguity.Strict, Contiguity.Relaxed)),
       None, skip)
 }

@@ -193,6 +193,16 @@ class NFASpec extends AnyFunSuite {
     assert(readings == Set((Vector(), Vector("d")), (Vector("d"), Vector("c"))))
   }
 
+  test("iterative condition: C must exceed the first A's timestamp by >= 2") {
+    // whereContext sees the partial match's bindings (Flink IterativeCondition)
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.NoSkip).where(is("a"))
+      .followedBy("C").where(is("c"))
+      .whereContext((e, ctx) => ctx.first("A").exists(a => e.ts - a.ts >= 2))
+    val (ms, _) = run(p, evs("a", "c", "x", "c"))
+    // c@1 is only 1 tick after a@0 → rejected; c@3 passes
+    assert(ms.map(_.apply("C").head.ts) == Vector(3L))
+  }
+
   test("golden fixture semantics end-to-end (pure NFA)") {
     // Reference input-data.csv, key 2 then key 1, as (ts-minutes, before, after)
     case class B(id: String, min: Long, before: Long, after: Long)
