@@ -75,6 +75,23 @@ class CepStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late events (behind the watermark) are dropped, not matched") {
+    import spark.implicits._
+    val input = MemoryStream[BillingEvent]
+    val q = startQuery(input, "cep_late")
+    try {
+      // advance watermark far past noon with an unrelated key
+      input.addData(Seq(BillingEvent("9", "2020-05-01 15:00:00", 50, 60)))
+      q.processAllAvailable()
+      // now a full match arrives for key 2 — but hours behind the watermark
+      input.addData(golden.filter(_.id == "2"))
+      q.processAllAvailable()
+      input.addData(Seq(BillingEvent("9", "2020-05-01 16:00:00", 50, 60)))
+      q.processAllAvailable()
+      assert(!rows("cep_late").exists(r => r._1 == "match" && r._2 == "2"))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the golden input") {
     import spark.implicits._
     val batchOut = graft.operators.BillingAlerts
