@@ -101,6 +101,10 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private val stages = pattern.stages
   private val n = stages.length
   private val within = pattern.withinMs
+  // Greedy (default): longest simultaneous completion wins under
+  // single-winner skip modes; any reluctant loop flips to shortest.
+  private val lenPref: Int => Int =
+    if (stages.filter(_.isLoop).forall(_.greedy)) len => -len else len => len
 
   private var partials = ArrayBuffer.empty[Partial[T]]
   private var minStartIdx = 0L // SkipPastLastEvent: no starts at or before this
@@ -248,7 +252,7 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         case AfterMatchSkip.SkipPastLastEvent =>
           // Sequential MATCH_RECOGNIZE semantics: the earliest-starting
           // (then greediest) match wins; everything overlapping is pruned.
-          val win = completed.minBy(p => (p.startIdx, -p.consumed.length))
+          val win = completed.minBy(p => (p.startIdx, lenPref(p.consumed.length)))
           matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
           partials.clear()
           next.clear()
@@ -260,7 +264,7 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         case AfterMatchSkip.SkipToNext =>
           val starts = completed.map(_.startIdx).toSet
           completed.groupBy(_.startIdx).toSeq.sortBy(_._1).foreach { case (_, ps) =>
-            val win = ps.minBy(p => -p.consumed.length)
+            val win = ps.minBy(p => lenPref(p.consumed.length))
             matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
           }
           next.filterInPlace(p => !starts.contains(p.startIdx))

@@ -68,7 +68,8 @@ final case class Stage[T](
     min: Int,
     max: Int,
     contiguity: Contiguity,
-    internal: Contiguity) {
+    internal: Contiguity,
+    greedy: Boolean = true) {
   def isLoop: Boolean = max > 1
   def optionalEntry: Boolean = min == 0
 }
@@ -123,6 +124,12 @@ final case class Pattern[T](
   def consecutive: Pattern[T] = updLast(_.copy(internal = Contiguity.Strict))
   /** Repetitions may non-deterministically skip matching events. */
   def allowCombinations: Pattern[T] = updLast(_.copy(internal = Contiguity.NonDeterministic))
+
+  /** Prefer the LONGEST reading when several complete together (default). */
+  def greedy: Pattern[T] = updLast(_.copy(greedy = true))
+  /** Prefer the SHORTEST reading when several complete together (affects
+    * which simultaneous completion wins under single-winner skip modes). */
+  def reluctant: Pattern[T] = updLast(_.copy(greedy = false))
 
   /** Whole-match time horizon: last event ts must be < first event ts + millis
     * (reference: `within(Time.hours(1))`, `FlinkCEPExample.scala:74`). */

@@ -100,6 +100,11 @@ object Dedup {
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      // cheap size-ratio bound before the set intersection:
+      // jaccard <= min(|A|,|B|) / max(|A|,|B|), so ratios under the
+      // threshold can never verify
+      .filter(least(size($"sh_a"), size($"sh_b")) * 100L >=
+        greatest(size($"sh_a"), size($"sh_b")) * 30L)
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("uni", size($"sh_a") + size($"sh_b") - $"inter")
       .withColumn("jac_pct", floor($"inter" * 100L / $"uni").cast("long"))

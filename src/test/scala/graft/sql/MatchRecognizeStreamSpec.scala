@@ -1,0 +1,54 @@
+package graft.sql
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.events.BillingEvent
+
+/** Streaming MATCH_RECOGNIZE: the same SQL statement over a STREAMING view
+  * (watermarked on the rowtime column) runs through the transformWithState
+  * CEP operator and produces the golden match once the watermark passes it.
+  */
+class MatchRecognizeStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("golden MATCH_RECOGNIZE over a streaming view") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[BillingEvent]
+    input.toDS()
+      .withColumn("user_action_time", to_timestamp($"datetime", "yyyy-MM-dd HH:mm:ss"))
+      .withWatermark("user_action_time", "6 minutes")
+      .createOrReplaceTempView("billing_stream")
+
+    val result = MatchRecognize.sql(spark,
+      """SELECT * FROM billing_stream MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES A.datetime AS alarmTriggerDatetime, C.datetime AS topupDatetime
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin)
+    assert(result.isStreaming)
+
+    val q = result.writeStream.format("memory").queryName("mr_stream")
+      .outputMode("append").start()
+    try {
+      val input7 = scala.io.Source
+        .fromFile(getClass.getResource("/input-data.csv").getPath)
+        .getLines().map(BillingEvent.parse).toSeq
+      input.addData(input7)
+      q.processAllAvailable()
+      val out = spark.table("mr_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(out == Seq(("2", "2020-05-01 11:00:00", "2020-05-01 11:40:00")))
+    } finally q.stop()
+  }
+}
