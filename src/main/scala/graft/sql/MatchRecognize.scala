@@ -39,7 +39,8 @@ object MatchRecognize {
       skip: AfterMatchSkip,
       pattern: Seq[(String, Char)], // (variable, quantifier ' '|'*'|'+'|'?')
       withinMs: Option[Long],
-      defines: Map[String, String])
+      defines: Map[String, String],
+      allRows: Boolean = false)
 
   // ------------------------------------------------------------ clause parser
 
@@ -93,7 +94,8 @@ object MatchRecognize {
           case other => throw new IllegalArgumentException(s"unsupported define: $other")
         }
       }.toMap
-    Spec(partition, order, measures, skip, pattern, withinMs, defines)
+    val allRows = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
+    Spec(partition, order, measures, skip, pattern, withinMs, defines, allRows)
   }
 
   /** Rewrite `V.col` variable-prefixed references to plain column refs (the
@@ -152,18 +154,24 @@ object MatchRecognize {
     }.toVector
     val pattern = Pattern(stages, spec.withinMs, spec.skip)
 
-    val outSchema = StructType(
-      spec.partitionBy.map(p => schema(idx(p))) ++
-        spec.measures.map(m => schema(idx(m.column)).copy(name = m.alias)))
+    // Input columns without the appended __def_* helper columns (ALL ROWS mode).
+    val inputWidth = df.schema.length
+    val outSchema =
+      if (spec.allRows)
+        StructType(df.schema.fields ++
+          Seq(org.apache.spark.sql.types.StructField("classifier",
+            org.apache.spark.sql.types.StringType)) ++
+          spec.measures.map(m => schema(idx(m.column)).copy(name = m.alias)))
+      else
+        StructType(spec.partitionBy.map(p => schema(idx(p))) ++
+          spec.measures.map(m => schema(idx(m.column)).copy(name = m.alias)))
     val measureIdx = spec.measures.map(m => (m, idx(m.column)))
 
     implicit val rowEnc = Encoders.row(outSchema)
     import spark.implicits._
 
-    def outputRow(m: NFA.PatternMatch[Row]): Row = {
-      val firstRow = m.bindings.valuesIterator.flatten.next()
-      val partVals = partIdxs.map(firstRow.get)
-      val measureVals = measureIdx.map { case (meas, ci) =>
+    def measureVals(m: NFA.PatternMatch[Row]): Seq[Any] =
+      measureIdx.map { case (meas, ci) =>
         val bound = m(meas.variable)
         val row = meas.fn match {
           case "LAST" => bound.lastOption
@@ -171,8 +179,21 @@ object MatchRecognize {
         }
         row.map(_.get(ci)).orNull
       }
-      Row.fromSeq(partVals ++ measureVals)
-    }
+
+    def outputRows(m: NFA.PatternMatch[Row]): Iterator[Row] =
+      if (spec.allRows) {
+        // ONE row per consumed input row, with CLASSIFIER (the matched
+        // variable) and final measure values (running measures simplified
+        // to their final value — documented deviation).
+        val mv = measureVals(m)
+        vars.iterator.flatMap { v =>
+          m(v).iterator.map(r =>
+            Row.fromSeq(r.toSeq.take(inputWidth) ++ (v +: mv)))
+        }
+      } else {
+        val firstRow = m.bindings.valuesIterator.flatten.next()
+        Iterator.single(Row.fromSeq(partIdxs.map(firstRow.get) ++ measureVals(m)))
+      }
     def keyOf(r: Row): String =
       partIdxs.map(i => String.valueOf(r.get(i))).mkString("\u0000")
 
@@ -182,7 +203,7 @@ object MatchRecognize {
       // on the ORDER BY column upstream (on the registered view).
       graft.streaming.CepStream.matchPattern[String, Row, Row](
         prepared, keyOf, tsOf, pattern,
-        emitMatch = (_, m: NFA.PatternMatch[Row]) => Some(outputRow(m)),
+        emitMatch = (_, m: NFA.PatternMatch[Row]) => outputRows(m).toSeq,
         emitTimeout = (_, _: NFA.PatternTimeout[Row]) => None)(
         Encoders.STRING, Encoders.row(schema), rowEnc,
         scala.reflect.ClassTag(classOf[Row]))
@@ -191,7 +212,7 @@ object MatchRecognize {
         .groupByKey(keyOf _)
         .flatMapSortedGroups(col(spec.orderBy)) { (_, rows) =>
           val (matches, _) = NFA.run(rows, tsOf, pattern)
-          matches.iterator.map(outputRow)
+          matches.iterator.flatMap(outputRows)
         }
     }
   }

@@ -56,6 +56,33 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM billing").collect().head.getLong(0) == 7L)
   }
 
+  test("ALL ROWS PER MATCH emits every consumed row with CLASSIFIER") {
+    prepareView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES A.datetime AS alarmDt
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("id")), r.getString(r.fieldIndex("datetime")),
+        r.getString(r.fieldIndex("classifier")), r.getString(r.fieldIndex("alarmDt"))))
+      .toSeq
+    // the golden match consumed 4 rows of key 2: A, B, B, C
+    assert(out == Seq(
+      ("2", "2020-05-01 11:00:00", "A", "2020-05-01 11:00:00"),
+      ("2", "2020-05-01 11:15:00", "B", "2020-05-01 11:00:00"),
+      ("2", "2020-05-01 11:30:00", "B", "2020-05-01 11:00:00"),
+      ("2", "2020-05-01 11:40:00", "C", "2020-05-01 11:00:00")))
+  }
+
   test("TO NEXT ROW skip + quantifier variants parse") {
     prepareView()
     val spec = MatchRecognize.parseSpec(
