@@ -26,6 +26,7 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "q_cep_low_balance" -> ((s, dir) => EventPatterns.lowBalance(s, dir)),
         "q_cep_absence" -> ((s, dir) => EventPatterns.absence(s, dir)),
+        "q_cep_funnel" -> ((s, dir) => EventPatterns.funnel(s, dir)),
       )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -64,6 +64,39 @@ object EventPatterns {
       .orderBy($"user_id", $"alarm_ts", $"topup_ts")
   }
 
+  /** Conversion-funnel pattern with RELAXED contiguity (`followedBy`) — the
+    * DSL configuration the strict billing shape doesn't exercise: signup,
+    * then one-or-more engagement events, then a purchase, within one day.
+    */
+  def funnelPattern: Pattern[EventRow] =
+    Pattern.begin[EventRow]("S", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.event_type == "signup")
+      .followedBy("E").where(e => e.event_type == "view" || e.event_type == "click")
+      .oneOrMore
+      .followedBy("P").where(_.event_type == "purchase")
+      .within(24L * 3600L * 1000L)
+
+  /** Funnel matches: `(user_id, signup_ts, purchase_ts, n_engagement)`. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .as[EventRow]
+    Cep.matchPattern[Long, EventRow, (Long, Timestamp, Timestamp, Int)](
+      events,
+      keyFn = _.user_id,
+      tsFn = _.ts.getTime,
+      pattern = funnelPattern,
+      sortCols = Seq($"ts", $"event_id"))(
+      emitMatch = (uid, m) =>
+        m.first("S").zip(m.first("P")).map { case (s, p) =>
+          (uid, truncSecond(s.ts), truncSecond(p.ts), m("E").size)
+        },
+      emitTimeout = (_, _) => None)
+      .toDF("user_id", "signup_ts", "purchase_ts", "n_engagement")
+      .orderBy($"user_id", $"signup_ts")
+  }
+
   /** Timed-out partial matches (absence of top-up): `(user_id, alarm_ts)`. */
   def absence(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -53,6 +53,49 @@ object Multimodal {
       checksum = checksum)
   }
 
+  final case class FrameSample(doc_id: Long, frame_no: Int, offset: Int, frame_sum: Long)
+
+  /** ==== STUB ==== frame sampling standing in for video frame extraction:
+    * the payload is cut into fixed-size "frames" and every `stride`-th frame
+    * is summarized (a real implementation would demux + decode keyframes).
+    * Deterministic byte math so the plumbing is oracle-checkable.
+    */
+  def frameSampleStub(r: MediaRow, frameBytes: Int, stride: Int): Iterator[FrameSample] = {
+    val bytes = r.payload
+    val nFrames = bytes.length / frameBytes
+    Iterator.range(0, nFrames).filter(_ % stride == 0).map { f =>
+      var s = 0L
+      var i = f * frameBytes
+      val end = i + frameBytes
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      FrameSample(r.doc_id, f, f * frameBytes, s)
+    }
+  }
+
+  /** ==== STUB ==== "resize": reduce the payload to a fixed number of
+    * bucket-summed intensities (a real implementation would interpolate
+    * pixels). Keeps the real operator shape: narrow per-row compute, fixed
+    * small output width. */
+  def resizeStub(r: MediaRow, buckets: Int): Array[Long] = {
+    val bytes = r.payload
+    val out = Array.ofDim[Long](buckets)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * buckets / bytes.length) += bytes(i) & 0xff
+      i += 1
+    }
+    out
+  }
+
+  /** Declared query: every 2nd 64-byte frame per document, summarized. */
+  def frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .flatMap(frameSampleStub(_, frameBytes = 64, stride = 2))
+      .toDF()
+      .orderBy($"doc_id", $"frame_no")
+  }
+
   /** Documents exposed as a binary media table (payload = utf-8 bytes). */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -80,6 +123,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features _,
+    "q_multimodal_frames" -> frames _,
   )
 
   // Oracle reproduces the stub's byte math from the text chars (payload is
@@ -98,5 +142,17 @@ object Multimodal {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
          |    (a, b) -> (a * 31 + b) % 9007199254740881) AS checksum
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+         |  FROM documents),
+         |f AS (SELECT doc_id, bs, unnest(generate_series(0, len(bs) // 64 - 1)) AS frame_no
+         |  FROM c WHERE len(bs) >= 64)
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         |  CAST(frame_no * 64 AS INT) AS "offset",
+         |  CAST(list_sum(bs[frame_no * 64 + 1 : frame_no * 64 + 64]) AS BIGINT) AS frame_sum
+         |FROM f WHERE frame_no % 2 = 0
+         |ORDER BY doc_id, frame_no""".stripMargin,
   )
 }
