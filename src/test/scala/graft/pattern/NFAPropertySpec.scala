@@ -103,6 +103,54 @@ class NFAPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Brute force for the RELAXED funnel shape `A followedBy B+ followedBy C
+    * within, skipPastLast`: first unresolved 'a' starts an attempt; 'b's
+    * collect (relaxed first-match — matching events must be taken);
+    * the first 'c' with >=1 collected b completes; any non-matching event is
+    * ignored; at or past the deadline the attempt dies; SKIP PAST LAST ROW
+    * resumes after a match's last row. Attempts are independent, earliest
+    * start wins.
+    */
+  private def bruteRelaxed(events: List[Ev]): List[(Long, Long)] = {
+    val ev = events.toIndexedSeq
+    var matches = List.empty[(Long, Long)]
+    var i = 0
+    while (i < ev.length) {
+      if (ev(i).kind != 'a') { i += 1 }
+      else {
+        val aTs = ev(i).ts
+        var j = i + 1
+        var nB = 0
+        var end = -1
+        var dead = false
+        while (j < ev.length && end < 0 && !dead) {
+          if (ev(j).ts >= aTs + Within) dead = true
+          else ev(j).kind match {
+            case 'b' => nB += 1; j += 1
+            case 'c' if nB >= 1 => end = j
+            case _ => j += 1
+          }
+        }
+        if (end >= 0) { matches ::= (aTs, ev(end).ts); i = end + 1 }
+        else i += 1
+      }
+    }
+    matches.reverse
+  }
+
+  test("NFA matches the relaxed-shape brute-force oracle (funnel pattern)") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.kind == 'a')
+      .followedBy("B").where(_.kind == 'b').oneOrMore
+      .followedBy("C").where(_.kind == 'c')
+      .within(Within)
+    forSamples(genEvents, 300) { events =>
+      val (nm, _) = NFA.run(events.iterator, (_: Ev).ts, p)
+      assert(nm.map(m => (m.startTs, m.endTs)).toList == bruteRelaxed(events),
+        s"relaxed matches differ for $events")
+    }
+  }
+
   test("incremental runner with snapshot/restore at arbitrary cut == single-shot run") {
     forSamples(genEvents.flatMap(es => Gen.choose(0, 40).map(c => (es, c))), 300) {
       case (events, cutRaw) =>

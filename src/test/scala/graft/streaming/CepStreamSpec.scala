@@ -92,6 +92,42 @@ class CepStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("query restart from checkpoint preserves NFA state across runs") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("cep_ckpt").toString
+    val input = MemoryStream[BillingEvent]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, String, String)]())
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def start() = BillingAlertsStream.detect(input.toDS())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[AlertOutput], _: Long) =>
+        b.collect().foreach(o =>
+          got.add((o.kind, o.id, o.alarmTriggerDatetime, o.topupDatetime)))
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1: key 2's A + B events only — partial match goes into state
+    val q1 = start()
+    try {
+      input.addData(golden.filter(e => e.id == "2").take(3))
+      q1.processAllAvailable()
+      assert(got.isEmpty)
+    } finally q1.stop()
+
+    // run 2 (fresh query instance, same checkpoint): C + watermark advance
+    // complete the match ONLY if the partial survived the restart
+    val q2 = start()
+    try {
+      input.addData(golden.filter(e => e.id == "2").drop(3) :+ lateTick)
+      q2.processAllAvailable()
+      assert(got.contains(
+        ("match", "2", "2020-05-01 11:00:00", "2020-05-01 11:40:00")))
+    } finally q2.stop()
+  }
+
   test("batch and streaming agree on the golden input") {
     import spark.implicits._
     val batchOut = graft.operators.BillingAlerts
