@@ -79,7 +79,8 @@ object Queries {
     "q_agg_group" -> aggGroup _,
     "q_join_broadcast" -> joinBroadcast _,
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
-    SetOps.queries ++ Funcs.queries ++ TimeWindows.queries ++ TextSim.queries
+    SetOps.queries ++ Funcs.queries ++ Funcs2.queries ++
+    TimeWindows.queries ++ TextSim.queries
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -102,5 +103,6 @@ object Queries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
-    SetOps.oracles ++ Funcs.oracles ++ TimeWindows.oracles ++ TextSim.oracles
+    SetOps.oracles ++ Funcs.oracles ++ Funcs2.oracles ++
+    TimeWindows.oracles ++ TextSim.oracles
 }
