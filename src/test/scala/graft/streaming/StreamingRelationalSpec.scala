@@ -54,6 +54,27 @@ class StreamingRelationalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session window closes after gap + watermark passage") {
+    import spark.implicits._
+    val input = MemoryStream[StreamEv]
+    val agg = input.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window($"ts", "10 minutes"), $"user")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"user", $"session_window.start".as("sstart"), $"cnt")
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      input.addData(E(ts(1), 1, "a"), E(ts(5), 1, "a"), E(ts(30), 1, "a"))
+      q.processAllAvailable()
+      input.addData(E(ts(50), 2, "a"))
+      q.processAllAvailable()
+      // first session [10:01,10:05] closed (gap to 10:30 > 10m, wm 10:45 past it)
+      val r = spark.table("sess").collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+      assert(r.contains((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated keys inside the horizon") {
     import spark.implicits._
     val input = MemoryStream[StreamEv]
