@@ -88,6 +88,26 @@ object Joins {
       .orderBy($"err_id", $"pur_id")
   }
 
+  /** Declared as-of query, served by the CUSTOM sort-merge operator
+    * (graft.plans.AsOf — LogicalPlan + Strategy + SparkPlan): one exchange +
+    * sort per side, single forward merge pass, O(1) state. The DuckDB oracle
+    * validates the custom operator at every scale factor; [[asOf]] below is
+    * the compose-based baseline it is also cross-checked against.
+    */
+  def asOfCustom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts_sec"))
+    val o = t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    graft.plans.AsOf.join(ev, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTsCol = "ts_sec", rightTsCol = "o_orderdate",
+        rightTiebreak = Seq("o_orderkey"))
+      .select($"event_id", $"o_orderkey")
+      .orderBy($"event_id")
+  }
+
   /** As-of join: latest order at-or-before each event's time for the event's
     * user. Composed as range join + per-event rank (preference (a) of the
     * custom-operator ladder); deterministic tiebreak on (o_orderdate, o_orderkey).
@@ -122,7 +142,7 @@ object Joins {
     "q_join_semi" -> semi _,
     "q_join_anti" -> anti _,
     "q_join_range" -> range _,
-    "q_join_asof" -> asOf _,
+    "q_join_asof" -> asOfCustom _,
     "q_join_cross" -> cross _,
   )
 
