@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cep, EventPatterns}
+import graft.pattern.{AfterMatchSkip, Pattern}
+
+/** Scale probe (manual; not part of the driver contract): runs the two
+  * operators whose scale behavior the engine's design leans on hardest —
+  * the CEP NFA and the custom as-of join — over synthetic data 100× the
+  * sf0.1 bench (10M events / 100k keys, 10M⋈1M as-of) generated directly
+  * from `spark.range` (no IO; deterministic via xxhash64). Prints one JSON
+  * line per probe with rows/sec.
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+
+  final case class Ev(event_id: Long, user_id: Long, ts: Long, kind: Int)
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def syntheticEvents(spark: SparkSession, n: Long, users: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(
+      $"id".as("event_id"),
+      pmod(xxhash64($"id" * 7 + 1), lit(users)).as("user_id"),
+      (lit(1700000000000000L) +
+        pmod(xxhash64($"id" * 13 + 5), lit(30L * 86400 * 1000000L))).as("ts"),
+      pmod(xxhash64($"id" * 31 + 11), lit(10)).cast("int").as("kind"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt * 2).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nEvents = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val users = 100000L
+
+    // ---- CEP: A(0) B*(1-6) C(7) within 1h, skip past last, per user ----
+    val events = syntheticEvents(spark, nEvents, users).as[Ev]
+    val pattern = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.kind == 0)
+      .next("B").where(e => e.kind >= 1 && e.kind <= 6).oneOrMore.optional
+      .next("C").where(_.kind == 7)
+      .within(3600L * 1000L) // ms; tsFn converts micros->ms
+    val (nMatches, cepSecs) = time {
+      Cep.matchPattern[Long, Ev, (Long, Long)](
+        events, _.user_id, _.ts / 1000L, pattern, Seq($"ts", $"event_id"))(
+        (k, m) => Some((k, m.startTs)),
+        (_, _) => None).count()
+    }
+    println(f"""{"probe":"cep","rows":$nEvents,"keys":$users,"matches":$nMatches,"secs":$cepSecs%.1f,"rows_per_sec":${(nEvents / cepSecs).toLong}}""")
+
+    // ---- custom as-of join: 10M events ⋈ 1M orders on user ----
+    val left = syntheticEvents(spark, nEvents, users)
+      .select($"event_id", $"user_id", $"ts")
+    val right = spark.range(nEvents / 10).select(
+      $"id".as("o_id"),
+      pmod(xxhash64($"id" * 3 + 2), lit(users)).as("o_user"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(xxhash64($"id" * 17 + 7), lit(30L * 86400 * 1000000L))).as("o_ts"))
+    val (nJoined, asofSecs) = time {
+      graft.plans.AsOf.join(left, right, "user_id", "o_user", "ts", "o_ts", Seq("o_id"))
+        .count()
+    }
+    println(f"""{"probe":"asof","left":$nEvents,"right":${nEvents / 10},"joined":$nJoined,"secs":$asofSecs%.1f,"rows_per_sec":${(nEvents / asofSecs).toLong}}""")
+
+    spark.stop()
+  }
+}

@@ -1,8 +1,7 @@
 package graft.operators
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.pattern.{AfterMatchSkip, Pattern}
 
@@ -13,11 +12,16 @@ import graft.pattern.{AfterMatchSkip, Pattern}
   * `FlinkCEPExample.scala:58-74` (strict stage contiguity, relaxed loop
   * internals), plus the absence/timeout variant
   * (`FlinkCEPAbsenceOfEventExample.scala:78-104`).
+  *
+  * Event time rides through the typed row as EPOCH-MICROS Long, not
+  * java.sql.Timestamp: at 10M rows the Timestamp boxing in the object-row
+  * deserializer is a 3.5× slowdown (measured by graft.ScaleProbe, 162k →
+  * 562k events/s). Timestamps reappear only in the tiny output projection.
   */
 object EventPatterns {
 
-  final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
-  final case class CepOut(kind: String, user_id: Long, alarm_ts: Timestamp, topup_ts: Timestamp)
+  final case class EventRow(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
+  final case class CepRaw(kind: String, user_id: Long, alarm_us: Long, topup_us: Long)
 
   val WithinMs: Long = 3600L * 1000L
 
@@ -29,30 +33,32 @@ object EventPatterns {
       .next("C").where(_.event_type == "purchase")
       .within(WithinMs)
 
-  /** Second-truncation for deterministic cross-engine comparison (events.ts is
-    * ns in parquet, µs in Spark — FIXTURES.md §B.1 timestamp caveat). */
-  private def truncSecond(ts: Timestamp): Timestamp =
-    new Timestamp(math.floorDiv(ts.getTime, 1000L) * 1000L)
-
-  /** Tagged match/timeout detection (kind = "match" | "timeout"). */
+  /** Tagged match/timeout detection (kind = "match" | "timeout");
+    * timestamps second-truncated in the output projection only
+    * (ns-parquet caveat, FIXTURES.md §B.1). */
   def detect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sfDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"event_type")
       .as[EventRow]
-    Cep.matchPattern[Long, EventRow, CepOut](
+    val raw = Cep.matchPattern[Long, EventRow, CepRaw](
       events,
       keyFn = _.user_id,
-      tsFn = _.ts.getTime,
+      tsFn = _.ts_us / 1000L,
       pattern = pattern,
-      sortCols = Seq($"ts", $"event_id"))(
+      sortCols = Seq($"ts_us", $"event_id"))(
       emitMatch = (uid, m) =>
         m.first("A").zip(m.first("C")).map { case (a, c) =>
-          CepOut("match", uid, truncSecond(a.ts), truncSecond(c.ts))
+          CepRaw("match", uid, a.ts_us, c.ts_us)
         },
       emitTimeout = (uid, t) =>
-        t.first("A").map(a => CepOut("timeout", uid, truncSecond(a.ts), null)))
-      .toDF()
+        t.first("A").map(a => CepRaw("timeout", uid, a.ts_us, -1L)))
+    def sec(c: org.apache.spark.sql.Column) =
+      timestamp_micros(c - pmod(c, lit(1000000L)))
+    raw.toDF()
+      .select($"kind", $"user_id",
+        sec($"alarm_us").as("alarm_ts"),
+        when($"topup_us" >= 0, sec($"topup_us")).as("topup_ts"))
   }
 
   /** Completed matches: one row per match, `(user_id, alarm_ts, topup_ts)`. */
@@ -62,6 +68,16 @@ object EventPatterns {
       .filter($"kind" === "match")
       .select($"user_id", $"alarm_ts", $"topup_ts")
       .orderBy($"user_id", $"alarm_ts", $"topup_ts")
+  }
+
+  /** Timed-out partial matches (absence of top-up): `(user_id, alarm_ts)`. */
+  def absence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    detect(spark, sfDir)
+      .filter($"kind" === "timeout")
+      .select($"user_id", $"alarm_ts")
+      .distinct()
+      .orderBy($"user_id", $"alarm_ts")
   }
 
   /** Conversion-funnel pattern with RELAXED contiguity (`followedBy`) — the
@@ -80,30 +96,24 @@ object EventPatterns {
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sfDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"event_type")
       .as[EventRow]
-    Cep.matchPattern[Long, EventRow, (Long, Timestamp, Timestamp, Int)](
+    val raw = Cep.matchPattern[Long, EventRow, (Long, Long, Long, Int)](
       events,
       keyFn = _.user_id,
-      tsFn = _.ts.getTime,
+      tsFn = _.ts_us / 1000L,
       pattern = funnelPattern,
-      sortCols = Seq($"ts", $"event_id"))(
+      sortCols = Seq($"ts_us", $"event_id"))(
       emitMatch = (uid, m) =>
         m.first("S").zip(m.first("P")).map { case (s, p) =>
-          (uid, truncSecond(s.ts), truncSecond(p.ts), m("E").size)
+          (uid, s.ts_us, p.ts_us, m("E").size)
         },
       emitTimeout = (_, _) => None)
-      .toDF("user_id", "signup_ts", "purchase_ts", "n_engagement")
+    def sec(c: org.apache.spark.sql.Column) =
+      timestamp_micros(c - pmod(c, lit(1000000L)))
+    raw.toDF("user_id", "signup_us", "purchase_us", "n_engagement")
+      .select($"user_id", sec($"signup_us").as("signup_ts"),
+        sec($"purchase_us").as("purchase_ts"), $"n_engagement")
       .orderBy($"user_id", $"signup_ts")
-  }
-
-  /** Timed-out partial matches (absence of top-up): `(user_id, alarm_ts)`. */
-  def absence(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    detect(spark, sfDir)
-      .filter($"kind" === "timeout")
-      .select($"user_id", $"alarm_ts")
-      .distinct()
-      .orderBy($"user_id", $"alarm_ts")
   }
 }

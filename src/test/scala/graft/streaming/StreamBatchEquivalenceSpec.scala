@@ -30,16 +30,17 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
   private def loadEvents(): Seq[EventRow] = {
     import spark.implicits._
     graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .select($"event_id", $"ts", $"user_id", $"event_type")
-      .as[EventRow].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      .select($"event_id", org.apache.spark.sql.functions.unix_micros($"ts").as("ts_us"),
+        $"user_id", $"event_type")
+      .as[EventRow].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
   }
 
   private def batchRun(events: Seq[EventRow]): (Set[Out], Set[Out]) = {
     import spark.implicits._
     val ds = spark.createDataset(events)
     val out = Cep.matchPattern[Long, EventRow, Out](
-      ds, _.user_id, _.ts.getTime, EventPatterns.pattern,
-      Seq($"ts", $"event_id"))(
+      ds, _.user_id, _.ts_us / 1000L, EventPatterns.pattern,
+      Seq($"ts_us", $"event_id"))(
       (k, m) => Some(Out("match", k, m.startTs, m.endTs)),
       (k, t) => Some(Out("timeout", k, t.startTs, t.deadline))).collect().toSet
     (out.filter(_.kind == "match"), out.filter(_.kind == "timeout"))
@@ -53,9 +54,11 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
 
     val input = MemoryStream[EventRow]
     val timed = input.toDS()
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
       .withWatermark("ts", "0 seconds")
+      .drop("ts").as[EventRow]
     val result = CepStream.matchPattern[Long, EventRow, Out](
-      timed, _.user_id, _.ts.getTime, EventPatterns.pattern,
+      timed, _.user_id, _.ts_us / 1000L, EventPatterns.pattern,
       (k, m: NFA.PatternMatch[EventRow]) => Some(Out("match", k, m.startTs, m.endTs)),
       (k, t: NFA.PatternTimeout[EventRow]) => Some(Out("timeout", k, t.startTs, t.deadline)))
     val q = result.writeStream.format("memory").queryName("equiv")
@@ -72,7 +75,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
 
       assert(gotMatches == bMatches)
       // final watermark = max event ts (0s delay); only deadlines <= it fired
-      val wm = events.map(_.ts.getTime).max
+      val wm = events.map(_.ts_us / 1000L).max
       assert(gotTimeouts == bTimeouts.filter(_.endMs <= wm))
     } finally q.stop()
   }
@@ -84,9 +87,13 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val events = loadEvents().take(300)
 
     val input = MemoryStream[EventRow]
+    val timed2 = input.toDS()
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+      .withWatermark("ts", "0 seconds")
+      .drop("ts").as[EventRow]
     val result = CepStream.matchPattern[Long, EventRow, Out](
-      input.toDS().withWatermark("ts", "0 seconds"),
-      _.user_id, _.ts.getTime, EventPatterns.pattern,
+      timed2,
+      _.user_id, _.ts_us / 1000L, EventPatterns.pattern,
       (k, m: NFA.PatternMatch[EventRow]) => Some(Out("match", k, m.startTs, m.endTs)),
       (k, t: NFA.PatternTimeout[EventRow]) => Some(Out("timeout", k, t.startTs, t.deadline)))
     val q = result.writeStream
