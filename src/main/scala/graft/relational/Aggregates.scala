@@ -76,6 +76,19 @@ object Aggregates {
         col("o_orderstatus"), col("o_orderpriority"))))
   }
 
+  /** PIVOT: order counts by status × priority, priorities as columns
+    * (explicit value list → deterministic schema). */
+  def pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot($"o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderstatus")
+  }
+
   private val gsetOracle =
     """  grouping(o_orderstatus) AS ga, grouping(o_orderpriority) AS gb,
       |  coalesce(o_orderstatus, 'ALL') AS status,
@@ -89,6 +102,7 @@ object Aggregates {
     "q_agg_rollup" -> rollup _,
     "q_agg_cube" -> cube _,
     "q_agg_grouping_sets" -> groupingSets _,
+    "q_agg_pivot" -> pivot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,5 +132,13 @@ object Aggregates {
          |$gsetOracle
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY ga, gb, status, prio""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
