@@ -62,7 +62,10 @@ object CepStream {
   *  - "buf": events newer than the watermark, unordered;
   *  - "nfa": java-serialized [[NFA.Snapshot]] of the runner;
   *  - "timer": the single currently-registered timer expiry (re-armed to
-  *    min(next buffered ts, earliest within-deadline) after every change).
+  *    min(next buffered ts, earliest within-deadline) after every change);
+  *  - "minBuf": earliest buffered event time — the cheap gate that lets a
+  *    key with no watermark-ready work skip the NFA snapshot round-trip
+  *    (the dominant per-key cost when every key appears in every batch).
   */
 final class CepProcessor[K, T, O](
     pattern: Pattern[T],
@@ -75,11 +78,13 @@ final class CepProcessor[K, T, O](
   @transient private var buf: ListState[T] = _
   @transient private var nfa: ValueState[Array[Byte]] = _
   @transient private var timer: ValueState[Long] = _
+  @transient private var minBuf: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[T]("buf", te, TTLConfig.NONE)
     nfa = getHandle.getValueState[Array[Byte]]("nfa", Encoders.BINARY, TTLConfig.NONE)
     timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    minBuf = getHandle.getValueState[Long]("minBuf", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   private def loadRunner(): NfaRunner[T] = {
@@ -122,8 +127,15 @@ final class CepProcessor[K, T, O](
     if (runner.hasLiveState || later.nonEmpty) saveRunner(runner)
     else nfa.clear()
 
+    if (later.nonEmpty) minBuf.update(later.map(tsFn).min) else minBuf.clear()
+
     // One armed timer per key: the earliest instant anything can happen next.
     val nextAt = (later.map(tsFn) ++ runner.earliestDeadline).minOption
+    arm(nextAt)
+    out.result().iterator
+  }
+
+  private def arm(nextAt: Option[Long]): Unit = {
     val prev = if (timer.exists()) Some(timer.get()) else None
     if (nextAt != prev) {
       prev.foreach(getHandle.deleteTimer)
@@ -133,13 +145,27 @@ final class CepProcessor[K, T, O](
       }
       if (nextAt.isEmpty) timer.clear()
     }
-    out.result().iterator
   }
 
   override def handleInputRows(
       key: K, rows: Iterator[T], timerValues: TimerValues): Iterator[O] = {
-    buf.appendList(rows.toArray)
-    drain(key, timerValues.getCurrentWatermarkInMs())
+    val arr = rows.toArray
+    if (arr.isEmpty) return drain(key, timerValues.getCurrentWatermarkInMs())
+    buf.appendList(arr)
+    val newMin = arr.iterator.map(tsFn).min
+    val curMin = if (minBuf.exists()) math.min(minBuf.get(), newMin) else newMin
+    minBuf.update(curMin)
+    val wm = timerValues.getCurrentWatermarkInMs()
+    if (curMin <= wm) drain(key, wm)
+    else {
+      // Nothing is ready: skip the NFA state round-trip entirely (the
+      // dominant per-key cost when every key appears in every micro-batch)
+      // and only make sure the timer covers the newly buffered events. The
+      // previously armed timer already reflects the earliest NFA deadline.
+      val prev = if (timer.exists()) Some(timer.get()) else None
+      if (!prev.exists(_ <= curMin)) arm(Some(curMin))
+      Iterator.empty
+    }
   }
 
   override def handleExpiredTimer(
