@@ -15,9 +15,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics: for every left row, append the LATEST right row of the same
   * key with right-ts <= left-ts; left rows with no such match are dropped
-  * (inner as-of). Deterministic tiebreak on equal right-ts: the last row in
-  * (key, ts, tiebreak-sorted) right order wins, so callers append tiebreak
-  * columns to `rightTs` ordering via `rightSortExtra`.
+  * (inner as-of) or padded with nulls (left-outer as-of). Deterministic
+  * tiebreak on equal right-ts: the last row in (key, ts, tiebreak-sorted)
+  * right order wins, so callers append tiebreak columns to `rightTs`
+  * ordering via `rightSortExtra`.
   *
   * Scale shape: both sides hash-cluster on the key and sort by (key, ts) —
   * the SAME requirements a sort-merge join declares, so EnsureRequirements
@@ -34,8 +35,11 @@ final case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightSortExtra: Seq[Expression]) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    rightSortExtra: Seq[Expression],
+    leftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -48,9 +52,12 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightSortExtra: Seq[Expression]) extends BinaryExecNode {
+    rightSortExtra: Seq[Expression],
+    leftOuter: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -71,6 +78,7 @@ final case class AsOfJoinExec(
     val rTsExpr = rightTs
     val keyTypes = leftKeys.map(_.dataType)
     val allOut = output
+    val outer = leftOuter
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // codegen'd helpers are per-partition (not serializable)
@@ -81,6 +89,9 @@ final case class AsOfJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val resultProj = UnsafeProjection.create(allOut, allOut)
       val joined = new JoinedRow
+      val isLeftOuter = outer
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.length)
 
       new Iterator[InternalRow] {
         private var nextRow: InternalRow = _
@@ -116,6 +127,8 @@ final case class AsOfJoinExec(
             }
             if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0) {
               nextRow = resultProj(joined(lRow, candidate))
+            } else if (isLeftOuter) {
+              nextRow = resultProj(joined(lRow, nullRight))
             }
           }
         }
@@ -141,8 +154,8 @@ final case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, extra) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, extra) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, extra, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, extra, outer) :: Nil
     case _ => Nil
   }
 }
@@ -159,7 +172,8 @@ object AsOf {
       rightKey: String,
       leftTsCol: String,
       rightTsCol: String,
-      rightTiebreak: Seq[String] = Seq.empty): DataFrame = {
+      rightTiebreak: Seq[String] = Seq.empty,
+      joinType: String = "inner"): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -175,7 +189,12 @@ object AsOf {
       lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
       attr(lp, leftTsCol), attr(rp, rightTsCol),
-      rightTiebreak.map(attr(rp, _)))
+      rightTiebreak.map(attr(rp, _)),
+      leftOuter = joinType.toLowerCase match {
+        case "inner" => false
+        case "left" | "left_outer" => true
+        case other => throw new IllegalArgumentException(s"as-of joinType: $other")
+      })
     org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, plan)
   }
 

@@ -59,4 +59,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     // (1,100) -> latest rts<=100 is y@90; (1,5) no right <=5; key 2 absent
     assert(out == Set((1L, 100L, "y")))
   }
+
+  test("left-outer as-of pads unmatched left rows with nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 5L), (2L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 50L, "x"), (1L, 90L, "y")).toDF("rk", "rts", "v")
+    val out = AsOf.join(left, right, "k", "rk", "ts", "rts", joinType = "left")
+      .select($"k", $"ts", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 100L, Some("y")),
+      (1L, 5L, None),
+      (2L, 100L, None)))
+  }
 }
