@@ -104,6 +104,30 @@ object MatchRecognize {
   private def stripVarPrefixes(cond: String, vars: Seq[String]): String =
     vars.foldLeft(cond)((c, v) => c.replaceAll(s"(?i)\\b$v\\.", ""))
 
+  /** An iterative DEFINE term `X.col OP FIRST|LAST(W.col)` — evaluated
+    * against the partial match's bindings (lowered onto whereContext). */
+  private final case class NavRef(
+      col: String, op: String, fn: String, refVar: String, refCol: String)
+
+  private val NavRefRe =
+    "(?i)(\\w+)\\.(\\w+)\\s*(<=|>=|<>|=|<|>)\\s*(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+
+  /** Split a DEFINE condition into navigation-function terms (iterative) and
+    * the per-row residual (each nav term replaced with TRUE). */
+  private def splitNavRefs(cond: String): (String, Seq[NavRef]) = {
+    val refs = NavRefRe.findAllMatchIn(cond).map(m =>
+      NavRef(m.group(2), m.group(3), m.group(4).toUpperCase, m.group(5), m.group(6))).toSeq
+    (NavRefRe.replaceAllIn(cond, "TRUE"), refs)
+  }
+
+  private def asComparable(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case t: Timestamp => t.getTime.toDouble
+    case d: java.sql.Date => d.getTime.toDouble
+    case other =>
+      throw new IllegalArgumentException(s"non-numeric navigation comparison: $other")
+  }
+
   // ------------------------------------------------------------- lowering
 
   def apply(df: DataFrame, body: String): DataFrame = apply(df, parseSpec(body))
@@ -112,12 +136,12 @@ object MatchRecognize {
     val spark = df.sparkSession
     val vars = spec.pattern.map(_._1)
 
-    // DEFINE conditions become codegen'd boolean columns on the scan side.
+    // DEFINE conditions: FIRST/LAST navigation terms peel off into
+    // iterative (whereContext) predicates; the per-row residual becomes a
+    // codegen'd boolean column on the scan side.
+    val split = vars.map(v => v -> splitNavRefs(spec.defines.getOrElse(v, "TRUE"))).toMap
     val defCols = vars.map { v =>
-      spec.defines.get(v)
-        .map(c => expr(stripVarPrefixes(c, vars)))
-        .getOrElse(lit(true))
-        .as(s"__def_$v")
+      expr(stripVarPrefixes(split(v)._1, vars)).as(s"__def_$v")
     }
     val prepared = df.select(col("*") +: defCols: _*)
     val schema = prepared.schema
@@ -149,8 +173,28 @@ object MatchRecognize {
         case _ => (1, 1)
       }
       val di = defIdx(v)
-      Stage.simple[Row](v, r => !r.isNullAt(di) && r.getBoolean(di), mn, mx,
-        Contiguity.Strict, Contiguity.Strict)
+      val navPreds = split(v)._2.map { ref =>
+        val ci = idx(ref.col)
+        val refCi = idx(ref.refCol)
+        (r: Row, ctx: graft.pattern.PatternContext[Row]) => {
+          val bound = if (ref.fn == "FIRST") ctx.first(ref.refVar) else ctx.last(ref.refVar)
+          bound.exists { b =>
+            val l = asComparable(r.get(ci))
+            val rv = asComparable(b.get(refCi))
+            ref.op match {
+              case "<" => l < rv
+              case "<=" => l <= rv
+              case ">" => l > rv
+              case ">=" => l >= rv
+              case "=" => l == rv
+              case "<>" => l != rv
+            }
+          }
+        }
+      }
+      Stage[Row](v,
+        (r, ctx) => !r.isNullAt(di) && r.getBoolean(di) && navPreds.forall(_(r, ctx)),
+        mn, mx, Contiguity.Strict, Contiguity.Strict)
     }.toVector
     val pattern = Pattern(stages, spec.withinMs, spec.skip)
 

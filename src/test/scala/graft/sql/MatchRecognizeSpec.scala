@@ -83,6 +83,28 @@ class MatchRecognizeSpec extends AnyFunSuite {
       ("2", "2020-05-01 11:40:00", "C", "2020-05-01 11:00:00")))
   }
 
+  test("FIRST/LAST navigation in DEFINE lowers to an iterative condition") {
+    prepareView()
+    def q(navCond: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM billing MATCH_RECOGNIZE (
+         |  PARTITION BY id
+         |  ORDER BY user_action_time
+         |  MEASURES A.datetime AS alarmDt, C.datetime AS topupDt
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+         |  DEFINE
+         |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+         |    B AS B.balanceBefore >= B.balanceAfter,
+         |    C AS C.balanceBefore < C.balanceAfter AND $navCond
+         |)""".stripMargin).collect()
+    // golden C has balanceAfter 23; first A's balanceBefore is 11
+    assert(q("C.balanceAfter > FIRST(A.balanceBefore)").length == 1)
+    assert(q("C.balanceAfter > FIRST(A.balanceBefore)").head.getString(2) == "2020-05-01 11:40:00")
+    assert(q("C.balanceAfter < FIRST(A.balanceBefore)").isEmpty)
+    assert(q("C.balanceAfter >= LAST(B.balanceAfter)").length == 1) // 23 >= 3
+  }
+
   test("malformed clauses fail with clear errors, not silent misparses") {
     intercept[IllegalArgumentException] { // no ORDER BY
       MatchRecognize.parseSpec("PARTITION BY id PATTERN (A) DEFINE A AS x > 1")
