@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb one-time session costs (first parquet footer
+    // reads, codegen compiler init, shuffle service spin-up) so they don't
+    // land on whichever query happens to sort first (r1: q_agg_cube carried
+    // ~5 s of warmup while rollup on the same table ran 0.7 s).
+    SparkEntry.queries.get("q_scan_filter_project")
+      .orElse(SparkEntry.queries.headOption.map(_._2))
+      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // name-sorted for stable warmup attribution run-to-run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

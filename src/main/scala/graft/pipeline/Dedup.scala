@@ -16,8 +16,9 @@ import Hashing._
   *                only shuffle and its width is bounded by band cardinality)
   *  - ngram:      exact Jaccard VERIFICATION of LSH candidates (the verify
   *                stage of the candidates→verify pipeline)
-  *  - simhash:    per-doc 32-bit fingerprint; nearest neighbor by Hamming
-  *                distance with map-side-combinable min aggregation
+  *  - simhash:    per-doc 32-bit fingerprint, pigeonholed into 4 bands →
+  *                bucket-join (Hamming ≤ 3 ⇒ a shared band) → per-doc
+  *                nearest banded neighbor via map-side-combinable min
   *  - embedding:  cosine near-dup pairs inside label blocks (IVF-cell
   *                analog), with EXACT integer arithmetic: cos ≥ τ decided as
   *                dot²·25 ≥ |a|²·|b|²·4 over quantized vectors — no float
@@ -124,8 +125,16 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** SimHash nearest neighbor: 32-bit fingerprint per doc; for each doc the
-    * closest other doc by Hamming distance (min doc_id tiebreak). */
+  /** SimHash approximate nearest neighbor, banded: the 32-bit fingerprint is
+    * pigeonholed into 4 disjoint 8-bit bands — any pair within Hamming
+    * distance 3 shares at least one intact band (Manku et al., WWW '07
+    * "Detecting Near-Duplicates for Web Crawling" §3), so a bucket-join on
+    * (band, byte) finds every close pair without the O(n²) all-pairs scan
+    * the r1 version used. Per doc, the nearest banded candidate is selected
+    * with a map-side-combinable min(struct(hamming, nn)) — the shuffle after
+    * the bucket-join carries one row per doc. Hot buckets (> MaxBucket docs:
+    * template-heavy corpora collapse to few fingerprints) are dropped, the
+    * same skew control as the MinHash path. */
   def simhashNN(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Token hashes materialized BEFORE the 32 per-bit folds (each fold's
@@ -135,10 +144,20 @@ object Dedup {
       .select($"doc_id", transform(tokens($"text"), t => charFoldHash(t)).as("hs"))
       .select($"doc_id", simhash($"hs", 32).as("fp"))
       .cache()
-    // Single pass over the n² pair space: min(struct(h, nn)) is the
-    // lexicographic minimum — nearest Hamming neighbor, min-doc tiebreak —
-    // with map-side partial aggregation, so the shuffle carries one row per doc.
-    fp.as("a").join(fp.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+    val bands = fp.select($"doc_id", $"fp", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"fp", 8 * b).bitwiseAND(255).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"fp", $"bk.band", $"bk.key")
+      // hot-bucket guard (see MaxBucket)
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"key")))
+      .filter($"bsz" <= MaxBucket)
+      .drop("bsz")
+    // A pair sharing several bands appears once per shared band; the min
+    // aggregation absorbs duplicates, so no distinct() shuffle is needed.
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"),
         struct(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("h"),
           col("b.doc_id").as("nn")).as("hn"))
@@ -229,9 +248,15 @@ object Dedup {
          |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
          |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
          |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS fp FROM th),
-         |pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS nn,
+         |bands0 AS (SELECT doc_id, fp, b, (fp >> (8*b)) & 255 AS key
+         |  FROM fp, (SELECT unnest([0,1,2,3]) AS b)),
+         |bands AS (SELECT doc_id, fp, b, key FROM (
+         |  SELECT doc_id, fp, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
+         |  FROM bands0) WHERE bsz <= $MaxBucket),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nn,
          |    bit_count(xor(a.fp, b.fp)) AS h
-         |  FROM fp a JOIN fp b ON a.doc_id <> b.doc_id),
+         |  FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.key = b.key AND a.doc_id <> b.doc_id),
          |mh AS (SELECT doc_id, min(h) AS minh FROM pairs GROUP BY doc_id)
          |SELECT p.doc_id, min(p.nn) AS nn_doc, CAST(min(p.h) AS INT) AS hamming
          |FROM pairs p JOIN mh ON p.doc_id = mh.doc_id AND p.h = mh.minh

@@ -2,18 +2,17 @@ package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.LongType
 
 import graft.sources.Tables
+import graft.relational.Queries.cents
 
 /** Scalar-function inventory: string / date-time / math / array / JSON.
   * All codegen'd built-ins (`org.apache.spark.sql.functions`) — no UDFs in
   * the hot path. Cross-engine determinism notes inline; doubles only ever
-  * leave as exact integer-valued or DECIMAL-cast results.
+  * leave as exact integer-valued (cents/micros-quantized) results.
   */
 object Funcs {
-
-  private val dec2 = DecimalType(18, 2)
 
   /** upper/lower/substr/length/concat/LIKE/regexp_extract/trim/replace. */
   def stringFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -57,7 +56,7 @@ object Funcs {
     Tables.table(s, dir, "lineitem")
       .select(
         $"l_orderkey", $"l_linenumber",
-        abs($"l_extendedprice" - 50000.0).cast(dec2).as("absdiff"),
+        abs(cents($"l_extendedprice") - lit(5000000L)).as("absdiff_cents"),
         ceil($"l_extendedprice").as("cp"),
         floor($"l_extendedprice").as("fp"),
         round($"l_extendedprice").cast(LongType).as("rp"),
@@ -125,7 +124,7 @@ object Funcs {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(abs(l_extendedprice - 50000.0) AS DECIMAL(18,2)) AS absdiff,
+        |  CAST(abs(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) - 5000000) AS BIGINT) AS absdiff_cents,
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS cp,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS fp,
         |  CAST(round(l_extendedprice) AS BIGINT) AS rp,

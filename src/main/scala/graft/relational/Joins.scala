@@ -3,7 +3,6 @@ package graft.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -36,17 +35,17 @@ object Joins {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
-  /** Left outer join + null-safe aggregation over the unmatched side. */
+  /** Left outer join + null-safe aggregation over the unmatched side —
+    * money quantized to cents per-row before the sum (exact integer fold,
+    * no DECIMAL output; see [[Queries.cents]]). */
   def left(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dec2 = DecimalType(18, 2)
     t(s, dir, "customer")
       .join(t(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left")
       .groupBy($"c_custkey")
       .agg(
         count($"o_orderkey").as("n_orders"),
-        coalesce(sum($"o_totalprice".cast(dec2)), lit(0).cast(dec2))
-          .cast(dec2).as("total"))
+        coalesce(sum(Queries.cents($"o_totalprice")), lit(0L)).as("total_cents"))
       .orderBy($"c_custkey")
   }
 
@@ -157,7 +156,7 @@ object Joins {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total
+        |  CAST(coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS total_cents
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_join_semi" ->

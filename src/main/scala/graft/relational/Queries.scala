@@ -2,60 +2,65 @@ package graft.relational
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.LongType
 
 /** The engine's relational operator inventory (SURVEY.md §2.3): every declared
   * query id, implemented with Spark built-ins only so Catalyst gets full
   * optimization freedom (pushdown, pruning, join selection, AQE).
   *
   * Determinism contract for the DuckDB oracle (FIXTURES.md §B.2): output only
-  * integer keys, strings, second-truncated timestamps, or DECIMAL-cast
-  * aggregates; total ORDER BY over all output columns; column names identical
-  * to the oracle SQL.
+  * integer keys, strings, second-truncated timestamps, or integer-quantized
+  * money (cents/micros) — NEVER a DECIMAL or raw-double column (round-1
+  * driver gate: every DECIMAL output column hash-mismatched because DuckDB
+  * surfaces DECIMAL to pandas as float64 "1.5" while Spark parquet
+  * round-trips the exact decimal "1.50"); total ORDER BY over all output
+  * columns; column names identical to the oracle SQL.
   */
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def dec(c: Column, p: Int = 18, sc: Int = 2): Column = c.cast(DecimalType(p, sc))
-
-  /** Revenue term `price * (1 - discount)` computed in DECIMAL, not double:
-    * source money columns are clean 2-decimal values, so casting operands
-    * FIRST and multiplying in decimal is exact and engine-agnostic, whereas
-    * casting the double product rounds differently in Spark (shortest-string
-    * repr, HALF_UP) vs DuckDB (exact binary expansion). The result keeps the
-    * natural product scale 4 — NEVER reduce decimal scale in an oracle query:
-    * Spark rounds HALF_UP on scale-reducing casts, DuckDB truncates. */
-  private def revenue(price: Column, discount: Column): Column =
-    dec(dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(discount)), 18, 4)
+  /** Quantize a clean-2-decimal money double to integer cents.
+    * `floor(x * 100.0 + 0.5)` runs the identical IEEE-754 double ops on both
+    * engines, so the BIGINT result hash-matches regardless of each engine's
+    * decimal/float printing. The oracle-side spelling is
+    * `CAST(floor(col * 100.0 + 0.5) AS BIGINT)`. */
+  private[relational] def cents(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.5)).cast(LongType)
 
   // ---------------------------------------------------------------- scans
 
-  /** Parquet scan + pushed filter + arithmetic projection. */
+  /** Parquet scan + pushed filter + arithmetic projection. Revenue
+    * `price * (1 - discount)` is computed entirely in integers:
+    * cents(price) * (100 - cents(discount)) = revenue scaled by 10^4 —
+    * exact, order-independent, engine-agnostic. */
   def scanFilterProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
       .filter($"l_quantity" >= 45.0)
       .select(
         $"l_orderkey", $"l_linenumber",
-        dec($"l_quantity").as("qty"),
-        revenue($"l_extendedprice", $"l_discount").as("revenue"))
+        cents($"l_quantity").as("qty_cents"),
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("revenue_e4"))
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
   // ---------------------------------------------------------------- aggregation
 
-  /** TPC-H Q1-style grouped aggregation (partial+final hash agg). */
+  /** TPC-H Q1-style grouped aggregation (partial+final hash agg). Money is
+    * quantized to cents per-row BEFORE the sum so the aggregate is an exact
+    * integer fold — order-independent across partitions and engines. */
   def aggGroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        dec(sum(dec($"l_quantity"))).as("sum_qty"),
-        dec(sum(dec($"l_extendedprice"))).as("sum_price"),
-        dec(min(dec($"l_extendedprice"))).as("min_price"),
-        dec(max(dec($"l_extendedprice"))).as("max_price"),
+        sum(cents($"l_quantity")).as("sum_qty_cents"),
+        sum(cents($"l_extendedprice")).as("sum_price_cents"),
+        min(cents($"l_extendedprice")).as("min_price_cents"),
+        max(cents($"l_extendedprice")).as("max_price_cents"),
         count(lit(1)).as("cnt"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -85,16 +90,17 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_cents,
+        |  CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem WHERE l_quantity >= 45.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+        |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS min_price_cents,
+        |  max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS max_price_cents,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

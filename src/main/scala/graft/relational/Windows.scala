@@ -3,18 +3,18 @@ package graft.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
+import graft.relational.Queries.cents
 
 /** Window-function inventory (ranking / analytic / frames) + order-sensitive
   * shapes (global top-k, per-group top-k). Every window ORDER BY carries a
-  * unique tiebreak column so ranks are deterministic across engines; doubles
-  * are used for ordering only, never output raw.
+  * unique tiebreak column so ranks are deterministic across engines; money
+  * is quantized to integer cents per-row before any window aggregate or
+  * output — never DECIMAL, never raw doubles (oracle determinism contract,
+  * see [[Queries.cents]]).
   */
 object Windows {
-
-  private val dec2 = DecimalType(18, 2)
 
   /** rank / dense_rank / row_number / ntile per mktsegment by acctbal. */
   def rank_(s: SparkSession, dir: String): DataFrame = {
@@ -30,28 +30,34 @@ object Windows {
       .orderBy($"c_mktsegment", $"rn")
   }
 
-  /** lag / lead / first_value over per-customer order history. */
+  /** lag / lead / first_value over per-customer order history. Nulls at
+    * partition edges are coalesced to -1 so the output column stays int64
+    * on both engines (nullable int64 → float64 in pandas is another
+    * representation hazard class). */
   def analytic(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     Tables.table(s, dir, "orders")
+      .withColumn("pc", cents($"o_totalprice"))
       .select(
         $"o_custkey", $"o_orderkey",
-        lag($"o_totalprice", 1).over(w).cast(dec2).as("prev_price"),
-        lead($"o_totalprice", 1).over(w).cast(dec2).as("next_price"),
+        coalesce(lag($"pc", 1).over(w), lit(-1L)).as("prev_cents"),
+        coalesce(lead($"pc", 1).over(w), lit(-1L)).as("next_cents"),
         first($"o_orderkey").over(w).as("first_key"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
-  /** Running sum with an explicit ROWS frame. */
+  /** Running sum with an explicit ROWS frame — cents quantized per-row
+    * before the frame sum, so the running total is an exact integer fold. */
   def frame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.table(s, dir, "orders")
+      .withColumn("pc", cents($"o_totalprice"))
       .select(
         $"o_custkey", $"o_orderkey",
-        sum($"o_totalprice".cast(dec2)).over(w).cast(dec2).as("running"))
+        sum($"pc").over(w).as("running_cents"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
@@ -59,8 +65,8 @@ object Windows {
   def sortLimit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.table(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice".cast(dec2).as("price"))
-      .orderBy($"price".desc, $"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", cents($"l_extendedprice").as("price_cents"))
+      .orderBy($"price_cents".desc, $"l_orderkey", $"l_linenumber")
       .limit(100)
   }
 
@@ -93,22 +99,23 @@ object Windows {
         |ORDER BY c_mktsegment, rn""".stripMargin,
     "q_window_analytic" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS prev_price,
-        |  CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS next_price,
+        |  CAST(coalesce(lag(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), 1) OVER w, -1) AS BIGINT) AS prev_cents,
+        |  CAST(coalesce(lead(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), 1) OVER w, -1) AS BIGINT) AS next_cents,
         |  first_value(o_orderkey) OVER w AS first_key
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_frame" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_sort_limit" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents
         |FROM lineitem
-        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,

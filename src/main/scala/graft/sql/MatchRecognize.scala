@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType,
+  LongType, ShortType, StringType, StructField, StructType}
 
 import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
 
@@ -13,9 +14,14 @@ import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
   * (`/root/reference/src/main/scala/kosmag/FlinkSqlMatchRecognizeExample.scala:50-68`),
   * which Spark's grammar lacks entirely (SURVEY.md §3.2).
   *
-  * Supported clause set (the reference's, which is also the common core):
-  * `PARTITION BY c [, ...]`, `ORDER BY c`, `MEASURES [FIRST|LAST](V.c) AS a, ...`,
-  * `ONE ROW PER MATCH`, `AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW}`,
+  * Supported clause set (a superset of the reference's):
+  * `PARTITION BY c [, ...]`, `ORDER BY c [, ...]` (first column is event
+  * time; the rest are deterministic tiebreaks),
+  * `MEASURES` items of the forms `V.c`, `FIRST|LAST(V.c)`,
+  * `COUNT(V.*)`, `COUNT|SUM|AVG|MIN|MAX(V.c)`, `CLASSIFIER()`,
+  * `MATCH_NUMBER()` — each `AS alias`,
+  * `ONE ROW PER MATCH` / `ALL ROWS PER MATCH`,
+  * `AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V}`,
   * `PATTERN (V1 V2* V3 ...)` with `* + ?` quantifiers,
   * `WITHIN INTERVAL 'n' {SECOND|MINUTE|HOUR|DAY}`, `DEFINE V AS cond, ...`.
   *
@@ -31,10 +37,13 @@ import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
   */
 object MatchRecognize {
 
+  /** One MEASURES item. `fn` ∈ "", FIRST, LAST, COUNT, SUM, AVG, MIN, MAX,
+    * CLASSIFIER, MATCH_NUMBER; `column` is "*" for `COUNT(V.*)` and empty
+    * for the no-argument functions. */
   final case class Measure(fn: String, variable: String, column: String, alias: String)
   final case class Spec(
       partitionBy: Seq[String],
-      orderBy: String,
+      orderBy: Seq[String], // head = event time; tail = deterministic tiebreaks
       measures: Seq[Measure],
       skip: AfterMatchSkip,
       pattern: Seq[(String, Char)], // (variable, quantifier ' '|'*'|'+'|'?')
@@ -45,30 +54,43 @@ object MatchRecognize {
   // ------------------------------------------------------------ clause parser
 
   private val PartitionRe = "(?is)PARTITION\\s+BY\\s+(.*?)\\s*(?=ORDER\\s+BY)".r
-  private val OrderRe = "(?is)ORDER\\s+BY\\s+([\\w.]+)".r
+  private val OrderRe =
+    "(?is)ORDER\\s+BY\\s+([\\w.]+(?:\\s*,\\s*[\\w.]+)*)".r
   private val MeasuresRe = "(?is)MEASURES\\s+(.*?)\\s*(?=ONE\\s+ROW|ALL\\s+ROWS|AFTER\\s+MATCH|PATTERN)".r
-  private val SkipRe = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+(PAST\\s+LAST\\s+ROW|TO\\s+NEXT\\s+ROW)".r
+  private val SkipRe =
+    ("(?is)AFTER\\s+MATCH\\s+SKIP\\s+" +
+      "(PAST\\s+LAST\\s+ROW|TO\\s+NEXT\\s+ROW|TO\\s+FIRST\\s+\\w+|TO\\s+LAST\\s+\\w+)").r
   private val PatternRe = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)".r
   private val WithinRe = "(?is)WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(SECOND|MINUTE|HOUR|DAY)".r
   private val DefineRe = "(?is)DEFINE\\s+(.*)$".r
   private val MeasureItemRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\)?\\s+AS\\s+(\\w+)$".r
+  private val MeasureAggRe =
+    "(?is)^(COUNT|SUM|AVG|MIN|MAX)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)\\s+AS\\s+(\\w+)$".r
+  private val MeasureNoArgRe =
+    "(?is)^(CLASSIFIER|MATCH_NUMBER)\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val PatternVarRe = "(\\w+)([*+?]?)".r
 
   def parseSpec(body: String): Spec = {
     val partition = PartitionRe.findFirstMatchIn(body)
       .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
     val order = OrderRe.findFirstMatchIn(body)
-      .map(_.group(1).trim)
+      .map(_.group(1).split(",").map(_.trim).toSeq.filter(_.nonEmpty))
       .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE: ORDER BY required"))
     val measures = MeasuresRe.findFirstMatchIn(body).map(_.group(1)).toSeq
       .flatMap(_.split(","))
       .map(_.trim).filter(_.nonEmpty)
       .map {
+        case MeasureNoArgRe(fn, a) => Measure(fn.toUpperCase, "", "", a)
+        case MeasureAggRe(fn, v, c, a) => Measure(fn.toUpperCase, v, c, a)
         case MeasureItemRe(fn, v, c, a) => Measure(Option(fn).getOrElse("").toUpperCase, v, c, a)
         case other => throw new IllegalArgumentException(s"unsupported measure: $other")
       }
+    val SkipVarRe = "(?i)TO (FIRST|LAST) (\\w+)".r
     val skip = SkipRe.findFirstMatchIn(body).map(_.group(1).toUpperCase.replaceAll("\\s+", " ")) match {
       case Some("TO NEXT ROW") => AfterMatchSkip.SkipToNext
+      case Some(SkipVarRe(pos, v)) =>
+        if (pos.equalsIgnoreCase("FIRST")) AfterMatchSkip.SkipToFirst(v)
+        else AfterMatchSkip.SkipToLast(v)
       case _ => AfterMatchSkip.SkipPastLastEvent // SQL default
     }
     val patternStr = PatternRe.findFirstMatchIn(body)
@@ -151,7 +173,7 @@ object MatchRecognize {
         case i => i
       }
 
-    val orderIdx = idx(spec.orderBy)
+    val orderIdx = idx(spec.orderBy.head)
     val partIdxs = spec.partitionBy.map(idx)
     val defIdx = vars.map(v => v -> idx(s"__def_$v")).toMap
 
@@ -200,43 +222,78 @@ object MatchRecognize {
 
     // Input columns without the appended __def_* helper columns (ALL ROWS mode).
     val inputWidth = df.schema.length
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // Output type per measure form: COUNT/MATCH_NUMBER → bigint, AVG →
+    // double, SUM → bigint over integral inputs else double, CLASSIFIER →
+    // string, navigation/plain → the source column's type.
+    def measureField(m: Measure): StructField = m.fn match {
+      case "CLASSIFIER" => StructField(m.alias, StringType)
+      case "MATCH_NUMBER" | "COUNT" => StructField(m.alias, LongType)
+      case "AVG" => StructField(m.alias, DoubleType)
+      case "SUM" => StructField(m.alias,
+        if (isIntegral(schema(idx(m.column)).dataType)) LongType else DoubleType)
+      case _ => schema(idx(m.column)).copy(name = m.alias)
+    }
     val outSchema =
       if (spec.allRows)
         StructType(df.schema.fields ++
-          Seq(org.apache.spark.sql.types.StructField("classifier",
-            org.apache.spark.sql.types.StringType)) ++
-          spec.measures.map(m => schema(idx(m.column)).copy(name = m.alias)))
+          Seq(StructField("classifier", StringType)) ++
+          spec.measures.map(measureField))
       else
         StructType(spec.partitionBy.map(p => schema(idx(p))) ++
-          spec.measures.map(m => schema(idx(m.column)).copy(name = m.alias)))
-    val measureIdx = spec.measures.map(m => (m, idx(m.column)))
+          spec.measures.map(measureField))
+    val measureIdx = spec.measures.map(m =>
+      (m, if (m.column.isEmpty || m.column == "*") -1 else idx(m.column)))
 
     implicit val rowEnc = Encoders.row(outSchema)
     import spark.implicits._
 
-    def measureVals(m: NFA.PatternMatch[Row]): Seq[Any] =
+    def measureVals(m: NFA.PatternMatch[Row], matchNo: Long): Seq[Any] =
       measureIdx.map { case (meas, ci) =>
-        val bound = m(meas.variable)
-        val row = meas.fn match {
-          case "LAST" => bound.lastOption
-          case _ => bound.headOption
+        lazy val bound = m(meas.variable)
+        lazy val nonNull = bound.filterNot(_.isNullAt(ci))
+        meas.fn match {
+          case "CLASSIFIER" =>
+            // ONE ROW semantics: classifier of the match's LAST row.
+            vars.reverseIterator.find(v => m(v).nonEmpty).orNull
+          case "MATCH_NUMBER" => matchNo
+          case "COUNT" =>
+            if (meas.column == "*") bound.size.toLong else nonNull.size.toLong
+          case "SUM" =>
+            if (nonNull.isEmpty) null
+            else if (isIntegral(schema(ci).dataType))
+              nonNull.iterator.map(_.get(ci).asInstanceOf[Number].longValue).sum
+            else nonNull.iterator.map(r => asComparable(r.get(ci))).sum
+          case "AVG" =>
+            if (nonNull.isEmpty) null
+            else nonNull.iterator.map(r => asComparable(r.get(ci))).sum / nonNull.size
+          case "MIN" =>
+            if (nonNull.isEmpty) null
+            else nonNull.minBy(r => asComparable(r.get(ci))).get(ci)
+          case "MAX" =>
+            if (nonNull.isEmpty) null
+            else nonNull.maxBy(r => asComparable(r.get(ci))).get(ci)
+          case "LAST" => bound.lastOption.map(_.get(ci)).orNull
+          case _ => bound.headOption.map(_.get(ci)).orNull
         }
-        row.map(_.get(ci)).orNull
       }
 
-    def outputRows(m: NFA.PatternMatch[Row]): Iterator[Row] =
+    def outputRows(m: NFA.PatternMatch[Row], matchNo: Long): Iterator[Row] =
       if (spec.allRows) {
         // ONE row per consumed input row, with CLASSIFIER (the matched
         // variable) and final measure values (running measures simplified
         // to their final value — documented deviation).
-        val mv = measureVals(m)
+        val mv = measureVals(m, matchNo)
         vars.iterator.flatMap { v =>
           m(v).iterator.map(r =>
             Row.fromSeq(r.toSeq.take(inputWidth) ++ (v +: mv)))
         }
       } else {
         val firstRow = m.bindings.valuesIterator.flatten.next()
-        Iterator.single(Row.fromSeq(partIdxs.map(firstRow.get) ++ measureVals(m)))
+        Iterator.single(Row.fromSeq(partIdxs.map(firstRow.get) ++ measureVals(m, matchNo)))
       }
     def keyOf(r: Row): String =
       partIdxs.map(i => String.valueOf(r.get(i))).mkString("\u0000")
@@ -245,18 +302,28 @@ object MatchRecognize {
       // Streaming row-pattern query: the SAME lowered pattern runs through
       // the transformWithState CEP operator; the caller provides a watermark
       // on the ORDER BY column upstream (on the registered view).
+      // MATCH_NUMBER() needs a per-key lifetime counter the incremental
+      // emit path doesn't carry — batch-only for now.
+      if (spec.measures.exists(_.fn == "MATCH_NUMBER"))
+        throw new IllegalArgumentException(
+          "MATCH_NUMBER() is not supported in streaming mode")
       graft.streaming.CepStream.matchPattern[String, Row, Row](
         prepared, keyOf, tsOf, pattern,
-        emitMatch = (_, m: NFA.PatternMatch[Row]) => outputRows(m).toSeq,
+        emitMatch = (_, m: NFA.PatternMatch[Row]) => outputRows(m, 0L).toSeq,
         emitTimeout = (_, _: NFA.PatternTimeout[Row]) => None)(
         Encoders.STRING, Encoders.row(schema), rowEnc,
         scala.reflect.ClassTag(classOf[Row]))
     } else {
+      // All ORDER BY columns feed the in-partition sort: ties on the event
+      // time column are broken deterministically by the tiebreak columns,
+      // so match selection is stable across runs and partitionings.
       prepared
         .groupByKey(keyOf _)
-        .flatMapSortedGroups(col(spec.orderBy)) { (_, rows) =>
+        .flatMapSortedGroups(spec.orderBy.map(col): _*) { (_, rows) =>
           val (matches, _) = NFA.run(rows, tsOf, pattern)
-          matches.iterator.flatMap(outputRows)
+          matches.iterator.zipWithIndex.flatMap { case (m, i) =>
+            outputRows(m, i + 1L)
+          }
         }
     }
   }

@@ -114,11 +114,110 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { // unsupported measure shape
       MatchRecognize.parseSpec(
-        "ORDER BY ts MEASURES sum(A.x) AS s PATTERN (A) DEFINE A AS x > 1")
+        "ORDER BY ts MEASURES PREV(A.x) AS p PATTERN (A) DEFINE A AS x > 1")
     }
     intercept[IllegalArgumentException] { // statement shape
       MatchRecognize.sql(spark, "SELECT id FROM t MATCH_RECOGNIZE (ORDER BY ts PATTERN (A))")
     }
+  }
+
+  test("MEASURES aggregates, CLASSIFIER() and MATCH_NUMBER()") {
+    prepareView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES
+        |    COUNT(B.*) AS n_b,
+        |    SUM(B.balanceAfter) AS sum_b,
+        |    AVG(B.balanceAfter) AS avg_b,
+        |    MIN(B.balanceAfter) AS min_b,
+        |    MAX(B.balanceAfter) AS max_b,
+        |    CLASSIFIER() AS cls,
+        |    MATCH_NUMBER() AS mno
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // golden match on key 2: A=(11,6) B=(6,4) B=(4,3) C=(3,23)
+    assert(r.getString(r.fieldIndex("id")) == "2")
+    assert(r.getLong(r.fieldIndex("n_b")) == 2L)
+    assert(r.getLong(r.fieldIndex("sum_b")) == 7L)
+    assert(r.getDouble(r.fieldIndex("avg_b")) == 3.5)
+    assert(r.getLong(r.fieldIndex("min_b")) == 3L)
+    assert(r.getLong(r.fieldIndex("max_b")) == 4L)
+    assert(r.getString(r.fieldIndex("cls")) == "C")
+    assert(r.getLong(r.fieldIndex("mno")) == 1L)
+  }
+
+  test("MATCH_NUMBER() numbers matches sequentially within a partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(
+      ("1", "2020-05-01 10:00:00", 1L),
+      ("1", "2020-05-01 10:01:00", 1L),
+      ("1", "2020-05-01 10:02:00", 1L))
+      .toDF("id", "datetime", "x")
+      .withColumn("user_action_time", to_timestamp($"datetime"))
+      .createOrReplaceTempView("mno_in")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mno_in MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES MATCH_NUMBER() AS mno
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A)
+        |  DEFINE A AS A.x = 1
+        |)""".stripMargin)
+      .collect().map(r => r.getLong(r.fieldIndex("mno"))).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("multi-column ORDER BY breaks timestamp ties deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("1", "2020-05-01 10:00:00", 1L, 1L),
+      ("1", "2020-05-01 10:00:00", 2L, 2L),
+      ("1", "2020-05-01 10:00:00", 3L, 3L))
+    val stmt =
+      """SELECT * FROM ties MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time, seq
+        |  MEASURES FIRST(A.seq) AS a_seq, LAST(C.seq) AS c_seq
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B C)
+        |  DEFINE A AS A.x = 1, B AS B.x = 2, C AS C.x = 3
+        |)""".stripMargin
+    val results = (0 until 3).map { i =>
+      spark.createDataset(scala.util.Random.shuffle(rows))
+        .toDF("id", "datetime", "seq", "x")
+        .withColumn("user_action_time", to_timestamp($"datetime"))
+        .repartition(2 + i)
+        .createOrReplaceTempView("ties")
+      MatchRecognize.sql(spark, stmt).collect().map(_.toSeq).toSeq
+    }
+    assert(results.head == Seq(Seq("1", 1L, 3L)))
+    assert(results.distinct.size == 1)
+  }
+
+  test("AFTER MATCH SKIP TO FIRST/LAST variable parses to the DSL strategy") {
+    val f = MatchRecognize.parseSpec(
+      """ORDER BY ts AFTER MATCH SKIP TO FIRST B
+        |PATTERN (A B+ C) DEFINE A AS x > 1""".stripMargin)
+    assert(f.skip == graft.pattern.AfterMatchSkip.SkipToFirst("B"))
+    val l = MatchRecognize.parseSpec(
+      """ORDER BY ts AFTER MATCH SKIP TO LAST B
+        |PATTERN (A B+ C) DEFINE A AS x > 1""".stripMargin)
+    assert(l.skip == graft.pattern.AfterMatchSkip.SkipToLast("B"))
   }
 
   test("TO NEXT ROW skip + quantifier variants parse") {

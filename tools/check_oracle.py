@@ -5,6 +5,7 @@ Spark result parquet written by graft.Verify — columns sorted by name, values
 hash-compared. Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import duckdb, glob, json, sys, hashlib
+import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -22,8 +23,23 @@ for name, sql in sorted(oracle.items()):
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
-    sdf = con.execute(
-        f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    # Read the Spark output with pandas/pyarrow, NOT DuckDB: DuckDB collapses
+    # DECIMAL to float64 on BOTH sides, masking representation mismatches
+    # ("1.50" vs "1.5") that the driver's gate catches (r1 lesson: 7 queries
+    # passed here while failing at the driver). pd.read_parquet (not raw
+    # pq.read_table().to_pandas()) so date32 → datetime64, matching the
+    # driver's stringification of DATE columns.
+    sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    # Normalize date32→datetime64 to match DuckDB's DATE stringification
+    # ('1998-11-02 00:00:00'); the driver accepts DATE outputs (q_date_arith
+    # was green in r1) so only this — never decimals — may be coerced.
+    import datetime
+    for c in sdf.columns:
+        if sdf[c].dtype == object:
+            nn = sdf[c].dropna()
+            if len(nn) and all(isinstance(v, datetime.date)
+                               and not isinstance(v, datetime.datetime) for v in nn):
+                sdf[c] = pd.to_datetime(sdf[c])
     o = odf[sorted(odf.columns)]
     s_cols = sorted(sdf.columns)
     if sorted(map(str.lower, odf.columns)) != sorted(map(str.lower, sdf.columns)):
