@@ -55,16 +55,20 @@ object NFA {
 
   /** A live partial match. Resident position: taken == 0 → about to enter
     * `stage`; taken > 0 → inside looping `stage` after `taken` events.
-    * `consumed` is in reverse order.
+    * `consumed` is in reverse order. `tripped` holds stages whose preceding
+    * negative guard has observed a forbidden event since the last take —
+    * entering a tripped stage is blocked; any take resets the set (a new
+    * gap begins).
     */
   final case class Partial[T](
       stage: Int,
       taken: Int,
       consumed: List[Consumed[T]],
       startIdx: Long,
-      startTs: Long) {
-    def dedupKey: (Int, Int, List[(Int, Long)]) =
-      (stage, taken, consumed.map(c => (c.stage, c.idx)))
+      startTs: Long,
+      tripped: Set[Int] = Set.empty) {
+    def dedupKey: (Int, Int, List[(Int, Long)], Set[Int]) =
+      (stage, taken, consumed.map(c => (c.stage, c.idx)), tripped)
     def contentKey: List[(Int, Long)] = consumed.map(c => (c.stage, c.idx))
   }
 
@@ -98,9 +102,13 @@ object NFA {
 final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Serializable {
   import NFA._
 
+  require(pattern.pendingGuard.isEmpty,
+    "pattern must not end with a negative stage (notFollowedBy/notNext need a following stage)")
+
   private val stages = pattern.stages
   private val n = stages.length
   private val within = pattern.withinMs
+  private val guards = pattern.guards
   // Greedy (default): longest simultaneous completion wins under
   // single-winner skip modes; any reluctant loop flips to shortest.
   private val lenPref: Int => Int =
@@ -201,16 +209,31 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     val matches = ListBuffer.empty[PatternMatch[T]]
     val next = ArrayBuffer.empty[Partial[T]]
     val completed = ArrayBuffer.empty[Partial[T]]
-    val seen = scala.collection.mutable.HashSet.empty[(Int, Int, List[(Int, Long)])]
+    val seen = scala.collection.mutable.HashSet.empty[(Int, Int, List[(Int, Long)], Set[Int])]
     def add(p: Partial[T]): Unit = if (seen.add(p.dedupKey)) next += p
 
     def step(p: Partial[T], isInitial: Boolean): Unit = {
       val ctx = ctxOf(p)
+      // Stages whose preceding negative guard fires on THIS event (the gap
+      // between the previous take and a future entry now contains a
+      // forbidden event). Taking a stage on this same event still wins: the
+      // forbidden range is exclusive of the event that anchors the entry.
+      val trippedNow: Set[Int] =
+        if (isInitial || guards.isEmpty) Set.empty
+        else positions(p).iterator.collect { case (s, 0) => s }.flatMap { s =>
+          guards.get(s) match {
+            case Some(g: Guard.NotFollowed[T]) if g.pred(e, ctx) => Some(s)
+            case Some(g: Guard.NotNext[T])
+              if p.consumed.nonEmpty && i == p.consumed.head.idx + 1 &&
+                g.pred(e, ctx) => Some(s)
+            case _ => None
+          }
+        }.toSet
       positions(p).foreach { case (s, taken) =>
         if (s < n) {
           val st = stages(s)
-          // TAKE
-          if (taken < st.max && st.pred(e, ctx)) {
+          // TAKE (blocked into a stage whose guard tripped earlier in the gap)
+          if (taken < st.max && !(taken == 0 && p.tripped(s)) && st.pred(e, ctx)) {
             if (!isInitial || i >= minStartIdx) {
               val newTaken = taken + 1
               val (rs, rt) = if (newTaken >= st.max) (s + 1, 0) else (s, newTaken)
@@ -225,8 +248,9 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
           }
           // IGNORE (not for the initial pseudo-partial: it is always present)
           if (!isInitial && ignoreAllowed(s, taken, e, ctx)) {
-            add(if (s == p.stage && taken == p.taken) p
-                else Partial(s, 0, p.consumed, p.startIdx, p.startTs))
+            val tr = p.tripped ++ trippedNow
+            add(if (s == p.stage && taken == p.taken && tr == p.tripped) p
+                else Partial(s, taken, p.consumed, p.startIdx, p.startTs, tr))
           }
         }
       }
@@ -272,6 +296,13 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         case AfterMatchSkip.SkipToLast(v) => emitAllAndPruneBefore(v, first = false)
       }
     }
+
+    // A waiting partial whose every reachable entry stage is guard-blocked
+    // can never advance: drop it now so it doesn't linger as state (matters
+    // for unbounded-horizon patterns under NoSkip).
+    if (guards.nonEmpty)
+      next.filterInPlace(p =>
+        !(p.taken == 0 && p.consumed.nonEmpty && entryChain(p.stage).forall(p.tripped)))
 
     partials = next
     (matches.toList, timeouts)

@@ -80,30 +80,85 @@ object Stage {
     Stage(name, (e, _) => p(e), min, max, contiguity, internal)
 }
 
+/** A NEGATIVE pattern stage (Flink `notFollowedBy` / `notNext`): binds no
+  * events; instead it guards the gap before the following real stage. A
+  * partial match that observes a guard-matching event in that gap cannot
+  * enter the guarded stage until it consumes another event first (which, for
+  * a preceding loop, restarts the gap; otherwise the partial is dead).
+  */
+sealed trait Guard[T] {
+  def name: String
+  def pred: (T, PatternContext[T]) => Boolean
+  def withPred(p: (T, PatternContext[T]) => Boolean): Guard[T]
+}
+object Guard {
+  /** `notFollowedBy`: NO event in the whole gap may match. */
+  final case class NotFollowed[T](name: String, pred: (T, PatternContext[T]) => Boolean)
+    extends Guard[T] {
+    def withPred(p: (T, PatternContext[T]) => Boolean): Guard[T] = copy(pred = p)
+  }
+  /** `notNext`: the IMMEDIATE successor of the previous stage's last event
+    * may not match (later gap events are unconstrained). */
+  final case class NotNext[T](name: String, pred: (T, PatternContext[T]) => Boolean)
+    extends Guard[T] {
+    def withPred(p: (T, PatternContext[T]) => Boolean): Guard[T] = copy(pred = p)
+  }
+}
+
 final case class Pattern[T](
     stages: Vector[Stage[T]],
     withinMs: Option[Long],
-    skip: AfterMatchSkip) {
+    skip: AfterMatchSkip,
+    /** Guards keyed by the index of the real stage they precede. */
+    guards: Map[Int, Guard[T]] = Map.empty[Int, Guard[T]],
+    /** A negative stage declared but not yet anchored by a following real
+      * stage. A complete pattern must not have one (negation needs a right
+      * anchor — same restriction as Flink's trailing `notFollowedBy`). */
+    pendingGuard: Option[Guard[T]] = None) {
 
-  private def updLast(f: Stage[T] => Stage[T]): Pattern[T] =
-    copy(stages = stages.init :+ f(stages.last))
+  private def updLast(f: Stage[T] => Stage[T]): Pattern[T] = pendingGuard match {
+    case Some(_) => throw new IllegalArgumentException(
+      "quantifiers are not applicable to a negative pattern stage")
+    case None => copy(stages = stages.init :+ f(stages.last))
+  }
 
-  /** AND an additional condition onto the current stage. */
+  // where/or on a pending negative stage refine the guard's predicate.
+  private def updPred(
+      and: ((T, PatternContext[T]) => Boolean, (T, PatternContext[T]) => Boolean) =>
+        (T, PatternContext[T]) => Boolean,
+      p: (T, PatternContext[T]) => Boolean): Pattern[T] =
+    pendingGuard match {
+      case Some(g) => copy(pendingGuard = Some(g.withPred(and(g.pred, p))))
+      case None =>
+        copy(stages = stages.init :+ {
+          val s = stages.last
+          s.copy(pred = and(s.pred, p))
+        })
+    }
+
+  /** AND an additional condition onto the current (or negative) stage. */
   def where(p: T => Boolean): Pattern[T] =
-    updLast(s => s.copy(pred = (e, ctx) => s.pred(e, ctx) && p(e)))
+    updPred((a, b) => (e, c) => a(e, c) && b(e, c), (e, _) => p(e))
 
   /** AND an ITERATIVE condition (sees the partial match's bindings — the
     * analog of Flink's IterativeCondition, e.g. "C's value exceeds first
     * A's"). */
   def whereContext(p: (T, PatternContext[T]) => Boolean): Pattern[T] =
-    updLast(s => s.copy(pred = (e, ctx) => s.pred(e, ctx) && p(e, ctx)))
+    updPred((a, b) => (e, c) => a(e, c) && b(e, c), p)
 
-  /** OR an alternative condition onto the current stage. */
+  /** OR an alternative condition onto the current (or negative) stage. */
   def or(p: T => Boolean): Pattern[T] =
-    updLast(s => s.copy(pred = (e, ctx) => s.pred(e, ctx) || p(e)))
+    updPred((a, b) => (e, c) => a(e, c) || b(e, c), (e, _) => p(e))
 
-  private def append(name: String, c: Contiguity): Pattern[T] =
-    copy(stages = stages :+ Stage.simple[T](name, _ => true, 1, 1, c, Contiguity.Relaxed))
+  private def append(name: String, c: Contiguity): Pattern[T] = {
+    val np = copy(
+      stages = stages :+ Stage.simple[T](name, _ => true, 1, 1, c, Contiguity.Relaxed),
+      pendingGuard = None)
+    pendingGuard match {
+      case Some(g) => np.copy(guards = guards + ((stages.length) -> g))
+      case None => np
+    }
+  }
 
   /** Strict contiguity to the previous stage (Flink `next`). */
   def next(name: String): Pattern[T] = append(name, Contiguity.Strict)
@@ -111,6 +166,23 @@ final case class Pattern[T](
   def followedBy(name: String): Pattern[T] = append(name, Contiguity.Relaxed)
   /** Non-deterministic relaxed contiguity (Flink `followedByAny`). */
   def followedByAny(name: String): Pattern[T] = append(name, Contiguity.NonDeterministic)
+
+  /** Negative stage (Flink `notFollowedBy`): no event matching it may occur
+    * between the previous stage and the NEXT declared stage. Must be
+    * followed by a real stage before the pattern runs. Refine with
+    * `.where(...)`; a bare `notFollowedBy` forbids every event (equivalent
+    * to requiring strict contiguity across the gap). */
+  def notFollowedBy(name: String): Pattern[T] = {
+    require(pendingGuard.isEmpty, "consecutive negative stages are not supported")
+    copy(pendingGuard = Some(Guard.NotFollowed[T](name, (_, _) => true)))
+  }
+
+  /** Negative stage (Flink `notNext`): the event IMMEDIATELY after the
+    * previous stage must not match. Must be followed by a real stage. */
+  def notNext(name: String): Pattern[T] = {
+    require(pendingGuard.isEmpty, "consecutive negative stages are not supported")
+    copy(pendingGuard = Some(Guard.NotNext[T](name, (_, _) => true)))
+  }
 
   /** Current stage repeats 1..∞ times. */
   def oneOrMore: Pattern[T] = updLast(_.copy(min = 1, max = Int.MaxValue))
@@ -141,14 +213,26 @@ final case class Pattern[T](
 
   /** Re-target the pattern onto a wrapper/projection of the event type
     * (e.g. the same events with a watermark timestamp column attached). */
-  def contramap[U](f: U => T): Pattern[U] =
+  def contramap[U](f: U => T): Pattern[U] = {
+    def liftCtx(ctx: PatternContext[U]): PatternContext[T] = new PatternContext[T] {
+      def apply(stage: String): Vector[T] = ctx(stage).map(f)
+    }
+    def liftPred(p: (T, PatternContext[T]) => Boolean): (U, PatternContext[U]) => Boolean =
+      (u, ctx) => p(f(u), liftCtx(ctx))
     Pattern(
       stages.map { s =>
-        Stage[U](s.name, (u, ctx) => s.pred(f(u), new PatternContext[T] {
-          def apply(stage: String): Vector[T] = ctx(stage).map(f)
-        }), s.min, s.max, s.contiguity, s.internal)
+        Stage[U](s.name, liftPred(s.pred), s.min, s.max, s.contiguity, s.internal)
       },
-      withinMs, skip)
+      withinMs, skip,
+      guards.map {
+        case (i, Guard.NotFollowed(n, p)) => i -> Guard.NotFollowed[U](n, liftPred(p))
+        case (i, Guard.NotNext(n, p)) => i -> Guard.NotNext[U](n, liftPred(p))
+      },
+      pendingGuard.map {
+        case Guard.NotFollowed(n, p) => Guard.NotFollowed[U](n, liftPred(p))
+        case Guard.NotNext(n, p) => Guard.NotNext[U](n, liftPred(p))
+      })
+  }
 }
 
 object Pattern {

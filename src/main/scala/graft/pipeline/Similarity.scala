@@ -13,19 +13,32 @@ import Hashing._
   *
   * Random-hyperplane LSH with DETERMINISTIC planes: plane p's component for
   * dimension d is ±1 by the parity of (p*31 + d) — reproducible in any
-  * engine, no RNG. Bucket = 4 sign bits → 16 buckets; candidates are
-  * same-bucket vectors; ranking is by exact integer dot product over
-  * micro-quantized vectors (no float ties). At scale the bucket-join replaces
-  * the O(n²) scan: each query probes |n|/2^planes candidates.
+  * engine, no RNG. Bucket = `planes` sign bits → 2^planes buckets.
+  *
+  * Multiprobe: each query probes its own bucket plus every bucket at Hamming
+  * distance ≤ 1 (one flipped sign bit) — the standard recall repair for a
+  * vector that lands near a hyperplane. Implemented as an EXPLODE of the
+  * query's probe keys + equi-join (buckets are disjoint per candidate, so no
+  * pair dedup is needed); never a `bit_count(xor(..)) <= r` theta-join,
+  * which would degenerate to a cartesian at scale.
+  *
+  * Recall/cost trade (document for tuning at 100 TB):
+  *  - more planes ⇒ smaller buckets (candidates ≈ n/2^planes per probe) but
+  *    more boundary misses;
+  *  - radius-1 multiprobe multiplies candidates by (planes+1) and recovers
+  *    most boundary misses — cheaper than halving the plane count, which
+  *    DOUBLES every bucket;
+  *  - ranking is by exact integer dot product over micro-quantized vectors
+  *    (no float ties), so output order is engine-agnostic.
   */
 object Similarity {
 
   val Planes = 4
   val QueryVecs = 5 // vec_id < 5 act as the query set
 
-  /** LSH bucket id (0..15) for a quantized vector column. */
-  def bucket(q: Column): Column =
-    (0 until Planes).map { p =>
+  /** LSH bucket id (0 .. 2^planes-1) for a quantized vector column. */
+  def bucket(q: Column, planes: Int = Planes): Column =
+    (0 until planes).map { p =>
       when(
         aggregate(
           zip_with(q, sequence(lit(0), size(q) - 1),
@@ -34,29 +47,46 @@ object Similarity {
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Top-3 same-bucket neighbors per query vector by exact quantized dot. */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Top-k same-or-adjacent-bucket neighbors per query vector by exact
+    * quantized dot product. `probeRadius` 0 = single-bucket (r1 behavior),
+    * 1 = flip each sign bit once. */
+  def annLshParam(
+      s: SparkSession, dir: String,
+      planes: Int = Planes, probeRadius: Int = 1, k: Int = 3): DataFrame = {
     import s.implicits._
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius ∈ {0, 1}")
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
-      .withColumn("bkt", bucket($"q"))
+      .withColumn("bkt", bucket($"q", planes))
+      // two plan branches (queries + candidates): materialize once
+      .cache()
+    val probeKeys =
+      if (probeRadius == 0) array($"bkt")
+      else array($"bkt" +: (0 until planes).map(p => $"bkt".bitwiseXOR(lit(1L << p))): _*)
     val queries = e.filter($"vec_id" < QueryVecs)
-      .select($"vec_id".as("query_id"), $"q".as("qv"), $"bkt")
+      .select($"vec_id".as("query_id"), $"q".as("qv"),
+        explode(probeKeys).as("bkt"))
     val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
     queries.join(e, Seq("bkt"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
       .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 3)
+      .filter($"rnk" <= k)
       .select($"query_id", $"rnk", $"vec_id")
       .orderBy($"query_id", $"rnk")
   }
+
+  /** The declared query: 4 planes, radius-1 multiprobe, top-3. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = annLshParam(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_ann" -> annLsh _,
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle spells multiprobe as bit_count(xor) <= 1 over the n² pair
+    // space — fine for DuckDB at oracle scale, exactly what the Spark plan
+    // must NOT do at 100 TB (see Scaladoc).
     "q_similarity_ann" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -70,7 +100,8 @@ object Similarity {
          |cand AS (SELECT qr.vec_id AS query_id, c.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
          |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
-         |  FROM b qr JOIN b c ON qr.bkt = c.bkt AND qr.vec_id <> c.vec_id
+         |  FROM b qr JOIN b c
+         |  ON bit_count(xor(qr.bkt, c.bkt)) <= 1 AND qr.vec_id <> c.vec_id
          |  WHERE qr.vec_id < $QueryVecs)
          |SELECT query_id, rnk, vec_id FROM (
          |  SELECT query_id, vec_id,

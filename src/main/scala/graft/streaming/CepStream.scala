@@ -60,7 +60,7 @@ object CepStream {
 
 /** Per-key stateful CEP processor. State:
   *  - "buf": events newer than the watermark, unordered;
-  *  - "nfa": java-serialized [[NFA.Snapshot]] of the runner;
+  *  - "nfa": [[NFA.Snapshot]] of the runner, via [[SnapshotCodec]];
   *  - "timer": the single currently-registered timer expiry (re-armed to
   *    min(next buffered ts, earliest within-deadline) after every change);
   *  - "minBuf": earliest buffered event time — the cheap gate that lets a
@@ -80,6 +80,11 @@ final class CepProcessor[K, T, O](
   @transient private var timer: ValueState[Long] = _
   @transient private var minBuf: ValueState[Long] = _
 
+  // Compact snapshot codec (events through the dataset's own Encoder, deduped
+  // by NFA index) — replaces r1's Java serialization, whose reflective graph
+  // walk dominated the per-key state round-trip cost.
+  private val codec = new SnapshotCodec[T](te)
+
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[T]("buf", te, TTLConfig.NONE)
     nfa = getHandle.getValueState[Array[Byte]]("nfa", Encoders.BINARY, TTLConfig.NONE)
@@ -89,22 +94,12 @@ final class CepProcessor[K, T, O](
 
   private def loadRunner(): NfaRunner[T] = {
     val r = new NfaRunner[T](pattern, tsFn)
-    if (nfa.exists()) {
-      val in = new java.io.ObjectInputStream(
-        new java.io.ByteArrayInputStream(nfa.get()))
-      r.restore(in.readObject().asInstanceOf[NFA.Snapshot[T]])
-      in.close()
-    }
+    if (nfa.exists()) r.restore(codec.decode(nfa.get()))
     r
   }
 
-  private def saveRunner(r: NfaRunner[T]): Unit = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.ObjectOutputStream(bos)
-    out.writeObject(r.snapshot())
-    out.close()
-    nfa.update(bos.toByteArray)
-  }
+  private def saveRunner(r: NfaRunner[T]): Unit =
+    nfa.update(codec.encode(r.snapshot()))
 
   /** Feed all buffered events at or before the watermark to the NFA (sorted),
     * advance the watermark, re-buffer the rest, and re-arm the timer.

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+
+import graft.pattern.NFA
+import graft.pattern.NFA.{Consumed, Partial, Snapshot}
+
+/** Compact binary codec for [[NFA.Snapshot]] — the per-key streaming CEP
+  * state that round-trips through the state store every micro-batch.
+  *
+  * Java serialization (the r1 implementation) writes the full reflective
+  * object graph: class descriptors, per-field type tags, and one boxed
+  * object per event field. This codec instead writes:
+  *
+  *  - a fixed 16-byte header (`minStartIdx`, `nextIdx`);
+  *  - an event table: each DISTINCT event serialized ONCE through the
+  *    dataset's own Spark `Encoder[T]` (UnsafeRow bytes — the same compact
+  *    columnar format the state store's ListState uses). Partial matches
+  *    branch heavily and share events; Java serialization deduplicates via
+  *    back-references but still pays the graph walk, while here the dedup
+  *    key is the event's NFA index (`Consumed.idx`, unique by construction:
+  *    it is the runner's `nextIdx` counter at consumption time);
+  *  - partials as fixed-width primitives referencing events by index.
+  *
+  * The encoder machinery (`ExpressionEncoder` serializer/deserializer +
+  * `UnsafeProjection`) is built lazily per executor thread — the codec
+  * itself holds only the logical `Encoder[T]`, which is serializable.
+  */
+final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
+
+  @transient private lazy val expEnc: ExpressionEncoder[T] = te match {
+    case e: ExpressionEncoder[T @unchecked] => e
+    case a: AgnosticEncoder[T @unchecked] => ExpressionEncoder(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported encoder type: ${other.getClass.getName}")
+  }
+  @transient private lazy val toRow = expEnc.createSerializer()
+  @transient private lazy val fromRow = expEnc.resolveAndBind().createDeserializer()
+  @transient private lazy val proj = UnsafeProjection.create(expEnc.schema)
+  private def numFields = expEnc.schema.length
+
+  private def eventBytes(e: T): Array[Byte] = {
+    // copy(): the serializer and projection reuse their output buffers.
+    val unsafe = proj(toRow(e).asInstanceOf[InternalRow])
+    unsafe.getBytes
+  }
+
+  private def eventFromBytes(b: Array[Byte]): T = {
+    val row = new UnsafeRow(numFields)
+    row.pointTo(b, b.length)
+    fromRow(row)
+  }
+
+  def encode(s: Snapshot[T]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(256)
+    val out = new DataOutputStream(bos)
+    out.writeLong(s.minStartIdx)
+    out.writeLong(s.nextIdx)
+
+    // Event table: distinct events by NFA index, serialized once each.
+    val events = scala.collection.mutable.LinkedHashMap.empty[Long, T]
+    s.partials.foreach(_.consumed.foreach(c => events.getOrElseUpdate(c.idx, c.ev)))
+    out.writeInt(events.size)
+    events.foreach { case (idx, ev) =>
+      out.writeLong(idx)
+      val b = eventBytes(ev)
+      out.writeInt(b.length)
+      out.write(b)
+    }
+
+    out.writeInt(s.partials.size)
+    s.partials.foreach { p =>
+      out.writeInt(p.stage)
+      out.writeInt(p.taken)
+      out.writeLong(p.startIdx)
+      out.writeLong(p.startTs)
+      out.writeInt(p.consumed.size)
+      p.consumed.foreach { c =>
+        out.writeInt(c.stage)
+        out.writeLong(c.idx)
+      }
+      out.writeInt(p.tripped.size)
+      p.tripped.foreach(out.writeInt)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Snapshot[T] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val minStartIdx = in.readLong()
+    val nextIdx = in.readLong()
+
+    val nEvents = in.readInt()
+    val events = new java.util.HashMap[Long, T](nEvents * 2)
+    var i = 0
+    while (i < nEvents) {
+      val idx = in.readLong()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      events.put(idx, eventFromBytes(b))
+      i += 1
+    }
+
+    val nPartials = in.readInt()
+    val partials = List.newBuilder[Partial[T]]
+    var j = 0
+    while (j < nPartials) {
+      val stage = in.readInt()
+      val taken = in.readInt()
+      val startIdx = in.readLong()
+      val startTs = in.readLong()
+      val nConsumed = in.readInt()
+      val consumed = List.newBuilder[Consumed[T]]
+      var k = 0
+      while (k < nConsumed) {
+        val cStage = in.readInt()
+        val cIdx = in.readLong()
+        consumed += Consumed(cStage, cIdx, events.get(cIdx))
+        k += 1
+      }
+      val nTripped = in.readInt()
+      val tripped = Set.newBuilder[Int]
+      var m = 0
+      while (m < nTripped) { tripped += in.readInt(); m += 1 }
+      partials += Partial(stage, taken, consumed.result(), startIdx, startTs,
+        tripped.result())
+      j += 1
+    }
+    Snapshot(partials.result(), minStartIdx, nextIdx)
+  }
+}

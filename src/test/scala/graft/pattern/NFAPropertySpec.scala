@@ -183,4 +183,67 @@ class NFAPropertySpec extends AnyFunSuite {
         assert(a == b)
     }
   }
+
+  /** Brute force for the NEGATED gap shape `A notFollowedBy(X: 'x')
+    * followedBy C, skipPastLast, no within`: attempt from each 'a'; scanning
+    * forward, an 'x' kills the attempt (restart at the next event after the
+    * 'a'), a 'c' completes it (resume after), anything else is ignored.
+    */
+  private def bruteNegated(events: List[Ev]): List[(Long, Long)] = {
+    val ev = events.toIndexedSeq
+    var matches = List.empty[(Long, Long)]
+    var i = 0
+    while (i < ev.length) {
+      if (ev(i).kind != 'a') { i += 1 }
+      else {
+        val aTs = ev(i).ts
+        var j = i + 1
+        var end = -1
+        var dead = false
+        while (j < ev.length && end < 0 && !dead) {
+          ev(j).kind match {
+            case 'x' => dead = true
+            case 'c' => end = j
+            case _ => j += 1
+          }
+        }
+        if (end >= 0) { matches ::= (aTs, ev(end).ts); i = end + 1 }
+        else i += 1
+      }
+    }
+    matches.reverse
+  }
+
+  test("negated pattern matches the brute-force oracle") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.kind == 'a')
+      .notFollowedBy("X").where(_.kind == 'x')
+      .followedBy("C").where(_.kind == 'c')
+    forSamples(genEvents, 400) { events =>
+      val bm = bruteNegated(events)
+      val (nm, _) = NFA.run(events.iterator, (_: Ev).ts, p)
+      assert(nm.map(m => (m.startTs, m.endTs)).toList == bm, s"matches differ for $events")
+    }
+  }
+
+  test("negated pattern: snapshot/restore at any cut point is transparent") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.kind == 'a')
+      .notFollowedBy("X").where(_.kind == 'x')
+      .followedBy("C").where(_.kind == 'c')
+    forSamples(genEvents.flatMap(es => Gen.choose(0, math.max(es.length, 1)).map((es, _))), 200) {
+      case (events, cut) =>
+        val single = NFA.run(events.iterator, (_: Ev).ts, p)
+
+        val r1 = new NfaRunner[Ev](p, _.ts)
+        val out1 = events.take(cut).map(r1.onEvent)
+        val snap = r1.snapshot()
+        val r2 = new NfaRunner[Ev](p, _.ts)
+        r2.restore(snap)
+        val out2 = events.drop(cut).map(r2.onEvent)
+        val flushed = r2.flush()
+        val matches = (out1 ++ out2).flatMap(_._1).map(m => (m.startTs, m.endTs))
+        assert(matches == single._1.map(m => (m.startTs, m.endTs)).toList)
+    }
+  }
 }

@@ -222,4 +222,83 @@ class NFASpec extends AnyFunSuite {
     assert(m1.isEmpty && t1.size == 1)
     assert(t1.head("A").head.min == 0)
   }
+
+  // ------------------------------------------------------------- negation
+
+  /** A notFollowedBy(N: x-tag) followedBy C — mid-pattern gap negation. */
+  private def aNotXc(skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastEvent): Pattern[Ev] =
+    Pattern.begin[Ev]("A", skip).where(is("a"))
+      .notFollowedBy("N").where(is("x"))
+      .followedBy("C").where(is("c"))
+
+  test("notFollowedBy: forbidden event between A and C kills the match") {
+    val (ms, _) = run(aNotXc(), evs("a", "x", "c"))
+    assert(ms.isEmpty)
+  }
+
+  test("notFollowedBy: clean gap matches; non-forbidden fillers are ignored") {
+    val (ms, _) = run(aNotXc(), evs("a", "q", "q", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("A").map(_.ts) == Vector(0L))
+    assert(ms.head("C").map(_.ts) == Vector(3L))
+    // N never binds events
+    assert(ms.head("N").isEmpty)
+  }
+
+  test("notFollowedBy: a later clean A..C window still matches") {
+    // a x c a c → first attempt killed, second matches
+    val (ms, _) = run(aNotXc(), evs("a", "x", "c", "a", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("A").map(_.ts) == Vector(3L))
+  }
+
+  test("notFollowedBy: event matching both N and C anchors C (take wins)") {
+    // 'cx' starts with c per is("c")? no — is(t) = startsWith; craft a tag
+    // matching both predicates via or: N = x*, C = c* OR xc*.
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .notFollowedBy("N").where(is("x"))
+      .followedBy("C").where(e => is("c")(e) || e.tag == "xc")
+    val (ms, _) = run(p, evs("a", "xc"))
+    assert(ms.size == 1)
+    assert(ms.head("C").map(_.tag) == Vector("xc"))
+  }
+
+  test("notFollowedBy after a loop: gap restarts at each loop take") {
+    // A B+ notFollowedBy(X) C over a b x b c: the x sits between two Bs,
+    // not between last B and C → match with B = both b's.
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .followedBy("B").where(is("b")).oneOrMore
+      .notFollowedBy("X").where(is("x"))
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "x", "b", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("B").map(_.ts) == Vector(1L, 3L))
+    // ...but x after the LAST b kills the b-ending branches: a b b x c
+    // still matches? No: every B-prefix branch has x between its last B
+    // and c → no match.
+    val (ms2, _) = run(p, evs("a", "b", "b", "x", "c"))
+    assert(ms2.isEmpty)
+  }
+
+  test("notNext: only the immediate successor of A is constrained") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .notNext("N").where(is("x"))
+      .followedBy("C").where(is("c"))
+    // immediate successor is x → dead
+    val (ms1, _) = run(p, evs("a", "x", "c"))
+    assert(ms1.isEmpty)
+    // x later in the gap is fine for notNext
+    val (ms2, _) = run(p, evs("a", "q", "x", "c"))
+    assert(ms2.size == 1)
+  }
+
+  test("negative stage validation: trailing guard rejected, quantifier rejected") {
+    val dangling = Pattern.begin[Ev]("A").where(is("a")).notFollowedBy("N").where(is("x"))
+    intercept[IllegalArgumentException] {
+      new NfaRunner[Ev](dangling, _.ts)
+    }
+    intercept[IllegalArgumentException] {
+      Pattern.begin[Ev]("A").notFollowedBy("N").oneOrMore
+    }
+  }
 }

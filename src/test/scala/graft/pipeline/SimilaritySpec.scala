@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+/** ANN LSH parameterization: the declared 4-plane query is oracle-gated;
+  * here the knobs (plane count, multiprobe radius) are exercised at 8 planes
+  * and recall is compared against the exact brute-force top-k.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Exact top-3 by the same integer dot (brute force — test oracle only). */
+  private def exactTop3: Map[Long, Seq[Long]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", Hashing.quantize($"embedding").as("q"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    e.filter($"vec_id" < Similarity.QueryVecs)
+      .select($"vec_id".as("query_id"), $"q".as("qv"))
+      .crossJoin(e)
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", Hashing.qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"vec_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+  }
+
+  private def annResult(planes: Int, radius: Int): Map[Long, Seq[Long]] =
+    Similarity.annLshParam(spark, sf, planes = planes, probeRadius = radius)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+
+  private def recall(ann: Map[Long, Seq[Long]], exact: Map[Long, Seq[Long]]): Double = {
+    val hits = exact.map { case (q, top) =>
+      ann.getOrElse(q, Seq.empty).count(top.contains)
+    }.sum
+    hits.toDouble / exact.values.map(_.size).sum
+  }
+
+  test("8 planes + multiprobe returns ranked rows for every query vector") {
+    val out = annResult(planes = 8, radius = 1)
+    assert(out.keySet == (0L until Similarity.QueryVecs.toLong).toSet)
+    out.values.foreach(nbrs => assert(nbrs.nonEmpty && nbrs.size <= 3))
+    // deterministic: identical on a repeated run
+    assert(annResult(planes = 8, radius = 1) == out)
+  }
+
+  test("radius-1 multiprobe recall >= single-bucket recall (8 planes)") {
+    val exact = exactTop3
+    val r0 = recall(annResult(planes = 8, radius = 0), exact)
+    val r1 = recall(annResult(planes = 8, radius = 1), exact)
+    assert(r1 >= r0, s"multiprobe recall $r1 < single-bucket $r0")
+  }
+
+  test("declared 4-plane multiprobe query finds most exact top-3 neighbors") {
+    val exact = exactTop3
+    val r = recall(annResult(planes = Similarity.Planes, radius = 1), exact)
+    assert(r >= 0.5, s"recall $r too low for 4 planes + multiprobe")
+  }
+}
