@@ -126,6 +126,58 @@ object Joins {
       .orderBy($"event_id")
   }
 
+  /** LEFT-OUTER as-of through the custom sort-merge operator: every event
+    * row survives; events with no at-or-before order carry -1 (nullable
+    * int64 surfaces as float64 in pandas — the same representation hazard
+    * class as DECIMAL, so the null is coalesced on both sides). */
+  def asOfLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts_sec"))
+    val o = t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    graft.plans.AsOf.join(ev, o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTsCol = "ts_sec", rightTsCol = "o_orderdate",
+        rightTiebreak = Seq("o_orderkey"), joinType = "left")
+      .select($"event_id", coalesce($"o_orderkey", lit(-1L)).as("o_orderkey"))
+      .orderBy($"event_id")
+  }
+
+  /** Join of two CO-BUCKETED tables: both sides are written bucketed+sorted
+    * on the join key, so the sort-merge join requires NO exchange — the
+    * 100 TB pre-partitioning path ([[graft.relational.BucketingSpec]] pins
+    * the no-Exchange plan shape; this query gates the RESULT through the
+    * oracle). The bucketed copies are rewritten per run (tiny at oracle
+    * scale); at production scale they are the long-lived layout, not a
+    * per-query step. */
+  def bucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // In-memory catalog + persistent warehouse dir: drop stale locations
+    // before saveAsTable (fresh-JVM runs would otherwise refuse).
+    for (tbl <- Seq("graft_li_b", "graft_ord_b")) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_b")
+    t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_ord_b")
+    s.table("graft_li_b").hint("merge")
+      .join(s.table("graft_ord_b"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(Queries.cents($"l_quantity")).as("qty_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Bounded cross join (dims only). */
   def cross(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -142,6 +194,8 @@ object Joins {
     "q_join_anti" -> anti _,
     "q_join_range" -> range _,
     "q_join_asof" -> asOfCustom _,
+    "q_join_asof_left" -> asOfLeft _,
+    "q_join_bucketed" -> bucketed _,
     "q_join_cross" -> cross _,
   )
 
@@ -182,6 +236,24 @@ object Joins {
         |  FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events) e
         |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_join_asof_left" ->
+      """SELECT e.event_id,
+        |  CAST(coalesce(o.o_orderkey, -1) AS BIGINT) AS o_orderkey
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events) e
+        |LEFT JOIN (
+        |  SELECT event_id, o_orderkey FROM (
+        |    SELECT e2.event_id, o2.o_orderkey,
+        |      row_number() OVER (PARTITION BY e2.event_id
+        |                         ORDER BY o2.o_orderdate DESC, o2.o_orderkey DESC) AS rn
+        |    FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events) e2
+        |    JOIN orders o2 ON e2.user_id = o2.o_custkey AND o2.o_orderdate <= e2.ts)
+        |  WHERE rn = 1) o ON e.event_id = o.event_id
+        |ORDER BY e.event_id""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_join_cross" ->
       """SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region
         |ORDER BY n_nationkey, r_regionkey""".stripMargin,
