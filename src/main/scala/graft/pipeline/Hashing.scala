@@ -59,8 +59,16 @@ object Hashing {
 
   /** `k` signature positions from the base hashes via hex-rotation orderings:
     * position i minimizes the md5 rotated left by 4·i hex chars — one md5
-    * per shingle instead of k, each rotation a distinct total order. */
+    * per shingle instead of k, each rotation a distinct total order. Uses the
+    * native one-pass [[graft.functions.RotMinHash]] expression (zero
+    * allocations per comparison); the HOF spelling below is the
+    * cross-implementation check. */
   def minhashSigRot(base: Column, k: Int): Column =
+    graft.functions.RotMinHash(base, k)
+
+  /** Built-in-only rotation-signature variant (two substrings + one concat
+    * per shingle PER POSITION) — kept as the oracle-shaped reference impl. */
+  def minhashSigRotHof(base: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(base, b =>
         concat(substring(b, 4 * i + 1, 32), substring(b, 1, 4 * i))))
