@@ -89,8 +89,15 @@ object Hashing {
   def quantize(embedding: Column): Column =
     transform(embedding, x => floor(x.cast("double") * 1000000L).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native fused-loop
+    * [[graft.functions.QDot]] expression; the HOF spelling below is the
+    * cross-implementation check. */
   def qdot(a: Column, b: Column): Column =
+    graft.functions.QDot(a, b)
+
+  /** Built-in-only dot variant (zipped array alloc + two interpreted lambda
+    * passes per pair) — kept as the oracle-shaped reference impl. */
+  def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   // --- DuckDB fragments for the same primitives (oracle side) -------------
