@@ -19,11 +19,23 @@ import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
   * time; the rest are deterministic tiebreaks),
   * `MEASURES` items of the forms `V.c`, `FIRST|LAST(V.c)`,
   * `COUNT(V.*)`, `COUNT|SUM|AVG|MIN|MAX(V.c)`, `CLASSIFIER()`,
-  * `MATCH_NUMBER()` — each `AS alias`,
+  * `MATCH_NUMBER()` — each `AS alias`, each optionally prefixed
+  * `RUNNING` | `FINAL` (ALL ROWS mode defaults to RUNNING, per SQL),
   * `ONE ROW PER MATCH` / `ALL ROWS PER MATCH`,
   * `AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V}`,
   * `PATTERN (V1 V2* V3 ...)` with `* + ?` quantifiers,
   * `WITHIN INTERVAL 'n' {SECOND|MINUTE|HOUR|DAY}`, `DEFINE V AS cond, ...`.
+  * DEFINE conditions may use `PREV|NEXT(V.c[, n])` physical navigation
+  * (lowered onto codegen'd `lag`/`lead` window columns — Catalyst evaluates
+  * them once per input row, not per NFA attempt), `FIRST|LAST(V.c)` logical
+  * navigation, and RUNNING aggregate terms `COUNT|SUM|AVG|MIN|MAX(V.c) OP
+  * literal` over the partial match's bindings (lowered onto iterative
+  * conditions).
+  *
+  * Determinism contract (see `oracle-determinism-rules`): aggregate measures
+  * never emit floating point — `SUM`/`AVG` over fractional columns emit
+  * micro-quantized BIGINT (each value `round(x*1e6)`; AVG = floor of the
+  * quantized mean), so MR output can be oracle-gated byte-exact.
   *
   * Lowering strategy (two front-ends, one operator — like the reference):
   * every `DEFINE` condition is attached to the input as a codegen'd boolean
