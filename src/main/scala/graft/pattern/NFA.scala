@@ -72,11 +72,14 @@ object NFA {
     def contentKey: List[(Int, Long)] = consumed.map(c => (c.stage, c.idx))
   }
 
-  /** Serializable snapshot of a runner's mutable state (streaming state store). */
+  /** Serializable snapshot of a runner's mutable state (streaming state store).
+    * `champion` is a completed-but-still-extendable maximal-match candidate
+    * (trailing greedy loop, single-winner skip) with its completion endTs. */
   final case class Snapshot[T](
       partials: List[Partial[T]],
       minStartIdx: Long,
-      nextIdx: Long)
+      nextIdx: Long,
+      champion: Option[(Partial[T], Long)] = None)
 
   /** Convenience single-shot run over a sorted iterator: feed every event,
     * then flush (batch = closed stream → remaining partials time out).
@@ -93,7 +96,9 @@ object NFA {
       matches ++= ms
       timeouts ++= tos
     }
-    timeouts ++= runner.flush()
+    val (fm, ft) = runner.flush()
+    matches ++= fm
+    timeouts ++= ft
     (matches.result(), timeouts.result())
   }
 }
@@ -114,23 +119,39 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private val lenPref: Int => Int =
     if (stages.filter(_.isLoop).forall(_.greedy)) len => -len else len => len
 
+  // Maximal-match deferral (SQL greedy semantics): when the pattern ENDS in
+  // a greedy loop under a single-winner skip mode, a completion that can
+  // still extend is held here (with its completion endTs) instead of being
+  // emitted; it is replaced by longer completions of the same attempt and
+  // emitted only when the attempt can no longer grow (branch death, within
+  // horizon, or end of input).
+  private val preferLongest = stages.filter(_.isLoop).forall(_.greedy)
+  private var champion: Option[(Partial[T], Long)] = None
+
   private var partials = ArrayBuffer.empty[Partial[T]]
   private var minStartIdx = 0L // SkipPastLastEvent: no starts at or before this
   private var nextIdx = 0L
 
-  def snapshot(): Snapshot[T] = Snapshot(partials.toList, minStartIdx, nextIdx)
+  def snapshot(): Snapshot[T] = Snapshot(partials.toList, minStartIdx, nextIdx, champion)
 
   def restore(s: Snapshot[T]): Unit = {
     partials = ArrayBuffer.from(s.partials)
     minStartIdx = s.minStartIdx
     nextIdx = s.nextIdx
+    champion = s.champion
   }
 
-  def hasLiveState: Boolean = partials.nonEmpty
+  def hasLiveState: Boolean = partials.nonEmpty || champion.isDefined
 
   /** Earliest pending timeout deadline, if any (streaming timer target). */
   def earliestDeadline: Option[Long] =
-    within.flatMap(w => partials.map(_.startTs + w).minOption)
+    within.flatMap(w =>
+      (partials.map(_.startTs + w) ++ champion.map(_._1.startTs + w)).minOption)
+
+  private def lastIdxOf(p: Partial[T]): Long = p.consumed.head.idx
+
+  private def toMatch(p: Partial[T], endTs: Long): PatternMatch[T] =
+    PatternMatch(toBindings(p.consumed), p.startTs, endTs)
 
   // Stages s, s+1, ... reachable for entry by epsilon-skipping optional stages.
   private def entryChain(s: Int): List[Int] = {
@@ -185,16 +206,28 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private def toTimeout(p: Partial[T]): PatternTimeout[T] =
     PatternTimeout(toBindings(p.consumed), p.startTs, p.startTs + within.getOrElse(0L))
 
-  /** Retire partials whose `within` horizon is at or before watermark `w`. */
-  def onWatermark(w: Long): List[PatternTimeout[T]] = within match {
-    case None => Nil
-    case Some(h) =>
-      val (dead, alive) = partials.partition(p => w >= p.startTs + h)
-      partials = alive
-      // Branch partials may share an identical consumed set (they differ only
-      // in resident NFA position); one timeout per distinct partial content.
-      dead.distinctBy(_.contentKey).map(toTimeout).toList
-  }
+  /** Retire partials whose `within` horizon is at or before watermark `w`;
+    * a deferred maximal-match champion whose horizon passed EMITS (it is a
+    * completed match that merely could not extend further). */
+  def onWatermark(w: Long): (List[PatternMatch[T]], List[PatternTimeout[T]]) =
+    within match {
+      case None => (Nil, Nil)
+      case Some(h) =>
+        val champ = champion match {
+          case Some((ch, endTs)) if w >= ch.startTs + h =>
+            minStartIdx = math.max(minStartIdx, lastIdxOf(ch) + 1)
+            // the attempt family overlaps the emitted match: pruned silently
+            partials.filterInPlace(_.startIdx >= minStartIdx)
+            champion = None
+            List(toMatch(ch, endTs))
+          case _ => Nil
+        }
+        val (dead, alive) = partials.partition(p => w >= p.startTs + h)
+        partials = alive
+        // Branch partials may share an identical consumed set (they differ
+        // only in resident NFA position); one timeout per distinct content.
+        (champ, dead.distinctBy(_.contentKey).map(toTimeout).toList)
+    }
 
   /** Feed the next event (must be >= all previously fed event times). */
   def onEvent(e: T): (List[PatternMatch[T]], List[PatternTimeout[T]]) = {
@@ -203,7 +236,7 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     nextIdx += 1
 
     // 1. The event's own time is a watermark: horizons at or before it fire first.
-    val timeouts = onWatermark(t)
+    val (wmMatches, timeouts) = onWatermark(t)
 
     // 2. Advance every live partial plus the implicit initial state.
     val matches = ListBuffer.empty[PatternMatch[T]]
@@ -271,16 +304,56 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         next.filterInPlace(p => p.startIdx >= bound)
     }
 
-    if (completed.nonEmpty) {
-      pattern.skip match {
-        case AfterMatchSkip.SkipPastLastEvent =>
-          // Sequential MATCH_RECOGNIZE semantics: the earliest-starting
-          // (then greediest) match wins; everything overlapping is pruned.
-          val win = completed.minBy(p => (p.startIdx, lenPref(p.consumed.length)))
-          matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
-          partials.clear()
+    // Sequential MATCH_RECOGNIZE semantics under SkipPastLastEvent: the
+    // earliest-starting, then greediest, match wins and everything
+    // overlapping is pruned. A winning completion that can still EXTEND
+    // (trailing greedy loop) is deferred as `champion` — the maximal match
+    // emits when the attempt can no longer grow.
+    def resolveSkipPast(comp: Seq[Partial[T]]): Unit =
+      if (comp.nonEmpty) {
+        val win = comp.minBy(p => (p.startIdx, lenPref(p.consumed.length)))
+        // Deferral applies only when the WINNING completion itself remains
+        // live (trailing-loop/optional-tail position re-added to `next`) —
+        // a completion whose resident position is final emits eagerly, the
+        // sequential first-complete-wins semantics the fixtures pin.
+        val extendable = preferLongest && next.exists(_.dedupKey == win.dedupKey)
+        if (extendable) {
+          champion = Some((win, t))
+          // keep the winning attempt's family + attempts past its current end
+          next.filterInPlace(p =>
+            p.startIdx == win.startIdx || p.startIdx > lastIdxOf(win))
+        } else {
+          matches += toMatch(win, t)
           next.clear()
           minStartIdx = i + 1
+        }
+      }
+
+    if (completed.nonEmpty || champion.isDefined) {
+      pattern.skip match {
+        case AfterMatchSkip.SkipPastLastEvent =>
+          champion match {
+            case Some((ch, chEnd)) =>
+              val ext = completed.filter(c =>
+                c.startIdx == ch.startIdx && c.consumed.length > ch.consumed.length)
+              if (ext.nonEmpty) {
+                val w2 = ext.minBy(c => lenPref(c.consumed.length))
+                champion = Some((w2, t))
+                next.filterInPlace(p =>
+                  p.startIdx == w2.startIdx || p.startIdx > lastIdxOf(w2))
+              } else if (!next.exists(_.startIdx == ch.startIdx)) {
+                // attempt family died: the deferred match is maximal — emit,
+                // then resume after its last row
+                matches += toMatch(ch, chEnd)
+                minStartIdx = math.max(minStartIdx, lastIdxOf(ch) + 1)
+                next.filterInPlace(_.startIdx >= minStartIdx)
+                champion = None
+                resolveSkipPast(completed.filter(_.startIdx >= minStartIdx).toSeq)
+              }
+            // else: champion alive — later-starting completions overlap the
+            // still-growing maximal match and are suppressed
+            case None => resolveSkipPast(completed.toSeq)
+          }
         case AfterMatchSkip.NoSkip =>
           completed.foreach { p =>
             matches += PatternMatch(toBindings(p.consumed), p.startTs, t)
@@ -305,13 +378,20 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         !(p.taken == 0 && p.consumed.nonEmpty && entryChain(p.stage).forall(p.tripped)))
 
     partials = next
-    (matches.toList, timeouts)
+    (wmMatches ++ matches.toList, timeouts)
   }
 
-  /** End of input (batch only): every remaining partial times out. */
-  def flush(): List[PatternTimeout[T]] = {
+  /** End of input (batch only): a deferred maximal match emits; attempts it
+    * overlaps are covered by it, every other remaining partial times out. */
+  def flush(): (List[PatternMatch[T]], List[PatternTimeout[T]]) = {
+    val ms = champion.toList.map { case (ch, endTs) =>
+      minStartIdx = math.max(minStartIdx, lastIdxOf(ch) + 1)
+      partials.filterInPlace(_.startIdx >= minStartIdx)
+      toMatch(ch, endTs)
+    }
+    champion = None
     val out = partials.distinctBy(_.contentKey).map(toTimeout).toList
     partials.clear()
-    out
+    (ms, out)
   }
 }

@@ -51,8 +51,10 @@ object MatchRecognize {
 
   /** One MEASURES item. `fn` ∈ "", FIRST, LAST, COUNT, SUM, AVG, MIN, MAX,
     * CLASSIFIER, MATCH_NUMBER; `column` is "*" for `COUNT(V.*)` and empty
-    * for the no-argument functions. */
-  final case class Measure(fn: String, variable: String, column: String, alias: String)
+    * for the no-argument functions. `mode` ∈ "" (SQL default: RUNNING in
+    * ALL ROWS mode, FINAL in ONE ROW mode), "RUNNING", "FINAL". */
+  final case class Measure(fn: String, variable: String, column: String,
+      alias: String, mode: String = "")
   final case class Spec(
       partitionBy: Seq[String],
       orderBy: Seq[String], // head = event time; tail = deterministic tiebreaks
@@ -88,14 +90,22 @@ object MatchRecognize {
     val order = OrderRe.findFirstMatchIn(body)
       .map(_.group(1).split(",").map(_.trim).toSeq.filter(_.nonEmpty))
       .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE: ORDER BY required"))
+    val ModeRe = "(?is)^(RUNNING|FINAL)\\s+(.*)$".r
     val measures = MeasuresRe.findFirstMatchIn(body).map(_.group(1)).toSeq
       .flatMap(_.split(","))
       .map(_.trim).filter(_.nonEmpty)
-      .map {
-        case MeasureNoArgRe(fn, a) => Measure(fn.toUpperCase, "", "", a)
-        case MeasureAggRe(fn, v, c, a) => Measure(fn.toUpperCase, v, c, a)
-        case MeasureItemRe(fn, v, c, a) => Measure(Option(fn).getOrElse("").toUpperCase, v, c, a)
-        case other => throw new IllegalArgumentException(s"unsupported measure: $other")
+      .map { item =>
+        val (mode, rest) = item match {
+          case ModeRe(m, r) => (m.toUpperCase, r)
+          case _ => ("", item)
+        }
+        rest match {
+          case MeasureNoArgRe(fn, a) => Measure(fn.toUpperCase, "", "", a, mode)
+          case MeasureAggRe(fn, v, c, a) => Measure(fn.toUpperCase, v, c, a, mode)
+          case MeasureItemRe(fn, v, c, a) =>
+            Measure(Option(fn).getOrElse("").toUpperCase, v, c, a, mode)
+          case other => throw new IllegalArgumentException(s"unsupported measure: $other")
+        }
       }
     val SkipVarRe = "(?i)TO (FIRST|LAST) (\\w+)".r
     val skip = SkipRe.findFirstMatchIn(body).map(_.group(1).toUpperCase.replaceAll("\\s+", " ")) match {
@@ -154,6 +164,49 @@ object MatchRecognize {
     (NavRefRe.replaceAllIn(cond, "TRUE"), refs)
   }
 
+  /** An iterative DEFINE term `AGG(V.c) OP literal` — a RUNNING aggregate
+    * over the partial match's rows bound to V, including the current row
+    * when it is the variable being defined (SQL running semantics). */
+  private final case class AggRef(
+      fn: String, refVar: String, refCol: String, op: String, lit: Double)
+
+  private val AggRefRe =
+    ("(?i)\\b(COUNT|SUM|AVG|MIN|MAX)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)\\s*" +
+      "(<=|>=|<>|=|<|>)\\s*(-?\\d+(?:\\.\\d+)?)").r
+
+  private def splitAggRefs(cond: String): (String, Seq[AggRef]) = {
+    val refs = AggRefRe.findAllMatchIn(cond).map(m =>
+      AggRef(m.group(1).toUpperCase, m.group(2), m.group(3), m.group(4),
+        m.group(5).toDouble)).toSeq
+    (AggRefRe.replaceAllIn(cond, "TRUE"), refs)
+  }
+
+  /** Physical navigation in DEFINE: `PREV|NEXT(V.c[, n])` refers to the row
+    * `n` (default 1) positions before/after the CURRENT row in the sorted
+    * partition — independent of the match mapping (SQL/Flink semantics), so
+    * it lowers onto a codegen'd `lag`/`lead` window column computed ONCE per
+    * input row by Catalyst, not per NFA attempt. At the partition edge the
+    * navigated value is NULL and the whole DEFINE condition is false, Flink's
+    * behavior. */
+  private val PrevNextRe =
+    "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+))?\\s*\\)".r
+
+  private def navColName(fn: String, col: String, n: Int): String =
+    s"__nav_${fn.toLowerCase}_${col}_$n"
+
+  /** Rewrite PREV/NEXT calls to their window-column names; return the set of
+    * (fn, col, offset) columns the prepared input must carry. */
+  private def rewritePrevNext(cond: String): (String, Set[(String, String, Int)]) = {
+    val needed = scala.collection.mutable.Set[(String, String, Int)]()
+    val out = PrevNextRe.replaceAllIn(cond, m => {
+      val fn = m.group(1).toUpperCase
+      val n = Option(m.group(4)).map(_.toInt).getOrElse(1)
+      needed += ((fn, m.group(3), n))
+      navColName(fn, m.group(3), n)
+    })
+    (out, needed.toSet)
+  }
+
   private def asComparable(v: Any): Double = v match {
     case n: java.lang.Number => n.doubleValue()
     case t: Timestamp => t.getTime.toDouble
@@ -170,14 +223,39 @@ object MatchRecognize {
     val spark = df.sparkSession
     val vars = spec.pattern.map(_._1)
 
-    // DEFINE conditions: FIRST/LAST navigation terms peel off into
-    // iterative (whereContext) predicates; the per-row residual becomes a
-    // codegen'd boolean column on the scan side.
-    val split = vars.map(v => v -> splitNavRefs(spec.defines.getOrElse(v, "TRUE"))).toMap
-    val defCols = vars.map { v =>
-      expr(stripVarPrefixes(split(v)._1, vars)).as(s"__def_$v")
+    // DEFINE conditions, lowered in three layers:
+    //  - PREV/NEXT physical navigation → lag/lead window columns (codegen'd,
+    //    computed once per input row);
+    //  - FIRST/LAST logical navigation and RUNNING aggregate terms →
+    //    iterative (whereContext) predicates over the partial match;
+    //  - the per-row residual → a codegen'd boolean column on the scan side.
+    val lowered = vars.map { v =>
+      val (c1, navCols) = rewritePrevNext(spec.defines.getOrElse(v, "TRUE"))
+      val (c2, aggs) = splitAggRefs(c1)
+      val (residual, navs) = splitNavRefs(c2)
+      v -> ((residual, navs, aggs, navCols))
+    }.toMap
+    val allNavCols = lowered.valuesIterator.flatMap(_._4).toSet
+    if (df.isStreaming && allNavCols.nonEmpty)
+      throw new IllegalArgumentException(
+        "PREV()/NEXT() navigation is not supported in streaming mode " +
+          "(physical navigation lowers onto lag/lead window columns)")
+    val navWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(spec.partitionBy.map(col): _*)
+      w.orderBy(spec.orderBy.map(col): _*)
     }
-    val prepared = df.select(col("*") +: defCols: _*)
+    val withNav =
+      if (allNavCols.isEmpty) df
+      else df.select(col("*") +: allNavCols.toSeq.sortBy(_.toString).map {
+        case (fn, c, n) =>
+          val f = if (fn == "PREV") lag(col(c), n) else lead(col(c), n)
+          f.over(navWindow).as(navColName(fn, c, n))
+      }: _*)
+    val defCols = vars.map { v =>
+      expr(stripVarPrefixes(lowered(v)._1, vars)).as(s"__def_$v")
+    }
+    val prepared = withNav.select(col("*") +: defCols: _*)
     val schema = prepared.schema
     def idx(name: String): Int =
       schema.fieldNames.indexWhere(_.equalsIgnoreCase(name)) match {
@@ -207,27 +285,46 @@ object MatchRecognize {
         case _ => (1, 1)
       }
       val di = defIdx(v)
-      val navPreds = split(v)._2.map { ref =>
+      def cmp(op: String, l: Double, rv: Double): Boolean = op match {
+        case "<" => l < rv
+        case "<=" => l <= rv
+        case ">" => l > rv
+        case ">=" => l >= rv
+        case "=" => l == rv
+        case "<>" => l != rv
+      }
+      val navPreds = lowered(v)._2.map { ref =>
         val ci = idx(ref.col)
         val refCi = idx(ref.refCol)
         (r: Row, ctx: graft.pattern.PatternContext[Row]) => {
           val bound = if (ref.fn == "FIRST") ctx.first(ref.refVar) else ctx.last(ref.refVar)
-          bound.exists { b =>
-            val l = asComparable(r.get(ci))
-            val rv = asComparable(b.get(refCi))
-            ref.op match {
-              case "<" => l < rv
-              case "<=" => l <= rv
-              case ">" => l > rv
-              case ">=" => l >= rv
-              case "=" => l == rv
-              case "<>" => l != rv
-            }
-          }
+          bound.exists(b => cmp(ref.op, asComparable(r.get(ci)), asComparable(b.get(refCi))))
         }
       }
+      // RUNNING aggregate terms: rows bound to refVar so far, plus the
+      // current row when it is the variable being defined (SQL semantics:
+      // the candidate row is tentatively mapped before the test).
+      val aggPreds = lowered(v)._3.map { ref =>
+        val ci = if (ref.refCol == "*") -1 else idx(ref.refCol)
+        (r: Row, ctx: graft.pattern.PatternContext[Row]) => {
+          val bound = ctx(ref.refVar) ++ (if (ref.refVar == v) Seq(r) else Nil)
+          val vals =
+            if (ci < 0) Vector.empty
+            else bound.iterator.filterNot(_.isNullAt(ci))
+              .map(x => asComparable(x.get(ci))).toVector
+          val value: Option[Double] = ref.fn match {
+            case "COUNT" => Some(if (ci < 0) bound.size.toDouble else vals.size.toDouble)
+            case "SUM" => if (vals.isEmpty) None else Some(vals.sum)
+            case "AVG" => if (vals.isEmpty) None else Some(vals.sum / vals.size)
+            case "MIN" => vals.minOption
+            case "MAX" => vals.maxOption
+          }
+          value.exists(cmp(ref.op, _, ref.lit))
+        }
+      }
+      val iterPreds = navPreds ++ aggPreds
       Stage[Row](v,
-        (r, ctx) => !r.isNullAt(di) && r.getBoolean(di) && navPreds.forall(_(r, ctx)),
+        (r, ctx) => !r.isNullAt(di) && r.getBoolean(di) && iterPreds.forall(_(r, ctx)),
         mn, mx, Contiguity.Strict, Contiguity.Strict)
     }.toVector
     val pattern = Pattern(stages, spec.withinMs, spec.skip)
@@ -238,16 +335,17 @@ object MatchRecognize {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    // Output type per measure form: COUNT/MATCH_NUMBER → bigint, AVG →
-    // double, SUM → bigint over integral inputs else double, CLASSIFIER →
-    // string, navigation/plain → the source column's type.
+    // Output type per measure form: COUNT/MATCH_NUMBER → bigint; SUM/AVG →
+    // bigint ALWAYS (fractional inputs micro-quantized, AVG = floor of the
+    // quantized mean — no floating-point output, per the engine's
+    // cross-engine determinism contract); CLASSIFIER → string;
+    // navigation/plain → the source column's type.
     def measureField(m: Measure): StructField = m.fn match {
       case "CLASSIFIER" => StructField(m.alias, StringType)
-      case "MATCH_NUMBER" | "COUNT" => StructField(m.alias, LongType)
-      case "AVG" => StructField(m.alias, DoubleType)
-      case "SUM" => StructField(m.alias,
-        if (isIntegral(schema(idx(m.column)).dataType)) LongType else DoubleType)
-      case _ => schema(idx(m.column)).copy(name = m.alias)
+      case "MATCH_NUMBER" | "COUNT" | "AVG" | "SUM" => StructField(m.alias, LongType)
+      // nullable even over non-null sources: RUNNING values are null before
+      // the variable first binds, and FINAL MIN/MAX are null on empty loops
+      case _ => schema(idx(m.column)).copy(name = m.alias, nullable = true)
     }
     val outSchema =
       if (spec.allRows)
@@ -278,30 +376,91 @@ object MatchRecognize {
             if (nonNull.isEmpty) null
             else if (isIntegral(schema(ci).dataType))
               nonNull.iterator.map(_.get(ci).asInstanceOf[Number].longValue).sum
-            else nonNull.iterator.map(r => asComparable(r.get(ci))).sum
+            else nonNull.iterator.map(r => math.round(asComparable(r.get(ci)) * 1e6)).sum
           case "AVG" =>
             if (nonNull.isEmpty) null
-            else nonNull.iterator.map(r => asComparable(r.get(ci))).sum / nonNull.size
+            else {
+              val micros =
+                if (isIntegral(schema(ci).dataType))
+                  nonNull.iterator.map(_.get(ci).asInstanceOf[Number].longValue * 1000000L).sum
+                else nonNull.iterator.map(r => math.round(asComparable(r.get(ci)) * 1e6)).sum
+              java.lang.Math.floorDiv(micros, nonNull.size.toLong)
+            }
           case "MIN" =>
             if (nonNull.isEmpty) null
             else nonNull.minBy(r => asComparable(r.get(ci))).get(ci)
           case "MAX" =>
             if (nonNull.isEmpty) null
             else nonNull.maxBy(r => asComparable(r.get(ci))).get(ci)
-          case "LAST" => bound.lastOption.map(_.get(ci)).orNull
-          case _ => bound.headOption.map(_.get(ci)).orNull
+          case "FIRST" => bound.headOption.map(_.get(ci)).orNull
+          // plain V.c ≡ LAST(V.c), per SQL row-pattern semantics
+          case _ => bound.lastOption.map(_.get(ci)).orNull
         }
       }
 
     def outputRows(m: NFA.PatternMatch[Row], matchNo: Long): Iterator[Row] =
       if (spec.allRows) {
         // ONE row per consumed input row, with CLASSIFIER (the matched
-        // variable) and final measure values (running measures simplified
-        // to their final value — documented deviation).
-        val mv = measureVals(m, matchNo)
-        vars.iterator.flatMap { v =>
-          m(v).iterator.map(r =>
-            Row.fromSeq(r.toSeq.take(inputWidth) ++ (v +: mv)))
+        // variable) and per-row measure values: RUNNING by default (the
+        // value over the match prefix up to and including the current row —
+        // SQL ALL ROWS semantics), whole-match value under FINAL.
+        val seqRows = vars.iterator.flatMap(v => m(v).iterator.map(v -> _)).toVector
+        lazy val finals = measureVals(m, matchNo)
+        // Per-measure running accumulators, updated row by row: RUNNING
+        // values are O(1) per output row, not a prefix re-scan.
+        final class Acc {
+          var nAll = 0L; var n = 0L; var sumL = 0L; var sumMicros = 0L
+          var minV: Any = null; var minC = 0.0
+          var maxV: Any = null; var maxC = 0.0
+          var firstV: Any = null; var lastV: Any = null
+          var hasFirst = false; var hasLast = false
+        }
+        val accs = measureIdx.map(_ => new Acc)
+        seqRows.iterator.map { case (v, r) =>
+          val vals = measureIdx.zip(accs).zipWithIndex.map { case (((meas, ci), a), mi) =>
+            if (meas.variable == v && meas.fn != "CLASSIFIER" && meas.fn != "MATCH_NUMBER") {
+              a.nAll += 1
+              if (ci >= 0 && !r.isNullAt(ci)) {
+                a.n += 1
+                val raw = r.get(ci)
+                meas.fn match {
+                  case "SUM" | "AVG" =>
+                    if (isIntegral(schema(ci).dataType)) {
+                      val lv = raw.asInstanceOf[Number].longValue
+                      a.sumL += lv; a.sumMicros += lv * 1000000L
+                    } else a.sumMicros += math.round(asComparable(raw) * 1e6)
+                  case "MIN" =>
+                    val c = asComparable(raw)
+                    if (a.minV == null || c < a.minC) { a.minV = raw; a.minC = c }
+                  case "MAX" =>
+                    val c = asComparable(raw)
+                    if (a.maxV == null || c > a.maxC) { a.maxV = raw; a.maxC = c }
+                  case _ => ()
+                }
+                if (!a.hasFirst) { a.firstV = raw; a.hasFirst = true }
+                a.lastV = raw; a.hasLast = true
+              }
+            }
+            val running = meas.mode != "FINAL"
+            meas.fn match {
+              case "MATCH_NUMBER" => matchNo
+              case "CLASSIFIER" => if (running) v else finals(mi)
+              case _ if !running => finals(mi)
+              case "COUNT" => if (meas.column == "*") a.nAll else a.n
+              case "SUM" =>
+                if (a.n == 0) null
+                else if (isIntegral(schema(ci).dataType)) a.sumL
+                else a.sumMicros
+              case "AVG" =>
+                if (a.n == 0) null else java.lang.Math.floorDiv(a.sumMicros, a.n)
+              case "MIN" => a.minV
+              case "MAX" => a.maxV
+              case "FIRST" => if (a.hasFirst) a.firstV else null
+              // plain V.c in ALL ROWS = RUNNING LAST(V.c), per SQL
+              case _ => if (a.hasLast) a.lastV else null
+            }
+          }
+          Row.fromSeq(r.toSeq.take(inputWidth) ++ (v +: vals))
         }
       } else {
         val firstRow = m.bindings.valuesIterator.flatten.next()
@@ -314,14 +473,11 @@ object MatchRecognize {
       // Streaming row-pattern query: the SAME lowered pattern runs through
       // the transformWithState CEP operator; the caller provides a watermark
       // on the ORDER BY column upstream (on the registered view).
-      // MATCH_NUMBER() needs a per-key lifetime counter the incremental
-      // emit path doesn't carry — batch-only for now.
-      if (spec.measures.exists(_.fn == "MATCH_NUMBER"))
-        throw new IllegalArgumentException(
-          "MATCH_NUMBER() is not supported in streaming mode")
-      graft.streaming.CepStream.matchPattern[String, Row, Row](
+      // MATCH_NUMBER() comes from the operator's per-key lifetime counter,
+      // so numbering matches a batch run over the same ordered input.
+      graft.streaming.CepStream.matchPatternNumbered[String, Row, Row](
         prepared, keyOf, tsOf, pattern,
-        emitMatch = (_, m: NFA.PatternMatch[Row]) => outputRows(m, 0L).toSeq,
+        emitMatch = (_, m: NFA.PatternMatch[Row], no: Long) => outputRows(m, no).toSeq,
         emitTimeout = (_, _: NFA.PatternTimeout[Row]) => None)(
         Encoders.STRING, Encoders.row(schema), rowEnc,
         scala.reflect.ClassTag(classOf[Row]))

@@ -51,6 +51,23 @@ object CepStream {
       emitTimeout: (K, NFA.PatternTimeout[T]) => IterableOnce[O])(
       implicit ke: Encoder[K], te: Encoder[T], oe: Encoder[O],
       ct: scala.reflect.ClassTag[T]): Dataset[O] =
+    matchPatternNumbered(ds, keyFn, tsFn, pattern,
+      (k: K, m: NFA.PatternMatch[T], _: Long) => emitMatch(k, m), emitTimeout)
+
+  /** Like [[matchPattern]], but `emitMatch` also receives the 1-based
+    * per-key LIFETIME match number (SQL `MATCH_NUMBER()`), maintained in a
+    * per-key `ValueState` counter that survives across micro-batches —
+    * numbering matches what a batch run over the same ordered input yields.
+    */
+  def matchPatternNumbered[K, T, O](
+      ds: Dataset[T],
+      keyFn: T => K,
+      tsFn: T => Long,
+      pattern: Pattern[T],
+      emitMatch: (K, NFA.PatternMatch[T], Long) => IterableOnce[O],
+      emitTimeout: (K, NFA.PatternTimeout[T]) => IterableOnce[O])(
+      implicit ke: Encoder[K], te: Encoder[T], oe: Encoder[O],
+      ct: scala.reflect.ClassTag[T]): Dataset[O] =
     ds.groupByKey(keyFn)
       .transformWithState(
         new CepProcessor[K, T, O](pattern, tsFn, emitMatch, emitTimeout),
@@ -70,7 +87,7 @@ object CepStream {
 final class CepProcessor[K, T, O](
     pattern: Pattern[T],
     tsFn: T => Long,
-    emitMatch: (K, NFA.PatternMatch[T]) => IterableOnce[O],
+    emitMatch: (K, NFA.PatternMatch[T], Long) => IterableOnce[O],
     emitTimeout: (K, NFA.PatternTimeout[T]) => IterableOnce[O])(
     implicit te: Encoder[T], ct: scala.reflect.ClassTag[T])
   extends StatefulProcessor[K, T, O] {
@@ -79,6 +96,7 @@ final class CepProcessor[K, T, O](
   @transient private var nfa: ValueState[Array[Byte]] = _
   @transient private var timer: ValueState[Long] = _
   @transient private var minBuf: ValueState[Long] = _
+  @transient private var matchSeq: ValueState[Long] = _
 
   // Compact snapshot codec (events through the dataset's own Encoder, deduped
   // by NFA index) — replaces r1's Java serialization, whose reflective graph
@@ -90,6 +108,7 @@ final class CepProcessor[K, T, O](
     nfa = getHandle.getValueState[Array[Byte]]("nfa", Encoders.BINARY, TTLConfig.NONE)
     timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
     minBuf = getHandle.getValueState[Long]("minBuf", Encoders.scalaLong, TTLConfig.NONE)
+    matchSeq = getHandle.getValueState[Long]("matchSeq", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   private def loadRunner(): NfaRunner[T] = {
@@ -110,12 +129,23 @@ final class CepProcessor[K, T, O](
     val runner = loadRunner()
     val out = Vector.newBuilder[O]
 
+    // Per-key lifetime match counter (MATCH_NUMBER): loaded lazily so keys
+    // emitting no match this drain skip the extra state round-trip.
+    var seq = -1L
+    def numbered(m: NFA.PatternMatch[T]): Unit = {
+      if (seq < 0) seq = if (matchSeq.exists()) matchSeq.get() else 0L
+      seq += 1
+      out ++= emitMatch(key, m, seq)
+    }
     ready.sortBy(tsFn).foreach { e =>
       val (ms, tos) = runner.onEvent(e)
       tos.foreach(t => out ++= emitTimeout(key, t))
-      ms.foreach(m => out ++= emitMatch(key, m))
+      ms.foreach(numbered)
     }
-    runner.onWatermark(watermarkMs).foreach(t => out ++= emitTimeout(key, t))
+    val (wmMatches, wmTimeouts) = runner.onWatermark(watermarkMs)
+    wmMatches.foreach(numbered)
+    wmTimeouts.foreach(t => out ++= emitTimeout(key, t))
+    if (seq >= 0) matchSeq.update(seq)
 
     buf.clear()
     if (later.nonEmpty) buf.appendList(later.toArray)

@@ -57,15 +57,31 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
     fromRow(row)
   }
 
+  private def writePartial(out: DataOutputStream, p: Partial[T]): Unit = {
+    out.writeInt(p.stage)
+    out.writeInt(p.taken)
+    out.writeLong(p.startIdx)
+    out.writeLong(p.startTs)
+    out.writeInt(p.consumed.size)
+    p.consumed.foreach { c =>
+      out.writeInt(c.stage)
+      out.writeLong(c.idx)
+    }
+    out.writeInt(p.tripped.size)
+    p.tripped.foreach(out.writeInt)
+  }
+
   def encode(s: Snapshot[T]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(256)
     val out = new DataOutputStream(bos)
     out.writeLong(s.minStartIdx)
     out.writeLong(s.nextIdx)
 
-    // Event table: distinct events by NFA index, serialized once each.
+    // Event table: distinct events by NFA index, serialized once each
+    // (champion events included — branch partials usually share them).
     val events = scala.collection.mutable.LinkedHashMap.empty[Long, T]
     s.partials.foreach(_.consumed.foreach(c => events.getOrElseUpdate(c.idx, c.ev)))
+    s.champion.foreach(_._1.consumed.foreach(c => events.getOrElseUpdate(c.idx, c.ev)))
     out.writeInt(events.size)
     events.foreach { case (idx, ev) =>
       out.writeLong(idx)
@@ -75,18 +91,14 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
     }
 
     out.writeInt(s.partials.size)
-    s.partials.foreach { p =>
-      out.writeInt(p.stage)
-      out.writeInt(p.taken)
-      out.writeLong(p.startIdx)
-      out.writeLong(p.startTs)
-      out.writeInt(p.consumed.size)
-      p.consumed.foreach { c =>
-        out.writeInt(c.stage)
-        out.writeLong(c.idx)
-      }
-      out.writeInt(p.tripped.size)
-      p.tripped.foreach(out.writeInt)
+    s.partials.foreach(writePartial(out, _))
+
+    s.champion match {
+      case Some((p, endTs)) =>
+        out.writeBoolean(true)
+        out.writeLong(endTs)
+        writePartial(out, p)
+      case None => out.writeBoolean(false)
     }
     out.flush()
     bos.toByteArray
@@ -108,10 +120,7 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
       i += 1
     }
 
-    val nPartials = in.readInt()
-    val partials = List.newBuilder[Partial[T]]
-    var j = 0
-    while (j < nPartials) {
+    def readPartial(): Partial[T] = {
       val stage = in.readInt()
       val taken = in.readInt()
       val startIdx = in.readLong()
@@ -129,10 +138,21 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
       val tripped = Set.newBuilder[Int]
       var m = 0
       while (m < nTripped) { tripped += in.readInt(); m += 1 }
-      partials += Partial(stage, taken, consumed.result(), startIdx, startTs,
-        tripped.result())
+      Partial(stage, taken, consumed.result(), startIdx, startTs, tripped.result())
+    }
+
+    val nPartials = in.readInt()
+    val partials = List.newBuilder[Partial[T]]
+    var j = 0
+    while (j < nPartials) {
+      partials += readPartial()
       j += 1
     }
-    Snapshot(partials.result(), minStartIdx, nextIdx)
+    val champion =
+      if (in.readBoolean()) {
+        val endTs = in.readLong()
+        Some((readPartial(), endTs))
+      } else None
+    Snapshot(partials.result(), minStartIdx, nextIdx, champion)
   }
 }

@@ -165,7 +165,7 @@ class NFAPropertySpec extends AnyFunSuite {
         r2.restore(r1.snapshot())
         val out2 = events.drop(cut).flatMap { e =>
           val (m, t) = r2.onEvent(e); m.map(Left(_)) ++ t.map(Right(_))
-        } ++ r2.flush().map(Right(_))
+        } ++ { val (fm, ft) = r2.flush(); fm.map(Left(_)) ++ ft.map(Right(_)) }
 
         val matches = (out1 ++ out2).collect { case Left(m) => (m.startTs, m.endTs) }
         val timeouts = (out1 ++ out2).collect { case Right(t) => t.startTs }.sorted
@@ -241,8 +241,8 @@ class NFAPropertySpec extends AnyFunSuite {
         val r2 = new NfaRunner[Ev](p, _.ts)
         r2.restore(snap)
         val out2 = events.drop(cut).map(r2.onEvent)
-        val flushed = r2.flush()
-        val matches = (out1 ++ out2).flatMap(_._1).map(m => (m.startTs, m.endTs))
+        val (flushedM, _) = r2.flush()
+        val matches = ((out1 ++ out2).flatMap(_._1) ++ flushedM).map(m => (m.startTs, m.endTs))
         assert(matches == single._1.map(m => (m.startTs, m.endTs)).toList)
     }
   }

@@ -149,7 +149,8 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(r.getString(r.fieldIndex("id")) == "2")
     assert(r.getLong(r.fieldIndex("n_b")) == 2L)
     assert(r.getLong(r.fieldIndex("sum_b")) == 7L)
-    assert(r.getDouble(r.fieldIndex("avg_b")) == 3.5)
+    // AVG emits micro-quantized BIGINT (determinism contract): 3.5 → 3_500_000
+    assert(r.getLong(r.fieldIndex("avg_b")) == 3500000L)
     assert(r.getLong(r.fieldIndex("min_b")) == 3L)
     assert(r.getLong(r.fieldIndex("max_b")) == 4L)
     assert(r.getString(r.fieldIndex("cls")) == "C")
@@ -207,6 +208,189 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
     assert(results.head == Seq(Seq("1", 1L, 3L)))
     assert(results.distinct.size == 1)
+  }
+
+  test("ALL ROWS: RUNNING (default) vs FINAL measure values per row") {
+    prepareView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES
+        |    COUNT(B.*) AS run_n,
+        |    FINAL COUNT(B.*) AS fin_n,
+        |    SUM(B.balanceAfter) AS run_sum,
+        |    FINAL SUM(B.balanceAfter) AS fin_sum,
+        |    MIN(B.balanceAfter) AS run_min,
+        |    MAX(B.balanceAfter) AS run_max
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin).collect()
+    // golden match on key 2 consumes A=(11,6) B=(6,4) B=(4,3) C=(3,23)
+    def f(name: String) = out.map { r =>
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) null else r.getLong(i)
+    }.toSeq
+    assert(out.length == 4)
+    assert(f("run_n") == Seq(0L, 1L, 2L, 2L)) // grows as B rows arrive
+    assert(f("fin_n") == Seq(2L, 2L, 2L, 2L)) // whole-match value everywhere
+    assert(f("run_sum") == Seq(null, 4L, 7L, 7L)) // SUM null before first B
+    assert(f("fin_sum") == Seq(2L, 2L, 2L, 2L).map(_ => 7L))
+    assert(f("run_min") == Seq(null, 4L, 3L, 3L))
+    assert(f("run_max") == Seq(null, 4L, 4L, 4L))
+  }
+
+  test("PREV() in DEFINE: classic descending-run pattern") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // prices per tick: two descending runs (10,8,7) and (9,5), rises between
+    Seq((1L, 10L), (2L, 8L), (3L, 7L), (4L, 9L), (5L, 5L), (6L, 6L))
+      .toDF("tick", "price")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .createOrReplaceTempView("ticks")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM ticks MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES FIRST(D.price) AS start_p, LAST(D.price) AS end_p,
+        |           COUNT(D.*) AS n_down
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (D+)
+        |  DEFINE D AS D.price < PREV(D.price)
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // run 1: rows 8,7 (10 has no PREV-descent); run 2: row 5
+    assert(out == Seq((5L, 5L, 1L), (8L, 7L, 2L)))
+  }
+
+  test("NEXT() in DEFINE and explicit offsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 1L))
+      .toDF("tick", "v")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .createOrReplaceTempView("nx")
+    // A matches only where the NEXT row's v is larger (rows 1 and 2)
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM nx MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES A.tick AS t
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A)
+        |  DEFINE A AS NEXT(A.v, 1) > A.v
+        |)""".stripMargin).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L))
+    // PREV with offset 2: v two rows back must equal current v (row 4: v=1=row 2? no, row2 v=2; row4 prev2=row2 → 2≠1; row3 prev2=row1 → 1≠3; no match)
+    val out2 = MatchRecognize.sql(spark,
+      """SELECT * FROM nx MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES A.tick AS t
+        |  ONE ROW PER MATCH
+        |  PATTERN (A)
+        |  DEFINE A AS PREV(A.v, 3) = A.v
+        |)""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(out2 == Seq(4L)) // row 4 (v=1) vs row 1 (v=1)
+  }
+
+  test("PREV() property check vs hand-rolled descending-run oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 5) {
+      val vals = Vector.fill(40)(rnd.nextInt(6).toLong)
+      vals.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+        .toDF("tick", "price")
+        .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+        .createOrReplaceTempView("prop_ticks")
+      val got = MatchRecognize.sql(spark,
+        """SELECT * FROM prop_ticks MATCH_RECOGNIZE (
+          |  ORDER BY ts
+          |  MEASURES FIRST(D.tick) AS t0, COUNT(D.*) AS n
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (D+)
+          |  DEFINE D AS D.price < PREV(D.price)
+          |)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      // oracle: maximal runs of strictly-descending adjacent steps
+      val down = (1 until vals.length).filter(i => vals(i) < vals(i - 1))
+      val runs = down.foldLeft(Vector.empty[Vector[Int]]) { (acc, i) =>
+        if (acc.nonEmpty && acc.last.last == i - 1) acc.init :+ (acc.last :+ i)
+        else acc :+ Vector(i)
+      }
+      val want = runs.map(r => (r.head.toLong + 1, r.length.toLong))
+      assert(got == want, s"vals=$vals")
+    }
+  }
+
+  test("aggregates in DEFINE lower onto iterative conditions") {
+    prepareView()
+    // B continues only while the RUNNING sum of B's balanceAfter stays < 8:
+    // candidate B rows after A=(11,6): (6,4) sum 4 ok, (4,3) sum 7 ok —
+    // with < 5 the second B row (sum 7) is rejected, so C must follow row 2.
+    def q(cond: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM billing MATCH_RECOGNIZE (
+         |  PARTITION BY id
+         |  ORDER BY user_action_time
+         |  MEASURES COUNT(B.*) AS n_b
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+         |  DEFINE
+         |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+         |    B AS B.balanceBefore >= B.balanceAfter AND $cond,
+         |    C AS C.balanceBefore < C.balanceAfter
+         |)""".stripMargin).collect()
+    val full = q("SUM(B.balanceAfter) < 8")
+    assert(full.length == 1 && full.head.getLong(full.head.fieldIndex("n_b")) == 2L)
+    val cut = q("SUM(B.balanceAfter) < 5")
+    assert(cut.isEmpty) // B stops at 1 row; next row (4,3) is neither B nor C
+    val avg = q("AVG(B.balanceAfter) >= 3") // 4 → 3.5: both pass
+    assert(avg.length == 1 && avg.head.getLong(avg.head.fieldIndex("n_b")) == 2L)
+    val cnt = q("COUNT(B.*) <= 1")
+    assert(cnt.isEmpty)
+  }
+
+  test("aggregate-in-DEFINE matches the DSL whereContext equivalent") {
+    prepareView()
+    import spark.implicits._
+    import graft.pattern.{AfterMatchSkip, Pattern}
+    val events = spark.table("billing").as[graft.events.BillingEvent].collect().toSeq
+    // SQL front-end
+    val sqlOut = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES COUNT(B.*) AS n_b
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter AND SUM(B.balanceAfter) < 8,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // DSL equivalent: the RUNNING sum as a whereContext iterative condition
+    val p = Pattern.begin[graft.events.BillingEvent]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(e => e.balanceBefore >= 10 && e.balanceAfter < 10)
+      .next("B").where(e => e.balanceBefore >= e.balanceAfter)
+      .whereContext((e, ctx) => ctx("B").map(_.balanceAfter).sum + e.balanceAfter < 8)
+      .oneOrMore.optional.consecutive
+      .next("C").where(e => e.balanceBefore < e.balanceAfter)
+      .within(3600000L)
+    val dslOut = events.groupBy(_.id).toSeq.flatMap { case (id, evs) =>
+      val sorted = evs.sortBy(_.eventTimeMillis)
+      val (ms, _) = graft.pattern.NFA.run(sorted.iterator,
+        (e: graft.events.BillingEvent) => e.eventTimeMillis, p)
+      ms.map(m => (id, m("B").size.toLong))
+    }
+    assert(sqlOut.sorted == dslOut.sorted)
   }
 
   test("AFTER MATCH SKIP TO FIRST/LAST variable parses to the DSL strategy") {

@@ -51,4 +51,43 @@ class MatchRecognizeStreamSpec extends AnyFunSuite {
       assert(out == Seq(("2", "2020-05-01 11:00:00", "2020-05-01 11:40:00")))
     } finally q.stop()
   }
+
+  test("MATCH_NUMBER() in streaming numbers per-key matches like batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two keys; key "a" completes 3 singleton matches, key "b" completes 2 —
+    // fed across TWO batches so the per-key counter must survive state
+    // round-trips.
+    val input = MemoryStream[(String, Long, Long)]
+    input.toDS().toDF("k", "t", "v")
+      .withColumn("ts", to_timestamp(from_unixtime($"t" * 60)))
+      .withWatermark("ts", "10 minutes")
+      .createOrReplaceTempView("mno_stream")
+    val stmt =
+      """SELECT * FROM mno_stream MATCH_RECOGNIZE (
+        |  PARTITION BY k
+        |  ORDER BY ts
+        |  MEASURES A.t AS t, MATCH_NUMBER() AS mno
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A)
+        |  DEFINE A AS A.v = 1
+        |)""".stripMargin
+    val result = MatchRecognize.sql(spark, stmt)
+    val q = result.writeStream.format("memory").queryName("mno_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(("a", 1L, 1L), ("a", 2L, 1L), ("b", 1L, 1L)))
+      q.processAllAvailable()
+      // v=0 rows at t=14 push the watermark (delay 10 min) past every v=1
+      // row without matching anything themselves
+      input.addData(Seq(("a", 3L, 1L), ("b", 2L, 1L), ("a", 14L, 0L), ("b", 14L, 0L)))
+      q.processAllAvailable()
+      val got = spark.table("mno_stream_out").collect()
+        .map(r => (r.getString(r.fieldIndex("k")), r.getLong(r.fieldIndex("t")),
+          r.getLong(r.fieldIndex("mno")))).toSet
+      assert(got == Set(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+        ("b", 1L, 1L), ("b", 2L, 2L)))
+    } finally q.stop()
+  }
 }
