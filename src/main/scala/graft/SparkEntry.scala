@@ -27,6 +27,7 @@ object SparkEntry {
         "q_cep_low_balance" -> ((s, dir) => EventPatterns.lowBalance(s, dir)),
         "q_cep_absence" -> ((s, dir) => EventPatterns.absence(s, dir)),
         "q_cep_funnel" -> ((s, dir) => EventPatterns.funnel(s, dir)),
+        "q_cep_no_purchase" -> ((s, dir) => EventPatterns.noPurchase(s, dir)),
       )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

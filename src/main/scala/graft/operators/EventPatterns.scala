@@ -95,6 +95,44 @@ object EventPatterns {
       .followedBy("P").where(_.event_type == "purchase")
       .within(24L * 3600L * 1000L)
 
+  /** NEGATION pattern (Flink `notFollowedBy`, `pattern/Pattern.scala:175`):
+    * an `error` followed by a `click` within 1h with NO `purchase` anywhere
+    * in the gap — the "user kept browsing without converting after an
+    * error" shape. A purchase in the gap kills the attempt at the NFA
+    * guard level (no post-hoc filtering of completed matches).
+    */
+  def noPurchasePattern: Pattern[EventRow] =
+    Pattern.begin[EventRow]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.event_type == "error")
+      .notFollowedBy("P").where(_.event_type == "purchase")
+      .followedBy("C").where(_.event_type == "click")
+      .within(WithinMs)
+
+  /** Negation matches: `(user_id, error_ts, click_ts)`. */
+  def noPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"event_type")
+      .as[EventRow]
+    val raw = Cep.matchPattern[Long, EventRow, (Long, Long, Long)](
+      events,
+      keyFn = _.user_id,
+      tsFn = _.ts_us / 1000L,
+      pattern = noPurchasePattern,
+      sortCols = Seq($"ts_us", $"event_id"))(
+      emitMatch = (uid, m) =>
+        m.first("A").zip(m.first("C")).map { case (a, c) =>
+          (uid, a.ts_us, c.ts_us)
+        },
+      emitTimeout = (_, _) => None)
+    def sec(c: org.apache.spark.sql.Column) =
+      timestamp_micros(c - pmod(c, lit(1000000L)))
+    raw.toDF("user_id", "error_us", "click_us")
+      .select($"user_id", sec($"error_us").as("error_ts"),
+        sec($"click_us").as("click_ts"))
+      .orderBy($"user_id", $"error_ts", $"click_ts")
+  }
+
   /** Funnel matches: `(user_id, signup_ts, purchase_ts, n_engagement)`. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -167,16 +167,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Embedding near-dup pairs: cosine ≥ 0.4 inside label blocks, decided in
-    * exact integer/decimal arithmetic over micro-quantized vectors. */
+  /** Embedding near-dup pairs: cosine ≥ 0.4 among LSH-blocked candidates,
+    * decided in exact integer/decimal arithmetic over micro-quantized
+    * vectors. Blocking reuses [[Similarity.bucket]] (deterministic
+    * random-hyperplane LSH) with radius-1 multiprobe spelled as an EXPLODE
+    * of probe keys + equi-join — the 100 TB shape: candidate width is
+    * bounded by bucket occupancy, never all-pairs, and a pair appears at
+    * most once (probe keys are distinct, each candidate lives in exactly
+    * one bucket), so no dedup shuffle is needed. */
   def embedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec38 = DecimalType(38, 0)
+    val planes = Similarity.Planes
     val e = Tables.table(s, dir, "embeddings")
-      .select($"vec_id", $"label", quantize($"embedding").as("q"))
+      .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("n2", qdot($"q", $"q"))
-    val p = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("bkt", Similarity.bucket($"q", planes))
+      // two plan branches (probe side + candidate side): materialize once
+      .cache()
+    val probes = e.select($"vec_id", $"q", $"n2",
+      explode(array($"bkt" +:
+        (0 until planes).map(p => $"bkt".bitwiseXOR(lit(1L << p))): _*)).as("bkt"))
+    val p = probes.as("a").join(e.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         qdot(col("a.q"), col("b.q")).as("dot"),
         col("a.n2").as("na2"), col("b.n2").as("nb2"))
@@ -261,20 +274,28 @@ object Dedup {
          |SELECT p.doc_id, min(p.nn) AS nn_doc, CAST(min(p.h) AS INT) AS hamming
          |FROM pairs p JOIN mh ON p.doc_id = mh.doc_id AND p.h = mh.minh
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // The oracle spells the radius-1 multiprobe blocking as
+    // bit_count(xor) <= 1 over the pair space — fine for DuckDB at oracle
+    // scale, exactly what the Spark plan must NOT do at 100 TB.
     "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, q,
-        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * q[i])) AS BIGINT) AS n2
-        |  FROM e),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
-        |    a.n2 AS na2, b.n2 AS nb2
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b FROM p
-        |WHERE dot > 0
-        |  AND CAST(dot AS HUGEINT) * dot * 25 >= CAST(na2 AS HUGEINT) * nb2 * 4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * q[i])) AS BIGINT) AS n2,
+         |    CAST(list_sum(list_transform(generate_series(0, ${Similarity.Planes - 1}), p ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |          d -> q[d] * (((p * 31 + d - 1) % 2) * 2 - 1))) > 0
+         |        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bkt
+         |  FROM e),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+         |    a.n2 AS na2, b.n2 AS nb2
+         |  FROM n a JOIN n b
+         |  ON bit_count(xor(a.bkt, b.bkt)) <= 1 AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b FROM p
+         |WHERE dot > 0
+         |  AND CAST(dot AS HUGEINT) * dot * 25 >= CAST(na2 AS HUGEINT) * nb2 * 4
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }
