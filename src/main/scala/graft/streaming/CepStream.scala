@@ -76,13 +76,18 @@ object CepStream {
 }
 
 /** Per-key stateful CEP processor. State:
-  *  - "buf": events newer than the watermark, unordered;
-  *  - "nfa": [[NFA.Snapshot]] of the runner, via [[SnapshotCodec]];
-  *  - "timer": the single currently-registered timer expiry (re-armed to
-  *    min(next buffered ts, earliest within-deadline) after every change);
-  *  - "minBuf": earliest buffered event time — the cheap gate that lets a
-  *    key with no watermark-ready work skip the NFA snapshot round-trip
-  *    (the dominant per-key cost when every key appears in every batch).
+  *  - "buf": events newer than the watermark, unordered (ListState);
+  *  - "ctrl": ONE packed ValueState blob `[timer: i64][minBuf: i64][nfa
+  *    snapshot bytes]` — the armed-timer expiry, the earliest buffered
+  *    event time, and the [[NFA.Snapshot]] via [[SnapshotCodec]]. Packing
+  *    the three into a single value halves the per-key state-store
+  *    round-trips (RocksDB get/put are the dominant cost when every key
+  *    appears in every micro-batch): the idle path is 1 get + 1 put, the
+  *    drain path 1 get + 1 put plus the buf list ops. The NFA bytes are
+  *    decoded lazily — a key with no watermark-ready work reads `minBuf`
+  *    from the fixed header and never touches the snapshot;
+  *  - "matchSeq": per-key lifetime match counter (MATCH_NUMBER), touched
+  *    only when a match emits.
   */
 final class CepProcessor[K, T, O](
     pattern: Pattern[T],
@@ -93,9 +98,7 @@ final class CepProcessor[K, T, O](
   extends StatefulProcessor[K, T, O] {
 
   @transient private var buf: ListState[T] = _
-  @transient private var nfa: ValueState[Array[Byte]] = _
-  @transient private var timer: ValueState[Long] = _
-  @transient private var minBuf: ValueState[Long] = _
+  @transient private var ctrl: ValueState[Array[Byte]] = _
   @transient private var matchSeq: ValueState[Long] = _
 
   // Compact snapshot codec (events through the dataset's own Encoder, deduped
@@ -103,30 +106,47 @@ final class CepProcessor[K, T, O](
   // walk dominated the per-key state round-trip cost.
   private val codec = new SnapshotCodec[T](te)
 
+  private val NoVal = Long.MinValue
+  private val Empty = Array.emptyByteArray
+
+  /** Unpacked "ctrl" blob. `timer`/`minBuf` = [[NoVal]] when absent. */
+  private final case class Ctrl(timer: Long, minBuf: Long, nfa: Array[Byte])
+
+  private def readCtrl(): Ctrl =
+    if (!ctrl.exists()) Ctrl(NoVal, NoVal, Empty)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(ctrl.get())
+      val timer = bb.getLong
+      val minBuf = bb.getLong
+      val nfa = if (bb.remaining() == 0) Empty else {
+        val r = new Array[Byte](bb.remaining()); bb.get(r); r
+      }
+      Ctrl(timer, minBuf, nfa)
+    }
+
+  private def writeCtrl(c: Ctrl): Unit =
+    if (c.timer == NoVal && c.minBuf == NoVal && c.nfa.isEmpty) ctrl.clear()
+    else {
+      val bb = java.nio.ByteBuffer.allocate(16 + c.nfa.length)
+      bb.putLong(c.timer).putLong(c.minBuf).put(c.nfa)
+      ctrl.update(bb.array())
+    }
+
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[T]("buf", te, TTLConfig.NONE)
-    nfa = getHandle.getValueState[Array[Byte]]("nfa", Encoders.BINARY, TTLConfig.NONE)
-    timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
-    minBuf = getHandle.getValueState[Long]("minBuf", Encoders.scalaLong, TTLConfig.NONE)
+    ctrl = getHandle.getValueState[Array[Byte]]("ctrl", Encoders.BINARY, TTLConfig.NONE)
     matchSeq = getHandle.getValueState[Long]("matchSeq", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  private def loadRunner(): NfaRunner[T] = {
-    val r = new NfaRunner[T](pattern, tsFn)
-    if (nfa.exists()) r.restore(codec.decode(nfa.get()))
-    r
-  }
-
-  private def saveRunner(r: NfaRunner[T]): Unit =
-    nfa.update(codec.encode(r.snapshot()))
-
   /** Feed all buffered events at or before the watermark to the NFA (sorted),
-    * advance the watermark, re-buffer the rest, and re-arm the timer.
+    * advance the watermark, re-buffer the rest, re-arm the timer, and write
+    * the packed state back in one put.
     */
-  private def drain(key: K, watermarkMs: Long): Iterator[O] = {
+  private def drain(key: K, watermarkMs: Long, c0: Ctrl): Iterator[O] = {
     val all = buf.get().toVector
     val (ready, later) = all.partition(e => tsFn(e) <= watermarkMs)
-    val runner = loadRunner()
+    val runner = new NfaRunner[T](pattern, tsFn)
+    if (c0.nfa.nonEmpty) runner.restore(codec.decode(c0.nfa))
     val out = Vector.newBuilder[O]
 
     // Per-key lifetime match counter (MATCH_NUMBER): loaded lazily so keys
@@ -149,53 +169,56 @@ final class CepProcessor[K, T, O](
 
     buf.clear()
     if (later.nonEmpty) buf.appendList(later.toArray)
-    if (runner.hasLiveState || later.nonEmpty) saveRunner(runner)
-    else nfa.clear()
-
-    if (later.nonEmpty) minBuf.update(later.map(tsFn).min) else minBuf.clear()
+    // keep the snapshot while buffered events remain even with no live
+    // partials: the runner's event-index counter must stay continuous
+    val nfaBytes =
+      if (runner.hasLiveState || later.nonEmpty) codec.encode(runner.snapshot())
+      else Empty
 
     // One armed timer per key: the earliest instant anything can happen next.
     val nextAt = (later.map(tsFn) ++ runner.earliestDeadline).minOption
-    arm(nextAt)
-    out.result().iterator
-  }
-
-  private def arm(nextAt: Option[Long]): Unit = {
-    val prev = if (timer.exists()) Some(timer.get()) else None
-    if (nextAt != prev) {
-      prev.foreach(getHandle.deleteTimer)
-      nextAt.foreach { at =>
-        getHandle.registerTimer(at)
-        timer.update(at)
-      }
-      if (nextAt.isEmpty) timer.clear()
+    val newTimer = nextAt.getOrElse(NoVal)
+    if (newTimer != c0.timer) {
+      if (c0.timer != NoVal) getHandle.deleteTimer(c0.timer)
+      if (newTimer != NoVal) getHandle.registerTimer(newTimer)
     }
+    writeCtrl(Ctrl(newTimer,
+      if (later.nonEmpty) later.map(tsFn).min else NoVal, nfaBytes))
+    out.result().iterator
   }
 
   override def handleInputRows(
       key: K, rows: Iterator[T], timerValues: TimerValues): Iterator[O] = {
+    val c0 = readCtrl()
     val arr = rows.toArray
-    if (arr.isEmpty) return drain(key, timerValues.getCurrentWatermarkInMs())
+    if (arr.isEmpty) return drain(key, timerValues.getCurrentWatermarkInMs(), c0)
     buf.appendList(arr)
     val newMin = arr.iterator.map(tsFn).min
-    val curMin = if (minBuf.exists()) math.min(minBuf.get(), newMin) else newMin
-    minBuf.update(curMin)
+    val curMin = if (c0.minBuf != NoVal) math.min(c0.minBuf, newMin) else newMin
     val wm = timerValues.getCurrentWatermarkInMs()
-    if (curMin <= wm) drain(key, wm)
+    if (curMin <= wm) drain(key, wm, c0)
     else {
-      // Nothing is ready: skip the NFA state round-trip entirely (the
-      // dominant per-key cost when every key appears in every micro-batch)
-      // and only make sure the timer covers the newly buffered events. The
-      // previously armed timer already reflects the earliest NFA deadline.
-      val prev = if (timer.exists()) Some(timer.get()) else None
-      if (!prev.exists(_ <= curMin)) arm(Some(curMin))
+      // Nothing is ready: skip the NFA decode entirely (the header read is
+      // enough) and only make sure the timer covers the newly buffered
+      // events. An already-armed earlier timer still reflects the earliest
+      // NFA deadline.
+      val newTimer =
+        if (c0.timer != NoVal && c0.timer <= curMin) c0.timer
+        else {
+          if (c0.timer != NoVal) getHandle.deleteTimer(c0.timer)
+          getHandle.registerTimer(curMin)
+          curMin
+        }
+      writeCtrl(Ctrl(newTimer, curMin, c0.nfa))
       Iterator.empty
     }
   }
 
   override def handleExpiredTimer(
       key: K, timerValues: TimerValues, expired: ExpiredTimerInfo): Iterator[O] = {
-    if (timer.exists() && timer.get() == expired.getExpiryTimeInMs()) timer.clear()
-    drain(key, timerValues.getCurrentWatermarkInMs())
+    val c0 = readCtrl()
+    val c1 =
+      if (c0.timer == expired.getExpiryTimeInMs()) c0.copy(timer = NoVal) else c0
+    drain(key, timerValues.getCurrentWatermarkInMs(), c1)
   }
 }

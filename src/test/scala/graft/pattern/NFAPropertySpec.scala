@@ -184,6 +184,51 @@ class NFAPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Maximal runs of consecutive 'b' events — the SQL greedy trailing-loop
+    * contract (`PATTERN (D+)`): a match emits only when it can no longer
+    * extend, not at the first completion. */
+  private def bruteMaxRuns(events: List[Ev]): List[(Long, Long)] = {
+    val ev = events.toIndexedSeq
+    var out = List.empty[(Long, Long)]
+    var i = 0
+    while (i < ev.length) {
+      if (ev(i).kind != 'b') i += 1
+      else {
+        var j = i
+        while (j + 1 < ev.length && ev(j + 1).kind == 'b') j += 1
+        out ::= (ev(i).ts, ev(j).ts)
+        i = j + 1
+      }
+    }
+    out.reverse
+  }
+
+  private val trailingLoop = Pattern.begin[Ev]("D", AfterMatchSkip.SkipPastLastEvent)
+    .where(_.kind == 'b').oneOrMore.consecutive
+
+  test("trailing greedy loop emits maximal runs (champion deferral)") {
+    forSamples(genEvents, 300) { events =>
+      val (nm, _) = NFA.run(events.iterator, (_: Ev).ts, trailingLoop)
+      assert(nm.map(m => (m.startTs, m.endTs)).toList == bruteMaxRuns(events),
+        s"maximal runs differ for $events")
+    }
+  }
+
+  test("trailing-loop champion survives snapshot/restore at any cut") {
+    forSamples(genEvents.flatMap(es => Gen.choose(0, math.max(es.length, 1)).map((es, _))), 200) {
+      case (events, cut) =>
+        val single = NFA.run(events.iterator, (_: Ev).ts, trailingLoop)
+        val r1 = new NfaRunner[Ev](trailingLoop, _.ts)
+        val out1 = events.take(cut).map(r1.onEvent)
+        val r2 = new NfaRunner[Ev](trailingLoop, _.ts)
+        r2.restore(r1.snapshot())
+        val out2 = events.drop(cut).map(r2.onEvent)
+        val (fm, _) = r2.flush()
+        val matches = ((out1 ++ out2).flatMap(_._1) ++ fm).map(m => (m.startTs, m.endTs))
+        assert(matches == single._1.map(m => (m.startTs, m.endTs)).toList)
+    }
+  }
+
   /** Brute force for the NEGATED gap shape `A notFollowedBy(X: 'x')
     * followedBy C, skipPastLast, no within`: attempt from each 'a'; scanning
     * forward, an 'x' kills the attempt (restart at the next event after the

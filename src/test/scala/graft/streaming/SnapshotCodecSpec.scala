@@ -46,6 +46,17 @@ class SnapshotCodecSpec extends AnyFunSuite {
     assert(back.partials(2).consumed.head.stage == 0)
   }
 
+  test("champion (deferred maximal match) round-trips with shared events") {
+    spark
+    val codec = new SnapshotCodec[BillingEvent](Encoders.product[BillingEvent])
+    val base = sampleSnapshot
+    // champion shares e0/e1 with the live partials (normal trailing-loop
+    // shape: the champion IS an earlier completion of the same attempt)
+    val s = base.copy(champion =
+      Some((base.partials(1).copy(stage = 1, taken = 2), 4321L)))
+    assert(codec.decode(codec.encode(s)) == s)
+  }
+
   test("empty snapshot round-trips") {
     spark
     val codec = new SnapshotCodec[BillingEvent](Encoders.product[BillingEvent])
