@@ -62,18 +62,29 @@ object Dedup {
   /** Banded LSH candidate pairs from a (doc_id, sig) table: bucket-join on
     * (band, concat of the band's signature rows) — the only shuffle of the
     * candidate stage, with width bounded by band-key cardinality. */
+  /** Hot-bucket guard as a BROADCAST anti-join: bucket sizes reduce to a
+    * tiny (band, key) count via map-side-combinable aggregation, the few
+    * over-[[MaxBucket]] buckets broadcast, and the band rows drop them
+    * without being shuffled or sorted — unlike the r2 window-function
+    * spelling (`count() OVER (PARTITION BY band, key)`), which shuffled and
+    * sorted EVERY band row just to count its bucket. At 100 TB the hot list
+    * stays O(degenerate clusters) while the band table is O(corpus). */
+  private def dropHotBuckets(bands0: DataFrame): DataFrame = {
+    import bands0.sparkSession.implicits._
+    val hot = bands0.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > MaxBucket)
+      .select($"band", $"key")
+    bands0.join(broadcast(hot), Seq("band", "key"), "left_anti")
+  }
+
   private def bandCandidates(sg: DataFrame): DataFrame = {
     import sg.sparkSession.implicits._
-    val bands = sg.select($"doc_id", explode(
+    val bands = dropHotBuckets(sg.select($"doc_id", explode(
       transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"), concat(element_at($"sig", b * 2 + 1),
           element_at($"sig", b * 2 + 2)).as("key")))).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.key")
-      // hot-bucket guard (see MaxBucket)
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"key")))
-      .filter($"bsz" <= MaxBucket)
-      .drop("bsz")
+      .select($"doc_id", $"bk.band", $"bk.key"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -144,15 +155,11 @@ object Dedup {
       .select($"doc_id", transform(tokens($"text"), t => charFoldHash(t)).as("hs"))
       .select($"doc_id", simhash($"hs", 32).as("fp"))
       .cache()
-    val bands = fp.select($"doc_id", $"fp", explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright($"fp", 8 * b).bitwiseAND(255).as("key"))): _*)).as("bk"))
-      .select($"doc_id", $"fp", $"bk.band", $"bk.key")
-      // hot-bucket guard (see MaxBucket)
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"key")))
-      .filter($"bsz" <= MaxBucket)
-      .drop("bsz")
+    val bands = dropHotBuckets(
+      fp.select($"doc_id", $"fp", explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright($"fp", 8 * b).bitwiseAND(255).as("key"))): _*)).as("bk"))
+        .select($"doc_id", $"fp", $"bk.band", $"bk.key"))
     // A pair sharing several bands appears once per shared band; the min
     // aggregation absorbs duplicates, so no distinct() shuffle is needed.
     bands.as("a").join(bands.as("b"),

@@ -23,7 +23,8 @@ import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
   * `RUNNING` | `FINAL` (ALL ROWS mode defaults to RUNNING, per SQL),
   * `ONE ROW PER MATCH` / `ALL ROWS PER MATCH`,
   * `AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V}`,
-  * `PATTERN (V1 V2* V3 ...)` with `* + ?` quantifiers,
+  * `PATTERN (V1 V2* V3 ...)` with `* + ?` and bounded `{n} {n,} {n,m}`
+  * quantifiers,
   * `WITHIN INTERVAL 'n' {SECOND|MINUTE|HOUR|DAY}`, `DEFINE V AS cond, ...`.
   * DEFINE conditions may use `PREV|NEXT(V.c[, n])` physical navigation
   * (lowered onto codegen'd `lag`/`lead` window columns — Catalyst evaluates
@@ -60,7 +61,7 @@ object MatchRecognize {
       orderBy: Seq[String], // head = event time; tail = deterministic tiebreaks
       measures: Seq[Measure],
       skip: AfterMatchSkip,
-      pattern: Seq[(String, Char)], // (variable, quantifier ' '|'*'|'+'|'?')
+      pattern: Seq[(String, String)], // (variable, quantifier "" * + ? {n} {n,} {n,m})
       withinMs: Option[Long],
       defines: Map[String, String],
       allRows: Boolean = false)
@@ -82,7 +83,7 @@ object MatchRecognize {
     "(?is)^(COUNT|SUM|AVG|MIN|MAX)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val MeasureNoArgRe =
     "(?is)^(CLASSIFIER|MATCH_NUMBER)\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
-  private val PatternVarRe = "(\\w+)([*+?]?)".r
+  private val PatternVarRe = "(\\w+)([*+?]|\\{\\d+(?:,\\d*)?\\})?".r
 
   def parseSpec(body: String): Spec = {
     val partition = PartitionRe.findFirstMatchIn(body)
@@ -119,7 +120,7 @@ object MatchRecognize {
       .map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE: PATTERN required"))
     val pattern = PatternVarRe.findAllMatchIn(patternStr)
-      .map(m => (m.group(1), if (m.group(2).isEmpty) ' ' else m.group(2).head)).toSeq
+      .map(m => (m.group(1), Option(m.group(2)).getOrElse(""))).toSeq
     val withinMs = WithinRe.findFirstMatchIn(body).map { m =>
       val n = m.group(1).toLong
       m.group(2).toUpperCase match {
@@ -277,11 +278,15 @@ object MatchRecognize {
     }
 
     // SQL row-pattern semantics: strict contiguity, strict loop internals.
+    val BoundedRe = "\\{(\\d+)(?:,(\\d*))?\\}".r
     val stages = spec.pattern.map { case (v, q) =>
       val (mn, mx) = q match {
-        case '*' => (0, Int.MaxValue)
-        case '+' => (1, Int.MaxValue)
-        case '?' => (0, 1)
+        case "*" => (0, Int.MaxValue)
+        case "+" => (1, Int.MaxValue)
+        case "?" => (0, 1)
+        case BoundedRe(n, null) => (n.toInt, n.toInt) // {n}
+        case BoundedRe(n, "") => (n.toInt, Int.MaxValue) // {n,}
+        case BoundedRe(n, m) => (n.toInt, m.toInt) // {n,m}
         case _ => (1, 1)
       }
       val di = defIdx(v)

@@ -413,7 +413,32 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |PATTERN (A B+ C?) WITHIN INTERVAL '30' MINUTE
         |DEFINE A AS balanceBefore >= 10""".stripMargin)
     assert(spec.skip == graft.pattern.AfterMatchSkip.SkipToNext)
-    assert(spec.pattern == Seq(("A", ' '), ("B", '+'), ("C", '?')))
+    assert(spec.pattern == Seq(("A", ""), ("B", "+"), ("C", "?")))
     assert(spec.withinMs.contains(1800000L))
+  }
+
+  test("bounded {n}/{n,}/{n,m} quantifiers parse and enforce repetition counts") {
+    prepareView()
+    val spec = MatchRecognize.parseSpec(
+      "ORDER BY ts PATTERN (A B{2} C{1,3} D{2,}) DEFINE A AS x > 1")
+    assert(spec.pattern == Seq(("A", ""), ("B", "{2}"), ("C", "{1,3}"), ("D", "{2,}")))
+    // golden key-2 run has exactly TWO B rows between A and C
+    def q(pat: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM billing MATCH_RECOGNIZE (
+         |  PARTITION BY id
+         |  ORDER BY user_action_time
+         |  MEASURES COUNT(B.*) AS n_b
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN ($pat) WITHIN INTERVAL '1' HOUR
+         |  DEFINE
+         |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+         |    B AS B.balanceBefore >= B.balanceAfter,
+         |    C AS C.balanceBefore < C.balanceAfter
+         |)""".stripMargin).collect()
+    assert(q("A B{2} C").length == 1)
+    assert(q("A B{2,5} C").length == 1)
+    assert(q("A B{3,} C").isEmpty)
+    assert(q("A B{0,1} C").isEmpty) // strict contiguity: 2 Bs cannot be skipped
   }
 }
