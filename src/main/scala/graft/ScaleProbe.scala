@@ -101,6 +101,27 @@ object ScaleProbe {
     q.stop()
     println(f"""{"probe":"cep_stream","rows":$nStream,"batches":${batches.size},"matches":$nOut,"secs":$streamSecs%.1f,"rows_per_sec":${(nStream / streamSecs).toLong}}""")
 
+    // ---- MinHash LSH dedup: synthetic docs at 10× the sf0.1 documents ----
+    // (runs LAST: its shuffle/cache footprint would otherwise inflate the
+    // stream probe — the same session-pressure effect the bench harness
+    // clears caches against)
+    // ~50 words/doc from a 5000-word vocab, deterministic via xxhash64;
+    // every 100th doc is a near-copy of its predecessor (first word
+    // changed), so the expected near-dup pair count is ~nDocs/100.
+    val nDocs = 50000L
+    val base = when(pmod($"id", lit(100L)) === 1, $"id" - 1).otherwise($"id")
+    val words = (0 until 50).map { j =>
+      val seed = if (j == 0) $"id" else base
+      concat(lit("w"), pmod(xxhash64(seed * 53 + j), lit(5000L)))
+    }
+    val docs = spark.range(nDocs)
+      .select($"id".as("doc_id"), concat_ws(" ", words: _*).as("text"))
+    val (nPairs, dedupSecs) = time {
+      graft.pipeline.Dedup.minhashOf(spark, docs).count()
+    }
+    spark.catalog.clearCache()
+    println(f"""{"probe":"dedup_minhash","docs":$nDocs,"pairs":$nPairs,"secs":$dedupSecs%.1f,"docs_per_sec":${(nDocs / dedupSecs).toLong}}""")
+
     spark.stop()
   }
 }

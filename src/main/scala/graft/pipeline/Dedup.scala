@@ -50,9 +50,9 @@ object Dedup {
     * explode + two pair-side joins), and Column lambdas duplicate their
     * input expression tree per use — without materialization the shingle +
     * md5 work would re-run once per branch per hash position. */
-  private def sigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.table(s, dir, "documents")
+  private def sigsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", minhashBase(shingles3(tokens($"text"))).as("bh"))
       .cache() // one md5 per shingle, materialized once
       .select($"doc_id", minhashSigRot($"bh", MinhashK).as("sig"))
@@ -94,9 +94,14 @@ object Dedup {
   }
 
   /** MinHash LSH: banded bucket-join candidates with signature agreement ≥ 4/8. */
-  def minhash(s: SparkSession, dir: String): DataFrame = {
+  def minhash(s: SparkSession, dir: String): DataFrame =
+    minhashOf(s, Tables.table(s, dir, "documents"))
+
+  /** [[minhash]] over any `(doc_id, text)` table — the probe / library
+    * entry point ([[graft.ScaleProbe]] drives it at 10× bench scale). */
+  def minhashOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val sg = sigs(s, dir)
+    val sg = sigsOf(docs)
     bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")

@@ -24,7 +24,8 @@ import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
   * `ONE ROW PER MATCH` / `ALL ROWS PER MATCH`,
   * `AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V}`,
   * `PATTERN (V1 V2* V3 ...)` with `* + ?` and bounded `{n} {n,} {n,m}`
-  * quantifiers,
+  * quantifiers and `{- V -}` exclusion (excluded variables match rows but
+  * their rows are omitted from ALL ROWS output, per SQL),
   * `WITHIN INTERVAL 'n' {SECOND|MINUTE|HOUR|DAY}`, `DEFINE V AS cond, ...`.
   * DEFINE conditions may use `PREV|NEXT(V.c[, n])` physical navigation
   * (lowered onto codegen'd `lag`/`lead` window columns — Catalyst evaluates
@@ -64,7 +65,8 @@ object MatchRecognize {
       pattern: Seq[(String, String)], // (variable, quantifier "" * + ? {n} {n,} {n,m})
       withinMs: Option[Long],
       defines: Map[String, String],
-      allRows: Boolean = false)
+      allRows: Boolean = false,
+      excluded: Set[String] = Set.empty) // {- V -} variables (ALL ROWS only)
 
   // ------------------------------------------------------------ clause parser
 
@@ -119,6 +121,13 @@ object MatchRecognize {
     val patternStr = PatternRe.findFirstMatchIn(body)
       .map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE: PATTERN required"))
+    // {- ... -} exclusion: the wrapped variables still MATCH (they appear in
+    // the pattern sequence below — the var regex skips the brace markers);
+    // they are only excluded from ALL ROWS output.
+    val ExcludeRe = "(?s)\\{-\\s*(.*?)\\s*-\\}".r
+    val excluded = ExcludeRe.findAllMatchIn(patternStr)
+      .flatMap(m => PatternVarRe.findAllMatchIn(m.group(1)).map(_.group(1)))
+      .toSet
     val pattern = PatternVarRe.findAllMatchIn(patternStr)
       .map(m => (m.group(1), Option(m.group(2)).getOrElse(""))).toSeq
     val withinMs = WithinRe.findFirstMatchIn(body).map { m =>
@@ -140,7 +149,7 @@ object MatchRecognize {
         }
       }.toMap
     val allRows = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
-    Spec(partition, order, measures, skip, pattern, withinMs, defines, allRows)
+    Spec(partition, order, measures, skip, pattern, withinMs, defines, allRows, excluded)
   }
 
   /** Rewrite `V.col` variable-prefixed references to plain column refs (the
@@ -421,8 +430,10 @@ object MatchRecognize {
           var hasFirst = false; var hasLast = false
         }
         val accs = measureIdx.map(_ => new Acc)
-        seqRows.iterator.map { case (v, r) =>
-          val vals = measureIdx.zip(accs).zipWithIndex.map { case (((meas, ci), a), mi) =>
+        seqRows.iterator.flatMap { case (v, r) =>
+          // accumulators update for EVERY consumed row — {- excluded -}
+          // variables still contribute to measures, they just don't emit
+          measureIdx.zip(accs).foreach { case ((meas, ci), a) =>
             if (meas.variable == v && meas.fn != "CLASSIFIER" && meas.fn != "MATCH_NUMBER") {
               a.nAll += 1
               if (ci >= 0 && !r.isNullAt(ci)) {
@@ -446,6 +457,10 @@ object MatchRecognize {
                 a.lastV = raw; a.hasLast = true
               }
             }
+          }
+          if (spec.excluded(v)) None
+          else Some {
+          val vals = measureIdx.zip(accs).zipWithIndex.map { case (((meas, ci), a), mi) =>
             val running = meas.mode != "FINAL"
             meas.fn match {
               case "MATCH_NUMBER" => matchNo
@@ -466,6 +481,7 @@ object MatchRecognize {
             }
           }
           Row.fromSeq(r.toSeq.take(inputWidth) ++ (v +: vals))
+          }
         }
       } else {
         val firstRow = m.bindings.valuesIterator.flatten.next()

@@ -245,6 +245,28 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(f("run_max") == Seq(null, 4L, 4L, 4L))
   }
 
+  test("{- V -} exclusion omits rows from ALL ROWS output but keeps measures") {
+    prepareView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES FINAL COUNT(B.*) AS n_b
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A {- B* -} C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin).collect()
+      .map(r => (r.getString(r.fieldIndex("classifier")),
+        r.getLong(r.fieldIndex("n_b")))).toSeq
+    // golden match consumed A,B,B,C — the two B rows are excluded from
+    // output, but COUNT(B.*) still sees them
+    assert(out == Seq(("A", 2L), ("C", 2L)))
+  }
+
   test("PREV() in DEFINE: classic descending-run pattern") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
