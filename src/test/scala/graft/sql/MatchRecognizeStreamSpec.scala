@@ -90,4 +90,42 @@ class MatchRecognizeStreamSpec extends AnyFunSuite {
         ("b", 1L, 1L), ("b", 2L, 2L)))
     } finally q.stop()
   }
+
+  test("ALL ROWS PER MATCH with RUNNING measures over a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[BillingEvent]
+    input.toDS()
+      .withColumn("user_action_time", to_timestamp($"datetime", "yyyy-MM-dd HH:mm:ss"))
+      .withWatermark("user_action_time", "6 minutes")
+      .createOrReplaceTempView("billing_stream_ar")
+    val result = MatchRecognize.sql(spark,
+      """SELECT * FROM billing_stream_ar MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES COUNT(B.*) AS run_n, FINAL COUNT(B.*) AS fin_n
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin)
+    val q = result.writeStream.format("memory").queryName("mr_stream_ar")
+      .outputMode("append").start()
+    try {
+      val input7 = scala.io.Source
+        .fromFile(getClass.getResource("/input-data.csv").getPath)
+        .getLines().map(BillingEvent.parse).toSeq
+      input.addData(input7)
+      q.processAllAvailable()
+      val out = spark.table("mr_stream_ar").collect()
+        .map(r => (r.getString(r.fieldIndex("classifier")),
+          r.getLong(r.fieldIndex("run_n")), r.getLong(r.fieldIndex("fin_n"))))
+        .toSeq
+      // same golden A,B,B,C consumption as the batch ALL ROWS test
+      assert(out == Seq(("A", 0L, 2L), ("B", 1L, 2L), ("B", 2L, 2L), ("C", 2L, 2L)))
+    } finally q.stop()
+  }
 }
