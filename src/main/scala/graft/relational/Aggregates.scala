@@ -96,6 +96,20 @@ object Aggregates {
       |  count(*) AS cnt
       |FROM orders""".stripMargin
 
+  /** UNPIVOT (wide → long): per-status money + count metrics melted into
+    * (status, metric, value) rows via Spark's native `unpivot` (codegen'd
+    * Expand under the hood — no shuffle beyond the feeding aggregate). */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(sum(Queries.cents($"o_totalprice")).as("total_cents"),
+        count(lit(1)).as("n_orders"))
+      .unpivot(Array($"o_orderstatus"), Array($"total_cents", $"n_orders"),
+        "metric", "value")
+      .orderBy($"o_orderstatus", $"metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_case_when" -> caseWhen _,
     "q_agg_distinct" -> aggDistinct _,
@@ -103,9 +117,22 @@ object Aggregates {
     "q_agg_cube" -> cube _,
     "q_agg_grouping_sets" -> groupingSets _,
     "q_agg_pivot" -> pivot _,
+    "q_agg_unpivot" -> unpivotMetrics _,
   )
 
   val oracles: Map[String, String] = Map(
+    // spelled as UNION ALL (not DuckDB's UNPIVOT syntax) so the oracle stays
+    // portable ANSI; both metrics are BIGINT so the long `value` column is
+    // integer-typed on both engines
+    "q_agg_unpivot" ->
+      """SELECT o_orderstatus, metric, value FROM (
+        |  SELECT o_orderstatus, 'total_cents' AS metric,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'n_orders' AS metric, CAST(count(*) AS BIGINT) AS value
+        |  FROM orders GROUP BY o_orderstatus)
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     "q_case_when" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000.0 THEN 'big'

@@ -191,6 +191,25 @@ object Joins {
       .orderBy($"o_orderstatus")
   }
 
+  /** FULL OUTER join with unmatched rows on BOTH sides: BUILDING-segment
+    * customers (left-only where the customer never ordered) against per-
+    * customer order counts (right-only where the customer is in another
+    * segment). Nulls coalesced on both sides — a nullable column must never
+    * reach the total ORDER BY (NULLS FIRST vs LAST, see oracle rules). */
+  def full(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("k"), $"c_name")
+    val b = t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+      .select($"o_custkey".as("k"), $"n_orders")
+    a.join(b, Seq("k"), "full")
+      .select($"k", coalesce($"c_name", lit("-")).as("name"),
+        coalesce($"n_orders", lit(-1L)).as("n_orders"))
+      .orderBy($"k")
+  }
+
   /** Bounded cross join (dims only). */
   def cross(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -209,6 +228,7 @@ object Joins {
     "q_join_asof" -> asOfCustom _,
     "q_join_asof_left" -> asOfLeft _,
     "q_join_bucketed" -> bucketed _,
+    "q_join_full" -> full _,
     "q_join_cross" -> cross _,
   )
 
@@ -267,6 +287,16 @@ object Joins {
         |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_full" ->
+      """SELECT COALESCE(a.k, b.k) AS k,
+        |  COALESCE(a.c_name, '-') AS name,
+        |  CAST(COALESCE(b.n_orders, -1) AS BIGINT) AS n_orders
+        |FROM (SELECT c_custkey AS k, c_name FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') a
+        |FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n_orders
+        |                 FROM orders GROUP BY o_custkey) b
+        |ON a.k = b.k
+        |ORDER BY k""".stripMargin,
     "q_join_cross" ->
       """SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region
         |ORDER BY n_nationkey, r_regionkey""".stripMargin,
