@@ -79,7 +79,10 @@ object NFA {
       partials: List[Partial[T]],
       minStartIdx: Long,
       nextIdx: Long,
-      champion: Option[(Partial[T], Long)] = None)
+      champion: Option[(Partial[T], Long)] = None,
+      /** Last `historyDepth` fed events (oldest first) for physical
+        * `PatternContext.recent` navigation. */
+      history: List[T] = Nil)
 
   /** Convenience single-shot run over a sorted iterator: feed every event,
     * then flush (batch = closed stream → remaining partials time out).
@@ -132,16 +135,27 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private var minStartIdx = 0L // SkipPastLastEvent: no starts at or before this
   private var nextIdx = 0L
 
-  def snapshot(): Snapshot[T] = Snapshot(partials.toList, minStartIdx, nextIdx, champion)
+  // Physical-history ring for PatternContext.recent (PREV navigation);
+  // bounded by the pattern's declared historyDepth, zero-cost when unused.
+  private var history: Vector[T] = Vector.empty
+
+  def snapshot(): Snapshot[T] =
+    Snapshot(partials.toList, minStartIdx, nextIdx, champion, history.toList)
 
   def restore(s: Snapshot[T]): Unit = {
     partials = ArrayBuffer.from(s.partials)
     minStartIdx = s.minStartIdx
     nextIdx = s.nextIdx
     champion = s.champion
+    history = s.history.toVector
   }
 
-  def hasLiveState: Boolean = partials.nonEmpty || champion.isDefined
+  // History counts as live state: physical PREV navigation must survive
+  // across match boundaries and quiet periods (O(historyDepth) per key,
+  // paid only by patterns that declare it).
+  def hasLiveState: Boolean =
+    partials.nonEmpty || champion.isDefined ||
+      (pattern.historyDepth > 0 && history.nonEmpty)
 
   /** Earliest pending timeout deadline, if any (streaming timer target). */
   def earliestDeadline: Option[Long] =
@@ -179,6 +193,9 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private def ctxOf(p: Partial[T]): PatternContext[T] = new PatternContext[T] {
     private lazy val b = toBindings(p.consumed)
     def apply(stage: String): Vector[T] = b.getOrElse(stage, Vector.empty)
+    // history excludes the current candidate (appended AFTER stepping)
+    override def recent(n: Int): Option[T] =
+      if (n >= 1 && n <= history.length) Some(history(history.length - n)) else None
   }
 
   private def ignoreAllowed(stage: Int, taken: Int, e: T, ctx: PatternContext[T]): Boolean = {
@@ -376,6 +393,11 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     if (guards.nonEmpty)
       next.filterInPlace(p =>
         !(p.taken == 0 && p.consumed.nonEmpty && entryChain(p.stage).forall(p.tripped)))
+
+    if (pattern.historyDepth > 0) {
+      history = history :+ e
+      if (history.length > pattern.historyDepth) history = history.takeRight(pattern.historyDepth)
+    }
 
     partials = next
     (wmMatches ++ matches.toList, timeouts)

@@ -56,6 +56,11 @@ trait PatternContext[T] {
   def apply(stage: String): Vector[T]
   def first(stage: String): Option[T] = apply(stage).headOption
   def last(stage: String): Option[T] = apply(stage).lastOption
+  /** PHYSICAL navigation: the event `n` positions before the CURRENT
+    * candidate in the key's fed sequence (n=1 → immediate predecessor),
+    * independent of the match mapping — SQL `PREV` semantics. Available
+    * only when the pattern declares [[Pattern.historyDepth]] ≥ n. */
+  def recent(n: Int): Option[T] = None
 }
 
 /** One pattern variable. `max = Int.MaxValue` encodes unbounded repetition.
@@ -114,7 +119,14 @@ final case class Pattern[T](
     /** A negative stage declared but not yet anchored by a following real
       * stage. A complete pattern must not have one (negation needs a right
       * anchor — same restriction as Flink's trailing `notFollowedBy`). */
-    pendingGuard: Option[Guard[T]] = None) {
+    pendingGuard: Option[Guard[T]] = None,
+    /** How many physical predecessors [[PatternContext.recent]] must serve
+      * (0 = none kept). The runner keeps a ring of the last `historyDepth`
+      * fed events per key — state cost O(historyDepth), snapshot-carried. */
+    historyDepth: Int = 0) {
+
+  /** Enable physical `recent(n)` navigation up to offset `n` in conditions. */
+  def withHistory(n: Int): Pattern[T] = copy(historyDepth = math.max(historyDepth, n))
 
   private def updLast(f: Stage[T] => Stage[T]): Pattern[T] = pendingGuard match {
     case Some(_) => throw new IllegalArgumentException(
@@ -216,6 +228,7 @@ final case class Pattern[T](
   def contramap[U](f: U => T): Pattern[U] = {
     def liftCtx(ctx: PatternContext[U]): PatternContext[T] = new PatternContext[T] {
       def apply(stage: String): Vector[T] = ctx(stage).map(f)
+      override def recent(n: Int): Option[T] = ctx.recent(n).map(f)
     }
     def liftPred(p: (T, PatternContext[T]) => Boolean): (U, PatternContext[U]) => Boolean =
       (u, ctx) => p(f(u), liftCtx(ctx))
@@ -231,7 +244,8 @@ final case class Pattern[T](
       pendingGuard.map {
         case Guard.NotFollowed(n, p) => Guard.NotFollowed[U](n, liftPred(p))
         case Guard.NotNext(n, p) => Guard.NotNext[U](n, liftPred(p))
-      })
+      },
+      historyDepth)
   }
 }
 

@@ -204,6 +204,23 @@ object MatchRecognize {
   private def navColName(fn: String, col: String, n: Int): String =
     s"__nav_${fn.toLowerCase}_${col}_$n"
 
+  /** Streaming spelling of PREV: `X.col OP PREV(V.col[, n])` terms lower
+    * onto iterative conditions over the runner's physical-history ring
+    * ([[graft.pattern.PatternContext.recent]]) — window functions are
+    * unavailable on a stream. NEXT would need lookahead; unsupported. */
+  private final case class PrevRef(col: String, op: String, refCol: String, n: Int)
+
+  private val PrevRefRe =
+    ("(?i)(\\w+)\\.(\\w+)\\s*(<=|>=|<>|=|<|>)\\s*PREV\\s*\\(\\s*(\\w+)\\.(\\w+)" +
+      "\\s*(?:,\\s*(\\d+))?\\s*\\)").r
+
+  private def splitPrevRefs(cond: String): (String, Seq[PrevRef]) = {
+    val refs = PrevRefRe.findAllMatchIn(cond).map(m =>
+      PrevRef(m.group(2), m.group(3), m.group(5),
+        Option(m.group(6)).map(_.toInt).getOrElse(1))).toSeq
+    (PrevRefRe.replaceAllIn(cond, "TRUE"), refs)
+  }
+
   /** Rewrite PREV/NEXT calls to their window-column names; return the set of
     * (fn, col, offset) columns the prepared input must carry. */
   private def rewritePrevNext(cond: String): (String, Set[(String, String, Int)]) = {
@@ -240,16 +257,21 @@ object MatchRecognize {
     //    iterative (whereContext) predicates over the partial match;
     //  - the per-row residual → a codegen'd boolean column on the scan side.
     val lowered = vars.map { v =>
-      val (c1, navCols) = rewritePrevNext(spec.defines.getOrElse(v, "TRUE"))
+      val base = spec.defines.getOrElse(v, "TRUE")
+      // streaming: comparison-shaped PREV terms peel off onto the runner's
+      // physical-history ring BEFORE the window-column rewrite sees them
+      val (c0, prevRefs) =
+        if (df.isStreaming) splitPrevRefs(base) else (base, Seq.empty[PrevRef])
+      val (c1, navCols) = rewritePrevNext(c0)
+      if (df.isStreaming && navCols.nonEmpty)
+        throw new IllegalArgumentException(
+          "streaming supports only `col OP PREV(V.col[, n])` navigation " +
+            "(NEXT and non-comparison PREV forms need lag/lead window columns)")
       val (c2, aggs) = splitAggRefs(c1)
       val (residual, navs) = splitNavRefs(c2)
-      v -> ((residual, navs, aggs, navCols))
+      v -> ((residual, navs, aggs, navCols, prevRefs))
     }.toMap
     val allNavCols = lowered.valuesIterator.flatMap(_._4).toSet
-    if (df.isStreaming && allNavCols.nonEmpty)
-      throw new IllegalArgumentException(
-        "PREV()/NEXT() navigation is not supported in streaming mode " +
-          "(physical navigation lowers onto lag/lead window columns)")
     val navWindow = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(spec.partitionBy.map(col): _*)
@@ -336,12 +358,25 @@ object MatchRecognize {
           value.exists(cmp(ref.op, _, ref.lit))
         }
       }
-      val iterPreds = navPreds ++ aggPreds
+      // Streaming PREV: physical predecessor via the runner's history ring;
+      // a missing predecessor or null operand makes the condition false
+      // (matching the batch lag-column null semantics).
+      val prevPreds = lowered(v)._5.map { ref =>
+        val ci = idx(ref.col)
+        val refCi = idx(ref.refCol)
+        (r: Row, ctx: graft.pattern.PatternContext[Row]) =>
+          ctx.recent(ref.n).exists { p =>
+            !p.isNullAt(refCi) && !r.isNullAt(ci) &&
+              cmp(ref.op, asComparable(r.get(ci)), asComparable(p.get(refCi)))
+          }
+      }
+      val iterPreds = navPreds ++ aggPreds ++ prevPreds
       Stage[Row](v,
         (r, ctx) => !r.isNullAt(di) && r.getBoolean(di) && iterPreds.forall(_(r, ctx)),
         mn, mx, Contiguity.Strict, Contiguity.Strict)
     }.toVector
-    val pattern = Pattern(stages, spec.withinMs, spec.skip)
+    val maxPrev = lowered.valuesIterator.flatMap(_._5).map(_.n).maxOption.getOrElse(0)
+    val pattern = Pattern(stages, spec.withinMs, spec.skip).withHistory(maxPrev)
 
     // Input columns without the appended __def_* helper columns (ALL ROWS mode).
     val inputWidth = df.schema.length

@@ -100,6 +100,14 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
         writePartial(out, p)
       case None => out.writeBoolean(false)
     }
+
+    // physical-history ring (PREV navigation): raw events, oldest first
+    out.writeInt(s.history.size)
+    s.history.foreach { ev =>
+      val b = eventBytes(ev)
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -153,6 +161,15 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
         val endTs = in.readLong()
         Some((readPartial(), endTs))
       } else None
-    Snapshot(partials.result(), minStartIdx, nextIdx, champion)
+    val nHist = in.readInt()
+    val history = List.newBuilder[T]
+    var h = 0
+    while (h < nHist) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      history += eventFromBytes(b)
+      h += 1
+    }
+    Snapshot(partials.result(), minStartIdx, nextIdx, champion, history.result())
   }
 }

@@ -91,6 +91,41 @@ class MatchRecognizeStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PREV() in streaming DEFINE: descending runs match the batch result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same ticks as the batch PREV test: runs (10,8,7) and (9,5), rise after
+    val ticks = Seq((1L, 10L), (2L, 8L), (3L, 7L), (4L, 9L), (5L, 5L), (6L, 6L),
+      (30L, 0L)) // watermark pusher, matches nothing
+    val input = MemoryStream[(Long, Long)]
+    input.toDS().toDF("tick", "price")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .withWatermark("ts", "5 minutes")
+      .createOrReplaceTempView("ticks_stream")
+    val result = MatchRecognize.sql(spark,
+      """SELECT * FROM ticks_stream MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES FIRST(D.price) AS start_p, LAST(D.price) AS end_p,
+        |           COUNT(D.*) AS n_down
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (D+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE D AS D.price < PREV(D.price)
+        |)""".stripMargin)
+    val q = result.writeStream.format("memory").queryName("prev_stream")
+      .outputMode("append").start()
+    try {
+      // two batches, split mid-run: history must survive the state round-trip
+      input.addData(ticks.take(2))
+      q.processAllAvailable()
+      input.addData(ticks.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("prev_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got == Seq((5L, 5L, 1L), (8L, 7L, 2L)))
+    } finally q.stop()
+  }
+
   test("ALL ROWS PER MATCH with RUNNING measures over a stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

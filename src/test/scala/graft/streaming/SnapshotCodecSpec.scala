@@ -57,6 +57,15 @@ class SnapshotCodecSpec extends AnyFunSuite {
     assert(codec.decode(codec.encode(s)) == s)
   }
 
+  test("physical-history ring round-trips") {
+    spark
+    val codec = new SnapshotCodec[BillingEvent](Encoders.product[BillingEvent])
+    val s = sampleSnapshot.copy(history = List(
+      ev("9", "2020-05-01 10:00:00", 20, 20),
+      ev("9", "2020-05-01 10:10:00", 20, 15)))
+    assert(codec.decode(codec.encode(s)) == s)
+  }
+
   test("empty snapshot round-trips") {
     spark
     val codec = new SnapshotCodec[BillingEvent](Encoders.product[BillingEvent])
