@@ -76,15 +76,39 @@ object Funcs2 {
       .orderBy($"c_mktsegment", $"c_custkey")
   }
 
+  /** MapType surface: build a map per row (create_map), read it back via
+    * map_keys cardinality + explode into (key, value) rows — the long form
+    * is engine-portable while raw MAP output ordering is not. */
+  def mapOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "nation")
+      .select($"n_nationkey",
+        map(
+          lit("name"), $"n_name",
+          lit("region"), $"n_regionkey".cast("string")).as("m"))
+      .select($"n_nationkey", size(map_keys($"m")).as("n_keys"), explode($"m"))
+      .select($"n_nationkey", $"n_keys", $"key".as("k"), $"value".as("v"))
+      .orderBy($"n_nationkey", $"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitwise_funcs" -> bitwise _,
     "q_cond_funcs" -> conditional _,
     "q_date_arith" -> dateArith _,
     "q_array_funcs2" -> arrayOps _,
     "q_window_dist" -> rankDist _,
+    "q_map_funcs" -> mapOps _,
   )
 
   val oracles: Map[String, String] = Map(
+    // the map is spelled long-form (UNION ALL) — portable ANSI; n_keys is
+    // the map_keys cardinality (2 per construction)
+    "q_map_funcs" ->
+      """SELECT n_nationkey, 2 AS n_keys, k, v FROM (
+        |  SELECT n_nationkey, 'name' AS k, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'region', CAST(n_regionkey AS VARCHAR) FROM nation)
+        |ORDER BY n_nationkey, k""".stripMargin,
     "q_bitwise_funcs" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS b_and,

@@ -149,6 +149,25 @@ object MatchRecognize {
         }
       }.toMap
     val allRows = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
+
+    // A variable referenced anywhere must exist in PATTERN — silent
+    // misspellings would otherwise define dead conditions or null measures.
+    val varSet = pattern.map(_._1).toSet
+    val badDefs = defines.keys.filterNot(varSet)
+    if (badDefs.nonEmpty) throw new IllegalArgumentException(
+      s"DEFINE references variables not in PATTERN: ${badDefs.mkString(", ")}")
+    val badMeas = measures.collect {
+      case m if m.variable.nonEmpty && !varSet(m.variable) => m.variable
+    }.distinct
+    if (badMeas.nonEmpty) throw new IllegalArgumentException(
+      s"MEASURES references variables not in PATTERN: ${badMeas.mkString(", ")}")
+    skip match {
+      case AfterMatchSkip.SkipToFirst(v) if !varSet(v) =>
+        throw new IllegalArgumentException(s"AFTER MATCH SKIP TO FIRST $v: no such variable")
+      case AfterMatchSkip.SkipToLast(v) if !varSet(v) =>
+        throw new IllegalArgumentException(s"AFTER MATCH SKIP TO LAST $v: no such variable")
+      case _ => ()
+    }
     Spec(partition, order, measures, skip, pattern, withinMs, defines, allRows, excluded)
   }
 

@@ -119,6 +119,16 @@ class MatchRecognizeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // statement shape
       MatchRecognize.sql(spark, "SELECT id FROM t MATCH_RECOGNIZE (ORDER BY ts PATTERN (A))")
     }
+    intercept[IllegalArgumentException] { // DEFINE for a variable not in PATTERN
+      MatchRecognize.parseSpec("ORDER BY ts PATTERN (A) DEFINE Z AS x > 1")
+    }
+    intercept[IllegalArgumentException] { // MEASURES referencing unknown variable
+      MatchRecognize.parseSpec("ORDER BY ts MEASURES Z.x AS z PATTERN (A) DEFINE A AS x > 1")
+    }
+    intercept[IllegalArgumentException] { // SKIP TO unknown variable
+      MatchRecognize.parseSpec(
+        "ORDER BY ts AFTER MATCH SKIP TO FIRST Z PATTERN (A B) DEFINE A AS x > 1")
+    }
   }
 
   test("MEASURES aggregates, CLASSIFIER() and MATCH_NUMBER()") {
