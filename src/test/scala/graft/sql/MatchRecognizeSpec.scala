@@ -255,6 +255,55 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(f("run_max") == Seq(null, 4L, 4L, 4L))
   }
 
+  test("ALL ROWS RUNNING measures property: prefix recomputation oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    for (iter <- 0 until 3) {
+      val rows = (1 to 60).map { i =>
+        ("k" + (i % 3), i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(3))
+      }
+      rows.toDF("k", "tick", "v", "c")
+        .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+        .createOrReplaceTempView(s"run_prop_$iter")
+      val out = MatchRecognize.sql(spark,
+        s"""SELECT * FROM run_prop_$iter MATCH_RECOGNIZE (
+           |  PARTITION BY k
+           |  ORDER BY ts
+           |  MEASURES COUNT(B.*) AS run_n, SUM(B.v) AS run_sum,
+           |           MIN(B.v) AS run_min, MAX(B.v) AS run_max,
+           |           MATCH_NUMBER() AS mno
+           |  ALL ROWS PER MATCH
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN (A B* C)
+           |  DEFINE A AS A.c = 0, B AS B.c = 1, C AS C.c = 2
+           |)""".stripMargin).collect()
+        .map(r => (r.getString(r.fieldIndex("k")), r.getLong(r.fieldIndex("mno")),
+          r.getLong(r.fieldIndex("tick")), r.getLong(r.fieldIndex("v")),
+          r.getString(r.fieldIndex("classifier")),
+          Seq("run_n", "run_sum", "run_min", "run_max").map { f =>
+            val i = r.fieldIndex(f)
+            if (r.isNullAt(i)) None else Some(r.getLong(i))
+          }))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(out.nonEmpty, "property needs at least one match")
+      // independent prefix recomputation per (key, match) from the emitted
+      // rows + classifier column
+      out.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+        var bs = Vector.empty[Long]
+        g.sortBy(_._3).foreach { case (_, _, _, v, cls, got) =>
+          if (cls == "B") bs :+= v
+          val want = Seq(
+            Some(bs.size.toLong),
+            if (bs.isEmpty) None else Some(bs.sum),
+            bs.minOption,
+            bs.maxOption)
+          assert(got == want, s"prefix mismatch at $g")
+        }
+      }
+    }
+  }
+
   test("{- V -} exclusion omits rows from ALL ROWS output but keeps measures") {
     prepareView()
     val out = MatchRecognize.sql(spark,
