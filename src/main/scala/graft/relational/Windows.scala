@@ -61,6 +61,24 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** VALUE-range frame (`RANGE BETWEEN 30 PRECEDING AND CURRENT ROW`):
+    * trailing-30-day spend per customer. The order key is day-number (a
+    * numeric column — Spark range frames require one); RANGE includes
+    * same-day peers on both engines and the SUM over a value range is
+    * order-independent, so no tiebreak is needed for determinism. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"d")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.table(s, dir, "orders")
+      .withColumn("d", datediff($"o_orderdate", lit("1990-01-01")).cast("long"))
+      .withColumn("pc", cents($"o_totalprice"))
+      .select(
+        $"o_custkey", $"o_orderkey",
+        sum($"pc").over(w).as("trailing30_cents"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** Global top-100 (TakeOrderedAndProject — no full sort at scale). */
   def sortLimit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -85,6 +103,7 @@ object Windows {
     "q_window_rank" -> rank_ _,
     "q_window_analytic" -> analytic _,
     "q_window_frame" -> frame _,
+    "q_window_range_frame" -> rangeFrame _,
     "q_sort_limit" -> sortLimit _,
     "q_topk_per_group" -> topkPerGroup _,
   )
@@ -110,6 +129,13 @@ object Windows {
         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing30_cents
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber,
