@@ -52,9 +52,12 @@ object Dedup {
     * md5 work would re-run once per branch per hash position. */
   private def sigsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // One cache: the native RotMinHash consumes the md5-shingle base array
+    // exactly once (no lambda expression-tree duplication — the r1 hazard),
+    // so only the finished signature table needs materializing for its
+    // multiple plan branches (band explode + two pair-join sides).
     docs
       .select($"doc_id", minhashBase(shingles3(tokens($"text"))).as("bh"))
-      .cache() // one md5 per shingle, materialized once
       .select($"doc_id", minhashSigRot($"bh", MinhashK).as("sig"))
       .cache()
   }
