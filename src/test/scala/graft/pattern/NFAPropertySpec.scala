@@ -214,6 +214,34 @@ class NFAPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("trailing greedy loop + within: maximal runs truncate at the horizon") {
+    // brute: maximal consecutive-'b' runs, additionally cut when the next
+    // 'b' would land at or past start + Within; matching resumes there
+    def bruteWithin(events: List[Ev]): List[(Long, Long)] = {
+      val ev = events.toIndexedSeq
+      var out = List.empty[(Long, Long)]
+      var i = 0
+      while (i < ev.length) {
+        if (ev(i).kind != 'b') i += 1
+        else {
+          val start = ev(i).ts
+          var j = i
+          while (j + 1 < ev.length && ev(j + 1).kind == 'b' &&
+            ev(j + 1).ts < start + Within) j += 1
+          out ::= (start, ev(j).ts)
+          i = j + 1
+        }
+      }
+      out.reverse
+    }
+    val p = trailingLoop.within(Within)
+    forSamples(genEvents, 300) { events =>
+      val (nm, _) = NFA.run(events.iterator, (_: Ev).ts, p)
+      assert(nm.map(m => (m.startTs, m.endTs)).toList == bruteWithin(events),
+        s"within-truncated runs differ for $events")
+    }
+  }
+
   test("trailing-loop champion survives snapshot/restore at any cut") {
     forSamples(genEvents.flatMap(es => Gen.choose(0, math.max(es.length, 1)).map((es, _))), 200) {
       case (events, cut) =>
