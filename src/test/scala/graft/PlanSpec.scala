@@ -60,4 +60,32 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p)
   }
+
+  test("q_agg_unpivot: Expand over ONE aggregate, no extra shuffle") {
+    val p = plan("q_agg_unpivot")
+    assert(p.contains("Expand"), p)
+    // the only exchanges: aggregate shuffle + output range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_window_range_frame: one window over one exchange on the partition key") {
+    val p = plan("q_window_range_frame")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_map_funcs: map explode is a narrow Generate (no shuffle before sort)") {
+    val p = plan("q_map_funcs")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("dedup hot-bucket guard: broadcast LEFT ANTI, never a window sort") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("RunningWindowFunction"), p)
+    assert(!p.toLowerCase.contains("window partitionby"), p)
+  }
 }
