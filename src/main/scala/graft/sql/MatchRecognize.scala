@@ -149,6 +149,9 @@ object MatchRecognize {
         }
       }.toMap
     val allRows = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
+    if (excluded.nonEmpty && !allRows)
+      throw new IllegalArgumentException(
+        "{- ... -} exclusion requires ALL ROWS PER MATCH (SQL:2016 row-pattern rules)")
 
     // A variable referenced anywhere must exist in PATTERN — silent
     // misspellings would otherwise define dead conditions or null measures.

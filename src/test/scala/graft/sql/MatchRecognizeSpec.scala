@@ -129,6 +129,10 @@ class MatchRecognizeSpec extends AnyFunSuite {
       MatchRecognize.parseSpec(
         "ORDER BY ts AFTER MATCH SKIP TO FIRST Z PATTERN (A B) DEFINE A AS x > 1")
     }
+    intercept[IllegalArgumentException] { // exclusion needs ALL ROWS
+      MatchRecognize.parseSpec(
+        "ORDER BY ts ONE ROW PER MATCH PATTERN (A {- B -} C) DEFINE A AS x > 1")
+    }
   }
 
   test("MEASURES aggregates, CLASSIFIER() and MATCH_NUMBER()") {
