@@ -24,8 +24,11 @@ import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
   * `ONE ROW PER MATCH` / `ALL ROWS PER MATCH`,
   * `AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V}`,
   * `PATTERN (V1 V2* V3 ...)` with `* + ?` and bounded `{n} {n,} {n,m}`
-  * quantifiers and `{- V -}` exclusion (excluded variables match rows but
-  * their rows are omitted from ALL ROWS output, per SQL),
+  * quantifiers, `(B | C)` single-position alternation (leftmost matching
+  * member wins, per SQL preference order; members keep their own DEFINEs,
+  * bindings, and CLASSIFIER identity — beyond Flink, which rejects `|`),
+  * and `{- V -}` exclusion (excluded variables match rows but their rows
+  * are omitted from ALL ROWS output, per SQL),
   * `WITHIN INTERVAL 'n' {SECOND|MINUTE|HOUR|DAY}`, `DEFINE V AS cond, ...`.
   * DEFINE conditions may use `PREV|NEXT(V.c[, n])` physical navigation
   * (lowered onto codegen'd `lag`/`lead` window columns — Catalyst evaluates
@@ -66,7 +69,10 @@ object MatchRecognize {
       withinMs: Option[Long],
       defines: Map[String, String],
       allRows: Boolean = false,
-      excluded: Set[String] = Set.empty) // {- V -} variables (ALL ROWS only)
+      excluded: Set[String] = Set.empty, // {- V -} variables (ALL ROWS only)
+      /** `(B | C)` alternation groups: synthetic stage name → member
+        * variables in preference (lexical) order. */
+      altGroups: Map[String, Seq[String]] = Map.empty)
 
   // ------------------------------------------------------------ clause parser
 
@@ -77,7 +83,9 @@ object MatchRecognize {
   private val SkipRe =
     ("(?is)AFTER\\s+MATCH\\s+SKIP\\s+" +
       "(PAST\\s+LAST\\s+ROW|TO\\s+NEXT\\s+ROW|TO\\s+FIRST\\s+\\w+|TO\\s+LAST\\s+\\w+)").r
-  private val PatternRe = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)".r
+  // one nesting level inside PATTERN( ... ): alternation groups `(B | C)`
+  private val PatternRe =
+    "(?is)PATTERN\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)".r
   private val WithinRe = "(?is)WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(SECOND|MINUTE|HOUR|DAY)".r
   private val DefineRe = "(?is)DEFINE\\s+(.*)$".r
   private val MeasureItemRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\)?\\s+AS\\s+(\\w+)$".r
@@ -128,7 +136,22 @@ object MatchRecognize {
     val excluded = ExcludeRe.findAllMatchIn(patternStr)
       .flatMap(m => PatternVarRe.findAllMatchIn(m.group(1)).map(_.group(1)))
       .toSet
-    val pattern = PatternVarRe.findAllMatchIn(patternStr)
+    // (B | C) alternation: the group collapses to ONE synthetic stage whose
+    // per-row winner is the leftmost member whose DEFINE holds (SQL
+    // preference order) — each member keeps its own DEFINE and bindings.
+    // quantifier must be ADJACENT to the group's `)` — a `\s*` here would
+    // swallow the separator before the next variable
+    val AltGroupRe =
+      "\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)([*+?]|\\{\\d+(?:,\\d*)?\\})?".r
+    var altGroups = Map.empty[String, Seq[String]]
+    val patternStr2 = AltGroupRe.replaceAllIn(patternStr, m => {
+      val members = m.group(1).split("\\|").map(_.trim).toSeq
+      val name = s"__alt${altGroups.size}"
+      altGroups += name -> members
+      scala.util.matching.Regex.quoteReplacement(
+        name + Option(m.group(2)).getOrElse(""))
+    })
+    val pattern = PatternVarRe.findAllMatchIn(patternStr2)
       .map(m => (m.group(1), Option(m.group(2)).getOrElse(""))).toSeq
     val withinMs = WithinRe.findFirstMatchIn(body).map { m =>
       val n = m.group(1).toLong
@@ -155,7 +178,12 @@ object MatchRecognize {
 
     // A variable referenced anywhere must exist in PATTERN — silent
     // misspellings would otherwise define dead conditions or null measures.
-    val varSet = pattern.map(_._1).toSet
+    val plainVars = pattern.map(_._1).filterNot(altGroups.contains).toSet
+    val memberVars = altGroups.valuesIterator.flatten.toSet
+    val clash = plainVars.intersect(memberVars)
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"alternation members also appear as plain pattern variables: ${clash.mkString(", ")}")
+    val varSet = plainVars ++ memberVars
     val badDefs = defines.keys.filterNot(varSet)
     if (badDefs.nonEmpty) throw new IllegalArgumentException(
       s"DEFINE references variables not in PATTERN: ${badDefs.mkString(", ")}")
@@ -165,13 +193,20 @@ object MatchRecognize {
     if (badMeas.nonEmpty) throw new IllegalArgumentException(
       s"MEASURES references variables not in PATTERN: ${badMeas.mkString(", ")}")
     skip match {
+      case AfterMatchSkip.SkipToFirst(v) if memberVars(v) =>
+        throw new IllegalArgumentException(
+          s"AFTER MATCH SKIP TO FIRST $v: cannot target an alternation member")
+      case AfterMatchSkip.SkipToLast(v) if memberVars(v) =>
+        throw new IllegalArgumentException(
+          s"AFTER MATCH SKIP TO LAST $v: cannot target an alternation member")
       case AfterMatchSkip.SkipToFirst(v) if !varSet(v) =>
         throw new IllegalArgumentException(s"AFTER MATCH SKIP TO FIRST $v: no such variable")
       case AfterMatchSkip.SkipToLast(v) if !varSet(v) =>
         throw new IllegalArgumentException(s"AFTER MATCH SKIP TO LAST $v: no such variable")
       case _ => ()
     }
-    Spec(partition, order, measures, skip, pattern, withinMs, defines, allRows, excluded)
+    Spec(partition, order, measures, skip, pattern, withinMs, defines, allRows,
+      excluded, altGroups)
   }
 
   /** Rewrite `V.col` variable-prefixed references to plain column refs (the
@@ -278,7 +313,14 @@ object MatchRecognize {
     //  - FIRST/LAST logical navigation and RUNNING aggregate terms →
     //    iterative (whereContext) predicates over the partial match;
     //  - the per-row residual → a codegen'd boolean column on the scan side.
-    val lowered = vars.map { v =>
+    // Alternation bookkeeping: members get their own DEFINE columns; the
+    // synthetic group stage's column is the OR of its members'.
+    val memberOf: Map[String, String] =
+      spec.altGroups.iterator.flatMap { case (g, ms) => ms.map(_ -> g) }.toMap
+    val defVars = vars.filterNot(spec.altGroups.contains) ++
+      spec.altGroups.valuesIterator.flatten.toSeq
+
+    val lowered = defVars.map { v =>
       val base = spec.defines.getOrElse(v, "TRUE")
       // streaming: comparison-shaped PREV terms peel off onto the runner's
       // physical-history ring BEFORE the window-column rewrite sees them
@@ -291,6 +333,11 @@ object MatchRecognize {
             "(NEXT and non-comparison PREV forms need lag/lead window columns)")
       val (c2, aggs) = splitAggRefs(c1)
       val (residual, navs) = splitNavRefs(c2)
+      if (memberOf.contains(v) &&
+          (navs.nonEmpty || aggs.nonEmpty || navCols.nonEmpty || prevRefs.nonEmpty))
+        throw new IllegalArgumentException(
+          s"alternation member $v: DEFINE must be a simple row predicate " +
+            "(no FIRST/LAST/PREV/NEXT navigation or aggregates)")
       v -> ((residual, navs, aggs, navCols, prevRefs))
     }.toMap
     val allNavCols = lowered.valuesIterator.flatMap(_._4).toSet
@@ -306,10 +353,15 @@ object MatchRecognize {
           val f = if (fn == "PREV") lag(col(c), n) else lead(col(c), n)
           f.over(navWindow).as(navColName(fn, c, n))
       }: _*)
-    val defCols = vars.map { v =>
-      expr(stripVarPrefixes(lowered(v)._1, vars)).as(s"__def_$v")
+    val defCols = defVars.map { v =>
+      expr(stripVarPrefixes(lowered(v)._1, defVars)).as(s"__def_$v")
+    }
+    // group columns derive from member columns → a second (collapsible) select
+    val groupDefCols = spec.altGroups.toSeq.map { case (g, ms) =>
+      ms.map(mm => col(s"__def_$mm")).reduce(_ || _).as(s"__def_$g")
     }
     val prepared = withNav.select(col("*") +: defCols: _*)
+      .select(col("*") +: groupDefCols: _*)
     val schema = prepared.schema
     def idx(name: String): Int =
       schema.fieldNames.indexWhere(_.equalsIgnoreCase(name)) match {
@@ -319,7 +371,22 @@ object MatchRecognize {
 
     val orderIdx = idx(spec.orderBy.head)
     val partIdxs = spec.partitionBy.map(idx)
-    val defIdx = vars.map(v => v -> idx(s"__def_$v")).toMap
+    val defIdx = (defVars ++ spec.altGroups.keys).map(v => v -> idx(s"__def_$v")).toMap
+
+    /** Leftmost member whose DEFINE holds on this row (SQL preference order;
+      * total because the group column is the OR of the members'). */
+    def attributedMember(r: Row, group: String): String =
+      spec.altGroups(group).find { mm =>
+        val di = defIdx(mm); !r.isNullAt(di) && r.getBoolean(di)
+      }.get
+
+    /** Rows bound to `v`: direct bindings, or the attributed slice of its
+      * alternation group. */
+    def boundOf(m: NFA.PatternMatch[Row], v: String): Vector[Row] =
+      memberOf.get(v) match {
+        case Some(g) => m(g).filter(r => attributedMember(r, g) == v)
+        case None => m(v)
+      }
 
     def tsOf(r: Row): Long = r.get(orderIdx) match {
       case t: Timestamp => t.getTime
@@ -351,7 +418,12 @@ object MatchRecognize {
         case "=" => l == rv
         case "<>" => l != rv
       }
-      val navPreds = lowered(v)._2.map { ref =>
+      // synthetic group stages have no entry in `lowered` (their column is
+      // derived from the members'), hence no iterative parts
+      val low = lowered.getOrElse(v,
+        ("TRUE", Seq.empty[NavRef], Seq.empty[AggRef],
+          Set.empty[(String, String, Int)], Seq.empty[PrevRef]))
+      val navPreds = low._2.map { ref =>
         val ci = idx(ref.col)
         val refCi = idx(ref.refCol)
         (r: Row, ctx: graft.pattern.PatternContext[Row]) => {
@@ -362,7 +434,7 @@ object MatchRecognize {
       // RUNNING aggregate terms: rows bound to refVar so far, plus the
       // current row when it is the variable being defined (SQL semantics:
       // the candidate row is tentatively mapped before the test).
-      val aggPreds = lowered(v)._3.map { ref =>
+      val aggPreds = low._3.map { ref =>
         val ci = if (ref.refCol == "*") -1 else idx(ref.refCol)
         (r: Row, ctx: graft.pattern.PatternContext[Row]) => {
           val bound = ctx(ref.refVar) ++ (if (ref.refVar == v) Seq(r) else Nil)
@@ -383,7 +455,7 @@ object MatchRecognize {
       // Streaming PREV: physical predecessor via the runner's history ring;
       // a missing predecessor or null operand makes the condition false
       // (matching the batch lag-column null semantics).
-      val prevPreds = lowered(v)._5.map { ref =>
+      val prevPreds = low._5.map { ref =>
         val ci = idx(ref.col)
         val refCi = idx(ref.refCol)
         (r: Row, ctx: graft.pattern.PatternContext[Row]) =>
@@ -434,12 +506,15 @@ object MatchRecognize {
 
     def measureVals(m: NFA.PatternMatch[Row], matchNo: Long): Seq[Any] =
       measureIdx.map { case (meas, ci) =>
-        lazy val bound = m(meas.variable)
+        lazy val bound = boundOf(m, meas.variable)
         lazy val nonNull = bound.filterNot(_.isNullAt(ci))
         meas.fn match {
           case "CLASSIFIER" =>
-            // ONE ROW semantics: classifier of the match's LAST row.
-            vars.reverseIterator.find(v => m(v).nonEmpty).orNull
+            // ONE ROW semantics: classifier of the match's LAST row
+            // (resolved through alternation attribution).
+            vars.reverseIterator.find(v => m(v).nonEmpty).map { v =>
+              if (spec.altGroups.contains(v)) attributedMember(m(v).last, v) else v
+            }.orNull
           case "MATCH_NUMBER" => matchNo
           case "COUNT" =>
             if (meas.column == "*") bound.size.toLong else nonNull.size.toLong
@@ -475,7 +550,13 @@ object MatchRecognize {
         // variable) and per-row measure values: RUNNING by default (the
         // value over the match prefix up to and including the current row —
         // SQL ALL ROWS semantics), whole-match value under FINAL.
-        val seqRows = vars.iterator.flatMap(v => m(v).iterator.map(v -> _)).toVector
+        // alternation rows carry their ATTRIBUTED member name — it drives
+        // both the classifier column and which measures accumulate
+        val seqRows = vars.iterator.flatMap { v =>
+          m(v).iterator.map { r =>
+            (if (spec.altGroups.contains(v)) attributedMember(r, v) else v) -> r
+          }
+        }.toVector
         lazy val finals = measureVals(m, matchNo)
         // Per-measure running accumulators, updated row by row: RUNNING
         // values are O(1) per output row, not a prefix re-scan.

@@ -478,6 +478,92 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(sqlOut.sorted == dslOut.sorted)
   }
 
+  test("(B | C) alternation: attribution, measures, classifier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // c: 0=A-eligible, 1=B, 2=C, 3=D; row 6 (c=9) matches nothing
+    Seq((1L, 10L, 0), (2L, 20L, 1), (3L, 30L, 2), (4L, 40L, 1), (5L, 50L, 3), (6L, 0L, 9))
+      .toDF("tick", "v", "c")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .createOrReplaceTempView("alt_ticks")
+    val spec = MatchRecognize.parseSpec(
+      "ORDER BY ts PATTERN (A (B | C)+ D) DEFINE A AS c = 0")
+    assert(spec.pattern == Seq(("A", ""), ("__alt0", "+"), ("D", "")))
+    assert(spec.altGroups == Map("__alt0" -> Seq("B", "C")))
+    val one = MatchRecognize.sql(spark,
+      """SELECT * FROM alt_ticks MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES COUNT(B.*) AS n_b, COUNT(C.*) AS n_c,
+        |           SUM(B.v) AS sum_b, FIRST(C.v) AS first_c,
+        |           CLASSIFIER() AS cls
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A (B | C)+ D)
+        |  DEFINE A AS A.c = 0, B AS B.c = 1, C AS C.c = 2, D AS D.c = 3
+        |)""".stripMargin).collect()
+    assert(one.length == 1)
+    val r = one.head
+    assert(r.getLong(r.fieldIndex("n_b")) == 2L) // rows 2, 4
+    assert(r.getLong(r.fieldIndex("n_c")) == 1L) // row 3
+    assert(r.getLong(r.fieldIndex("sum_b")) == 60L)
+    assert(r.getLong(r.fieldIndex("first_c")) == 30L)
+    assert(r.getString(r.fieldIndex("cls")) == "D")
+    val all = MatchRecognize.sql(spark,
+      """SELECT * FROM alt_ticks MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES FINAL COUNT(B.*) AS n_b
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A (B | C)+ D)
+        |  DEFINE A AS A.c = 0, B AS B.c = 1, C AS C.c = 2, D AS D.c = 3
+        |)""".stripMargin).collect()
+      .map(r => (r.getLong(r.fieldIndex("tick")), r.getString(r.fieldIndex("classifier"))))
+      .sortBy(_._1).toSeq
+    assert(all == Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "B"), (5L, "D")))
+  }
+
+  test("alternation preference: leftmost member wins when both DEFINEs hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // v=15 satisfies BOTH B (v>10) and C (v>5): attributed to B (leftmost)
+    Seq((1L, 0L), (2L, 15L), (3L, 100L))
+      .toDF("tick", "v")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .createOrReplaceTempView("alt_pref")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM alt_pref MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES COUNT(B.*) AS n_b, COUNT(C.*) AS n_c
+        |  ONE ROW PER MATCH
+        |  PATTERN (A (B | C) D)
+        |  DEFINE A AS A.v = 0, B AS B.v > 10, C AS C.v > 5, D AS D.v = 100
+        |)""".stripMargin).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 0L)
+  }
+
+  test("alternation member restrictions produce clear errors") {
+    prepareView()
+    intercept[IllegalArgumentException] { // member with aggregate DEFINE
+      MatchRecognize.sql(spark,
+        """SELECT * FROM billing MATCH_RECOGNIZE (
+          |  PARTITION BY id ORDER BY user_action_time
+          |  MEASURES A.datetime AS a ONE ROW PER MATCH
+          |  PATTERN (A (B | C))
+          |  DEFINE A AS A.balanceAfter < 10, B AS SUM(B.balanceAfter) < 8,
+          |         C AS C.balanceAfter > 0
+          |)""".stripMargin).collect()
+    }
+    intercept[IllegalArgumentException] { // member also a plain variable
+      MatchRecognize.parseSpec(
+        "ORDER BY ts PATTERN (B (B | C)) DEFINE B AS x > 1")
+    }
+    intercept[IllegalArgumentException] { // SKIP TO an alternation member
+      MatchRecognize.parseSpec(
+        "ORDER BY ts AFTER MATCH SKIP TO FIRST B PATTERN (A (B | C) D) DEFINE A AS x > 1")
+    }
+  }
+
   test("AFTER MATCH SKIP TO FIRST/LAST variable parses to the DSL strategy") {
     val f = MatchRecognize.parseSpec(
       """ORDER BY ts AFTER MATCH SKIP TO FIRST B
