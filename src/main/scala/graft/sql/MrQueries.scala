@@ -39,7 +39,35 @@ object MrQueries {
       .orderBy($"user_id", $"alarm_ts", $"topup_ts", $"n_b")
   }
 
+  /** Funnel with `(V | K)` ALTERNATION: signup, then one-or-more view/click
+    * engagement rows — each attributed to its own variable, counted
+    * separately — then a purchase, strictly contiguous, within 1 day. */
+  def funnelAlt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.sources.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val out = MatchRecognize(ev,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES S.ts AS signup_ts0, P.ts AS purchase_ts0,
+        |         COUNT(V.*) AS n_views, COUNT(K.*) AS n_clicks
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (S (V | K)+ P) WITHIN INTERVAL '24' HOUR
+        |DEFINE
+        |  S AS S.event_type = 'signup',
+        |  V AS V.event_type = 'view',
+        |  K AS K.event_type = 'click',
+        |  P AS P.event_type = 'purchase'""".stripMargin)
+    out.select($"user_id",
+        date_trunc("second", $"signup_ts0").as("signup_ts"),
+        date_trunc("second", $"purchase_ts0").as("purchase_ts"),
+        $"n_views", $"n_clicks")
+      .orderBy($"user_id", $"signup_ts", $"purchase_ts", $"n_views", $"n_clicks")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mr_low_balance" -> lowBalance _,
+    "q_mr_funnel_alt" -> funnelAlt _,
   )
 }
