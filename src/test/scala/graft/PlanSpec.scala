@@ -80,6 +80,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("MATCH_RECOGNIZE plan: single exchange on the partition key") {
+    for (q <- Seq("q_mr_low_balance", "q_mr_funnel_alt", "q_cep_no_purchase")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q:\n$p")
+    }
+  }
+
   test("dedup hot-bucket guard: broadcast LEFT ANTI, never a window sort") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
     df.collect()
