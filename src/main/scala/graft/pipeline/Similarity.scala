@@ -79,8 +79,64 @@ object Similarity {
   /** The declared query: 4 planes, radius-1 multiprobe, top-3. */
   def annLsh(s: SparkSession, dir: String): DataFrame = annLshParam(s, dir)
 
+  val IvfK = 4
+
+  /** IVF (inverted-file) ANN: cells come from K centroids learned by ONE
+    * exact-arithmetic k-means refinement — seeds are the first K vectors,
+    * every vector assigns to its nearest centroid by integer squared-L2
+    * (ties → lowest centroid id), centroids update to the floor of the
+    * per-dimension mean, vectors re-assign, and top-k search runs INSIDE
+    * the final cell (the candidate set is cell-bounded — the 100 TB path:
+    * at scale, K grows with the corpus and the per-cell join stays narrow).
+    *
+    * The K×64 centroid tables are collected driver-side between steps —
+    * they are broadcast CONSTANTS of the plan (like `TextSim`'s query
+    * vector), not data movement: the per-step reduce (posexplode +
+    * groupBy(cell, pos)) is fully distributed.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+      .cache()
+    def dist(q: Column, c: Seq[Long]): Column =
+      aggregate(zip_with(q, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x)
+    // nearest centroid: lexicographic min over (distance, cid) structs
+    def assign(df: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+      df.withColumn("cell",
+        least(cents.map { case (cid, cq) =>
+          struct(dist($"q", cq).as("d"), lit(cid).as("cid"))
+        }: _*).getField("cid"))
+    val seeds: Seq[(Long, Seq[Long])] = e.filter($"vec_id" < IvfK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    // one refinement: per-cell, per-dimension floor-of-mean (exact: the
+    // int64 sums are < 2^53, so the double division is lossless)
+    val updated: Map[Long, Seq[Long]] = assign(e, seeds)
+      .select($"cell", posexplode($"q").as(Seq("pos", "v")))
+      .groupBy($"cell", $"pos")
+      .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("m"))
+      .groupBy($"cell")
+      .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cell", transform($"pm", x => x("m")).as("cent"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cents = seeds.map { case (cid, q0) => (cid, updated.getOrElse(cid, q0)) }
+    val cells = assign(e, cents)
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    cells.filter($"vec_id" < QueryVecs)
+      .select($"vec_id".as("query_id"), $"q".as("qv"), $"cell")
+      .join(cells, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_ann" -> annLsh _,
+    "q_similarity_ivf" -> annIvf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,6 +158,42 @@ object Similarity {
          |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
          |  FROM b qr JOIN b c
          |  ON bit_count(xor(qr.bkt, c.bkt)) <= 1 AND qr.vec_id <> c.vec_id
+         |  WHERE qr.vec_id < $QueryVecs)
+         |SELECT query_id, rnk, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    // IVF mirror: the same seeded one-step k-means unrolled as CTEs — the
+    // nearest-centroid argmin is a row_number over the vec×centroid cross
+    // (fine at oracle scale; the Spark plan uses K inline constants instead)
+    "q_similarity_ivf" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q FROM e WHERE vec_id < $IvfK),
+         |a1 AS (SELECT vec_id, q, cell FROM (
+         |  SELECT e.vec_id, e.q, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+         |  FROM e CROSS JOIN seeds c) WHERE rn = 1),
+         |u1 AS (SELECT cell, list_transform(generate_series(1, 64), i ->
+         |    CAST(floor(CAST(list_sum(list_transform(qs, v -> v[i])) AS DOUBLE)
+         |      / len(qs)) AS BIGINT)) AS cent
+         |  FROM (SELECT cell, list(q) AS qs FROM a1 GROUP BY cell)),
+         |cents AS (SELECT s.cid, COALESCE(u.cent, s.q) AS q
+         |  FROM seeds s LEFT JOIN u1 u ON u.cell = s.cid),
+         |a2 AS (SELECT vec_id, q, cell FROM (
+         |  SELECT e.vec_id, e.q, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+         |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+         |cand AS (SELECT qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
+         |  FROM a2 qr JOIN a2 c ON qr.cell = c.cell AND qr.vec_id <> c.vec_id
          |  WHERE qr.vec_id < $QueryVecs)
          |SELECT query_id, rnk, vec_id FROM (
          |  SELECT query_id, vec_id,

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType,
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
   LongType, ShortType, StringType, StructField, StructType}
 
 import graft.pattern.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
