@@ -57,9 +57,11 @@ object MatchRecognize {
   /** One MEASURES item. `fn` ∈ "", FIRST, LAST, COUNT, SUM, AVG, MIN, MAX,
     * CLASSIFIER, MATCH_NUMBER; `column` is "*" for `COUNT(V.*)` and empty
     * for the no-argument functions. `mode` ∈ "" (SQL default: RUNNING in
-    * ALL ROWS mode, FINAL in ONE ROW mode), "RUNNING", "FINAL". */
+    * ALL ROWS mode, FINAL in ONE ROW mode), "RUNNING", "FINAL". `offset`
+    * is the SQL logical offset of `FIRST|LAST(V.c, n)` — n rows after the
+    * first / before the last bound row. */
   final case class Measure(fn: String, variable: String, column: String,
-      alias: String, mode: String = "")
+      alias: String, mode: String = "", offset: Int = 0)
   final case class Spec(
       partitionBy: Seq[String],
       orderBy: Seq[String], // head = event time; tail = deterministic tiebreaks
@@ -88,7 +90,8 @@ object MatchRecognize {
     "(?is)PATTERN\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)".r
   private val WithinRe = "(?is)WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(SECOND|MINUTE|HOUR|DAY)".r
   private val DefineRe = "(?is)DEFINE\\s+(.*)$".r
-  private val MeasureItemRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\)?\\s+AS\\s+(\\w+)$".r
+  private val MeasureItemRe =
+    "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)(?:\\s*,\\s*(\\d+))?\\)?\\s+AS\\s+(\\w+)$".r
   private val MeasureAggRe =
     "(?is)^(COUNT|SUM|AVG|MIN|MAX)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val MeasureNoArgRe =
@@ -103,7 +106,8 @@ object MatchRecognize {
       .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE: ORDER BY required"))
     val ModeRe = "(?is)^(RUNNING|FINAL)\\s+(.*)$".r
     val measures = MeasuresRe.findFirstMatchIn(body).map(_.group(1)).toSeq
-      .flatMap(_.split(","))
+      // split on top-level commas only — `FIRST(V.c, 2)` carries one inside
+      .flatMap(_.split(",(?![^(]*\\))"))
       .map(_.trim).filter(_.nonEmpty)
       .map { item =>
         val (mode, rest) = item match {
@@ -113,8 +117,11 @@ object MatchRecognize {
         rest match {
           case MeasureNoArgRe(fn, a) => Measure(fn.toUpperCase, "", "", a, mode)
           case MeasureAggRe(fn, v, c, a) => Measure(fn.toUpperCase, v, c, a, mode)
-          case MeasureItemRe(fn, v, c, a) =>
-            Measure(Option(fn).getOrElse("").toUpperCase, v, c, a, mode)
+          case MeasureItemRe(fn, v, c, off, a) =>
+            val offset = Option(off).map(_.toInt).getOrElse(0)
+            if (offset > 0 && fn == null) throw new IllegalArgumentException(
+              s"offset requires FIRST(...) or LAST(...): $rest")
+            Measure(Option(fn).getOrElse("").toUpperCase, v, c, a, mode, offset)
           case other => throw new IllegalArgumentException(s"unsupported measure: $other")
         }
       }
@@ -538,9 +545,9 @@ object MatchRecognize {
           case "MAX" =>
             if (nonNull.isEmpty) null
             else nonNull.maxBy(r => asComparable(r.get(ci))).get(ci)
-          case "FIRST" => bound.headOption.map(_.get(ci)).orNull
+          case "FIRST" => bound.lift(meas.offset).map(_.get(ci)).orNull
           // plain V.c ≡ LAST(V.c), per SQL row-pattern semantics
-          case _ => bound.lastOption.map(_.get(ci)).orNull
+          case _ => bound.lift(bound.size - 1 - meas.offset).map(_.get(ci)).orNull
         }
       }
 
@@ -564,8 +571,8 @@ object MatchRecognize {
           var nAll = 0L; var n = 0L; var sumL = 0L; var sumMicros = 0L
           var minV: Any = null; var minC = 0.0
           var maxV: Any = null; var maxC = 0.0
-          var firstV: Any = null; var lastV: Any = null
-          var hasFirst = false; var hasLast = false
+          // non-null values seen so far, for FIRST/LAST/plain (with offsets)
+          var vals: Vector[Any] = Vector.empty
         }
         val accs = measureIdx.map(_ => new Acc)
         seqRows.iterator.flatMap { case (v, r) =>
@@ -591,8 +598,7 @@ object MatchRecognize {
                     if (a.maxV == null || c > a.maxC) { a.maxV = raw; a.maxC = c }
                   case _ => ()
                 }
-                if (!a.hasFirst) { a.firstV = raw; a.hasFirst = true }
-                a.lastV = raw; a.hasLast = true
+                a.vals :+= raw
               }
             }
           }
@@ -613,9 +619,9 @@ object MatchRecognize {
                 if (a.n == 0) null else java.lang.Math.floorDiv(a.sumMicros, a.n)
               case "MIN" => a.minV
               case "MAX" => a.maxV
-              case "FIRST" => if (a.hasFirst) a.firstV else null
+              case "FIRST" => a.vals.lift(meas.offset).orNull
               // plain V.c in ALL ROWS = RUNNING LAST(V.c), per SQL
-              case _ => if (a.hasLast) a.lastV else null
+              case _ => a.vals.lift(a.vals.size - 1 - meas.offset).orNull
             }
           }
           Row.fromSeq(r.toSeq.take(inputWidth) ++ (v +: vals))

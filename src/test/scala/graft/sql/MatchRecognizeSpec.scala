@@ -478,6 +478,30 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(sqlOut.sorted == dslOut.sorted)
   }
 
+  test("FIRST/LAST measure offsets: n rows after first / before last") {
+    prepareView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES FIRST(B.balanceAfter) AS b0, FIRST(B.balanceAfter, 1) AS b1,
+        |           LAST(B.balanceAfter, 1) AS bl1, LAST(B.balanceAfter, 5) AS miss
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin).collect()
+    // golden B rows: balanceAfter 4, 3
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("b0")) == 4L)
+    assert(r.getLong(r.fieldIndex("b1")) == 3L)
+    assert(r.getLong(r.fieldIndex("bl1")) == 4L)
+    assert(r.isNullAt(r.fieldIndex("miss"))) // offset past the binding → null
+  }
+
   test("(B | C) alternation: attribution, measures, classifier") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
