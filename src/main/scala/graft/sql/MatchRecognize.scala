@@ -222,19 +222,22 @@ object MatchRecognize {
   private def stripVarPrefixes(cond: String, vars: Seq[String]): String =
     vars.foldLeft(cond)((c, v) => c.replaceAll(s"(?i)\\b$v\\.", ""))
 
-  /** An iterative DEFINE term `X.col OP FIRST|LAST(W.col)` — evaluated
+  /** An iterative DEFINE term `X.col OP FIRST|LAST(W.col[, n])` — evaluated
     * against the partial match's bindings (lowered onto whereContext). */
   private final case class NavRef(
-      col: String, op: String, fn: String, refVar: String, refCol: String)
+      col: String, op: String, fn: String, refVar: String, refCol: String,
+      offset: Int = 0)
 
   private val NavRefRe =
-    "(?i)(\\w+)\\.(\\w+)\\s*(<=|>=|<>|=|<|>)\\s*(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+    ("(?i)(\\w+)\\.(\\w+)\\s*(<=|>=|<>|=|<|>)\\s*(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)" +
+      "\\s*(?:,\\s*(\\d+))?\\s*\\)").r
 
   /** Split a DEFINE condition into navigation-function terms (iterative) and
     * the per-row residual (each nav term replaced with TRUE). */
   private def splitNavRefs(cond: String): (String, Seq[NavRef]) = {
     val refs = NavRefRe.findAllMatchIn(cond).map(m =>
-      NavRef(m.group(2), m.group(3), m.group(4).toUpperCase, m.group(5), m.group(6))).toSeq
+      NavRef(m.group(2), m.group(3), m.group(4).toUpperCase, m.group(5), m.group(6),
+        Option(m.group(7)).map(_.toInt).getOrElse(0))).toSeq
     (NavRefRe.replaceAllIn(cond, "TRUE"), refs)
   }
 
@@ -434,7 +437,10 @@ object MatchRecognize {
         val ci = idx(ref.col)
         val refCi = idx(ref.refCol)
         (r: Row, ctx: graft.pattern.PatternContext[Row]) => {
-          val bound = if (ref.fn == "FIRST") ctx.first(ref.refVar) else ctx.last(ref.refVar)
+          val all = ctx(ref.refVar)
+          val bound =
+            if (ref.fn == "FIRST") all.lift(ref.offset)
+            else all.lift(all.size - 1 - ref.offset)
           bound.exists(b => cmp(ref.op, asComparable(r.get(ci)), asComparable(b.get(refCi))))
         }
       }

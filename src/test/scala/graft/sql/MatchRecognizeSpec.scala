@@ -103,6 +103,10 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(q("C.balanceAfter > FIRST(A.balanceBefore)").head.getString(2) == "2020-05-01 11:40:00")
     assert(q("C.balanceAfter < FIRST(A.balanceBefore)").isEmpty)
     assert(q("C.balanceAfter >= LAST(B.balanceAfter)").length == 1) // 23 >= 3
+    // offsets: LAST(B, 1) = second-to-last B (balanceAfter 4); golden C = 23
+    assert(q("C.balanceAfter > LAST(B.balanceAfter, 1)").length == 1)
+    assert(q("C.balanceAfter < LAST(B.balanceAfter, 1)").isEmpty)
+    assert(q("C.balanceAfter > FIRST(B.balanceAfter, 9)").isEmpty) // out of range → false
   }
 
   test("malformed clauses fail with clear errors, not silent misparses") {
