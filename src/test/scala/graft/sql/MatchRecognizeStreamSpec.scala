@@ -126,6 +126,36 @@ class MatchRecognizeStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("(B | C) alternation works over a stream with per-member counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Long, Long)]
+    input.toDS().toDF("tick", "v", "c")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .withWatermark("ts", "5 minutes")
+      .createOrReplaceTempView("alt_stream")
+    val result = MatchRecognize.sql(spark,
+      """SELECT * FROM alt_stream MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES COUNT(B.*) AS n_b, COUNT(C.*) AS n_c
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A (B | C)+ D) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.c = 0, B AS B.c = 1, C AS C.c = 2, D AS D.c = 3
+        |)""".stripMargin)
+    val q = result.writeStream.format("memory").queryName("alt_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 2L)))
+      q.processAllAvailable()
+      input.addData(Seq((4L, 4L, 1L), (5L, 5L, 3L), (30L, 0L, 9L)))
+      q.processAllAvailable()
+      val got = spark.table("alt_stream_out").collect()
+        .map(r => (r.getLong(r.fieldIndex("n_b")), r.getLong(r.fieldIndex("n_c")))).toSeq
+      assert(got == Seq((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("ALL ROWS PER MATCH with RUNNING measures over a stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
