@@ -550,6 +550,51 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(all == Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "B"), (5L, "D")))
   }
 
+  test("alternation property: per-member counts match a brute-force matcher") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    for (iter <- 0 until 3) {
+      val cs = Vector.fill(80)(rnd.nextInt(5) match {
+        case 4 => 9 // non-matching filler
+        case k => k
+      })
+      cs.zipWithIndex.map { case (c, i) => (i.toLong + 1, c) }
+        .toDF("tick", "c")
+        .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+        .createOrReplaceTempView(s"alt_prop_$iter")
+      val got = MatchRecognize.sql(spark,
+        s"""SELECT * FROM alt_prop_$iter MATCH_RECOGNIZE (
+           |  ORDER BY ts
+           |  MEASURES FIRST(A.tick) AS t0, COUNT(B.*) AS n_b, COUNT(C.*) AS n_c
+           |  ONE ROW PER MATCH
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN (A (B | C)+ D)
+           |  DEFINE A AS A.c = 0, B AS B.c = 1, C AS C.c = 2, D AS D.c = 3
+           |)""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      // brute: sequential attempts, strict contiguity, skip past last row
+      var want = List.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < cs.length) {
+        if (cs(i) != 0) i += 1
+        else {
+          var j = i + 1
+          var nb = 0L; var nc = 0L
+          while (j < cs.length && (cs(j) == 1 || cs(j) == 2)) {
+            if (cs(j) == 1) nb += 1 else nc += 1
+            j += 1
+          }
+          if (j < cs.length && cs(j) == 3 && nb + nc >= 1) {
+            want ::= (i.toLong + 1, nb, nc)
+            i = j + 1
+          } else i += 1
+        }
+      }
+      assert(got == want.reverse, s"cs=$cs")
+    }
+  }
+
   test("alternation preference: leftmost member wins when both DEFINEs hold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
