@@ -79,49 +79,62 @@ object Similarity {
   /** The declared query: 4 planes, radius-1 multiprobe, top-3. */
   def annLsh(s: SparkSession, dir: String): DataFrame = annLshParam(s, dir)
 
-  val IvfK = 4
+  val IvfK = 16
+  val IvfIters = 2
 
-  /** IVF (inverted-file) ANN: cells come from K centroids learned by ONE
-    * exact-arithmetic k-means refinement — seeds are the first K vectors,
-    * every vector assigns to its nearest centroid by integer squared-L2
-    * (ties → lowest centroid id), centroids update to the floor of the
-    * per-dimension mean, vectors re-assign, and top-k search runs INSIDE
-    * the final cell (the candidate set is cell-bounded — the 100 TB path:
-    * at scale, K grows with the corpus and the per-cell join stays narrow).
+  /** IVF (inverted-file) ANN: cells come from K centroids learned by
+    * [[IvfIters]] exact-arithmetic k-means refinements — seeds are the first
+    * K vectors, every vector assigns to its nearest centroid by integer
+    * squared-L2 (ties → lowest centroid id), centroids update to the floor
+    * of the per-dimension mean, and top-k search runs INSIDE the final cell
+    * (the candidate set is cell-bounded — the 100 TB path: at scale, K grows
+    * with the corpus and the per-cell join stays narrow).
     *
-    * The K×64 centroid tables are collected driver-side between steps —
-    * they are broadcast CONSTANTS of the plan (like `TextSim`'s query
-    * vector), not data movement: the per-step reduce (posexplode +
-    * groupBy(cell, pos)) is fully distributed.
+    * Assignment is fully join-based: the K-row centroid DataFrame is
+    * broadcast against every vector (BroadcastNestedLoopJoin — the fact
+    * table never shuffles for the join) and reduced to the nearest centroid
+    * by ONE map-side-combinable `min(struct(dist, cid, …))` aggregation
+    * keyed by vec_id. No K-wide inline expression tree and no driver-side
+    * collect between steps, so K can grow to thousands of cells and only the
+    * broadcast payload grows.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
       .cache()
-    def dist(q: Column, c: Seq[Long]): Column =
-      aggregate(zip_with(q, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, x) => a + x)
-    // nearest centroid: lexicographic min over (distance, cid) structs
-    def assign(df: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
-      df.withColumn("cell",
-        least(cents.map { case (cid, cq) =>
-          struct(dist($"q", cq).as("d"), lit(cid).as("cid"))
-        }: _*).getField("cid"))
-    val seeds: Seq[(Long, Seq[Long])] = e.filter($"vec_id" < IvfK)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
-    // one refinement: per-cell, per-dimension floor-of-mean (exact: the
-    // int64 sums are < 2^53, so the double division is lossless)
-    val updated: Map[Long, Seq[Long]] = assign(e, seeds)
-      .select($"cell", posexplode($"q").as(Seq("pos", "v")))
-      .groupBy($"cell", $"pos")
-      .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("m"))
-      .groupBy($"cell")
-      .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"cell", transform($"pm", x => x("m")).as("cent"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val cents = seeds.map { case (cid, q0) => (cid, updated.getOrElse(cid, q0)) }
-    val cells = assign(e, cents)
+    // exact integer squared-L2 between two quantized vector columns
+    def qdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    // nearest centroid per vector: cid is unique within a group, so the
+    // lexicographic (d, cid) min is deterministic; q rides along in the
+    // struct (never compared — cid already breaks every tie)
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .groupBy($"vec_id")
+        .agg(min(struct(qdist($"q", $"cq").as("d"), $"cid".as("cid"), $"q".as("q"))).as("m"))
+        .select($"vec_id", $"m.q".as("q"), $"m.cid".as("cell"))
+    // per-cell, per-dimension floor-of-mean (exact: the int64 sums are
+    // < 2^53, so the double division is lossless); empty cells keep their
+    // previous centroid via the left join — everything stays distributed
+    def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
+      val u = assigned
+        .select($"cell", posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("m"))
+        .groupBy($"cell")
+        .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cell", transform($"pm", x => x("m")).as("cent"))
+      cents.join(u, cents("cid") === u("cell"), "left")
+        .select($"cid", coalesce($"cent", $"cq").as("cq"))
+    }
+    val seeds = e.filter($"vec_id" < IvfK).select($"vec_id".as("cid"), $"q".as("cq"))
+    // each refined centroid table is K rows — cache it so the next step's
+    // broadcast reads 16 rows instead of replaying the whole lineage
+    val cents = (1 to IvfIters).foldLeft(seeds.cache()) { (c, _) =>
+      update(c, assign(c)).cache()
+    }
+    val cells = assign(cents).cache() // two branches below: queries + candidates
     val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
     cells.filter($"vec_id" < QueryVecs)
       .select($"vec_id".as("query_id"), $"q".as("qv"), $"cell")
@@ -164,36 +177,24 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
          |  FROM cand) WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
-    // IVF mirror: the same seeded one-step k-means unrolled as CTEs — the
+    // IVF mirror: the same seeded two-step k-means unrolled as CTEs — the
     // nearest-centroid argmin is a row_number over the vec×centroid cross
-    // (fine at oracle scale; the Spark plan uses K inline constants instead)
+    // (fine at oracle scale; the Spark plan broadcasts the centroid table
+    // and reduces with min(struct) instead)
     "q_similarity_ivf" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
          |  FROM embeddings),
          |seeds AS (SELECT vec_id AS cid, q FROM e WHERE vec_id < $IvfK),
-         |a1 AS (SELECT vec_id, q, cell FROM (
-         |  SELECT e.vec_id, e.q, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_sum(list_transform(generate_series(1, 64),
-         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
-         |  FROM e CROSS JOIN seeds c) WHERE rn = 1),
-         |u1 AS (SELECT cell, list_transform(generate_series(1, 64), i ->
-         |    CAST(floor(CAST(list_sum(list_transform(qs, v -> v[i])) AS DOUBLE)
-         |      / len(qs)) AS BIGINT)) AS cent
-         |  FROM (SELECT cell, list(q) AS qs FROM a1 GROUP BY cell)),
-         |cents AS (SELECT s.cid, COALESCE(u.cent, s.q) AS q
-         |  FROM seeds s LEFT JOIN u1 u ON u.cell = s.cid),
-         |a2 AS (SELECT vec_id, q, cell FROM (
-         |  SELECT e.vec_id, e.q, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_sum(list_transform(generate_series(1, 64),
-         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
-         |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+         |${duckAssign("a1", "seeds")},
+         |${duckUpdate("u1", "a1", "seeds", "c1")},
+         |${duckAssign("a2", "c1")},
+         |${duckUpdate("u2", "a2", "c1", "c2")},
+         |${duckAssign("a3", "c2")},
          |cand AS (SELECT qr.vec_id AS query_id, c.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
          |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
-         |  FROM a2 qr JOIN a2 c ON qr.cell = c.cell AND qr.vec_id <> c.vec_id
+         |  FROM a3 qr JOIN a3 c ON qr.cell = c.cell AND qr.vec_id <> c.vec_id
          |  WHERE qr.vec_id < $QueryVecs)
          |SELECT query_id, rnk, vec_id FROM (
          |  SELECT query_id, vec_id,
@@ -201,4 +202,24 @@ object Similarity {
          |  FROM cand) WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
   )
+
+  /** DuckDB CTE: assign every vector of `e` to its nearest centroid in
+    * `cents` (columns cid, q) — argmin by squared-L2 then cid. */
+  private def duckAssign(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, q, cell FROM (
+       |  SELECT e.vec_id, e.q, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+       |  FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB CTEs: `u` = per-cell floor-of-mean centroid from assignment
+    * `a`; `out` = refreshed centroid table (empty cells keep `prev`'s). */
+  private def duckUpdate(u: String, a: String, prev: String, out: String): String =
+    s"""$u AS (SELECT cell, list_transform(generate_series(1, 64), i ->
+       |    CAST(floor(CAST(list_sum(list_transform(qs, v -> v[i])) AS DOUBLE)
+       |      / len(qs)) AS BIGINT)) AS cent
+       |  FROM (SELECT cell, list(q) AS qs FROM $a GROUP BY cell)),
+       |$out AS (SELECT s.cid, COALESCE(u.cent, s.q) AS q
+       |  FROM $prev s LEFT JOIN $u u ON u.cell = s.cid)""".stripMargin
 }

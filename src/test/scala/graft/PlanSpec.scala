@@ -87,6 +87,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF centroid assignment: broadcast join, no cartesian, no K-wide expression") {
+    val df = SparkEntry.queries("q_similarity_ivf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the K-row centroid table broadcasts against the fact table — the
+    // vectors never shuffle for the assignment join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // assignment reduces via min(struct(dist, cid, …)), not K inline
+    // least(...) branches — the plan must not blow up with K
+    assert(!p.contains("least("), p)
+    spark.catalog.clearCache()
+  }
+
   test("dedup hot-bucket guard: broadcast LEFT ANTI, never a window sort") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
     df.collect()
