@@ -31,11 +31,16 @@ import scala.collection.mutable.{ArrayBuffer, ListBuffer}
   */
 object NFA {
 
-  /** A completed match: events bound per stage, in stage order then event order. */
+  /** A completed match: events bound per stage, in stage order then event
+    * order; `events` is every consumed event with its stage name in
+    * CONSUMPTION order (the two views coincide for linear patterns, but for
+    * graph patterns — PERMUTE, group loops — only `events` preserves the
+    * interleaving). */
   final case class PatternMatch[T](
       bindings: Map[String, Vector[T]],
       startTs: Long,
-      endTs: Long) {
+      endTs: Long,
+      events: Vector[(String, T)] = Vector.empty) {
     def apply(stage: String): Vector[T] = bindings.getOrElse(stage, Vector.empty)
     def first(stage: String): Option[T] = apply(stage).headOption
     def last(stage: String): Option[T] = apply(stage).lastOption
@@ -66,7 +71,13 @@ object NFA {
       consumed: List[Consumed[T]],
       startIdx: Long,
       startTs: Long,
-      tripped: Set[Int] = Set.empty) {
+      tripped: Set[Int] = Set.empty,
+      /** Graph-mode derivation ranks (SQL preference): the i-th element is
+        * the index of the position chosen at the i-th TAKE, within the
+        * parent's preference-ordered position list. Lexicographically
+        * smaller = preferred (leftmost alternation branch, greedy loop).
+        * Empty in linear mode — legacy resolution never reads it. */
+      ranks: Vector[Int] = Vector.empty) {
     def dedupKey: (Int, Int, List[(Int, Long)], Set[Int]) =
       (stage, taken, consumed.map(c => (c.stage, c.idx)), tripped)
     def contentKey: List[(Int, Long)] = consumed.map(c => (c.stage, c.idx))
@@ -82,7 +93,11 @@ object NFA {
       champion: Option[(Partial[T], Long)] = None,
       /** Last `historyDepth` fed events (oldest first) for physical
         * `PatternContext.recent` navigation. */
-      history: List[T] = Nil)
+      history: List[T] = Nil,
+      /** Graph-mode deferred completions (with completion endTs): mutually
+        * non-overlapping, in preference order, each waiting for every
+        * preferred live partial to die before it may emit. */
+      deferred: List[(Partial[T], Long)] = Nil)
 
   /** Convenience single-shot run over a sorted iterator: feed every event,
     * then flush (batch = closed stream → remaining partials time out).
@@ -112,11 +127,20 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
 
   require(pattern.pendingGuard.isEmpty,
     "pattern must not end with a negative stage (notFollowedBy/notNext need a following stage)")
+  require(pattern.graph.isEmpty || pattern.guards.isEmpty,
+    "graph patterns do not support negative guards")
 
   private val stages = pattern.stages
   private val n = stages.length
   private val within = pattern.withinMs
   private val guards = pattern.guards
+  // Successor stages in preference order (index n = accepting sentinel);
+  // linear chain unless the pattern carries an explicit graph.
+  private val succ: Int => List[Int] = pattern.graph match {
+    case Some(g) => i => g.edges(i)
+    case None => i => List(i + 1)
+  }
+  private val starts: List[Int] = pattern.graph.map(_.starts).getOrElse(List(0))
   // Greedy (default): longest simultaneous completion wins under
   // single-winner skip modes; any reluctant loop flips to shortest.
   private val lenPref: Int => Int =
@@ -131,6 +155,14 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private val preferLongest = stages.filter(_.isLoop).forall(_.greedy)
   private var champion: Option[(Partial[T], Long)] = None
 
+  // Graph mode: SQL:2016 lexicographic preference (leftmost start, then
+  // derivation ranks — leftmost alternation branch / greedy continuation)
+  // replaces the linear first-complete-wins resolution. `deferredCands`
+  // holds completed matches that a preferred live partial could still
+  // displace, mutually non-overlapping, in preference order.
+  private val graphMode = pattern.graph.isDefined
+  private var deferredCands: List[(Partial[T], Long)] = Nil
+
   private var partials = ArrayBuffer.empty[Partial[T]]
   private var minStartIdx = 0L // SkipPastLastEvent: no starts at or before this
   private var nextIdx = 0L
@@ -140,7 +172,8 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private var history: Vector[T] = Vector.empty
 
   def snapshot(): Snapshot[T] =
-    Snapshot(partials.toList, minStartIdx, nextIdx, champion, history.toList)
+    Snapshot(partials.toList, minStartIdx, nextIdx, champion, history.toList,
+      deferredCands)
 
   def restore(s: Snapshot[T]): Unit = {
     partials = ArrayBuffer.from(s.partials)
@@ -148,42 +181,75 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     nextIdx = s.nextIdx
     champion = s.champion
     history = s.history.toVector
+    deferredCands = s.deferred
   }
 
   // History counts as live state: physical PREV navigation must survive
   // across match boundaries and quiet periods (O(historyDepth) per key,
   // paid only by patterns that declare it).
   def hasLiveState: Boolean =
-    partials.nonEmpty || champion.isDefined ||
+    partials.nonEmpty || champion.isDefined || deferredCands.nonEmpty ||
       (pattern.historyDepth > 0 && history.nonEmpty)
 
   /** Earliest pending timeout deadline, if any (streaming timer target). */
   def earliestDeadline: Option[Long] =
     within.flatMap(w =>
-      (partials.map(_.startTs + w) ++ champion.map(_._1.startTs + w)).minOption)
+      (partials.map(_.startTs + w) ++ champion.map(_._1.startTs + w) ++
+        deferredCands.map(_._1.startTs + w)).minOption)
+
+  /** SQL preference order on derivations: earlier start wins; same start →
+    * lexicographic on ranks; equal prefix → the LONGER derivation wins
+    * (greedy: continuing or binding more beats accepting). Negative = `a`
+    * preferred. */
+  private def prefCmp(a: Partial[T], b: Partial[T]): Int = {
+    if (a.startIdx != b.startIdx) return java.lang.Long.compare(a.startIdx, b.startIdx)
+    val ar = a.ranks; val br = b.ranks
+    val m = math.min(ar.length, br.length)
+    var i = 0
+    while (i < m) {
+      val c = java.lang.Integer.compare(ar(i), br(i))
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(br.length, ar.length)
+  }
 
   private def lastIdxOf(p: Partial[T]): Long = p.consumed.head.idx
 
   private def toMatch(p: Partial[T], endTs: Long): PatternMatch[T] =
-    PatternMatch(toBindings(p.consumed), p.startTs, endTs)
+    PatternMatch(toBindings(p.consumed), p.startTs, endTs, toEvents(p.consumed))
 
-  // Stages s, s+1, ... reachable for entry by epsilon-skipping optional stages.
-  private def entryChain(s: Int): List[Int] = {
+  // Stages reachable for ENTRY from `s` (inclusive) by epsilon-skipping
+  // optional stages, in preference order; includes the accepting sentinel
+  // `n` when the remainder is fully skippable. Cycle-safe (group loops can
+  // route back through optional stages) and memoized — the walk is pure
+  // graph structure.
+  private val entryChainMemo = scala.collection.mutable.HashMap.empty[Int, List[Int]]
+  private def entryChain(s: Int): List[Int] = entryChainMemo.getOrElseUpdate(s, {
     val out = ListBuffer.empty[Int]
-    var u = s
-    while (u < n) {
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    def go(u: Int): Unit = if (seen.add(u)) {
       out += u
-      if (stages(u).optionalEntry) u += 1 else u = n + 1 // stop after first mandatory
+      if (u < n && stages(u).optionalEntry) succ(u).foreach(go)
     }
+    go(s)
     out.toList
+  })
+
+  // Entry positions following `from` stages, deduped keeping preference order.
+  private def entriesAfter(from: List[Int]): List[Int] = {
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    from.flatMap(entryChain).filter(u => u < n && seen.add(u))
   }
 
+  private val initialEntries: List[Int] = entriesAfter(starts)
+
   private def positions(p: Partial[T]): List[(Int, Int)] =
-    if (p.taken == 0) entryChain(p.stage).map(u => (u, 0))
+    if (p.taken == 0) entryChain(p.stage).filter(_ < n).map(u => (u, 0))
     else {
       val loopSelf = if (p.taken < stages(p.stage).max) List((p.stage, p.taken)) else Nil
       val proceed =
-        if (p.taken >= stages(p.stage).min) entryChain(p.stage + 1).map(u => (u, 0))
+        if (p.taken >= stages(p.stage).min) entriesAfter(succ(p.stage)).map(u => (u, 0))
         else Nil
       loopSelf ::: proceed
     }
@@ -212,13 +278,19 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   // Can `(stage, taken)` epsilon-reach the accepting state?
   private def accepting(stage: Int, taken: Int): Boolean =
     if (stage >= n) true
-    else if (taken == 0) (stage until n).forall(stages(_).optionalEntry)
-    else taken >= stages(stage).min && (stage + 1 until n).forall(stages(_).optionalEntry)
+    else if (taken == 0) entryChain(stage).contains(n)
+    else taken >= stages(stage).min && succ(stage).exists(entryChain(_).contains(n))
 
+  // Keyed by stage NAME: a graph pattern may bind the same variable through
+  // several stage occurrences (PERMUTE expansion, repeated variables) — all
+  // merge into one vector in consumption order.
   private def toBindings(consumed: List[Consumed[T]]): Map[String, Vector[T]] =
     consumed.reverse
-      .groupBy(_.stage)
-      .map { case (s, evs) => stages(s).name -> evs.map(_.ev).toVector }
+      .groupBy(c => stages(c.stage).name)
+      .map { case (nm, evs) => nm -> evs.map(_.ev).toVector }
+
+  private def toEvents(consumed: List[Consumed[T]]): Vector[(String, T)] =
+    consumed.reverseIterator.map(c => (stages(c.stage).name, c.ev)).toVector
 
   private def toTimeout(p: Partial[T]): PatternTimeout[T] =
     PatternTimeout(toBindings(p.consumed), p.startTs, p.startTs + within.getOrElse(0L))
@@ -239,11 +311,26 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
             List(toMatch(ch, endTs))
           case _ => Nil
         }
+        // Graph-mode deferred completions whose horizon passed emit now:
+        // every preferred live partial starts at or before them, so its
+        // horizon passed too — nothing can displace them anymore.
+        val defEmit = ListBuffer.empty[PatternMatch[T]]
+        if (deferredCands.nonEmpty) {
+          val (expired, kept) = deferredCands.partition { case (p, _) => w >= p.startTs + h }
+          expired.foreach { case (p, endTs) =>
+            defEmit += toMatch(p, endTs)
+            minStartIdx = math.max(minStartIdx, lastIdxOf(p) + 1)
+          }
+          if (expired.nonEmpty) {
+            partials.filterInPlace(_.startIdx >= minStartIdx)
+            deferredCands = kept.filter(_._1.startIdx >= minStartIdx)
+          }
+        }
         val (dead, alive) = partials.partition(p => w >= p.startTs + h)
         partials = alive
         // Branch partials may share an identical consumed set (they differ
         // only in resident NFA position); one timeout per distinct content.
-        (champ, dead.distinctBy(_.contentKey).map(toTimeout).toList)
+        (champ ::: defEmit.toList, dead.distinctBy(_.contentKey).map(toTimeout).toList)
     }
 
   /** Feed the next event (must be >= all previously fed event times). */
@@ -264,13 +351,14 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
 
     def step(p: Partial[T], isInitial: Boolean): Unit = {
       val ctx = ctxOf(p)
+      val posns = if (isInitial) initialEntries.map((_, 0)) else positions(p)
       // Stages whose preceding negative guard fires on THIS event (the gap
       // between the previous take and a future entry now contains a
       // forbidden event). Taking a stage on this same event still wins: the
       // forbidden range is exclusive of the event that anchors the entry.
       val trippedNow: Set[Int] =
         if (isInitial || guards.isEmpty) Set.empty
-        else positions(p).iterator.collect { case (s, 0) => s }.flatMap { s =>
+        else posns.iterator.collect { case (s, 0) => s }.flatMap { s =>
           guards.get(s) match {
             case Some(g: Guard.NotFollowed[T]) if g.pred(e, ctx) => Some(s)
             case Some(g: Guard.NotNext[T])
@@ -279,21 +367,25 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
             case _ => None
           }
         }.toSet
-      positions(p).foreach { case (s, taken) =>
+      posns.iterator.zipWithIndex.foreach { case ((s, taken), posIdx) =>
         if (s < n) {
           val st = stages(s)
           // TAKE (blocked into a stage whose guard tripped earlier in the gap)
           if (taken < st.max && !(taken == 0 && p.tripped(s)) && st.pred(e, ctx)) {
             if (!isInitial || i >= minStartIdx) {
               val newTaken = taken + 1
-              val (rs, rt) = if (newTaken >= st.max) (s + 1, 0) else (s, newTaken)
-              val np = Partial(rs, rt, Consumed(s, i, e) :: p.consumed,
+              // residency stays at (s, newTaken); positions() derives the
+              // successor entries from the graph, so no single "next stage"
+              // need exist (alternation fan-out, loop-backs)
+              val np = Partial(s, newTaken, Consumed(s, i, e) :: p.consumed,
                 if (isInitial) i else p.startIdx,
-                if (isInitial) t else p.startTs)
-              if (accepting(rs, rt)) completed += np
-              // Keep loop branches alive to extend (emit-and-continue for
-              // trailing loops); completed singleton-final branches are done.
-              if (rs < n) add(np)
+                if (isInitial) t else p.startTs,
+                Set.empty, // tripped resets: a take opens a new gap
+                if (graphMode) p.ranks :+ posIdx else p.ranks)
+              if (accepting(s, newTaken)) completed += np
+              // Keep branches that can still advance alive (emit-and-continue
+              // for trailing loops); fully-final completions are done.
+              if (positions(np).nonEmpty) add(np)
             }
           }
           // IGNORE (not for the initial pseudo-partial: it is always present)
@@ -313,7 +405,7 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     def emitAllAndPruneBefore(v: String, first: Boolean): Unit = {
       var bound = Long.MaxValue
       completed.foreach { p =>
-        matches += PatternMatch(toBindings(p.consumed), p.startTs, t)
+        matches += toMatch(p, t)
         val idxs = p.consumed.filter(c => stages(c.stage).name == v).map(_.idx)
         if (idxs.nonEmpty) bound = math.min(bound, if (first) idxs.min else idxs.max)
       }
@@ -346,8 +438,44 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         }
       }
 
-    if (completed.nonEmpty || champion.isDefined) {
+    // Graph-mode SKIP PAST LAST ROW: full SQL:2016 preference. The best
+    // candidate (previously deferred or completed now) emits only when no
+    // live partial is preferred over it (earlier start, preferred branch, or
+    // a greedy continuation of the candidate itself); otherwise it waits in
+    // `deferredCands`. Candidate ends only grow (completions arrive in end
+    // order), so pruning later starts the current best covers is final.
+    def resolveGraph(): Unit = {
+      var cands = (deferredCands ::: completed.iterator.map(p => (p, t)).toList)
+        .sortWith((a, b) => prefCmp(a._1, b._1) < 0)
+      deferredCands = Nil
+      var waiting = false
+      while (!waiting && cands.nonEmpty) {
+        val best = cands.head
+        if (next.exists(p => prefCmp(p, best._1) <= 0)) {
+          // a preferred derivation is still live: defer the best candidate
+          // and every non-overlapping later candidate behind it
+          val keep = ListBuffer(best)
+          var bound = lastIdxOf(best._1)
+          cands.tail.foreach { c =>
+            if (c._1.startIdx > bound) { keep += c; bound = lastIdxOf(c._1) }
+          }
+          deferredCands = keep.toList
+          next.filterInPlace(p =>
+            prefCmp(p, best._1) <= 0 || p.startIdx > lastIdxOf(best._1))
+          waiting = true
+        } else {
+          matches += toMatch(best._1, best._2)
+          minStartIdx = math.max(minStartIdx, lastIdxOf(best._1) + 1)
+          next.filterInPlace(_.startIdx >= minStartIdx)
+          cands = cands.tail.filter(_._1.startIdx >= minStartIdx)
+        }
+      }
+    }
+
+    if (completed.nonEmpty || champion.isDefined ||
+        (graphMode && deferredCands.nonEmpty)) {
       pattern.skip match {
+        case AfterMatchSkip.SkipPastLastEvent if graphMode => resolveGraph()
         case AfterMatchSkip.SkipPastLastEvent =>
           champion match {
             case Some((ch, chEnd)) =>
@@ -372,14 +500,12 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
             case None => resolveSkipPast(completed.toSeq)
           }
         case AfterMatchSkip.NoSkip =>
-          completed.foreach { p =>
-            matches += PatternMatch(toBindings(p.consumed), p.startTs, t)
-          }
+          completed.foreach { p => matches += toMatch(p, t) }
         case AfterMatchSkip.SkipToNext =>
           val starts = completed.map(_.startIdx).toSet
           completed.groupBy(_.startIdx).toSeq.sortBy(_._1).foreach { case (_, ps) =>
             val win = ps.minBy(p => lenPref(p.consumed.length))
-            matches += PatternMatch(toBindings(win.consumed), win.startTs, t)
+            matches += toMatch(win, t)
           }
           next.filterInPlace(p => !starts.contains(p.startIdx))
         case AfterMatchSkip.SkipToFirst(v) => emitAllAndPruneBefore(v, first = true)
@@ -403,15 +529,17 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     (wmMatches ++ matches.toList, timeouts)
   }
 
-  /** End of input (batch only): a deferred maximal match emits; attempts it
-    * overlaps are covered by it, every other remaining partial times out. */
+  /** End of input (batch only): deferred matches emit (every live partial
+    * that could have displaced them is now dead); attempts they overlap are
+    * covered by them, every other remaining partial times out. */
   def flush(): (List[PatternMatch[T]], List[PatternTimeout[T]]) = {
-    val ms = champion.toList.map { case (ch, endTs) =>
+    val ms = (champion.toList ::: deferredCands).map { case (ch, endTs) =>
       minStartIdx = math.max(minStartIdx, lastIdxOf(ch) + 1)
       partials.filterInPlace(_.startIdx >= minStartIdx)
       toMatch(ch, endTs)
     }
     champion = None
+    deferredCands = Nil
     val out = partials.distinctBy(_.contentKey).map(toTimeout).toList
     partials.clear()
     (ms, out)

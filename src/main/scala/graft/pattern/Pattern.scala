@@ -110,6 +110,16 @@ object Guard {
   }
 }
 
+/** Explicit successor structure for NON-LINEAR patterns (alternation of
+  * sequences, group loops `(A B)+`, PERMUTE): `edges(i)` lists the stage
+  * indices that may follow stage `i`, in SQL preference order, with
+  * `stages.length` as the accepting-state sentinel; `starts` lists the entry
+  * stages, again in preference order. A linear pattern (every Flink-DSL
+  * pattern) has no graph — the runner defaults to the `i + 1` chain.
+  * Built by [[RowPattern]]'s Glushkov construction for MATCH_RECOGNIZE.
+  */
+final case class NfaGraph(starts: List[Int], edges: Vector[List[Int]])
+
 final case class Pattern[T](
     stages: Vector[Stage[T]],
     withinMs: Option[Long],
@@ -123,7 +133,11 @@ final case class Pattern[T](
     /** How many physical predecessors [[PatternContext.recent]] must serve
       * (0 = none kept). The runner keeps a ring of the last `historyDepth`
       * fed events per key — state cost O(historyDepth), snapshot-carried. */
-    historyDepth: Int = 0) {
+    historyDepth: Int = 0,
+    /** Successor graph for non-linear patterns; None = linear `i + 1` chain.
+      * Incompatible with negative guards (graph patterns come from strict
+      * row-pattern SQL, which has no notFollowedBy). */
+    graph: Option[NfaGraph] = None) {
 
   /** Enable physical `recent(n)` navigation up to offset `n` in conditions. */
   def withHistory(n: Int): Pattern[T] = copy(historyDepth = math.max(historyDepth, n))
@@ -234,7 +248,7 @@ final case class Pattern[T](
       (u, ctx) => p(f(u), liftCtx(ctx))
     Pattern(
       stages.map { s =>
-        Stage[U](s.name, liftPred(s.pred), s.min, s.max, s.contiguity, s.internal)
+        Stage[U](s.name, liftPred(s.pred), s.min, s.max, s.contiguity, s.internal, s.greedy)
       },
       withinMs, skip,
       guards.map {
@@ -245,7 +259,8 @@ final case class Pattern[T](
         case Guard.NotFollowed(n, p) => Guard.NotFollowed[U](n, liftPred(p))
         case Guard.NotNext(n, p) => Guard.NotNext[U](n, liftPred(p))
       },
-      historyDepth)
+      historyDepth,
+      graph)
   }
 }
 

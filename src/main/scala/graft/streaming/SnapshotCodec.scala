@@ -69,6 +69,8 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
     }
     out.writeInt(p.tripped.size)
     p.tripped.foreach(out.writeInt)
+    out.writeInt(p.ranks.size)
+    p.ranks.foreach(out.writeInt)
   }
 
   def encode(s: Snapshot[T]): Array[Byte] = {
@@ -82,6 +84,7 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
     val events = scala.collection.mutable.LinkedHashMap.empty[Long, T]
     s.partials.foreach(_.consumed.foreach(c => events.getOrElseUpdate(c.idx, c.ev)))
     s.champion.foreach(_._1.consumed.foreach(c => events.getOrElseUpdate(c.idx, c.ev)))
+    s.deferred.foreach(_._1.consumed.foreach(c => events.getOrElseUpdate(c.idx, c.ev)))
     out.writeInt(events.size)
     events.foreach { case (idx, ev) =>
       out.writeLong(idx)
@@ -99,6 +102,13 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
         out.writeLong(endTs)
         writePartial(out, p)
       case None => out.writeBoolean(false)
+    }
+
+    // graph-mode deferred completions (with completion endTs)
+    out.writeInt(s.deferred.size)
+    s.deferred.foreach { case (p, endTs) =>
+      out.writeLong(endTs)
+      writePartial(out, p)
     }
 
     // physical-history ring (PREV navigation): raw events, oldest first
@@ -146,7 +156,12 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
       val tripped = Set.newBuilder[Int]
       var m = 0
       while (m < nTripped) { tripped += in.readInt(); m += 1 }
-      Partial(stage, taken, consumed.result(), startIdx, startTs, tripped.result())
+      val nRanks = in.readInt()
+      val ranks = Vector.newBuilder[Int]
+      var r = 0
+      while (r < nRanks) { ranks += in.readInt(); r += 1 }
+      Partial(stage, taken, consumed.result(), startIdx, startTs, tripped.result(),
+        ranks.result())
     }
 
     val nPartials = in.readInt()
@@ -161,6 +176,14 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
         val endTs = in.readLong()
         Some((readPartial(), endTs))
       } else None
+    val nDeferred = in.readInt()
+    val deferred = List.newBuilder[(Partial[T], Long)]
+    var d = 0
+    while (d < nDeferred) {
+      val endTs = in.readLong()
+      deferred += ((readPartial(), endTs))
+      d += 1
+    }
     val nHist = in.readInt()
     val history = List.newBuilder[T]
     var h = 0
@@ -170,6 +193,7 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
       history += eventFromBytes(b)
       h += 1
     }
-    Snapshot(partials.result(), minStartIdx, nextIdx, champion, history.result())
+    Snapshot(partials.result(), minStartIdx, nextIdx, champion, history.result(),
+      deferred.result())
   }
 }
