@@ -74,7 +74,15 @@ object MatchRecognize {
       excluded: Set[String] = Set.empty, // {- V -} variables (ALL ROWS only)
       /** `(B | C)` alternation groups: synthetic stage name → member
         * variables in preference (lexical) order. */
-      altGroups: Map[String, Seq[String]] = Map.empty)
+      altGroups: Map[String, Seq[String]] = Map.empty,
+      /** Non-flat PATTERN (sequence alternation, quantified groups,
+        * PERMUTE, or alternation members with iterative DEFINEs): the parsed
+        * AST, lowered through [[graft.pattern.RowPattern]]'s graph compiler
+        * instead of the flat stage chain. */
+      ast: Option[graft.pattern.RowPattern.Ast] = None,
+      /** SUBSET union variables: name → member variables. Usable in
+        * MEASURES (rows of all members, in consumption order). */
+      subsets: Map[String, Seq[String]] = Map.empty)
 
   // ------------------------------------------------------------ clause parser
 
@@ -133,14 +141,30 @@ object MatchRecognize {
         else AfterMatchSkip.SkipToLast(v)
       case _ => AfterMatchSkip.SkipPastLastEvent // SQL default
     }
-    val patternStr = PatternRe.findFirstMatchIn(body)
-      .map(_.group(1))
-      .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE: PATTERN required"))
+    // Balanced-paren extraction of the PATTERN body (the clause may nest
+    // arbitrarily: groups, PERMUTE, exclusions).
+    val patternStr = {
+      val kw = "(?is)PATTERN\\s*\\(".r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE: PATTERN required"))
+      var depth = 1
+      var i = kw.end
+      while (depth > 0 && i < body.length) {
+        body.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (depth != 0)
+        throw new IllegalArgumentException("MATCH_RECOGNIZE: unbalanced PATTERN parens")
+      body.substring(kw.end, i - 1).trim
+    }
     // {- ... -} exclusion: the wrapped variables still MATCH (they appear in
     // the pattern sequence below — the var regex skips the brace markers);
     // they are only excluded from ALL ROWS output.
     val ExcludeRe = "(?s)\\{-\\s*(.*?)\\s*-\\}".r
-    val excluded = ExcludeRe.findAllMatchIn(patternStr)
+    val excludedFlat = ExcludeRe.findAllMatchIn(patternStr)
       .flatMap(m => PatternVarRe.findAllMatchIn(m.group(1)).map(_.group(1)))
       .toSet
     // (B | C) alternation: the group collapses to ONE synthetic stage whose
@@ -179,14 +203,48 @@ object MatchRecognize {
         }
       }.toMap
     val allRows = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
-    if (excluded.nonEmpty && !allRows)
+
+    // SUBSET S = (A, B), ... — union variables for MEASURES.
+    val subsets: Map[String, Seq[String]] =
+      "(?is)\\bSUBSET\\s+(.*?)\\s*(?=\\bDEFINE\\b|\\bWITHIN\\b|$)".r
+        .findFirstMatchIn(body).map(_.group(1)).toSeq
+        .flatMap { s =>
+          "(\\w+)\\s*=\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\)".r
+            .findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).split(",").map(_.trim).toSeq)
+        }.toMap
+
+    // Non-flat patterns (sequence alternation, quantified groups, PERMUTE —
+    // parens survive the single-variable-alternation rewrite) and flat
+    // alternations whose members carry iterative DEFINEs lower through the
+    // graph compiler: members become real stages there, so navigation and
+    // aggregate terms work per member.
+    def iterative(cond: String): Boolean =
+      NavRefRe.findFirstIn(cond).isDefined || AggRefRe.findFirstIn(cond).isDefined ||
+        PrevNextRe.findFirstIn(cond).isDefined
+    val needsGraph = patternStr2.contains("(") ||
+      altGroups.valuesIterator.flatten.exists(v => defines.get(v).exists(iterative))
+
+    val (specPattern, specAlt, specExcluded, specAst) =
+      if (needsGraph) {
+        val ast = graft.pattern.RowPattern.parse(patternStr)
+        graft.pattern.RowPattern.compile(ast) // surface structural errors now
+        if (skip != AfterMatchSkip.SkipPastLastEvent)
+          throw new IllegalArgumentException(
+            "group/PERMUTE patterns support AFTER MATCH SKIP PAST LAST ROW only")
+        val vars = graft.pattern.RowPattern.varNames(ast)
+        (vars.map((_, "")), Map.empty[String, Seq[String]],
+          graft.pattern.RowPattern.excludedNames(ast), Some(ast))
+      } else (pattern, altGroups, excludedFlat, None)
+
+    if (specExcluded.nonEmpty && !allRows)
       throw new IllegalArgumentException(
         "{- ... -} exclusion requires ALL ROWS PER MATCH (SQL:2016 row-pattern rules)")
 
     // A variable referenced anywhere must exist in PATTERN — silent
     // misspellings would otherwise define dead conditions or null measures.
-    val plainVars = pattern.map(_._1).filterNot(altGroups.contains).toSet
-    val memberVars = altGroups.valuesIterator.flatten.toSet
+    val plainVars = specPattern.map(_._1).filterNot(specAlt.contains).toSet
+    val memberVars = specAlt.valuesIterator.flatten.toSet
     val clash = plainVars.intersect(memberVars)
     if (clash.nonEmpty) throw new IllegalArgumentException(
       s"alternation members also appear as plain pattern variables: ${clash.mkString(", ")}")
@@ -194,8 +252,21 @@ object MatchRecognize {
     val badDefs = defines.keys.filterNot(varSet)
     if (badDefs.nonEmpty) throw new IllegalArgumentException(
       s"DEFINE references variables not in PATTERN: ${badDefs.mkString(", ")}")
+    subsets.foreach { case (nm, members) =>
+      if (varSet(nm)) throw new IllegalArgumentException(
+        s"SUBSET $nm clashes with a pattern variable")
+      val bad = members.filterNot(varSet)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"SUBSET $nm references variables not in PATTERN: ${bad.mkString(", ")}")
+      defines.foreach { case (v, cond) =>
+        if (s"(?i)\\b$nm\\.".r.findFirstIn(cond).isDefined)
+          throw new IllegalArgumentException(
+            s"DEFINE $v references SUBSET $nm: union variables are MEASURES-only")
+      }
+    }
     val badMeas = measures.collect {
-      case m if m.variable.nonEmpty && !varSet(m.variable) => m.variable
+      case m if m.variable.nonEmpty && !varSet(m.variable) &&
+        !subsets.contains(m.variable) => m.variable
     }.distinct
     if (badMeas.nonEmpty) throw new IllegalArgumentException(
       s"MEASURES references variables not in PATTERN: ${badMeas.mkString(", ")}")
@@ -212,8 +283,8 @@ object MatchRecognize {
         throw new IllegalArgumentException(s"AFTER MATCH SKIP TO LAST $v: no such variable")
       case _ => ()
     }
-    Spec(partition, order, measures, skip, pattern, withinMs, defines, allRows,
-      excluded, altGroups)
+    Spec(partition, order, measures, skip, specPattern, withinMs, defines, allRows,
+      specExcluded, specAlt, specAst, subsets)
   }
 
   /** Rewrite `V.col` variable-prefixed references to plain column refs (the
@@ -390,12 +461,25 @@ object MatchRecognize {
         val di = defIdx(mm); !r.isNullAt(di) && r.getBoolean(di)
       }.get
 
-    /** Rows bound to `v`: direct bindings, or the attributed slice of its
-      * alternation group. */
+    /** Classifier of one consumed event (alternation rows resolve to their
+      * attributed member). */
+    def classifierOf(stageName: String, r: Row): String =
+      if (spec.altGroups.contains(stageName)) attributedMember(r, stageName)
+      else stageName
+
+    /** Rows bound to `v`: direct bindings, the attributed slice of an
+      * alternation group, or — for SUBSET union variables — every member's
+      * rows in consumption order. */
     def boundOf(m: NFA.PatternMatch[Row], v: String): Vector[Row] =
-      memberOf.get(v) match {
-        case Some(g) => m(g).filter(r => attributedMember(r, g) == v)
-        case None => m(v)
+      spec.subsets.get(v) match {
+        case Some(members) =>
+          val s = members.toSet
+          m.events.collect { case (nm, r) if s(classifierOf(nm, r)) => r }
+        case None =>
+          memberOf.get(v) match {
+            case Some(g) => m(g).filter(r => attributedMember(r, g) == v)
+            case None => m(v)
+          }
       }
 
     def tsOf(r: Row): Long = r.get(orderIdx) match {
@@ -407,27 +491,20 @@ object MatchRecognize {
       case other => throw new IllegalArgumentException(s"unsupported ORDER BY type: $other")
     }
 
-    // SQL row-pattern semantics: strict contiguity, strict loop internals.
-    val BoundedRe = "\\{(\\d+)(?:,(\\d*))?\\}".r
-    val stages = spec.pattern.map { case (v, q) =>
-      val (mn, mx) = q match {
-        case "*" => (0, Int.MaxValue)
-        case "+" => (1, Int.MaxValue)
-        case "?" => (0, 1)
-        case BoundedRe(n, null) => (n.toInt, n.toInt) // {n}
-        case BoundedRe(n, "") => (n.toInt, Int.MaxValue) // {n,}
-        case BoundedRe(n, m) => (n.toInt, m.toInt) // {n,m}
-        case _ => (1, 1)
-      }
+    def cmp(op: String, l: Double, rv: Double): Boolean = op match {
+      case "<" => l < rv
+      case "<=" => l <= rv
+      case ">" => l > rv
+      case ">=" => l >= rv
+      case "=" => l == rv
+      case "<>" => l != rv
+    }
+
+    /** The full per-row predicate for variable `v`: its DEFINE boolean
+      * column AND its iterative (navigation / aggregate / streaming-PREV)
+      * terms. Shared by the flat chain and every graph occurrence of `v`. */
+    def stagePred(v: String): (Row, graft.pattern.PatternContext[Row]) => Boolean = {
       val di = defIdx(v)
-      def cmp(op: String, l: Double, rv: Double): Boolean = op match {
-        case "<" => l < rv
-        case "<=" => l <= rv
-        case ">" => l > rv
-        case ">=" => l >= rv
-        case "=" => l == rv
-        case "<>" => l != rv
-      }
       // synthetic group stages have no entry in `lowered` (their column is
       // derived from the members'), hence no iterative parts
       val low = lowered.getOrElse(v,
@@ -478,12 +555,40 @@ object MatchRecognize {
           }
       }
       val iterPreds = navPreds ++ aggPreds ++ prevPreds
-      Stage[Row](v,
-        (r, ctx) => !r.isNullAt(di) && r.getBoolean(di) && iterPreds.forall(_(r, ctx)),
-        mn, mx, Contiguity.Strict, Contiguity.Strict)
-    }.toVector
+      (r, ctx) => !r.isNullAt(di) && r.getBoolean(di) && iterPreds.forall(_(r, ctx))
+    }
+    val preds: Map[String, (Row, graft.pattern.PatternContext[Row]) => Boolean] =
+      (defVars ++ spec.altGroups.keys).map(v => v -> stagePred(v)).toMap
+
+    // SQL row-pattern semantics: strict contiguity, strict loop internals.
+    // Flat patterns lower to the linear stage chain; group/PERMUTE patterns
+    // lower through the Glushkov graph compiler — one stage per variable
+    // OCCURRENCE plus a preference-ordered successor graph.
+    val BoundedRe = "\\{(\\d+)(?:,(\\d*))?\\}".r
+    val (stages, nfaGraph) = spec.ast match {
+      case Some(ast) =>
+        val compiled = graft.pattern.RowPattern.compile(ast)
+        (compiled.leaves.map { lf =>
+          Stage[Row](lf.name, preds(lf.name), lf.min, lf.max,
+            Contiguity.Strict, Contiguity.Strict, lf.greedy)
+        }, Some(compiled.graph))
+      case None =>
+        (spec.pattern.map { case (v, q) =>
+          val (mn, mx) = q match {
+            case "*" => (0, Int.MaxValue)
+            case "+" => (1, Int.MaxValue)
+            case "?" => (0, 1)
+            case BoundedRe(n, null) => (n.toInt, n.toInt) // {n}
+            case BoundedRe(n, "") => (n.toInt, Int.MaxValue) // {n,}
+            case BoundedRe(n, m) => (n.toInt, m.toInt) // {n,m}
+            case _ => (1, 1)
+          }
+          Stage[Row](v, preds(v), mn, mx, Contiguity.Strict, Contiguity.Strict)
+        }.toVector, None)
+    }
     val maxPrev = lowered.valuesIterator.flatMap(_._5).map(_.n).maxOption.getOrElse(0)
-    val pattern = Pattern(stages, spec.withinMs, spec.skip).withHistory(maxPrev)
+    val pattern = Pattern(stages, spec.withinMs, spec.skip, graph = nfaGraph)
+      .withHistory(maxPrev)
 
     // Input columns without the appended __def_* helper columns (ALL ROWS mode).
     val inputWidth = df.schema.length
@@ -525,9 +630,7 @@ object MatchRecognize {
           case "CLASSIFIER" =>
             // ONE ROW semantics: classifier of the match's LAST row
             // (resolved through alternation attribution).
-            vars.reverseIterator.find(v => m(v).nonEmpty).map { v =>
-              if (spec.altGroups.contains(v)) attributedMember(m(v).last, v) else v
-            }.orNull
+            m.events.lastOption.map { case (nm, r) => classifierOf(nm, r) }.orNull
           case "MATCH_NUMBER" => matchNo
           case "COUNT" =>
             if (meas.column == "*") bound.size.toLong else nonNull.size.toLong
@@ -564,12 +667,11 @@ object MatchRecognize {
         // value over the match prefix up to and including the current row —
         // SQL ALL ROWS semantics), whole-match value under FINAL.
         // alternation rows carry their ATTRIBUTED member name — it drives
-        // both the classifier column and which measures accumulate
-        val seqRows = vars.iterator.flatMap { v =>
-          m(v).iterator.map { r =>
-            (if (spec.altGroups.contains(v)) attributedMember(r, v) else v) -> r
-          }
-        }.toVector
+        // both the classifier column and which measures accumulate; the
+        // match's events are already in consumption order (for flat strict
+        // patterns that equals variable order; for graph patterns — PERMUTE,
+        // group loops — only consumption order is right)
+        val seqRows = m.events.map { case (nm, r) => classifierOf(nm, r) -> r }
         lazy val finals = measureVals(m, matchNo)
         // Per-measure running accumulators, updated row by row: RUNNING
         // values are O(1) per output row, not a prefix re-scan.
@@ -585,7 +687,9 @@ object MatchRecognize {
           // accumulators update for EVERY consumed row — {- excluded -}
           // variables still contribute to measures, they just don't emit
           measureIdx.zip(accs).foreach { case ((meas, ci), a) =>
-            if (meas.variable == v && meas.fn != "CLASSIFIER" && meas.fn != "MATCH_NUMBER") {
+            val accumulates = meas.variable == v ||
+              spec.subsets.get(meas.variable).exists(_.contains(v))
+            if (accumulates && meas.fn != "CLASSIFIER" && meas.fn != "MATCH_NUMBER") {
               a.nAll += 1
               if (ci >= 0 && !r.isNullAt(ci)) {
                 a.n += 1

@@ -66,8 +66,67 @@ object MrQueries {
       .orderBy($"user_id", $"signup_ts", $"purchase_ts", $"n_views", $"n_clicks")
   }
 
+  /** PERMUTE: a view, a click, and a conversion event (purchase or signup)
+    * in ANY order, strictly contiguous, within 1 hour — SQL:2016 `PERMUTE`
+    * lowered through the Glushkov graph compiler (alternation of all 6
+    * orderings, lexicographic preference). CLASSIFIER reports which variable
+    * closed the match. */
+  def permute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.sources.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val out = MatchRecognize(ev,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES V.ts AS view_ts0, K.ts AS click_ts0, C.ts AS conv_ts0,
+        |         C.event_type AS conv_kind, CLASSIFIER() AS last_kind
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (PERMUTE(V, K, C)) WITHIN INTERVAL '1' HOUR
+        |DEFINE
+        |  V AS V.event_type = 'view',
+        |  K AS K.event_type = 'click',
+        |  C AS C.event_type = 'purchase' OR C.event_type = 'signup'""".stripMargin)
+    out.select($"user_id",
+        date_trunc("second", $"view_ts0").as("view_ts"),
+        date_trunc("second", $"click_ts0").as("click_ts"),
+        date_trunc("second", $"conv_ts0").as("conv_ts"),
+        $"conv_kind", $"last_kind")
+      .orderBy($"user_id", $"view_ts", $"click_ts", $"conv_ts", $"conv_kind", $"last_kind")
+  }
+
+  /** Quantified GROUP loop + SUBSET: one-or-more strictly alternating
+    * view/click pairs closed by a purchase, within 1 day. `(V K)+` needs the
+    * graph NFA (a sequence repeats, not a variable); `SUBSET ENG = (V, K)`
+    * exposes the union of both engagement variables to MEASURES. */
+  def cycles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.sources.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val out = MatchRecognize(ev,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(V.*) AS n_views, COUNT(K.*) AS n_clicks,
+        |         COUNT(ENG.*) AS n_eng, FIRST(ENG.ts) AS start_ts0,
+        |         P.ts AS purchase_ts0
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN ((V K)+ P) WITHIN INTERVAL '24' HOUR
+        |SUBSET ENG = (V, K)
+        |DEFINE
+        |  V AS V.event_type = 'view',
+        |  K AS K.event_type = 'click',
+        |  P AS P.event_type = 'purchase'""".stripMargin)
+    out.select($"user_id", $"n_views", $"n_clicks", $"n_eng",
+        date_trunc("second", $"start_ts0").as("start_ts"),
+        date_trunc("second", $"purchase_ts0").as("purchase_ts"))
+      .orderBy($"user_id", $"start_ts", $"purchase_ts", $"n_eng")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mr_low_balance" -> lowBalance _,
     "q_mr_funnel_alt" -> funnelAlt _,
+    "q_mr_permute" -> permute _,
+    "q_mr_cycles" -> cycles _,
   )
 }

@@ -615,18 +615,27 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 0L)
   }
 
-  test("alternation member restrictions produce clear errors") {
+  test("alternation members MAY carry iterative DEFINEs (graph lowering)") {
     prepareView()
-    intercept[IllegalArgumentException] { // member with aggregate DEFINE
-      MatchRecognize.sql(spark,
-        """SELECT * FROM billing MATCH_RECOGNIZE (
-          |  PARTITION BY id ORDER BY user_action_time
-          |  MEASURES A.datetime AS a ONE ROW PER MATCH
-          |  PATTERN (A (B | C))
-          |  DEFINE A AS A.balanceAfter < 10, B AS SUM(B.balanceAfter) < 8,
-          |         C AS C.balanceAfter > 0
-          |)""".stripMargin).collect()
-    }
+    // r3 rejected aggregate DEFINEs on alternation members (the synthetic
+    // OR-column stage had nowhere to hang them); the graph lowering gives
+    // each member its own stage, so the condition attaches per member.
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id ORDER BY user_action_time
+        |  MEASURES A.datetime AS a, CLASSIFIER() AS cls ONE ROW PER MATCH
+        |  PATTERN (A (B | C))
+        |  DEFINE A AS A.balanceAfter < 10, B AS SUM(B.balanceAfter) < 8,
+        |         C AS C.balanceAfter > 0
+        |)""".stripMargin).collect()
+    assert(out.nonEmpty)
+    // the spec routed through the graph path
+    val spec = MatchRecognize.parseSpec(
+      "ORDER BY ts PATTERN (A (B | C)) DEFINE B AS SUM(B.x) < 8")
+    assert(spec.ast.isDefined)
+  }
+
+  test("alternation member restrictions produce clear errors") {
     intercept[IllegalArgumentException] { // member also a plain variable
       MatchRecognize.parseSpec(
         "ORDER BY ts PATTERN (B (B | C)) DEFINE B AS x > 1")
@@ -684,5 +693,108 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(q("A B{2,5} C").length == 1)
     assert(q("A B{3,} C").isEmpty)
     assert(q("A B{0,1} C").isEmpty) // strict contiguity: 2 Bs cannot be skipped
+  }
+
+  private def prepareKindView(): Unit = {
+    import spark.implicits._
+    Seq(
+      (1, 1L, "b"), (1, 2L, "a"), (1, 3L, "c"), // B A C — permutation
+      (2, 1L, "a"), (2, 2L, "c"), (2, 3L, "b"), // A C B — permutation
+      (3, 1L, "a"), (3, 2L, "b"), (3, 3L, "a"), // no C: no permutation
+      (4, 1L, "a"), (4, 2L, "b"), (4, 3L, "a"), (4, 4L, "b"), (4, 5L, "a"))
+      .toDF("k", "ts", "kind").createOrReplaceTempView("kindev")
+  }
+
+  test("PERMUTE(A, B, C) through the SQL front-end matches any ordering") {
+    prepareKindView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM kindev MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES FIRST(A.ts) AS a_ts, FIRST(B.ts) AS b_ts, FIRST(C.ts) AS c_ts
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (PERMUTE(A, B, C))
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+        |)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1, 2L, 1L, 3L), (2, 1L, 3L, 2L)))
+  }
+
+  test("PERMUTE in ALL ROWS mode classifies rows in consumption order") {
+    prepareKindView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM kindev MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (PERMUTE(A, B, C))
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+        |)""".stripMargin)
+      .collect().filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(r.fieldIndex("ts")), r.getString(r.fieldIndex("classifier"))))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, "B"), (2L, "A"), (3L, "C")))
+  }
+
+  test("(A B)+ quantified group through the SQL front-end") {
+    prepareKindView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM kindev MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B)+)
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // key 3: one A B pair; key 4: the greedy loop takes BOTH pairs
+    assert(out == Seq((3, 1L, 1L), (4, 2L, 2L)))
+  }
+
+  test("SUBSET union variables aggregate across members in MEASURES") {
+    prepareView()
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM billing MATCH_RECOGNIZE (
+        |  PARTITION BY id
+        |  ORDER BY user_action_time
+        |  MEASURES COUNT(U.*) AS n_u, FIRST(U.datetime) AS first_u,
+        |           LAST(U.datetime) AS last_u
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+        |  SUBSET U = (A, B)
+        |  DEFINE
+        |    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        |    B AS B.balanceBefore >= B.balanceAfter,
+        |    C AS C.balanceBefore < C.balanceAfter
+        |)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    // golden key-2 match consumed A + two Bs before C: U = A ∪ B = 3 rows
+    assert(out == Seq(("2", 3L, "2020-05-01 11:00:00", "2020-05-01 11:30:00")))
+  }
+
+  test("SUBSET validation: unknown members, clashes, DEFINE use rejected") {
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parseSpec(
+        "ORDER BY ts PATTERN (A B) SUBSET U = (A, Z) DEFINE A AS x > 1")
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parseSpec(
+        "ORDER BY ts PATTERN (A B) SUBSET A = (A, B) DEFINE A AS x > 1")
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parseSpec(
+        "ORDER BY ts PATTERN (A B) SUBSET U = (A, B) DEFINE B AS B.x > U.x")
+    }
+  }
+
+  test("graph patterns reject non-default skip modes with a clear error") {
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parseSpec(
+        "ORDER BY ts AFTER MATCH SKIP TO NEXT ROW PATTERN ((A B)+) DEFINE A AS x > 1")
+    }
   }
 }

@@ -80,4 +80,88 @@ class MrQueriesSpec extends AnyFunSuite {
 
     assert(got.sorted == want.sorted)
   }
+
+  /** Per-user event sequences (sorted by ts, event_id) for the brute-force
+    * scans below. Times in ms. */
+  private def eventsByUser(dir: String): Map[Long, Vector[(Long, String)]] = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, dir)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts").as("ts_us"),
+        $"event_id", $"event_type")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(r => (r.getLong(1) / 1000L, r.getString(3))).toVector)
+      .toMap
+  }
+
+  test("q_mr_permute equals a literal sequential triple scan at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = MrQueries.permute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getString(4), r.getString(5))).toSeq
+    assert(got.nonEmpty, "q_mr_permute must produce rows at sf0.001 (driver smoke)")
+
+    // brute force straight from the PERMUTE semantics: three adjacent rows,
+    // one view + one click + one conversion, any order, within 1h, earliest
+    // start wins, SKIP PAST LAST ROW
+    def varOf(kind: String): Option[String] = kind match {
+      case "view" => Some("V")
+      case "click" => Some("K")
+      case "purchase" | "signup" => Some("C")
+      case _ => None
+    }
+    val Within = 3600L * 1000L
+    val want = eventsByUser(dir).toSeq.flatMap { case (uid, ev) =>
+      val out = Seq.newBuilder[(Long, Long, Long, Long, String, String)]
+      var i = 0
+      while (i + 2 < ev.length) {
+        val vars = (i to i + 2).map(j => varOf(ev(j)._2))
+        if (vars.forall(_.isDefined) && vars.flatten.toSet.size == 3 &&
+            ev(i + 2)._1 < ev(i)._1 + Within) {
+          val at = (v: String) => (i to i + 2).find(j => varOf(ev(j)._2).contains(v)).get
+          val cRow = ev(at("C"))
+          out += ((uid, (ev(at("V"))._1 / 1000L) * 1000L, (ev(at("K"))._1 / 1000L) * 1000L,
+            (cRow._1 / 1000L) * 1000L, cRow._2, vars.last.get))
+          i += 3
+        } else i += 1
+      }
+      out.result()
+    }
+    assert(got.sorted == want.sorted)
+  }
+
+  test("q_mr_cycles equals a literal greedy pair scan at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = MrQueries.cycles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getTimestamp(4).getTime, r.getTimestamp(5).getTime)).toSeq
+    assert(got.nonEmpty, "q_mr_cycles must produce rows at sf0.001 (driver smoke)")
+
+    // brute force: maximal run of strictly alternating (view click) pairs,
+    // greedy backoff to the largest pair count whose next row is a purchase
+    // within 24h; SKIP PAST LAST ROW
+    val Within = 24L * 3600L * 1000L
+    val want = eventsByUser(dir).toSeq.flatMap { case (uid, ev) =>
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+      var i = 0
+      while (i < ev.length) {
+        var m = 0
+        while (i + 2 * m + 1 < ev.length &&
+            ev(i + 2 * m)._2 == "view" && ev(i + 2 * m + 1)._2 == "click") m += 1
+        val k = (m to 1 by -1).find(k0 =>
+          i + 2 * k0 < ev.length && ev(i + 2 * k0)._2 == "purchase" &&
+            ev(i + 2 * k0)._1 < ev(i)._1 + Within)
+        k match {
+          case Some(k0) =>
+            out += ((uid, k0.toLong, k0.toLong, 2L * k0,
+              (ev(i)._1 / 1000L) * 1000L, (ev(i + 2 * k0)._1 / 1000L) * 1000L))
+            i += 2 * k0 + 1
+          case None => i += 1
+        }
+      }
+      out.result()
+    }
+    assert(got.sorted == want.sorted)
+  }
 }
