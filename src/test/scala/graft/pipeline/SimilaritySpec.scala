@@ -62,9 +62,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1 >= r0, s"multiprobe recall $r1 < single-bucket $r0")
   }
 
-  test("declared 4-plane multiprobe query finds most exact top-3 neighbors") {
+  test("declared 4-plane radius-2 multiprobe query finds most exact top-3 neighbors") {
     val exact = exactTop3
-    val r = recall(annResult(planes = Similarity.Planes, radius = 1), exact)
-    assert(r >= 0.5, s"recall $r too low for 4 planes + multiprobe")
+    val r = recall(annResult(planes = Similarity.Planes, radius = 2), exact)
+    assert(r >= 0.8, s"recall $r too low for 4 planes + radius-2 multiprobe")
+  }
+
+  test("recall rises with probe radius (honest planes make radius matter)") {
+    val exact = exactTop3
+    val r0 = recall(annResult(planes = Similarity.Planes, radius = 0), exact)
+    val r1 = recall(annResult(planes = Similarity.Planes, radius = 1), exact)
+    val r2 = recall(annResult(planes = Similarity.Planes, radius = 2), exact)
+    assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0 / $r1 / $r2")
   }
 }
