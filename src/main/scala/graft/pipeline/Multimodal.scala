@@ -8,13 +8,14 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns with
   * typed metadata, processed by a partition-batched decode operator.
   *
-  * The real pipeline shape is: parquet blob column → `mapPartitions` batches →
-  * decoder (image/audio codec) → feature columns. This container has no codec
-  * libraries, so `decodeStub` below is a DETERMINISTIC FAKE decoder (clearly
-  * marked): it derives pseudo-metadata (width/height/intensity) from the raw
-  * bytes. Everything around it — the binary schema, the typed batch iterator,
-  * the partition-preserving operator, the feature projection — is the real
-  * Spark plumbing a codec would plug into, and is what the tests pin.
+  * The pipeline shape is: parquet blob column → `mapPartitions` batches →
+  * decoder → feature columns. The image path is REAL: payloads are
+  * well-formed 24-bit uncompressed BMP files ([[encodeBmp]] builds them from
+  * the document bytes — the no-image-files substitute in this container) and
+  * [[decodeBmp]] is an actual format parser — magic check, little-endian
+  * BITMAPINFOHEADER geometry, pixel-data offset, and a pixel walk that skips
+  * each row's 4-byte alignment padding. The video-frame path keeps a
+  * clearly-marked byte-math STUB (no demuxer in the container).
   *
   * Scale notes: decode is per-row CPU work with no shuffle (mapPartitions,
   * narrow); the blob column is pruned away immediately after feature
@@ -27,30 +28,89 @@ object Multimodal {
       doc_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, mean_intensity: Int, checksum: Long)
 
-  /** ==== STUB ==== deterministic fake decoder standing in for a real codec
-    * (no image/audio libraries in this environment). Byte-derived features:
-    * a real implementation would parse the payload header instead.
-    */
-  def decodeStub(r: MediaRow): MediaFeatures = {
-    val bytes = r.payload
-    val n = bytes.length
+  private val FoldM = 9007199254740881L
+
+  /** Encode bytes as a REAL 24-bit uncompressed BMP (BITMAPINFOHEADER, row
+    * padding to 4-byte boundaries, little-endian header ints). Geometry
+    * derives from the source length; pixel bytes are the source cycled in
+    * stored row order. The encoder exists so [[decodeBmp]] has genuine
+    * files to parse without codec libraries in the container. */
+  def encodeBmp(src: Array[Byte]): Array[Byte] = {
+    require(src.nonEmpty, "cannot encode an empty payload")
+    val n = src.length
+    val w = 1 + n % 31
+    val h = 1 + n % 17
+    val rowBytes = 3 * w
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize) // file size
+      .putInt(0)             // reserved
+      .putInt(54)            // pixel data offset
+      .putInt(40)            // BITMAPINFOHEADER size
+      .putInt(w).putInt(h)
+      .putShort(1)           // planes
+      .putShort(24)          // bits per pixel
+      .putInt(0)             // BI_RGB (uncompressed)
+      .putInt(dataSize)
+      .putInt(2835).putInt(2835) // 72 DPI
+      .putInt(0).putInt(0)   // palette
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < rowBytes) { buf.put(src(p % n)); p += 1; x += 1 }
+      var k = 0
+      while (k < pad) { buf.put(0: Byte); k += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** REAL BMP header parser + pixel walk: validates the magic, reads the
+    * geometry and pixel-data offset from the BITMAPINFOHEADER (little-endian,
+    * as the format specifies), rejects compressed or non-24-bit files, and
+    * aggregates mean intensity and a fold checksum over the PIXEL bytes —
+    * skipping each row's 4-byte-alignment padding, which only a decoder that
+    * actually understands the layout can do. */
+  def decodeBmp(r: MediaRow): MediaFeatures = {
+    val b = r.payload
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+      s"doc ${r.doc_id}: not a BMP payload")
+    def i32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val dataOffset = i32(10)
+    val w = i32(18)
+    val h = i32(22)
+    val bpp = i16(28)
+    val compression = i32(30)
+    require(bpp == 24 && compression == 0,
+      s"doc ${r.doc_id}: unsupported BMP variant (bpp=$bpp compression=$compression)")
+    val rowBytes = 3 * w
+    val stride = (rowBytes + 3) / 4 * 4
+    require(dataOffset + stride.toLong * h <= b.length,
+      s"doc ${r.doc_id}: truncated BMP pixel data")
     var sum = 0L
     var checksum = 0L
-    var i = 0
-    while (i < n) {
-      val b = bytes(i) & 0xff
-      sum += b
-      checksum = (checksum * 31 + b) % 9007199254740881L
-      i += 1
+    var y = 0
+    while (y < h) {
+      var i = dataOffset + y * stride
+      val end = i + rowBytes // stop before the alignment padding
+      while (i < end) {
+        val v = b(i) & 0xff
+        sum += v
+        checksum = (checksum * 31 + v) % FoldM
+        i += 1
+      }
+      y += 1
     }
-    MediaFeatures(
-      doc_id = r.doc_id,
-      mime = r.mime,
-      n_bytes = n,
-      width = 1 + (n % 64),
-      height = 1 + ((n / 64) % 64),
-      mean_intensity = if (n == 0) 0 else (sum / n).toInt,
-      checksum = checksum)
+    val pixelBytes = rowBytes.toLong * h
+    MediaFeatures(r.doc_id, r.mime, b.length, w, h,
+      (sum / pixelBytes).toInt, checksum)
   }
 
   final case class FrameSample(doc_id: Long, frame_no: Int, offset: Int, frame_sum: Long)
@@ -105,16 +165,28 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Partition-batched decode: the operator a real codec would run inside. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+  /** Documents as a REAL image table: each text encodes to a well-formed
+    * 24-bit BMP blob (the no-codec-library substitute for reading actual
+    * image files — the bytes are genuine BMP, not a fake). */
+  def bmpTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(_.map(r =>
+      MediaRow(r.doc_id, "image/bmp", encodeBmp(r.payload))))
   }
 
-  /** Declared query: decoded feature columns (blob pruned before output). */
+  /** Partition-batched decode: the operator a real codec runs inside (narrow,
+    * no shuffle; the blob never leaves the partition). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeBmp))
+  }
+
+  /** Declared query: REAL header-parsed feature columns (width/height/offset
+    * read from the BMP header, intensity/checksum from the padding-stripped
+    * pixel walk; blob pruned before output). */
   def features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    decodeFeatures(mediaTable(s, dir))
+    decodeFeatures(bmpTable(s, dir))
       .toDF()
       .select($"doc_id", $"mime", $"n_bytes", $"width", $"height",
         $"mean_intensity", $"checksum")
@@ -126,22 +198,35 @@ object Multimodal {
     "q_multimodal_frames" -> frames _,
   )
 
-  // Oracle reproduces the stub's byte math from the text chars (payload is
-  // the UTF-8 encoding of ASCII text, so ord(char) == byte value).
+  // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
+  // (payload is the UTF-8 encoding of ASCII text, so ord(char) == byte
+  // value). For q_multimodal_features that means the oracle computes what a
+  // correct BMP encode→decode round trip must yield — geometry from the
+  // length, pixel stats over the cycled bytes, padding never counted — so a
+  // decoder that misreads the header, the stride, or the padding fails the
+  // hash compare.
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" ->
       s"""WITH c AS (SELECT doc_id, text,
          |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
          |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
-         |  FROM documents)
-         |SELECT doc_id, 'text/plain' AS mime,
-         |  CAST(len(bs) AS INT) AS n_bytes,
-         |  CAST(1 + len(bs) % 64 AS INT) AS width,
-         |  CAST(1 + (len(bs) // 64) % 64 AS INT) AS height,
-         |  CAST(CAST(list_sum(bs) AS BIGINT) // len(bs) AS INT) AS mean_intensity,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+         |  FROM documents),
+         |g AS (SELECT doc_id, bs, len(bs) AS n,
+         |    1 + len(bs) % 31 AS w, 1 + len(bs) % 17 AS h,
+         |    (4 - (3 * (1 + len(bs) % 31)) % 4) % 4 AS pad,
+         |    3 * (1 + len(bs) % 31) * (1 + len(bs) % 17) AS pp
+         |  FROM c)
+         |SELECT doc_id, 'image/bmp' AS mime,
+         |  CAST(54 + (3 * w + pad) * h AS INT) AS n_bytes,
+         |  CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height,
+         |  CAST(((pp // n) * CAST(list_sum(bs) AS BIGINT) +
+         |    COALESCE(CAST(list_sum(bs[1 : pp % n]) AS BIGINT), 0)) // pp AS INT)
+         |    AS mean_intensity,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(0, pp - 1), i -> bs[(i % n) + 1])),
          |    (a, b) -> (a * 31 + b) % 9007199254740881) AS checksum
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |FROM g ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH c AS (SELECT doc_id,
          |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BMP codec pair: [[Multimodal.encodeBmp]] must emit spec-conformant
+  * files and [[Multimodal.decodeBmp]] must read features back through the
+  * header alone — including the row padding only a real parser skips.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import Multimodal._
+
+  test("encodeBmp emits a well-formed 24-bit BMP (header + padded rows)") {
+    val src = (1 to 100).map(_.toByte).toArray // n=100 → w=8, h=16
+    val bmp = encodeBmp(src)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    def i32(off: Int): Int =
+      (bmp(off) & 0xff) | ((bmp(off + 1) & 0xff) << 8) |
+        ((bmp(off + 2) & 0xff) << 16) | ((bmp(off + 3) & 0xff) << 24)
+    val w = 1 + 100 % 31 // 8
+    val h = 1 + 100 % 17 // 16
+    val pad = (4 - (3 * w) % 4) % 4
+    assert(i32(18) == w && i32(22) == h)
+    assert(i32(10) == 54)                              // pixel offset
+    assert(i32(2) == bmp.length)                       // file size field
+    assert(bmp.length == 54 + (3 * w + pad) * h)
+    // padding bytes are zero and sit where the stride says they sit
+    for (y <- 0 until h; k <- 0 until pad)
+      assert(bmp(54 + y * (3 * w + pad) + 3 * w + k) == 0)
+  }
+
+  test("decodeBmp reads geometry from the header and skips row padding") {
+    // w=2 → rowBytes=6, pad=2: mean over pixels only — the zero padding
+    // bytes must NOT drag the mean down
+    val n = 32 // w = 1 + 32 % 31 = 2, h = 1 + 32 % 17 = 16
+    val src = Array.fill[Byte](n)(100)
+    val f = decodeBmp(MediaRow(7L, "image/bmp", encodeBmp(src)))
+    assert(f.width == 2 && f.height == 16)
+    assert(f.mean_intensity == 100, "padding leaked into the mean")
+    assert(f.n_bytes == 54 + (3 * 2 + 2) * 16)
+    // checksum = fold over the 3*2*16 cycled pixel bytes, all 100
+    val expected = (1 to 3 * 2 * 16).foldLeft(0L)((a, _) => (a * 31 + 100) % 9007199254740881L)
+    assert(f.checksum == expected)
+  }
+
+  test("decodeBmp honors a non-standard pixel-data offset") {
+    val src = (1 to 50).map(_.toByte).toArray
+    val bmp = encodeBmp(src)
+    // splice 8 junk bytes between header and pixels, fix the offset field
+    val spliced = bmp.take(54) ++ Array.fill[Byte](8)(-1) ++ bmp.drop(54)
+    val off = 54 + 8
+    spliced(10) = (off & 0xff).toByte
+    val viaOffset = decodeBmp(MediaRow(1L, "image/bmp", spliced))
+    val direct = decodeBmp(MediaRow(1L, "image/bmp", bmp))
+    assert(viaOffset.copy(n_bytes = direct.n_bytes) == direct,
+      "decoder must locate pixels through the offset field, not assume 54")
+  }
+
+  test("decodeBmp rejects non-BMP and unsupported variants") {
+    intercept[IllegalArgumentException] {
+      decodeBmp(MediaRow(1L, "image/bmp", Array.fill[Byte](60)(7)))
+    }
+    val bmp = encodeBmp((1 to 40).map(_.toByte).toArray)
+    bmp(28) = 8 // claim 8 bits per pixel
+    intercept[IllegalArgumentException] {
+      decodeBmp(MediaRow(1L, "image/bmp", bmp))
+    }
+    val bmp2 = encodeBmp((1 to 40).map(_.toByte).toArray)
+    bmp2(30) = 1 // claim RLE compression
+    intercept[IllegalArgumentException] {
+      decodeBmp(MediaRow(1L, "image/bmp", bmp2))
+    }
+  }
+}
