@@ -76,30 +76,9 @@ object ScaleProbe {
     }
     println(f"""{"probe":"asof","left":$nEvents,"right":${nEvents / 10},"joined":$nJoined,"secs":$asofSecs%.1f,"rows_per_sec":${(nEvents / asofSecs).toLong}}""")
 
-    // ---- streaming CEP: same pattern through transformWithState ----
-    // (event-time column required for the watermark; micro-batch + RocksDB
-    // state-store overhead is the delta vs the batch number)
-    val nStream = nEvents / 10
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val mem = MemoryStream[Ev]
-    val timed = mem.toDS()
-      .withColumn("ets", timestamp_micros($"ts"))
-      .withWatermark("ets", "0 seconds")
-      .drop("ets").as[Ev]
-    val out = graft.streaming.CepStream.matchPattern[Long, Ev, (Long, Long)](
-      timed, _.user_id, _.ts / 1000L, pattern,
-      (k, m) => Some((k, m.startTs)), (_, _) => None)
-    val q = out.writeStream.format("memory").queryName("scale_cep")
-      .outputMode("append").start()
-    val batches = syntheticEvents(spark, nStream, users).as[Ev]
-      .collect().grouped((nStream / 4).toInt + 1).toSeq
-    val (_, streamSecs) = time {
-      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-    }
-    val nOut = spark.table("scale_cep").count()
-    q.stop()
-    println(f"""{"probe":"cep_stream","rows":$nStream,"batches":${batches.size},"matches":$nOut,"secs":$streamSecs%.1f,"rows_per_sec":${(nStream / streamSecs).toLong}}""")
+    // (the streaming CEP probe lives in [[StreamProbe]] — its own main, so
+    // it always runs in a fresh JVM: heap/GC pressure from the batch probes
+    // above skewed its number by up to 3x when it shared the session)
 
     // ---- MinHash LSH dedup: synthetic docs at 10× the sf0.1 documents ----
     // (runs LAST: its shuffle/cache footprint would otherwise inflate the
