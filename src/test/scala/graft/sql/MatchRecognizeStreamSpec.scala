@@ -193,4 +193,68 @@ class MatchRecognizeStreamSpec extends AnyFunSuite {
       assert(out == Seq(("A", 0L, 2L), ("B", 1L, 2L), ("B", 2L, 2L), ("C", 2L, 2L)))
     } finally q.stop()
   }
+
+  test("PERMUTE over a stream: graph NFA state survives batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    input.toDS().toDF("tick", "kind")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .withWatermark("ts", "5 minutes")
+      .createOrReplaceTempView("perm_stream")
+    val result = MatchRecognize.sql(spark,
+      """SELECT * FROM perm_stream MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES FIRST(A.tick) AS a_t, FIRST(B.tick) AS b_t, FIRST(C.tick) AS c_t
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (PERMUTE(A, B, C)) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+        |)""".stripMargin)
+    val q = result.writeStream.format("memory").queryName("perm_stream_out")
+      .outputMode("append").start()
+    try {
+      // B A C split mid-permutation across batches: the partial (with its
+      // derivation ranks) must round-trip the state store
+      input.addData(Seq((1L, "b"), (2L, "a")))
+      q.processAllAvailable()
+      input.addData(Seq((3L, "c"), (10L, "b"), (11L, "c"), (12L, "a"), (40L, "x")))
+      q.processAllAvailable()
+      val got = spark.table("perm_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got == Seq((2L, 1L, 3L), (12L, 10L, 11L)))
+    } finally q.stop()
+  }
+
+  test("(V K)+ group loop over a stream: deferred match emits maximally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    input.toDS().toDF("tick", "kind")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .withWatermark("ts", "5 minutes")
+      .createOrReplaceTempView("cycle_stream")
+    val result = MatchRecognize.sql(spark,
+      """SELECT * FROM cycle_stream MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES COUNT(V.*) AS n_v, COUNT(K.*) AS n_k
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((V K)+ P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE V AS V.kind = 'v', K AS K.kind = 'k', P AS P.kind = 'p'
+        |)""".stripMargin)
+    val q = result.writeStream.format("memory").queryName("cycle_stream_out")
+      .outputMode("append").start()
+    try {
+      // the group loop spans the batch boundary: v k | v k p — the greedy
+      // maximal match (2 pairs) must win after the state round-trip
+      input.addData(Seq((1L, "v"), (2L, "k")))
+      q.processAllAvailable()
+      input.addData(Seq((3L, "v"), (4L, "k"), (5L, "p"), (40L, "x")))
+      q.processAllAvailable()
+      val got = spark.table("cycle_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((2L, 2L)))
+    } finally q.stop()
+  }
 }

@@ -57,6 +57,21 @@ class SnapshotCodecSpec extends AnyFunSuite {
     assert(codec.decode(codec.encode(s)) == s)
   }
 
+  test("graph-mode state round-trips: derivation ranks and deferred matches") {
+    spark
+    val codec = new SnapshotCodec[BillingEvent](Encoders.product[BillingEvent])
+    val base = sampleSnapshot
+    val ranked = base.partials.map(p =>
+      p.copy(ranks = Vector.tabulate(p.consumed.size)(_ % 3)))
+    val s = base.copy(
+      partials = ranked,
+      deferred = List((ranked(1), 7777L), (ranked(2), 8888L)))
+    val back = codec.decode(codec.encode(s))
+    assert(back == s)
+    assert(back.partials(0).ranks == Vector(0, 1, 2))
+    assert(back.deferred.map(_._2) == List(7777L, 8888L))
+  }
+
   test("physical-history ring round-trips") {
     spark
     val codec = new SnapshotCodec[BillingEvent](Encoders.product[BillingEvent])
