@@ -40,7 +40,10 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (errors.contains(name)) -1.0 else dt)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full-precision doubles made the emitted line long
+    // enough that the driver's tail capture truncated its head (r3)
+    def r3f(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3f(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -50,7 +53,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

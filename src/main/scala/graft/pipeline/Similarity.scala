@@ -121,18 +121,23 @@ object Similarity {
     import s.implicits._
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
+      .withColumn("n2", qdot($"q", $"q"))
       .cache()
-    // exact integer squared-L2 between two quantized vector columns
-    def qdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    // exact integer squared-L2 via |a-b|² = |a|² + |b|² - 2·a·b — the dot
+    // runs through the native fused-loop QDot expression instead of an
+    // interpreted zip_with, and the squared norms are precomputed once per
+    // vector/centroid (values stay < 2^53: |a|²,|b|² ≤ 64e12)
+    def qdist(a: Column, an2: Column, b: Column, bn2: Column): Column =
+      an2 + bn2 - lit(2L) * qdot(a, b)
     // nearest centroid per vector: cid is unique within a group, so the
     // lexicographic (d, cid) min is deterministic; q rides along in the
     // struct (never compared — cid already breaks every tie)
     def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .groupBy($"vec_id")
-        .agg(min(struct(qdist($"q", $"cq").as("d"), $"cid".as("cid"), $"q".as("q"))).as("m"))
-        .select($"vec_id", $"m.q".as("q"), $"m.cid".as("cell"))
+        .agg(min(struct(qdist($"q", $"n2", $"cq", $"cn2").as("d"),
+          $"cid".as("cid"), $"q".as("q"), $"n2".as("n2"))).as("m"))
+        .select($"vec_id", $"m.q".as("q"), $"m.n2".as("n2"), $"m.cid".as("cell"))
     // per-cell, per-dimension floor-of-mean (exact: the int64 sums are
     // < 2^53, so the double division is lossless); empty cells keep their
     // previous centroid via the left join — everything stays distributed
@@ -146,8 +151,10 @@ object Similarity {
         .select($"cell", transform($"pm", x => x("m")).as("cent"))
       cents.join(u, cents("cid") === u("cell"), "left")
         .select($"cid", coalesce($"cent", $"cq").as("cq"))
+        .withColumn("cn2", qdot($"cq", $"cq"))
     }
-    val seeds = e.filter($"vec_id" < IvfK).select($"vec_id".as("cid"), $"q".as("cq"))
+    val seeds = e.filter($"vec_id" < IvfK)
+      .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"))
     // each refined centroid table is K rows — cache it so the next step's
     // broadcast reads 16 rows instead of replaying the whole lineage
     val cents = (1 to IvfIters).foldLeft(seeds.cache()) { (c, _) =>
