@@ -48,8 +48,14 @@ class RowPatternSpec extends AnyFunSuite {
           val stop = if (done >= mn) LazyList((p, List.empty[(String, Int)])) else LazyList.empty
           val more =
             if (done >= mx) LazyList.empty
-            else enum(b, rows, p).filter(_._1 > p).flatMap { case (p2, as1) =>
-              go(done + 1, p2).map { case (p3, as2) => (p3, as1 ::: as2) }
+            else enum(b, rows, p).flatMap { case (p2, as1) =>
+              if (p2 > p) go(done + 1, p2).map { case (p3, as2) => (p3, as1 ::: as2) }
+              // regex empty-iteration rule: a zero-width body match ends the
+              // loop AT ITS OWN preference position (it still counts as an
+              // iteration) — filtering it out would mis-rank alternations
+              // whose preferred branch matches empty, e.g. (D* | B?)?
+              else if (done + 1 >= mn) LazyList((p, as1))
+              else LazyList.empty
             }
           if (greedy) more #::: stop else stop #::: more
         }
@@ -235,6 +241,78 @@ class RowPatternSpec extends AnyFunSuite {
         case _: IllegalArgumentException => false
       }
       if (ok) { check(ast, rows); tested += 1 }
+    }
+    assert(tested > 200, s"only $tested viable random patterns")
+  }
+
+  test("property: PERMUTE of compound terms (sequences / quantified leaves)") {
+    val genTerm: Gen[Ast] = Gen.frequency(
+      2 -> genLeaf,
+      1 -> Gen.listOfN(2, genLeaf).map(ASeq(_)))
+    val gen = for {
+      k <- Gen.choose(2, 3)
+      terms <- Gen.listOfN(k, genTerm)
+      rows <- genRows
+    } yield (APermute(terms), rows)
+    var tested = 0
+    forSamples(gen, 300) { case (ast, rows) =>
+      val ok = try { compile(ast); true } catch {
+        case _: IllegalArgumentException => false
+      }
+      if (ok) { check(ast, rows); tested += 1 }
+    }
+    assert(tested > 200, s"only $tested viable random patterns")
+  }
+
+  test("property: deep nesting (depth 3) matches the brute-force matcher") {
+    var tested = 0
+    forSamples(Gen.zip(genAst(3), genRows), 300) { case (ast, rows) =>
+      val ok = try { compile(ast); true } catch {
+        case _: IllegalArgumentException => false
+      }
+      if (ok) { check(ast, rows); tested += 1 }
+    }
+    assert(tested > 150, s"only $tested viable random patterns")
+  }
+
+  test("property: within horizon truncates graph matches like the spec says") {
+    // ts = row index; a match spanning rows s..e-1 is legal iff e-1-s < W
+    // (an event at ts >= start + within cannot extend a partial match)
+    def nfaWithin(a: Ast, rows: Rows, w: Long): List[(Int, List[(String, Int)])] = {
+      val Compiled(leaves, graph) = compile(a)
+      val stages = leaves.map { lf =>
+        Stage[Int](lf.name, (r, _) => rows(r)(lf.name), lf.min, lf.max,
+          Contiguity.Strict, Contiguity.Strict, lf.greedy)
+      }
+      val pattern = Pattern[Int](stages, Some(w), AfterMatchSkip.SkipPastLastEvent,
+        graph = Some(graph))
+      val (ms, _) = NFA.run(rows.indices.iterator, (r: Int) => r.toLong, pattern)
+      ms.toList.map(m => (m.startTs.toInt, m.events.toList))
+    }
+    def bruteWithin(a: Ast, rows: Rows, w: Long): List[(Int, List[(String, Int)])] = {
+      val out = List.newBuilder[(Int, List[(String, Int)])]
+      var s = 0
+      while (s < rows.length) {
+        enum(a, rows, s).filter(c => c._1 - s <= w).headOption match {
+          case Some((end, as)) if end > s => out += ((s, as)); s = end
+          case _ => s += 1
+        }
+      }
+      out.result()
+    }
+    var tested = 0
+    forSamples(Gen.zip(genAst(2), genRows, Gen.choose(1L, 6L)), 400) {
+      case (ast, rows, w) =>
+        val ok = try { compile(ast); true } catch {
+          case _: IllegalArgumentException => false
+        }
+        if (ok) {
+          val got = nfaWithin(ast, rows, w)
+          val want = bruteWithin(ast, rows, w)
+          assert(got == want,
+            s"\npattern: $ast within=$w\nrows: ${rows.mkString(" ")}\nexpected: $want\nactual:   $got")
+          tested += 1
+        }
     }
     assert(tested > 200, s"only $tested viable random patterns")
   }
