@@ -57,7 +57,7 @@ object Dedup {
     // so only the finished signature table needs materializing for its
     // multiple plan branches (band explode + two pair-join sides).
     docs
-      .select($"doc_id", minhashBase(shingles3(tokens($"text"))).as("bh"))
+      .select($"doc_id", shingleMd5(tokens($"text")).as("bh"))
       .select($"doc_id", minhashSigRot($"bh", MinhashK).as("sig"))
       .cache()
   }
@@ -123,8 +123,8 @@ object Dedup {
   def ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
-      .select($"doc_id", shingles3(tokens($"text")).as("sh0"))
-      .select($"doc_id", array_distinct($"sh0").as("sh"), minhashBase($"sh0").as("bh"))
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", array_distinct(shingles3($"w")).as("sh"), shingleMd5($"w").as("bh"))
       .cache()
       .select($"doc_id", $"sh", minhashSigRot($"bh", MinhashK).as("sig"))
     val cand = bandCandidates(docs.select($"doc_id", $"sig"))

@@ -57,6 +57,13 @@ object Hashing {
   def minhashBase(shingles: Column): Column =
     transform(shingles, s => md5(concat(lit("|"), s)))
 
+  /** Fused tokens → word-n-gram → md5 base hashes: one pass through the
+    * native [[graft.functions.ShingleMd5]] expression (thread-local digest,
+    * no shingle-string materialization) — ≡ `minhashBase(shingles3(w))`,
+    * which stays as the built-in-only cross-implementation check. */
+  def shingleMd5(words: Column, n: Int = 3): Column =
+    graft.functions.ShingleMd5(words, n)
+
   /** `k` signature positions from the base hashes via hex-rotation orderings:
     * position i minimizes the md5 rotated left by 4·i hex chars — one md5
     * per shingle instead of k, each rotation a distinct total order. Uses the
