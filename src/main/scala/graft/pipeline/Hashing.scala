@@ -83,8 +83,13 @@ object Hashing {
 
   /** `bits`-bit SimHash over token hashes: bit j set iff the sum of
     * (±1 per token, sign = bit j of the token's char-fold hash) is positive.
-    */
+    * Native one-pass [[graft.functions.SimHashBits]]; the HOF spelling below
+    * is the oracle-shaped cross-implementation check. */
   def simhash(tokenHashes: Column, bits: Int): Column =
+    graft.functions.SimHashBits(tokenHashes, bits)
+
+  /** Built-in-only SimHash (`bits` interpreted aggregate folds per row). */
+  def simhashHof(tokenHashes: Column, bits: Int): Column =
     (0 until bits).map { j =>
       when(
         aggregate(tokenHashes, lit(0L),

@@ -41,8 +41,14 @@ object Similarity {
   val Planes = 4
   val QueryVecs = 5 // vec_id < 5 act as the query set
 
-  /** LSH bucket id (0 .. 2^planes-1) for a quantized vector column. */
+  /** LSH bucket id (0 .. 2^planes-1) for a quantized vector column —
+    * native one-pass [[graft.functions.LshBucket]]; the HOF spelling below
+    * is the oracle-shaped cross-implementation check. */
   def bucket(q: Column, planes: Int = Planes): Column =
+    graft.functions.LshBucket(q, planes)
+
+  /** Built-in-only bucket (one interpreted vector walk PER PLANE). */
+  def bucketHof(q: Column, planes: Int = Planes): Column =
     (0 until planes).map { p =>
       when(
         aggregate(
