@@ -104,6 +104,13 @@ object Dedup {
     * entry point ([[graft.ScaleProbe]] drives it at 10× bench scale). */
   def minhashOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
+    minhashPairs(s, docs).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Unsorted MinHash near-dup pairs — the composable form: [[cluster]]
+    * feeds these straight into a shuffle, where a sort would be dead work. */
+  private def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
     val sg = sigsOf(docs)
     bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
@@ -113,7 +120,22 @@ object Dedup {
           lit(0), (acc, x) => acc + x))
       .filter($"matches" >= 4)
       .select($"doc_a", $"doc_b", $"matches")
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Duplicate-CLUSTER resolution: the MinHash pair table collapsed to
+    * whole components (`doc → cluster-min`) via alternating large-star /
+    * small-star ([[Components.connectedComponents]]) — near-dup pairs are
+    * not actionable until transitively closed (keep ONE doc per cluster,
+    * not one per pair). The oracle computes the same closure with a
+    * recursive CTE — fine at oracle scale, O(diameter) joins at 100 TB,
+    * which is exactly why the Spark side uses the star algorithm instead. */
+  def cluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b")
+    Components.connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"root".as("cluster_id"))
+      .orderBy($"doc_id")
   }
 
   /** N-gram Jaccard: exact similarity verification over the banded LSH
@@ -238,6 +260,7 @@ object Dedup {
     "q_dedup_ngram" -> ngram _,
     "q_dedup_simhash" -> simhashNN _,
     "q_dedup_embedding" -> embedding _,
+    "q_dedup_cluster" -> cluster _,
   )
 
   private val sigCte =
@@ -246,20 +269,25 @@ object Dedup {
        |bh AS (SELECT doc_id, shingles, ${duckMinhashBase("shingles")} AS bh FROM sh),
        |sig AS (SELECT doc_id, shingles, ${duckMinhashSigRot("bh", MinhashK)} AS sigs FROM bh)""".stripMargin
 
+  /** Banded candidate-pair CTEs shared by the minhash / ngram / cluster
+    * oracles (requires [[sigCte]] upstream). */
+  private val candCtes =
+    s"""bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+       |bands AS (SELECT doc_id, b, key FROM (
+       |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
+       |  FROM bands0) WHERE bsz <= $MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""$sigCte,
-         |bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
-         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
-         |bands AS (SELECT doc_id, b, key FROM (
-         |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
-         |  FROM bands0) WHERE bsz <= $MaxBucket),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |$candCtes
          |SELECT doc_a, doc_b, matches FROM (
          |  SELECT c.doc_a, c.doc_b,
          |    CAST(len(list_filter(generate_series(1, $MinhashK),
@@ -271,14 +299,7 @@ object Dedup {
     "q_dedup_ngram" ->
       s"""$sigCte,
          |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sig),
-         |bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
-         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
-         |bands AS (SELECT doc_id, b, key FROM (
-         |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
-         |  FROM bands0) WHERE bsz <= $MaxBucket),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |$candCtes
          |SELECT doc_a, doc_b, jac_pct FROM (
          |  SELECT c.doc_a, c.doc_b,
          |    CAST(floor(100.0 * len(list_filter(da.sh, x -> list_contains(db.sh, x)))
@@ -330,5 +351,27 @@ object Dedup {
          |WHERE dot > 0
          |  AND CAST(dot AS HUGEINT) * dot * 25 >= CAST(na2 AS HUGEINT) * nb2 * 4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // Transitive closure by recursive reachability + min-per-node: exact at
+    // oracle scale, O(component²) expansion — the Spark side's star rounds
+    // ([[Components.connectedComponents]]) are the shape that survives 100 TB.
+    "q_dedup_cluster" ->
+      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$candCtes,
+         |prs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_filter(generate_series(1, $MinhashK),
+         |      i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS matches
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b)
+         |WHERE matches >= 4),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+         |SELECT node AS doc_id, min(reach) AS cluster_id
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

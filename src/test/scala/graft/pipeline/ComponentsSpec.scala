@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property tests for the large-star/small-star connected-components
+  * operator against a brute-force union-find oracle, over random graphs
+  * spanning the shapes dedup produces: sparse pair soup, long chains
+  * (worst-case diameter), and one giant hub (boilerplate cluster).
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Brute-force oracle: path-compressed union-find, min id as root. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    // Roots are min-of-component only with the ordered union above plus a
+    // final sweep: re-point every node at the component minimum.
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) =>
+      val m = ns.min
+      ns.map(_ -> m)
+    }
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("u", "v").repartition(4)
+    Components.connectedComponents(df)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("random sparse graphs match union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(60)
+      val m = n / 2 + rnd.nextInt(n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty)
+        assert(run(edges) == unionFind(edges), s"trial $trial n=$n m=$m")
+    }
+  }
+
+  test("long chain (worst-case diameter) collapses to one component") {
+    val chain = (0L until 40L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val got = run(chain)
+    assert(got.size == 40 && got.values.toSet == Set(0L))
+  }
+
+  test("hub + duplicate + self-loop edges") {
+    val hub = (1L to 30L).map(v => (0L, v))
+    val noise = Seq((5L, 5L), (0L, 7L), (7L, 0L), (40L, 41L))
+    val got = run(hub ++ noise)
+    assert(got.filter(_._1 <= 30L).values.toSet == Set(0L))
+    assert(got(40L) == 40L && got(41L) == 40L)
+  }
+
+  test("disjoint pairs stay disjoint") {
+    val pairs = (0L until 20L by 2).map(i => (i + 1, i))
+    val got = run(pairs)
+    assert(got == pairs.flatMap { case (a, b) => Seq(a -> b, b -> b) }.toMap)
+  }
+}
