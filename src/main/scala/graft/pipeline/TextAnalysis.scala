@@ -81,6 +81,35 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Redaction rule set, first match wins: named-entity tokens → `<FIELD>`,
+    * then any long token → `<LONG>`. Stand-ins for PII patterns (emails,
+    * phone numbers) — the corpus is lowercase word-soup, so the rules target
+    * shapes that exist in it; swapping the regexes swaps the policy. */
+  private val fieldRe = "^(key|value|row|table)$"
+  private val longLen = 6
+
+  /** Token-level redaction: tokenize, rewrite matching tokens, re-join.
+    * Token-level (not document-level regexp_replace) so both engines apply
+    * identical match semantics — no regex word-boundary divergence — and the
+    * whole pass is one narrow codegen'd projection, no shuffle but the
+    * final ORDER BY. */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .withColumn("w", tokens($"text"))
+      .select(
+        $"doc_id",
+        size(filter($"w", t => t.rlike(fieldRe) || length(t) >= longLen))
+          .as("n_redacted"),
+        array_join(
+          transform($"w", t =>
+            when(t.rlike(fieldRe), lit("<FIELD>"))
+              .when(length(t) >= longLen, lit("<LONG>"))
+              .otherwise(t)),
+          " ").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
   /** Rolling char-fold fingerprint of the full text (portable across engines). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -94,6 +123,7 @@ object TextAnalysis {
     "q_text_quality" -> quality _,
     "q_text_token_stats" -> tokenStats _,
     "q_text_fingerprint" -> fingerprint _,
+    "q_text_redact" -> redact _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -136,5 +166,15 @@ object TextAnalysis {
     "q_text_fingerprint" ->
       s"""SELECT doc_id, ${duckCharFold("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, t -> regexp_matches(t, '$fieldRe')
+         |    OR length(t) >= $longLen)) AS INT) AS n_redacted,
+         |  array_to_string(list_transform(w, t ->
+         |    CASE WHEN regexp_matches(t, '$fieldRe') THEN '<FIELD>'
+         |         WHEN length(t) >= $longLen THEN '<LONG>'
+         |         ELSE t END), ' ') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin,
   )
 }
