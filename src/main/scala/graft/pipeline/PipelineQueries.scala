@@ -7,8 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries ++ Sampling.queries
 
   val oracles: Map[String, String] =
-    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
+    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Multimodal.oracles ++ Sampling.oracles
 }

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Hashing._
+
+/** Deterministic sampling for training-data curation. Both operators key
+  * off a salted content-independent hash of `doc_id`, NOT `rand()` or
+  * `TABLESAMPLE`: the sample must be reproducible across runs, cluster
+  * sizes, and partitionings (a re-run of a 100 TB curation job has to pick
+  * the SAME documents), and salting makes independent samples composable
+  * (a different salt → a disjoint-in-expectation sample for eval holdout).
+  *
+  * - [[bernoulli]]: keep-if-hash-below-rate — one narrow codegen'd filter,
+  *   no shuffle, pushdown-friendly.
+  * - [[stratified]]: exact per-stratum quota (smallest-hash-first) in the
+  *   scale-safe two-phase shape: a map-side-combinable per-stratum count
+  *   broadcast back as a hash-threshold prefilter (keeps ~oversample×quota
+  *   rows per stratum), then the exact row_number window only over the
+  *   survivors. The window's per-stratum sort — the part that dies on a
+  *   100 TB skewed stratum — runs on a bounded candidate set instead of the
+  *   full table.
+  */
+object Sampling {
+
+  /** Bernoulli keep-rate, percent. */
+  val SamplePct = 10
+  /** Per-stratum quota for [[stratified]] — sized so the quota bites at the
+    * verify SFs (25 docs/source at sf0.01, 250 at sf0.1: the window trims at
+    * both, the prefilter additionally at sf0.1). */
+  val Quota = 10
+  /** Prefilter oversampling factor (survivor budget = Over × Quota). */
+  val Over = 4
+
+  /** Deterministic 10% Bernoulli sample of `documents`. */
+  def bernoulli(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .filter(
+        charFoldHash(concat(lit("sample:"), $"doc_id".cast("string"))) % 100
+          < SamplePct)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Exact per-`source` quota sample: the [[Quota]] smallest salted hashes
+    * win, ties impossible (hash salted by unique doc_id). */
+  def stratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+      .withColumn("h", charFoldHash(concat(lit("strat:"), $"doc_id".cast("string"))))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("src_n"))
+    val budget = Over * Quota
+    // Exact integer division on both engines (double division of 2^53-scale
+    // values can differ from floor-div by 1 ulp → oracle mismatch).
+    val survivors = docs.join(broadcast(counts), "source")
+      .filter($"src_n" <= budget || $"h" < expr(s"(${M}L div src_n) * $budget"))
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    survivors
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= Quota)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> bernoulli _,
+    "q_sample_stratified" -> stratified _,
+  )
+
+  private def saltHash(salt: String) =
+    duckCharFold(s"'$salt:' || CAST(doc_id AS VARCHAR)")
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${saltHash("sample")} % 100 < $SamplePct
+         |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang, source, n_chars,
+         |    ${saltHash("strat")} AS h FROM documents),
+         |c AS (SELECT source, count(*) AS src_n FROM h GROUP BY source),
+         |f AS (SELECT h.* FROM h JOIN c USING (source)
+         |  WHERE c.src_n <= ${Over * Quota}
+         |     OR h.h < (CAST($M AS BIGINT) // c.src_n) * ${Over * Quota}),
+         |r AS (SELECT doc_id, lang, source, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+         |  FROM f)
+         |SELECT doc_id, lang, source, n_chars FROM r
+         |WHERE rk <= $Quota ORDER BY doc_id""".stripMargin,
+  )
+}
