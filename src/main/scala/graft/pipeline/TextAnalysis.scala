@@ -118,12 +118,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Chunk window: tokens per chunk / stride between chunk starts. The
+    * 32/24 overlap (25%) is the context-window packing shape; short docs
+    * yield one (possibly short) chunk. */
+  val ChunkN = 32
+  val ChunkS = 24
+
+  /** Overlapping token-window chunking — the training-data shape that turns
+    * documents into model-context-sized pieces. All array ops (sequence →
+    * posexplode → slice → array_join) are codegen'd builtins; the explode is
+    * narrow (no shuffle, output partitioning inherits the scan), so chunking
+    * 100 TB is embarrassingly parallel. */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .withColumn("w", tokens($"text"))
+      .withColumn("n", size($"w"))
+      // chunk count: 1 + ceil((n-N)/S) exactly, in integer arithmetic
+      .withColumn("nc",
+        when($"n" <= ChunkN, lit(1))
+          .otherwise(expr(s"(n - $ChunkN + ${ChunkS - 1}) div $ChunkS") + 1))
+      .select($"doc_id", $"w", posexplode(sequence(lit(0), $"nc" - 1)))
+      .select(
+        $"doc_id",
+        $"pos".as("chunk_id"),
+        size(slice($"w", $"pos" * ChunkS + 1, lit(ChunkN))).as("n_tok"),
+        array_join(slice($"w", $"pos" * ChunkS + 1, lit(ChunkN)), " ").as("chunk"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> langId _,
     "q_text_quality" -> quality _,
     "q_text_token_stats" -> tokenStats _,
     "q_text_fingerprint" -> fingerprint _,
     "q_text_redact" -> redact _,
+    "q_text_chunk" -> chunk _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -176,5 +206,20 @@ object TextAnalysis {
          |         WHEN length(t) >= $longLen THEN '<LONG>'
          |         ELSE t END), ' ') AS redacted
          |FROM d ORDER BY doc_id""".stripMargin,
+    "q_text_chunk" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+         |n AS (SELECT doc_id, w, len(w) AS n FROM d),
+         |nc AS (SELECT doc_id, w,
+         |    CASE WHEN n <= $ChunkN THEN 1
+         |         ELSE (n - $ChunkN + ${ChunkS - 1}) // $ChunkS + 1 END AS nc
+         |  FROM n),
+         |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS cid FROM nc),
+         |sl AS (SELECT doc_id, cid,
+         |    list_slice(w, cid * $ChunkS + 1, cid * $ChunkS + $ChunkN) AS ls
+         |  FROM c)
+         |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+         |  CAST(len(ls) AS INT) AS n_tok,
+         |  array_to_string(ls, ' ') AS chunk
+         |FROM sl ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }
