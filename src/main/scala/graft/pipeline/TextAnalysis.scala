@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -147,6 +148,36 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Top terms kept per document by [[tfidf]]. */
+  val TfIdfTopK = 5
+
+  /** TF-IDF top-terms per document. Scale shape: one shuffle for the
+    * (doc, term) term-frequency aggregate; the document-frequency table is
+    * vocabulary-sized, so it broadcasts back (no second big shuffle); the
+    * per-doc top-k window partitions on doc_id. The single float op —
+    * `ln(N/df)` — is floor-quantized to integer micros immediately and every
+    * downstream step (tf × idf, ranking, compare) is exact integer, per the
+    * oracle-determinism rules; df takes only vocabulary-many values, so the
+    * quantization boundary is never within double-rounding distance here. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf_micro".desc, $"term")
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_micro",
+        $"tf" * floor(log($"n".cast("double") / $"df") * 1e6).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TfIdfTopK)
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf_micro")
+      .orderBy($"doc_id", $"term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> langId _,
     "q_text_quality" -> quality _,
@@ -154,6 +185,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> fingerprint _,
     "q_text_redact" -> redact _,
     "q_text_chunk" -> chunk _,
+    "q_text_tfidf" -> tfidf _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -221,5 +253,21 @@ object TextAnalysis {
          |  CAST(len(ls) AS INT) AS n_tok,
          |  array_to_string(ls, ' ') AS chunk
          |FROM sl ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000)
+         |      AS BIGINT) AS tfidf_micro
+         |  FROM tf JOIN df USING (term), n),
+         |r AS (SELECT *, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rk
+         |  FROM sc)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, CAST(tfidf_micro AS BIGINT) AS tfidf_micro
+         |FROM r WHERE rk <= $TfIdfTopK ORDER BY doc_id, term""".stripMargin,
   )
 }
