@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Hashing._
+
+/** Corpus-curation operators that sit between dedup and training: eval-set
+  * decontamination and sequence packing.
+  */
+object Curation {
+
+  /** Source partition held out as the eval set for [[decontaminate]]. */
+  val EvalSource = "src0"
+
+  /** Eval-set decontamination — the n-gram overlap filter every pretraining
+    * pipeline runs before training (flag train docs sharing any word 3-gram
+    * with the eval set; production uses 13-grams, the synthetic corpus's
+    * short docs need 3). Shape: eval shingles are benchmark-sized, so they
+    * BROADCAST to a hash semi-join against the train side — the 100 TB train
+    * corpus is never shuffled. (An eval set too big to broadcast falls back
+    * to the same plan minus the hint: one shuffle on the shingle key.) */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.table(s, dir, "documents")
+      .withColumn("w", tokens($"text"))
+      .select($"doc_id", $"source",
+        explode(array_distinct(shingles3($"w"))).as("sh"))
+    val eval = sh.filter($"source" === EvalSource).select($"sh").distinct()
+    sh.filter($"source" =!= EvalSource)
+      .join(broadcast(eval), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tokens per packed training sequence for [[pack]]. */
+  val PackBudget = 128
+  /** Prefix-sum bucket width (doc_ids per partial-sum group). */
+  val PackGroup = 100
+
+  /** Causal-LM sequence packing: chunks laid end-to-end into fixed
+    * [[PackBudget]]-token sequences by global token offset (documents cross
+    * pack boundaries, GPT-pretraining style), emitted as a deterministic
+    * chunk → pack_id assignment.
+    *
+    * A naive `sum() OVER (ORDER BY ...)` is a single-partition window — the
+    * one shape that cannot scale. This is the parallel two-phase prefix sum
+    * instead: cumulative sums within doc_id buckets, bucket totals (a
+    * group-count-sized table) prefix-summed and broadcast back as offsets.
+    * The only global ordering ever materialized is over buckets, not rows. */
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = TextAnalysis.chunk(s, dir)
+      .select($"doc_id", $"chunk_id", $"n_tok")
+      .withColumn("g", expr(s"doc_id div $PackGroup"))
+    val inGroup = Window.partitionBy($"g").orderBy($"doc_id", $"chunk_id")
+    val withIn = chunks.withColumn("cum_in", sum($"n_tok").over(inGroup))
+    val totals = chunks.groupBy($"g").agg(sum($"n_tok").as("tot"))
+    val offsets = totals
+      .withColumn("off", coalesce(
+        sum($"tot").over(Window.orderBy($"g")) - $"tot", lit(0L)))
+      .select($"g", $"off")
+    withIn.join(broadcast(offsets), "g")
+      .select(
+        $"doc_id", $"chunk_id",
+        expr(s"(off + cum_in - n_tok) div $PackBudget").as("pack_id"),
+        $"n_tok")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> decontaminate _,
+    "q_text_pack" -> pack _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, source, ${duckTokens("text")} AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, unnest(list_distinct(${duckShingles("w")})) AS sh
+         |  FROM d),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE source = '$EvalSource')
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM sh t JOIN ev USING (sh)
+         |WHERE t.source <> '$EvalSource'
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    // The oracle states packing as the single sequential prefix sum the
+    // Spark side deliberately avoids — same math, serial execution.
+    "q_text_pack" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+         |n AS (SELECT doc_id, w, len(w) AS n FROM d),
+         |nc AS (SELECT doc_id, w,
+         |    CASE WHEN n <= ${TextAnalysis.ChunkN} THEN 1
+         |         ELSE (n - ${TextAnalysis.ChunkN} + ${TextAnalysis.ChunkS - 1})
+         |           // ${TextAnalysis.ChunkS} + 1 END AS nc
+         |  FROM n),
+         |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS cid FROM nc),
+         |ch AS (SELECT doc_id, cid,
+         |    len(list_slice(w, cid * ${TextAnalysis.ChunkS} + 1,
+         |      cid * ${TextAnalysis.ChunkS} + ${TextAnalysis.ChunkN})) AS n_tok
+         |  FROM c),
+         |cum AS (SELECT doc_id, cid, n_tok,
+         |    sum(n_tok) OVER (ORDER BY doc_id, cid) - n_tok AS cum_before
+         |  FROM ch)
+         |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+         |  CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
+         |  CAST(n_tok AS INT) AS n_tok
+         |FROM cum ORDER BY doc_id, chunk_id""".stripMargin,
+  )
+}

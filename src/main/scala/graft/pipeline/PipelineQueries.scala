@@ -8,9 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ Sampling.queries
+      Multimodal.queries ++ Sampling.queries ++ Curation.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ Sampling.oracles
+      Multimodal.oracles ++ Sampling.oracles ++ Curation.oracles
 }
