@@ -53,7 +53,7 @@ object Curation {
     * The only global ordering ever materialized is over buckets, not rows. */
   def pack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = TextAnalysis.chunk(s, dir)
+    val chunks = TextAnalysis.chunkRaw(s, dir)
       .select($"doc_id", $"chunk_id", $"n_tok")
       .withColumn("g", expr(s"doc_id div $PackGroup"))
     val inGroup = Window.partitionBy($"g").orderBy($"doc_id", $"chunk_id")

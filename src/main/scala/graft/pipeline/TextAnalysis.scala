@@ -132,6 +132,14 @@ object TextAnalysis {
     * 100 TB is embarrassingly parallel. */
   def chunk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    chunkRaw(s, dir).orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Unsorted chunks — the composable form: [[Curation.pack]] feeds these
+    * straight into its bucket shuffle, where the query-facing global sort
+    * would be a dead rangepartitioning exchange. */
+  private[pipeline] def chunkRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.table(s, dir, "documents")
       .withColumn("w", tokens($"text"))
       .withColumn("n", size($"w"))
@@ -145,7 +153,6 @@ object TextAnalysis {
         $"pos".as("chunk_id"),
         size(slice($"w", $"pos" * ChunkS + 1, lit(ChunkN))).as("n_tok"),
         array_join(slice($"w", $"pos" * ChunkS + 1, lit(ChunkN)), " ").as("chunk"))
-      .orderBy($"doc_id", $"chunk_id")
   }
 
   /** Top terms kept per document by [[tfidf]]. */

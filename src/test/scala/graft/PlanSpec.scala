@@ -15,6 +15,11 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Executed plan truncated to AQE's final section — the toString repeats
+    * the whole tree under "== Initial Plan ==", double-counting operators. */
+  private def finalPlan(p: String): String =
+    p.split("== Initial Plan ==").head
+
   test("q_scan_filter_project: filter pushed to parquet, columns pruned") {
     val p = plan("q_scan_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"), p)
@@ -108,5 +113,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("RunningWindowFunction"), p)
     assert(!p.toLowerCase.contains("window partitionby"), p)
+  }
+
+  test("stratified sample: stratum counts broadcast back, window only after prefilter") {
+    val df = SparkEntry.queries("q_sample_stratified")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // per-stratum counts join back as a broadcast — the corpus is not
+    // shuffled to meet a count table of #strata rows
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tfidf: vocabulary-sized df table broadcasts, corpus shuffles once") {
+    val df = SparkEntry.queries("q_text_tfidf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("decontaminate: eval shingles broadcast against the train side") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sequence packing: no single-partition global-order window") {
+    val df = SparkEntry.queries("q_text_pack")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the row-level cumulative sum partitions by bucket (hashpartitioning
+    // exchange); at most ONE SinglePartition exchange may appear — the
+    // prefix sum over the bucket-totals table (#buckets rows), never the
+    // chunk rows themselves
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+    // and feeding on unsorted chunks: exactly one rangepartitioning (the
+    // final ORDER BY), not an inherited dead sort from the chunk query
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("chunk and redact stay narrow: one exchange at most (the final sort)") {
+    for (q <- Seq("q_text_chunk", "q_text_redact")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = finalPlan(df.queryExecution.executedPlan.toString)
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$q plan has extra shuffles:\n$p")
+    }
   }
 }
