@@ -38,12 +38,19 @@ object Sampling {
   /** Deterministic 10% Bernoulli sample of `documents`. */
   def bernoulli(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.table(s, dir, "documents")
-      .filter(
-        charFoldHash(concat(lit("sample:"), $"doc_id".cast("string"))) % 100
-          < SamplePct)
+    bernoulliOf(Tables.table(s, dir, "documents"))
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
+  }
+
+  /** The Bernoulli filter on any frame with a `doc_id` — a stateless
+    * predicate, identical on batch and streaming frames. */
+  def bernoulliOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.filter(
+      charFoldHash(concat(lit("sample:"), $"doc_id".cast("string"))) % 100
+        < SamplePct)
   }
 
   /** Exact per-`source` quota sample: the [[Quota]] smallest salted hashes

@@ -96,7 +96,16 @@ object TextAnalysis {
     * final ORDER BY. */
   def redact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.table(s, dir, "documents")
+    redactOf(Tables.table(s, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** The redaction transform on any `(doc_id, text)` frame — stateless, so
+    * it applies unchanged to a streaming DataFrame (pinned by
+    * `PipelineStreamSpec`). */
+  def redactOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .withColumn("w", tokens($"text"))
       .select(
         $"doc_id",
@@ -108,7 +117,6 @@ object TextAnalysis {
               .when(length(t) >= longLen, lit("<LONG>"))
               .otherwise(t)),
           " ").as("redacted"))
-      .orderBy($"doc_id")
   }
 
   /** Rolling char-fold fingerprint of the full text (portable across engines). */
@@ -138,9 +146,15 @@ object TextAnalysis {
   /** Unsorted chunks — the composable form: [[Curation.pack]] feeds these
     * straight into its bucket shuffle, where the query-facing global sort
     * would be a dead rangepartitioning exchange. */
-  private[pipeline] def chunkRaw(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def chunkRaw(s: SparkSession, dir: String): DataFrame =
+    chunkOf(Tables.table(s, dir, "documents"))
+
+  /** The chunking transform on any `(doc_id, text)` frame — stateless /
+    * narrow, so it applies unchanged to a streaming DataFrame. */
+  def chunkOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.table(s, dir, "documents")
+    docs
       .withColumn("w", tokens($"text"))
       .withColumn("n", size($"w"))
       // chunk count: 1 + ceil((n-N)/S) exactly, in integer arithmetic
