@@ -101,6 +101,32 @@ object ScaleProbe {
     spark.catalog.clearCache()
     println(f"""{"probe":"dedup_minhash","docs":$nDocs,"pairs":$nPairs,"secs":$dedupSecs%.1f,"docs_per_sec":${(nDocs / dedupSecs).toLong}}""")
 
+    // ---- Connected components: 1.55M edges over ~2M nodes, adversarial ----
+    // shapes for cluster resolution: 1000 chains of length 1000 (worst-case
+    // diameter — label propagation would need 1000 rounds; the star
+    // algorithm converges in O(log n)), one 100k-degree hub (the viral-
+    // boilerplate cluster that kills collect_set approaches), and 450k
+    // disjoint near-dup pairs (the common case). Expected components:
+    // 1000 + 1 + 450000.
+    val chain = spark.range(1000000L)
+      .filter(pmod($"id", lit(1000L)) =!= 999L)
+      .select($"id".as("u"), ($"id" + 1).as("v"))
+    val hub = spark.range(100000L)
+      .select(lit(10000000L).as("u"), ($"id" + 10000001L).as("v"))
+    val pairsE = spark.range(450000L)
+      .select(($"id" * 2 + 20000000L).as("u"), ($"id" * 2 + 20000001L).as("v"))
+    val edges = chain.union(hub).union(pairsE)
+    val (ccStats, ccSecs) = time {
+      val cc = graft.pipeline.Components.connectedComponents(edges)
+      val comps = cc.groupBy($"root").count()
+      val r = comps.agg(count(lit(1)), max($"count")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nEdges = 999000L + 100000L + 450000L
+    assert(ccStats._1 == 451001L, s"component count ${ccStats._1}")
+    assert(ccStats._2 == 100001L, s"max component ${ccStats._2}")
+    println(f"""{"probe":"components","edges":$nEdges,"components":${ccStats._1},"max_size":${ccStats._2},"secs":$ccSecs%.1f,"edges_per_sec":${(nEdges / ccSecs).toLong}}""")
+
     spark.stop()
   }
 }
