@@ -80,18 +80,22 @@ object Components {
       moved.union(self)
     }
 
-    // localCheckpoint (not cache) each round: an iterative DataFrame loop
+    // Checkpoint (not cache) each round: an iterative DataFrame loop
     // doubles its logical plan per round — by round ~8 the PLAN alone OOMs
     // the driver. Checkpointing truncates lineage to the materialized RDD,
-    // keeping every round's plan constant-size. (On a real cluster with a
-    // checkpoint dir configured, swap for reliable `checkpoint` to also get
-    // fault tolerance; the algorithm is identical.)
-    var edges = canon(pairs.toDF("u", "v")).localCheckpoint(eager = true)
+    // keeping every round's plan constant-size. With a checkpoint dir
+    // configured (cluster deployment) rounds are reliably checkpointed and
+    // survive executor loss; without one (local/test) localCheckpoint keeps
+    // the truncation but stores blocks on executors.
+    val ckpt: DataFrame => DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) _.checkpoint(eager = true)
+      else _.localCheckpoint(eager = true)
+    var edges = ckpt(canon(pairs.toDF("u", "v")))
     var fp = fingerprint(edges)
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {
-      val next = canon(smallStar(largeStar(edges))).localCheckpoint(eager = true)
+      val next = ckpt(canon(smallStar(largeStar(edges))))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

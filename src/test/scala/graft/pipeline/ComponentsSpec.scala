@@ -71,6 +71,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(40L) == 40L && got(41L) == 40L)
   }
 
+  test("reliable-checkpoint path (checkpoint dir set) gives identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val rnd = new Random(7)
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      assert(run(edges) == unionFind(edges))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("disjoint pairs stay disjoint") {
     val pairs = (0L until 20L by 2).map(i => (i + 1, i))
     val got = run(pairs)

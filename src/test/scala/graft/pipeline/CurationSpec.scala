@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structural invariants of the curation operators on the real sf0.001
+  * corpus — properties the DuckDB oracle's value-hash can't articulate.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("chunks tile each document: strides, sizes, exact reconstruction") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val chunks = TextAnalysis.chunk(spark, sf)
+      .select($"doc_id", $"chunk_id", $"n_tok", $"chunk")
+      .as[(Long, Int, Int, String)].collect()
+
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val toks = docs(docId).split(" ").filter(_.nonEmpty)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $docId chunk ids")
+      sorted.foreach { case (_, cid, nTok, chunk) =>
+        val expect = toks.slice(cid * TextAnalysis.ChunkS,
+          cid * TextAnalysis.ChunkS + TextAnalysis.ChunkN)
+        assert(chunk == expect.mkString(" "), s"doc $docId chunk $cid content")
+        assert(nTok == expect.length)
+      }
+      // full coverage: the last chunk reaches the end of the document
+      val (_, lastCid, lastN, _) = sorted.last
+      assert(lastCid * TextAnalysis.ChunkS + lastN == toks.length,
+        s"doc $docId not fully covered")
+    }
+  }
+
+  test("packing is a monotone tiling of the global token stream") {
+    import spark.implicits._
+    val rows = Curation.pack(spark, sf)
+      .select($"doc_id", $"chunk_id", $"pack_id", $"n_tok")
+      .as[(Long, Int, Long, Int)].collect()
+      .sortBy(r => (r._1, r._2))
+    // pack_id must equal floor(running-token-offset / budget) — recompute
+    // serially and compare (the operator computes it via two-phase prefix)
+    var cum = 0L
+    rows.foreach { case (d, c, packId, nTok) =>
+      assert(packId == cum / Curation.PackBudget, s"chunk ($d,$c)")
+      cum += nTok
+    }
+    // monotone, starts at 0, no gaps
+    val ids = rows.map(_._3)
+    assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 })
+  }
+
+  test("stratified sample: exact quota per populated stratum, stable re-run") {
+    import spark.implicits._
+    val out = Sampling.stratified(spark, sf)
+    val perSrc = out.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSrc.values.forall(_ <= Sampling.Quota))
+    // sf0.001 has 25 docs/source — every stratum is full, quota must bite
+    assert(perSrc.values.forall(_ == Sampling.Quota), perSrc.toString)
+    val again = Sampling.stratified(spark, sf).collect().map(_.toString).sorted
+    assert(again.sameElements(out.collect().map(_.toString).sorted))
+  }
+
+  test("decontamination flags exactly the docs sharing an eval shingle") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val evalSh = docs.filter(_._2 == Curation.EvalSource)
+      .flatMap(d => shingles(d._3)).toSet
+    val expected = docs.filter(_._2 != Curation.EvalSource)
+      .map(d => d._1 -> (shingles(d._3) & evalSh).size)
+      .filter(_._2 > 0).toMap
+    val got = Curation.decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.view.mapValues(_.toInt).toMap == expected)
+  }
+}
