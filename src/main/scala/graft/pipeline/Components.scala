@@ -86,10 +86,13 @@ object Components {
     // keeping every round's plan constant-size. With a checkpoint dir
     // configured (cluster deployment) rounds are reliably checkpointed and
     // survive executor loss; without one (local/test) localCheckpoint keeps
-    // the truncation but stores blocks on executors.
+    // the truncation but stores blocks on executors. Lazy (eager = false):
+    // the fingerprint aggregate right after is the materializing action, so
+    // each round costs ONE Spark job, not two — per-round latency, not data
+    // volume, dominates on small/converged graphs.
     val ckpt: DataFrame => DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) _.checkpoint(eager = true)
-      else _.localCheckpoint(eager = true)
+      if (s.sparkContext.getCheckpointDir.isDefined) _.checkpoint(eager = false)
+      else _.localCheckpoint(eager = false)
     var edges = ckpt(canon(pairs.toDF("u", "v")))
     var fp = fingerprint(edges)
     var converged = false

@@ -71,9 +71,36 @@ object Curation {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Minimum token count to survive the [[curate]] quality gate. */
+  val MinTokens = 20
+  /** Keep-rate (percent) of the final [[curate]] sample. */
+  val CuratePct = 50
+
+  /** End-to-end curation showcase — the composition a real pipeline runs,
+    * as ONE declarative plan Catalyst optimizes together: quality gate
+    * (narrow filter, pushdown-friendly) → exact dedup (single shuffle on
+    * the content digest; the canonical row rides the aggregate as
+    * `min(struct(doc_id, …))`, no join-back) → deterministic salted-hash
+    * sample (narrow filter). Each stage is individually oracled elsewhere;
+    * this pins that they compose. */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .filter(size(tokens($"text")) >= MinTokens)
+      .groupBy(md5($"text").as("dig"))
+      .agg(min(struct($"doc_id", $"source", $"n_chars")).as("r"))
+      .select($"r.doc_id".as("doc_id"), $"r.source".as("source"),
+        $"r.n_chars".as("n_chars"))
+      .filter(
+        charFoldHash(concat(lit("curate:"), $"doc_id".cast("string"))) % 100
+          < CuratePct)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
     "q_text_pack" -> pack _,
+    "q_pipeline_curate" -> curate _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,5 +136,13 @@ object Curation {
          |  CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
          |  CAST(n_tok AS INT) AS n_tok
          |FROM cum ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pipeline_curate" ->
+      s"""WITH q AS (SELECT doc_id, source, n_chars, text FROM documents
+         |  WHERE len(${duckTokens("text")}) >= $MinTokens),
+         |d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |c AS (SELECT q.doc_id, q.source, q.n_chars FROM q JOIN d USING (doc_id))
+         |SELECT doc_id, source, n_chars FROM c
+         |WHERE ${duckCharFold("'curate:' || CAST(doc_id AS VARCHAR)")} % 100 < $CuratePct
+         |ORDER BY doc_id""".stripMargin,
   )
 }
