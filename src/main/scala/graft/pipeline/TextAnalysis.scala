@@ -199,6 +199,31 @@ object TextAnalysis {
       .orderBy($"doc_id", $"term")
   }
 
+  /** Per-source document-length distribution with EXACT discrete quantiles
+    * (value at rank ceil(p·n), ties broken by doc_id — deterministic, so
+    * oracle-able; interpolated/approximate quantiles are float territory).
+    * Shape: one hash partition by stratum + in-partition sort — the standard
+    * exact-quantile plan. On strata too large to sort, swap the rank
+    * selection for `approx_percentile` (t-digest, mergeable) and drop the
+    * oracle to a tolerance check. */
+  def lengthStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val wn = Window.partitionBy($"source")
+    Tables.table(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        max(when($"rn" === expr("(n + 1) div 2"), $"n_chars")).as("p50_chars"),
+        max(when($"rn" === expr("(9 * n + 9) div 10"), $"n_chars")).as("p90_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> langId _,
     "q_text_quality" -> quality _,
@@ -207,6 +232,7 @@ object TextAnalysis {
     "q_text_redact" -> redact _,
     "q_text_chunk" -> chunk _,
     "q_text_tfidf" -> tfidf _,
+    "q_text_length_stats" -> lengthStats _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -290,5 +316,15 @@ object TextAnalysis {
          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
          |  CAST(df AS BIGINT) AS df, CAST(tfidf_micro AS BIGINT) AS tfidf_micro
          |FROM r WHERE rk <= $TfIdfTopK ORDER BY doc_id, term""".stripMargin,
+    "q_text_length_stats" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50_chars,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS BIGINT) AS p90_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
   )
 }

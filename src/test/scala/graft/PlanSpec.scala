@@ -153,6 +153,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("curate pipeline: dedup is ONE digest shuffle, filters fused around it") {
+    val df = SparkEntry.queries("q_pipeline_curate")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // quality gate + sample filter are narrow; the only shuffles are the
+    // digest aggregation and the final ORDER BY — no join anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("length stats: window and aggregate share ONE stratum shuffle") {
+    val df = SparkEntry.queries("q_text_length_stats")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // rank window, count window, and groupBy all partition by source; the
+    // plan must reuse a single hashpartitioning exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("chunk and redact stay narrow: one exchange at most (the final sort)") {
     for (q <- Seq("q_text_chunk", "q_text_redact")) {
       val df = SparkEntry.queries(q)(spark, sf)
