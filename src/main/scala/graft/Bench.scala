@@ -37,7 +37,10 @@ object Bench {
       // plan); dropping them between queries keeps a 64-query run from
       // accumulating dead blocks + GC pressure (r2: back-half inflation).
       // Clearing is bookkeeping, not query work — outside the timed region.
+      // clearCache only drops SQL-cached relations; localCheckpoint blocks
+      // (Components rounds) are RDD-level and need explicit unpersist.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> (if (errors.contains(name)) -1.0 else dt)
     }.toMap
     // ms precision: full-precision doubles made the emitted line long
