@@ -97,10 +97,35 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup curation flagship: quality gate → MinHash-LSH pairs over the
+    * survivors → transitive closure ([[Components.connectedComponents]]) →
+    * keep only cluster CANONICALS (the min-id doc per near-dup cluster;
+    * unclustered docs pass through) → deterministic salted sample. The full
+    * near-dup retention pipeline as one composition. The doc→cluster map is
+    * duplicate-population-sized (only docs appearing in near-dup pairs), so
+    * it broadcasts into the keep-filter join — the corpus is never shuffled
+    * after the LSH bucket-join stage. */
+  def curateNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+      .filter(size(tokens($"text")) >= MinTokens)
+    val pairs = Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b")
+    val clusters = Components.connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"root".as("cluster_id"))
+    docs.join(broadcast(clusters), Seq("doc_id"), "left")
+      .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+      .filter(
+        charFoldHash(concat(lit("near:"), $"doc_id".cast("string"))) % 100
+          < CuratePct)
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
     "q_text_pack" -> pack _,
     "q_pipeline_curate" -> curate _,
+    "q_pipeline_curate_near" -> curateNear _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,5 +169,38 @@ object Curation {
          |SELECT doc_id, source, n_chars FROM c
          |WHERE ${duckCharFold("'curate:' || CAST(doc_id AS VARCHAR)")} % 100 < $CuratePct
          |ORDER BY doc_id""".stripMargin,
+    // Near-dup flagship oracle: the minhash/cluster CTE chain rebased onto
+    // the quality-gated corpus, closure by recursive reachability, then the
+    // canonical-keep + sample filters.
+    "q_pipeline_curate_near" -> {
+      val sigOnFiltered = Dedup.sigCte
+        .stripPrefix("WITH ")
+        .replace("FROM documents", "FROM docs_f")
+      s"""WITH RECURSIVE docs_f AS (
+         |  SELECT * FROM documents WHERE len(${duckTokens("text")}) >= $MinTokens),
+         |$sigOnFiltered,
+         |${Dedup.candCtes},
+         |prs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_filter(generate_series(1, ${Dedup.MinhashK}),
+         |      i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS matches
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b)
+         |WHERE matches >= 4),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+         |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM docs_f d LEFT JOIN cl USING (doc_id)
+         |WHERE (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id)
+         |  AND ${duckCharFold("'near:' || CAST(d.doc_id AS VARCHAR)")} % 100 < $CuratePct
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

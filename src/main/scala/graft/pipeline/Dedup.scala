@@ -109,7 +109,7 @@ object Dedup {
 
   /** Unsorted MinHash near-dup pairs — the composable form: [[cluster]]
     * feeds these straight into a shuffle, where a sort would be dead work. */
-  private def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[pipeline] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val sg = sigsOf(docs)
     bandCandidates(sg)
@@ -263,7 +263,7 @@ object Dedup {
     "q_dedup_cluster" -> cluster _,
   )
 
-  private val sigCte =
+  private[pipeline] val sigCte =
     s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, ${duckShingles("w")} AS shingles FROM d),
        |bh AS (SELECT doc_id, shingles, ${duckMinhashBase("shingles")} AS bh FROM sh),
@@ -271,7 +271,7 @@ object Dedup {
 
   /** Banded candidate-pair CTEs shared by the minhash / ngram / cluster
     * oracles (requires [[sigCte]] upstream). */
-  private val candCtes =
+  private[pipeline] val candCtes =
     s"""bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
        |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
        |bands AS (SELECT doc_id, b, key FROM (
