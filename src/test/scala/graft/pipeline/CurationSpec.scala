@@ -66,6 +66,31 @@ class CurationSpec extends AnyFunSuite {
     assert(again.sameElements(out.collect().map(_.toString).sorted))
   }
 
+  test("length stats: the approx_percentile scale path tracks the exact ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the documented swap-in for strata too large to sort: t-digest sketch,
+    // mergeable, no per-stratum sort. At sf strata sizes the default
+    // accuracy reproduces the exact rank values; at 100 TB it is within the
+    // sketch's rank-error bound.
+    val approx = graft.sources.Tables.table(spark, sf, "documents")
+      .groupBy($"source")
+      .agg(
+        percentile_approx($"n_chars", lit(0.5), lit(10000)).as("p50"),
+        percentile_approx($"n_chars", lit(0.9), lit(10000)).as("p90"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = TextAnalysis.lengthStats(spark, sf)
+      .select($"source", $"p50_chars", $"p90_chars")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (src, (p50, p90)) =>
+      val (a50, a90) = approx(src)
+      // both define the quantile as a real element; rank conventions may
+      // differ by one position, so allow the neighboring element's distance
+      assert(math.abs(a50 - p50) <= p50 / 5, s"$src p50 approx $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= p90 / 5, s"$src p90 approx $a90 vs $p90")
+    }
+  }
+
   test("decontamination flags exactly the docs sharing an eval shingle") {
     import spark.implicits._
     val docs = graft.sources.Tables.table(spark, sf, "documents")
