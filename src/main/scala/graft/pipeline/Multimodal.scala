@@ -174,6 +174,78 @@ object Multimodal {
       MediaRow(r.doc_id, "image/bmp", encodeBmp(r.payload))))
   }
 
+  final case class AudioFeatures(
+      doc_id: Long, mime: String, n_bytes: Int, sample_rate: Int,
+      n_samples: Int, duration_ms: Long, sum_abs: Long, peak: Int)
+
+  /** Encode bytes as a REAL 16-bit PCM mono WAV (RIFF/WAVE/fmt/data, little-
+    * endian): sample i = (byte_i − 128) · 256, rate derived from the length.
+    * PCM is uncompressed, so genuine audio files are constructible and
+    * parseable with no codec library — the same trick as [[encodeBmp]]. */
+  def encodeWav(src: Array[Byte]): Array[Byte] = {
+    require(src.nonEmpty, "cannot encode an empty payload")
+    val n = src.length
+    val rate = 8000 + 1000 * (n % 8)
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1)                 // PCM
+      .putShort(1)                 // mono
+      .putInt(rate)
+      .putInt(rate * 2)            // byte rate
+      .putShort(2)                 // block align
+      .putShort(16)                // bits per sample
+      .put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((src(i) & 0xff) - 128) * 256).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL RIFF/WAVE parser: validates magics and PCM/mono/16-bit format
+    * words, then walks the data chunk for sample stats — all integer. */
+  def decodeWav(r: MediaRow): AudioFeatures = {
+    val b = java.nio.ByteBuffer.wrap(r.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def magic(at: Int, s: String): Unit = {
+      val m = new Array[Byte](4); b.position(at); b.get(m)
+      require(new String(m) == s, s"doc ${r.doc_id}: bad magic at $at")
+    }
+    magic(0, "RIFF"); magic(8, "WAVE"); magic(12, "fmt "); magic(36, "data")
+    require(b.getShort(20) == 1 && b.getShort(22) == 1 && b.getShort(34) == 16,
+      s"doc ${r.doc_id}: not 16-bit PCM mono")
+    val rate = b.getInt(24)
+    val dataSize = b.getInt(40)
+    require(r.payload.length >= 44 + dataSize, s"doc ${r.doc_id}: truncated data chunk")
+    val nSamples = dataSize / 2
+    var i = 0
+    var sumAbs = 0L
+    var peak = 0
+    while (i < nSamples) {
+      val v = math.abs(b.getShort(44 + 2 * i).toInt)
+      sumAbs += v
+      if (v > peak) peak = v
+      i += 1
+    }
+    AudioFeatures(r.doc_id, "audio/wav", r.payload.length, rate, nSamples,
+      nSamples * 1000L / rate, sumAbs, peak)
+  }
+
+  /** Declared query: audio stats parsed back out of genuine WAV blobs —
+    * same narrow partition-batched decode shape as [[features]]. */
+  def audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(_.map(r =>
+        decodeWav(MediaRow(r.doc_id, "audio/wav", encodeWav(r.payload)))))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   /** Partition-batched decode: the operator a real codec runs inside (narrow,
     * no shuffle; the blob never leaves the partition). */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -196,6 +268,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features _,
     "q_multimodal_frames" -> frames _,
+    "q_multimodal_audio" -> audio _,
   )
 
   // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
@@ -239,5 +312,24 @@ object Multimodal {
          |  CAST(list_sum(bs[frame_no * 64 + 1 : frame_no * 64 + 64]) AS BIGINT) AS frame_sum
          |FROM f WHERE frame_no % 2 = 0
          |ORDER BY doc_id, frame_no""".stripMargin,
+    // What a correct WAV encode→decode round trip must yield from the text
+    // bytes: rate from the length, 16-bit samples (b−128)·256, duration in
+    // exact integer ms — a parser that misreads the fmt chunk, the sample
+    // width, or the data offset fails the hash.
+    "q_multimodal_audio" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+         |  FROM documents),
+         |g AS (SELECT doc_id, bs, len(bs) AS n,
+         |    8000 + 1000 * (len(bs) % 8) AS rate FROM c)
+         |SELECT doc_id, 'audio/wav' AS mime,
+         |  CAST(44 + 2 * n AS INT) AS n_bytes,
+         |  CAST(rate AS INT) AS sample_rate,
+         |  CAST(n AS INT) AS n_samples,
+         |  CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+         |  CAST(256 * list_sum(list_transform(bs, b -> abs(b - 128))) AS BIGINT) AS sum_abs,
+         |  CAST(256 * list_max(list_transform(bs, b -> abs(b - 128))) AS INT) AS peak
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }
