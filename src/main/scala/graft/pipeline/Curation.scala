@@ -8,7 +8,8 @@ import graft.sources.Tables
 import Hashing._
 
 /** Corpus-curation operators that sit between dedup and training: eval-set
-  * decontamination and sequence packing.
+  * decontamination, sequence packing, and the end-to-end curation
+  * compositions (quality gate → dedup → sample, exact and near-dup).
   */
 object Curation {
 
@@ -34,6 +35,23 @@ object Curation {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy($"doc_id")
+  }
+
+  /** Streaming decontamination: the same overlap filter on a LIVE ingest —
+    * a stream-static join between the incoming document stream and the
+    * (static, broadcast) eval shingle set. Per micro-batch Spark re-plans
+    * the static side, so the join stays a broadcast hash join with no
+    * stream-side shuffle and no state store. Pinned streaming ≡ batch in
+    * `PipelineStreamSpec`. */
+  def decontaminateStream(docs: DataFrame, evalShingles: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("w", tokens($"text"))
+      .select($"doc_id", explode(array_distinct(shingles3($"w"))).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** Tokens per packed training sequence for [[pack]]. */

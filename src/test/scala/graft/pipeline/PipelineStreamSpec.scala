@@ -23,7 +23,9 @@ class PipelineStreamSpec extends AnyFunSuite {
     StreamDoc(11L, Seq.fill(50)("scan merge data").mkString(" ")),
     StreamDoc(20L, "key"),
     StreamDoc(42L, "dup dup dup dup dup dup dup dup"),
-  ) ++ (100L until 160L).map(i => StreamDoc(i, s"doc $i the table value row"))
+  ) ++ (100L until 160L).map(i => StreamDoc(i,
+    if (i % 3 == 0) s"doc $i key stream filter a row"   // shares doc 3's shingles
+    else s"doc $i the table value row"))                // shares none
 
   private def streamed(
       name: String,
@@ -58,6 +60,32 @@ class PipelineStreamSpec extends AnyFunSuite {
     val b = batch(TextAnalysis.chunkOf)
     assert(b.size > docs.size) // the long doc must split into several chunks
     assert(streamed("pipe_chunk", TextAnalysis.chunkOf) == b)
+  }
+
+  test("decontamination: stream-static broadcast join == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // static eval side: shingles of the first two docs
+    val evalSet = docs.take(2).toDF()
+      .select(explode(array_distinct(
+        Hashing.shingles3(Hashing.tokens($"text")))).as("sh"))
+      .distinct()
+    val train = docs.drop(2)
+    val expected = Curation.decontaminateStream(train.toDF(), evalSet)
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(expected.nonEmpty)
+
+    val input = MemoryStream[StreamDoc]
+    val q = Curation.decontaminateStream(input.toDF(), evalSet).writeStream
+      .format("memory").queryName("pipe_decon").outputMode("complete").start()
+    try {
+      input.addData(train.take(10): _*)
+      q.processAllAvailable()
+      input.addData(train.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("pipe_decon").collect().map(_.mkString("|")).toSeq.sorted
+      assert(got == expected)
+    } finally q.stop()
   }
 
   test("bernoulli sample: streaming == batch, and deterministic across runs") {
