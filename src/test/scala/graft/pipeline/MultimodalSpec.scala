@@ -55,6 +55,36 @@ class MultimodalSpec extends AnyFunSuite {
       "decoder must locate pixels through the offset field, not assume 54")
   }
 
+  test("encodeWav/decodeWav round-trip: header fields and sample stats") {
+    for (n <- Seq(1, 2, 7, 8, 255, 256, 1000)) {
+      val src = Array.tabulate(n)(i => ((i * 37 + 11) % 256).toByte)
+      val wav = Multimodal.encodeWav(src)
+      val f = Multimodal.decodeWav(Multimodal.MediaRow(n.toLong, "audio/wav", wav))
+      assert(f.n_bytes == 44 + 2 * n)
+      assert(f.sample_rate == 8000 + 1000 * (n % 8))
+      assert(f.n_samples == n)
+      assert(f.duration_ms == n * 1000L / f.sample_rate)
+      val abses = src.map(b => math.abs((b & 0xff) - 128) * 256)
+      assert(f.sum_abs == abses.map(_.toLong).sum && f.peak == abses.max)
+    }
+  }
+
+  test("decodeWav rejects malformed RIFF payloads") {
+    val good = Multimodal.encodeWav(Array[Byte](1, 2, 3, 4))
+    def broken(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    // wrong magic, non-PCM format word, truncated data chunk
+    for (bad <- Seq(
+        broken(_(0) = 'X'.toByte),
+        broken(_(20) = 2.toByte),
+        broken(b => java.nio.ByteBuffer.wrap(b).order(
+          java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 9999))))
+      assertThrows[IllegalArgumentException] {
+        Multimodal.decodeWav(Multimodal.MediaRow(0L, "audio/wav", bad))
+      }
+  }
+
   test("decodeBmp rejects non-BMP and unsupported variants") {
     intercept[IllegalArgumentException] {
       decodeBmp(MediaRow(1L, "image/bmp", Array.fill[Byte](60)(7)))
