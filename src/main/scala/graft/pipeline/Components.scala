@@ -110,9 +110,16 @@ object Components {
         s"connectedComponents did not converge in $MaxRounds star rounds")
 
     // Fixed point is a star forest with u > v = component min: children map
-    // to their root, roots map to themselves.
+    // to their root, roots map to themselves. Nodes whose ONLY appearance is
+    // a self-loop never survive canon(), so union them back as singleton
+    // candidates; the min-per-node aggregate (same one shuffle the old
+    // distinct() cost, now map-side combinable) keeps the real root when the
+    // node also has proper edges (root ≤ node always).
+    val selfRoots = pairs.toDF("u", "v").filter($"u" === $"v")
+      .select($"u".as("node"), $"u".as("root"))
     edges.select($"u".as("node"), $"v".as("root"))
       .union(edges.select($"v".as("node"), $"v".as("root")))
-      .distinct()
+      .union(selfRoots)
+      .groupBy($"node").agg(min($"root").as("root"))
   }
 }

@@ -30,7 +30,7 @@ object Embeddings {
       .select($"source", posexplode($"q"))
       .groupBy($"source", $"pos".as("dim"))
       .agg(count(lit(1)).as("n_vecs"), sum($"col").as("sum_micro"))
-      .select($"source", $"dim", $"n_vecs",
+      .select($"source", $"dim", $"n_vecs", $"sum_micro",
         expr("sum_micro div n_vecs").as("mean_micro"))
       .orderBy($"source", $"dim")
   }
@@ -40,24 +40,24 @@ object Embeddings {
   )
 
   val oracles: Map[String, String] = Map(
-    // unnest WITH ORDINALITY is 1-based; Spark posexplode 0-based → o-1.
-    // Integer mean must floor toward negative infinity on both sides:
-    // DuckDB // floors, Spark `div` truncates toward zero — disagreement on
-    // negative sums, so both sides spell floor-div explicitly via
-    // CASE/sign-aware arithmetic… avoided entirely by computing
-    // `sum_micro div n_vecs` with Spark `div` and DuckDB's truncating
-    // integer divide (a CAST of `/`), which both truncate toward zero.
+    // Parallel unnests in SELECT zip in DuckDB, so unnest(range(len(qv)))
+    // yields the 0-based position alongside each component — same numbering
+    // as Spark posexplode (WITH ORDINALITY is unimplemented in this DuckDB).
+    // Integer mean: DuckDB `//` and Spark `div` both truncate toward zero
+    // (verified: -7//2 = -3), so the division is exact-integer on both
+    // sides — no float in the mean path at all.
     "q_embedding_centroids" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
         |  FROM embeddings),
-        |j AS (SELECT d.source, u.comp, u.o - 1 AS dim
-        |  FROM documents d JOIN q ON d.doc_id = q.vec_id,
-        |    unnest(q.qv) WITH ORDINALITY AS u(comp, o))
+        |j AS (SELECT d.source,
+        |    unnest(q.qv) AS comp,
+        |    unnest(range(len(q.qv))) AS dim
+        |  FROM documents d JOIN q ON d.doc_id = q.vec_id)
         |SELECT source, CAST(dim AS INT) AS dim,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(comp) AS BIGINT) AS sum_micro,
-        |  CAST(trunc(CAST(sum(comp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_micro
+        |  CAST(sum(comp) // count(*) AS BIGINT) AS mean_micro
         |FROM j GROUP BY source, dim ORDER BY source, dim""".stripMargin,
   )
 }

@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ Sampling.queries ++ Curation.queries
+      Multimodal.queries ++ Sampling.queries ++ Curation.queries ++
+      Embeddings.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ Sampling.oracles ++ Curation.oracles
+      Multimodal.oracles ++ Sampling.oracles ++ Curation.oracles ++
+      Embeddings.oracles
 }

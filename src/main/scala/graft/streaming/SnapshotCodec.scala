@@ -31,6 +31,14 @@ import graft.pattern.NFA.{Consumed, Partial, Snapshot}
   * `UnsafeProjection`) is built lazily per executor thread — the codec
   * itself holds only the logical `Encoder[T]`, which is serializable.
   */
+object SnapshotCodec {
+  /** Wire-format version, first byte of every encoded snapshot. Bump on any
+    * layout change so a checkpoint from an older build fails cleanly at
+    * decode instead of misparsing (EOF / garbage fields). Version 2 added
+    * the per-partial ranks vector and the deferred-completions section. */
+  final val FormatVersion: Byte = 2
+}
+
 final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
 
   @transient private lazy val expEnc: ExpressionEncoder[T] = te match {
@@ -76,6 +84,7 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
   def encode(s: Snapshot[T]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(256)
     val out = new DataOutputStream(bos)
+    out.writeByte(SnapshotCodec.FormatVersion)
     out.writeLong(s.minStartIdx)
     out.writeLong(s.nextIdx)
 
@@ -124,6 +133,12 @@ final class SnapshotCodec[T](te: Encoder[T]) extends Serializable {
 
   def decode(bytes: Array[Byte]): Snapshot[T] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    if (ver != SnapshotCodec.FormatVersion)
+      throw new IllegalStateException(
+        s"snapshot format version $ver, expected ${SnapshotCodec.FormatVersion}: " +
+          "checkpoint was written by an incompatible build; restart from a " +
+          "fresh checkpoint or migrate the state explicitly")
     val minStartIdx = in.readLong()
     val nextIdx = in.readLong()
 

@@ -71,6 +71,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(40L) == 40L && got(41L) == 40L)
   }
 
+  test("pure self-loop nodes appear as singleton components") {
+    // 99 appears ONLY as a self-loop; 5 has a self-loop AND real edges.
+    val edges = Seq((99L, 99L), (5L, 5L), (5L, 3L), (3L, 1L), (10L, 11L))
+    val got = run(edges)
+    assert(got(99L) == 99L)
+    assert(got(5L) == 1L && got(3L) == 1L && got(1L) == 1L)
+    assert(got(11L) == 10L && got(10L) == 10L)
+    assert(got.size == 6)
+  }
+
   test("reliable-checkpoint path (checkpoint dir set) gives identical results") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
