@@ -120,9 +120,12 @@ object Curation {
     * keep only cluster CANONICALS (the min-id doc per near-dup cluster;
     * unclustered docs pass through) → deterministic salted sample. The full
     * near-dup retention pipeline as one composition. The doc→cluster map is
-    * duplicate-population-sized (only docs appearing in near-dup pairs), so
-    * it broadcasts into the keep-filter join — the corpus is never shuffled
-    * after the LSH bucket-join stage. */
+    * duplicate-population-sized (only docs appearing in near-dup pairs) —
+    * usually small, but a real web corpus runs 30-50% near-dup, so the
+    * keep-filter join carries NO broadcast hint: an unconditional hint
+    * overrides Spark's size threshold and OOMs the driver exactly when dedup
+    * matters most. AQE sees the map's runtime size and converts the join to
+    * a broadcast when it genuinely fits; worst case is one doc_id shuffle. */
   def curateNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
@@ -130,7 +133,7 @@ object Curation {
     val pairs = Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b")
     val clusters = Components.connectedComponents(pairs)
       .select($"node".as("doc_id"), $"root".as("cluster_id"))
-    docs.join(broadcast(clusters), Seq("doc_id"), "left")
+    docs.join(clusters, Seq("doc_id"), "left")
       .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
       .filter(
         charFoldHash(concat(lit("near:"), $"doc_id".cast("string"))) % 100

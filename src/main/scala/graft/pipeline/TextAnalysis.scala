@@ -174,8 +174,12 @@ object TextAnalysis {
 
   /** TF-IDF top-terms per document. Scale shape: one shuffle for the
     * (doc, term) term-frequency aggregate; the document-frequency table is
-    * vocabulary-sized, so it broadcasts back (no second big shuffle); the
-    * per-doc top-k window partitions on doc_id. The single float op —
+    * vocabulary-sized — usually broadcastable, but a 100 TB crawl's
+    * vocabulary can reach billions of distinct tokens, so the join back
+    * carries NO forced hint: AQE broadcasts it when its runtime size fits
+    * the threshold and falls back to a term-key shuffle when it doesn't.
+    * The 1-row doc count keeps its hint (provably bounded). The single
+    * float op —
     * `ln(N/df)` — is floor-quantized to integer micros immediately and every
     * downstream step (tf × idf, ranking, compare) is exact integer, per the
     * oracle-determinism rules; df takes only vocabulary-many values, so the
@@ -189,7 +193,7 @@ object TextAnalysis {
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf_micro".desc, $"term")
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf_micro",
         $"tf" * floor(log($"n".cast("double") / $"df") * 1e6).cast("long"))
