@@ -58,6 +58,46 @@ object Curation {
   val PackBudget = 128
   /** Prefix-sum bucket width (doc_ids per partial-sum group). */
   val PackGroup = 100
+  /** Fan-out of each hierarchical prefix-sum tier in [[prefixOffsets]]. */
+  val PackFanout = 4096
+
+  /** Hierarchical exclusive prefix sum over a keyed totals table: for each
+    * `(g, tot)` row, `off` = Σ tot over all g' < g.
+    *
+    * One tier is the classic two-phase trick: in-group running sums
+    * partitioned by `g div fanout`, then the per-group totals (a
+    * fanout-times-smaller table) recursively offset the groups. Each
+    * recursion level shrinks the table by `fanout`; the base case — the only
+    * single-partition window anywhere — runs over at most
+    * `input / fanout^levels` rows, bounded by construction rather than by
+    * hoping the input is small. With `levels = 2` and fanout 4096 the base
+    * tier stays under 4096 rows up to ~7·10^10 input rows (≈ 10^13 docs at
+    * [[PackGroup]] = 100) — past any real corpus. Joins back carry no
+    * broadcast hint: every tier table is unbounded in corpus size, so AQE
+    * picks broadcast only when the runtime size fits.
+    */
+  private[pipeline] def prefixOffsets(
+      totals: DataFrame, levels: Int, fanout: Int = PackFanout): DataFrame = {
+    val s = totals.sparkSession
+    import s.implicits._
+    if (levels == 0) {
+      totals
+        .withColumn("off", coalesce(
+          sum($"tot").over(Window.orderBy($"g")) - $"tot", lit(0L)))
+        .select($"g", $"off")
+    } else {
+      val tiered = totals.withColumn("sg", expr(s"g div $fanout"))
+      val inSuper = Window.partitionBy($"sg").orderBy($"g")
+      val withIn = tiered
+        .withColumn("cum_before", sum($"tot").over(inSuper) - $"tot")
+      val superTotals = tiered.groupBy($"sg").agg(sum($"tot").as("tot"))
+        .select($"sg".as("g"), $"tot")
+      val superOff = prefixOffsets(superTotals, levels - 1, fanout)
+        .select($"g".as("sg"), $"off".as("sup_off"))
+      withIn.join(superOff, "sg")
+        .select($"g", ($"sup_off" + $"cum_before").as("off"))
+    }
+  }
 
   /** Causal-LM sequence packing: chunks laid end-to-end into fixed
     * [[PackBudget]]-token sequences by global token offset (documents cross
@@ -65,10 +105,13 @@ object Curation {
     * chunk → pack_id assignment.
     *
     * A naive `sum() OVER (ORDER BY ...)` is a single-partition window — the
-    * one shape that cannot scale. This is the parallel two-phase prefix sum
-    * instead: cumulative sums within doc_id buckets, bucket totals (a
-    * group-count-sized table) prefix-summed and broadcast back as offsets.
-    * The only global ordering ever materialized is over buckets, not rows. */
+    * one shape that cannot scale. This is the parallel prefix sum instead:
+    * cumulative sums within doc_id buckets, bucket totals prefix-summed
+    * HIERARCHICALLY ([[prefixOffsets]] — the bucket tier itself is
+    * n_docs/[[PackGroup]] rows, still corpus-sized, so it gets the same
+    * two-phase treatment recursively) and joined back as offsets. No stage
+    * anywhere is single-partition in the corpus size, and no corpus-sized
+    * table is force-broadcast. */
   def pack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val chunks = TextAnalysis.chunkRaw(s, dir)
@@ -77,11 +120,8 @@ object Curation {
     val inGroup = Window.partitionBy($"g").orderBy($"doc_id", $"chunk_id")
     val withIn = chunks.withColumn("cum_in", sum($"n_tok").over(inGroup))
     val totals = chunks.groupBy($"g").agg(sum($"n_tok").as("tot"))
-    val offsets = totals
-      .withColumn("off", coalesce(
-        sum($"tot").over(Window.orderBy($"g")) - $"tot", lit(0L)))
-      .select($"g", $"off")
-    withIn.join(broadcast(offsets), "g")
+    val offsets = prefixOffsets(totals, levels = 2)
+    withIn.join(offsets, "g")
       .select(
         $"doc_id", $"chunk_id",
         expr(s"(off + cum_in - n_tok) div $PackBudget").as("pack_id"),

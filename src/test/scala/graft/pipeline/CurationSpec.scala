@@ -54,6 +54,25 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 })
   }
 
+  test("hierarchical prefixOffsets ≡ serial exclusive prefix sum (multi-tier)") {
+    import spark.implicits._
+    // fanout 4 over 1000 sparse keys forces REAL work at every tier:
+    // 1000 → 250 → 63 rows at the base window (levels = 2)
+    val rnd = new scala.util.Random(11)
+    val totals = (0 until 1000)
+      .map(i => (i.toLong * 3 + rnd.nextInt(2), rnd.nextInt(50).toLong))
+      .groupBy(_._1).map { case (g, ts) => (g, ts.map(_._2).sum) }.toSeq
+    val df = totals.toDF("g", "tot").repartition(8)
+    val got = Curation.prefixOffsets(df, levels = 2, fanout = 4)
+      .as[(Long, Long)].collect().toMap
+    var acc = 0L
+    totals.sortBy(_._1).foreach { case (g, tot) =>
+      assert(got(g) == acc, s"g=$g")
+      acc += tot
+    }
+    assert(got.size == totals.size)
+  }
+
   test("stratified sample: exact quota per populated stratum, stable re-run") {
     import spark.implicits._
     val out = Sampling.stratified(spark, sf)
