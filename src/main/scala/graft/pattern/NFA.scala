@@ -216,6 +216,45 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
 
   private def lastIdxOf(p: Partial[T]): Long = p.consumed.head.idx
 
+  /** Where the sequential scan resumes after this match emits, per the
+    * after-match skip strategy — INCLUSIVE: the next match may start at the
+    * returned index. SQL:2016 makes two skips runtime errors because they
+    * cannot make progress: TO FIRST/LAST of a variable the match never
+    * bound, and a skip landing on the match's own first row (infinite
+    * loop). With `strict = false` (pruning bounds for candidates that may
+    * never emit) both degenerate cases fall back to the most conservative
+    * legal resume, `startIdx + 1`, and the error is raised only if the
+    * match actually emits. */
+  private def resumeOf(p: Partial[T], strict: Boolean): Long =
+    pattern.skip match {
+      case AfterMatchSkip.SkipPastLastEvent => lastIdxOf(p) + 1
+      case AfterMatchSkip.SkipToNext => p.startIdx + 1
+      case AfterMatchSkip.SkipToFirst(v) => skipTargetIdx(p, v, first = true, strict)
+      case AfterMatchSkip.SkipToLast(v) => skipTargetIdx(p, v, first = false, strict)
+      case AfterMatchSkip.NoSkip => p.startIdx + 1 // not used by graph resolve
+    }
+
+  private def skipTargetIdx(p: Partial[T], v: String, first: Boolean, strict: Boolean): Long = {
+    val which = if (first) "FIRST" else "LAST"
+    var bound = -1L
+    p.consumed.foreach { c =>
+      if (stages(c.stage).name == v)
+        bound =
+          if (bound < 0) c.idx
+          else if (first) math.min(bound, c.idx) else math.max(bound, c.idx)
+    }
+    if (bound < 0) {
+      if (strict) throw new IllegalStateException(
+        s"AFTER MATCH SKIP TO $which $v: the match contains no row for $v")
+      p.startIdx + 1
+    } else if (bound == p.startIdx) {
+      if (strict) throw new IllegalStateException(
+        s"AFTER MATCH SKIP TO $which $v: resuming at the match's own first " +
+          "row would loop forever")
+      p.startIdx + 1
+    } else bound
+  }
+
   private def toMatch(p: Partial[T], endTs: Long): PatternMatch[T] =
     PatternMatch(toBindings(p.consumed), p.startTs, endTs, toEvents(p.consumed))
 
@@ -438,12 +477,17 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         }
       }
 
-    // Graph-mode SKIP PAST LAST ROW: full SQL:2016 preference. The best
-    // candidate (previously deferred or completed now) emits only when no
-    // live partial is preferred over it (earlier start, preferred branch, or
-    // a greedy continuation of the candidate itself); otherwise it waits in
-    // `deferredCands`. Candidate ends only grow (completions arrive in end
-    // order), so pruning later starts the current best covers is final.
+    // Graph-mode after-match resolution: full SQL:2016 preference, for every
+    // skip strategy. The best candidate (previously deferred or completed
+    // now) emits only when no live partial is preferred over it (earlier
+    // start, preferred branch, or a greedy continuation of the candidate
+    // itself); otherwise it waits in `deferredCands`. On emit the sequential
+    // scan resumes at `resumeOf` (PAST LAST ROW → after the match; TO NEXT
+    // ROW → after the match's first row; TO FIRST/LAST v → at v's row —
+    // overlapping later matches are then legal, so pruning keeps every
+    // attempt starting at or after the resume point, not just attempts past
+    // the match's end. Candidate ends only grow (completions arrive in end
+    // order), so the keep-chain below is final.
     def resolveGraph(): Unit = {
       var cands = (deferredCands ::: completed.iterator.map(p => (p, t)).toList)
         .sortWith((a, b) => prefCmp(a._1, b._1) < 0)
@@ -453,19 +497,23 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
         val best = cands.head
         if (next.exists(p => prefCmp(p, best._1) <= 0)) {
           // a preferred derivation is still live: defer the best candidate
-          // and every non-overlapping later candidate behind it
+          // and every later candidate the sequential scan could still reach
+          // (start ≥ the previous keep's resume point)
           val keep = ListBuffer(best)
-          var bound = lastIdxOf(best._1)
+          var bound = resumeOf(best._1, strict = false)
           cands.tail.foreach { c =>
-            if (c._1.startIdx > bound) { keep += c; bound = lastIdxOf(c._1) }
+            if (c._1.startIdx >= bound) {
+              keep += c; bound = resumeOf(c._1, strict = false)
+            }
           }
           deferredCands = keep.toList
           next.filterInPlace(p =>
-            prefCmp(p, best._1) <= 0 || p.startIdx > lastIdxOf(best._1))
+            prefCmp(p, best._1) <= 0 ||
+              p.startIdx >= resumeOf(best._1, strict = false))
           waiting = true
         } else {
           matches += toMatch(best._1, best._2)
-          minStartIdx = math.max(minStartIdx, lastIdxOf(best._1) + 1)
+          minStartIdx = math.max(minStartIdx, resumeOf(best._1, strict = true))
           next.filterInPlace(_.startIdx >= minStartIdx)
           cands = cands.tail.filter(_._1.startIdx >= minStartIdx)
         }
@@ -475,7 +523,13 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
     if (completed.nonEmpty || champion.isDefined ||
         (graphMode && deferredCands.nonEmpty)) {
       pattern.skip match {
-        case AfterMatchSkip.SkipPastLastEvent if graphMode => resolveGraph()
+        // Graph mode: every single-winner skip strategy routes through the
+        // SQL:2016 sequential resolution; only the resume point differs
+        // (resumeOf). NoSkip keeps the emit-every-completion semantics of
+        // the flat branch below.
+        case AfterMatchSkip.SkipPastLastEvent | AfterMatchSkip.SkipToNext |
+            _: AfterMatchSkip.SkipToFirst | _: AfterMatchSkip.SkipToLast
+            if graphMode => resolveGraph()
         case AfterMatchSkip.SkipPastLastEvent =>
           champion match {
             case Some((ch, chEnd)) =>
@@ -531,12 +585,18 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
 
   /** End of input (batch only): deferred matches emit (every live partial
     * that could have displaced them is now dead); attempts they overlap are
-    * covered by them, every other remaining partial times out. */
+    * covered by them, every other remaining partial times out. The deferred
+    * chain was kept with conservative (non-strict) resume bounds, so the
+    * sequential scan is replayed here with the ACTUAL resume points: a
+    * candidate starting before the previous winner's resume is dropped. */
   def flush(): (List[PatternMatch[T]], List[PatternTimeout[T]]) = {
-    val ms = (champion.toList ::: deferredCands).map { case (ch, endTs) =>
-      minStartIdx = math.max(minStartIdx, lastIdxOf(ch) + 1)
-      partials.filterInPlace(_.startIdx >= minStartIdx)
-      toMatch(ch, endTs)
+    val ms = (champion.toList ::: deferredCands).flatMap { case (ch, endTs) =>
+      if (ch.startIdx < minStartIdx) None
+      else {
+        minStartIdx = math.max(minStartIdx, resumeOf(ch, strict = true))
+        partials.filterInPlace(_.startIdx >= minStartIdx)
+        Some(toMatch(ch, endTs))
+      }
     }
     champion = None
     deferredCands = Nil

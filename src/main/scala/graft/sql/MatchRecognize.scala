@@ -229,9 +229,6 @@ object MatchRecognize {
       if (needsGraph) {
         val ast = graft.pattern.RowPattern.parse(patternStr)
         graft.pattern.RowPattern.compile(ast) // surface structural errors now
-        if (skip != AfterMatchSkip.SkipPastLastEvent)
-          throw new IllegalArgumentException(
-            "group/PERMUTE patterns support AFTER MATCH SKIP PAST LAST ROW only")
         val vars = graft.pattern.RowPattern.varNames(ast)
         (vars.map((_, "")), Map.empty[String, Seq[String]],
           graft.pattern.RowPattern.excludedNames(ast), Some(ast))

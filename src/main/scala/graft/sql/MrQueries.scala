@@ -123,10 +123,38 @@ object MrQueries {
       .orderBy($"user_id", $"start_ts", $"purchase_ts", $"n_eng")
   }
 
+  /** Graph pattern + non-default skip: every engagement run ending in a
+    * purchase, reported once PER ANCHOR ROW — `AFTER MATCH SKIP TO NEXT
+    * ROW` resumes one row after each match's start, so matches overlap
+    * (each suffix of a long engagement run is its own match). Requires the
+    * graph lowering (alternation) AND the generalized sequential skip —
+    * the r4 engine rejected this combination outright. */
+  def skipOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.sources.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val out = MatchRecognize(ev,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(V.*) AS n_views, COUNT(K.*) AS n_clicks,
+        |         P.ts AS purchase_ts0
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN ((V | K)+ P) WITHIN INTERVAL '1' HOUR
+        |DEFINE
+        |  V AS V.event_type = 'view',
+        |  K AS K.event_type = 'click',
+        |  P AS P.event_type = 'purchase'""".stripMargin)
+    out.select($"user_id", $"n_views", $"n_clicks",
+        date_trunc("second", $"purchase_ts0").as("purchase_ts"))
+      .orderBy($"user_id", $"purchase_ts", $"n_views", $"n_clicks")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mr_low_balance" -> lowBalance _,
     "q_mr_funnel_alt" -> funnelAlt _,
     "q_mr_permute" -> permute _,
     "q_mr_cycles" -> cycles _,
+    "q_mr_skip_overlap" -> skipOverlap _,
   )
 }

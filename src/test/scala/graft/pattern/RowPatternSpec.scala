@@ -62,33 +62,60 @@ class RowPatternSpec extends AnyFunSuite {
         go(0, pos)
     }
 
-  /** Sequential SKIP PAST LAST ROW scan (the SQL semantics, literally). */
-  private def bruteMatches(a: Ast, rows: Rows): List[(Int, List[(String, Int)])] = {
+  /** Sequential scan with any after-match skip strategy (the SQL semantics,
+    * literally): emit the preferred match anchored at the earliest viable
+    * start, resume at the strategy's skip point. SQL:2016 degenerate skips
+    * (TO FIRST/LAST of an unbound variable; a skip landing on the match's
+    * own first row) are runtime errors. */
+  private def bruteMatchesSkip(
+      a: Ast, rows: Rows, skip: AfterMatchSkip): List[(Int, List[(String, Int)])] = {
+    def target(s: Int, as: List[(String, Int)], v: String, first: Boolean): Int = {
+      val which = if (first) "FIRST" else "LAST"
+      val idxs = as.collect { case (`v`, r) => r }
+      if (idxs.isEmpty)
+        throw new IllegalStateException(s"SKIP TO $which $v: variable unbound")
+      val r = if (first) idxs.min else idxs.max
+      if (r == s)
+        throw new IllegalStateException(s"SKIP TO $which $v: no progress")
+      r
+    }
     val out = List.newBuilder[(Int, List[(String, Int)])]
     var s = 0
     while (s < rows.length) {
       enum(a, rows, s).headOption match {
         case Some((end, as)) if end > s =>
           out += ((s, as))
-          s = end
+          s = skip match {
+            case AfterMatchSkip.SkipPastLastEvent => end
+            case AfterMatchSkip.SkipToNext => s + 1
+            case AfterMatchSkip.SkipToFirst(v) => target(s, as, v, first = true)
+            case AfterMatchSkip.SkipToLast(v) => target(s, as, v, first = false)
+            case AfterMatchSkip.NoSkip => s + 1
+          }
         case _ => s += 1
       }
     }
     out.result()
   }
 
+  private def bruteMatches(a: Ast, rows: Rows): List[(Int, List[(String, Int)])] =
+    bruteMatchesSkip(a, rows, AfterMatchSkip.SkipPastLastEvent)
+
   /** The engine: compile to a graph pattern over row indices and run. */
-  private def nfaMatches(a: Ast, rows: Rows): List[(Int, List[(String, Int)])] = {
+  private def nfaMatchesSkip(
+      a: Ast, rows: Rows, skip: AfterMatchSkip): List[(Int, List[(String, Int)])] = {
     val Compiled(leaves, graph) = compile(a)
     val stages = leaves.map { lf =>
       Stage[Int](lf.name, (r, _) => rows(r)(lf.name), lf.min, lf.max,
         Contiguity.Strict, Contiguity.Strict, lf.greedy)
     }
-    val pattern = Pattern[Int](stages, None, AfterMatchSkip.SkipPastLastEvent,
-      graph = Some(graph))
+    val pattern = Pattern[Int](stages, None, skip, graph = Some(graph))
     val (matches, _) = NFA.run(rows.indices.iterator, (r: Int) => r.toLong, pattern)
     matches.toList.map(m => (m.startTs.toInt, m.events.toList.map { case (v, r) => (v, r) }))
   }
+
+  private def nfaMatches(a: Ast, rows: Rows): List[(Int, List[(String, Int)])] =
+    nfaMatchesSkip(a, rows, AfterMatchSkip.SkipPastLastEvent)
 
   private def check(a: Ast, rows: Rows): Unit = {
     val expected = bruteMatches(a, rows)
@@ -163,6 +190,56 @@ class RowPatternSpec extends AnyFunSuite {
     check(parse("((A B)+ C)+"), rowsOf("A", "B", "C", "A", "B", "A", "B", "C"))
     check(parse("(A B)? C"), rowsOf("A", "B", "C", "C"))
     check(parse("(A B)? C"), rowsOf("C", "A", "B", "C"))
+  }
+
+  private def checkSkip(a: Ast, rows: Rows, skip: AfterMatchSkip): Unit = {
+    val expected = scala.util.Try(bruteMatchesSkip(a, rows, skip))
+    val actual = scala.util.Try(nfaMatchesSkip(a, rows, skip))
+    (expected, actual) match {
+      case (scala.util.Success(e), scala.util.Success(g)) =>
+        assert(g == e,
+          s"\npattern: $a skip: $skip" +
+            s"\nrows: ${rows.zipWithIndex.map { case (s, i) => s"$i:${s.mkString("")}" }.mkString(" ")}" +
+            s"\nexpected: $e\nactual:   $g")
+      case (scala.util.Failure(_: IllegalStateException),
+            scala.util.Failure(_: IllegalStateException)) => () // both degenerate
+      case (e, g) => fail(s"\npattern: $a skip: $skip rows: $rows\nbrute: $e\nnfa:   $g")
+    }
+  }
+
+  test("graph pattern + SKIP TO NEXT ROW emits the preferred match at every start") {
+    val ast = parse("(A B | C)")
+    // overlapping: matches anchored at 0 (A B), 1 (C? no...), directed rows
+    checkSkip(ast, rowsOf("AC", "ABC", "B"), AfterMatchSkip.SkipToNext)
+    checkSkip(ast, rowsOf("A", "AB", "B"), AfterMatchSkip.SkipToNext)
+    checkSkip(parse("(A B)+"), rowsOf("A", "AB", "AB", "B"), AfterMatchSkip.SkipToNext)
+    checkSkip(parse("PERMUTE(A, B)"), rowsOf("AB", "AB", "AB"), AfterMatchSkip.SkipToNext)
+  }
+
+  test("graph pattern + SKIP TO LAST var resumes AT that row (overlap legal)") {
+    // A B+ C with TO LAST B: next search starts at the last B row
+    val ast = parse("A B{1,4} C")
+    checkSkip(ast, rowsOf("A", "AB", "B", "C", "B", "C"), AfterMatchSkip.SkipToLast("B"))
+    checkSkip(ast, rowsOf("A", "B", "AB", "C", "B", "C"), AfterMatchSkip.SkipToLast("B"))
+    checkSkip(parse("(A | B) C"), rowsOf("AB", "C", "AC", "C"), AfterMatchSkip.SkipToLast("C"))
+  }
+
+  test("graph pattern + SKIP TO FIRST var") {
+    val ast = parse("A (B | C) D?")
+    checkSkip(ast, rowsOf("A", "BA", "B", "D"), AfterMatchSkip.SkipToFirst("B"))
+    checkSkip(parse("A B C"), rowsOf("A", "AB", "BC", "C"), AfterMatchSkip.SkipToFirst("B"))
+  }
+
+  test("degenerate skips are runtime errors on both sides") {
+    // TO FIRST A: A binds the match's first row → infinite loop → error
+    checkSkip(parse("A B"), rowsOf("A", "B"), AfterMatchSkip.SkipToFirst("A"))
+    // TO LAST D: D optional and unmatched → unbound-variable error
+    checkSkip(parse("A B D?"), rowsOf("A", "B", "X"), AfterMatchSkip.SkipToLast("D"))
+    // sanity: the brute side really does throw for these
+    intercept[IllegalStateException](
+      bruteMatchesSkip(parse("A B"), rowsOf("A", "B"), AfterMatchSkip.SkipToFirst("A")))
+    intercept[IllegalStateException](
+      bruteMatchesSkip(parse("A B D?"), rowsOf("A", "B", "X"), AfterMatchSkip.SkipToLast("D")))
   }
 
   test("empty-matchable patterns are rejected") {
@@ -273,6 +350,22 @@ class RowPatternSpec extends AnyFunSuite {
       if (ok) { check(ast, rows); tested += 1 }
     }
     assert(tested > 150, s"only $tested viable random patterns")
+  }
+
+  test("property: random graph patterns × random skip modes match the brute matcher") {
+    val genSkip: Gen[AfterMatchSkip] = Gen.frequency(
+      2 -> Gen.const(AfterMatchSkip.SkipPastLastEvent),
+      2 -> Gen.const(AfterMatchSkip.SkipToNext),
+      2 -> Gen.oneOf(varPool).map(AfterMatchSkip.SkipToFirst(_)),
+      2 -> Gen.oneOf(varPool).map(AfterMatchSkip.SkipToLast(_)))
+    var tested = 0
+    forSamples(Gen.zip(genAst(2), genRows, genSkip), 600) { case (ast, rows, skip) =>
+      val ok = try { compile(ast); true } catch {
+        case _: IllegalArgumentException => false
+      }
+      if (ok) { checkSkip(ast, rows, skip); tested += 1 }
+    }
+    assert(tested > 300, s"only $tested viable random patterns")
   }
 
   test("property: within horizon truncates graph matches like the spec says") {

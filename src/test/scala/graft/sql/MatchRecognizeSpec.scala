@@ -791,10 +791,44 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
   }
 
-  test("graph patterns reject non-default skip modes with a clear error") {
-    intercept[IllegalArgumentException] {
-      MatchRecognize.parseSpec(
-        "ORDER BY ts AFTER MATCH SKIP TO NEXT ROW PATTERN ((A B)+) DEFINE A AS x > 1")
+  test("graph pattern + SKIP TO NEXT ROW: overlapping group-loop matches") {
+    prepareKindView()
+    def q(skipClause: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM kindev MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ts
+         |  MEASURES FIRST(A.ts) AS first_ts, COUNT(A.*) AS n_pairs
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP $skipClause
+         |  PATTERN ((A B)+)
+         |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+         |)""".stripMargin)
+      .filter("k = 4").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // key 4 = a b a b a: TO NEXT ROW re-anchors at every row — the greedy
+    // 2-pair match at ts1 AND the overlapped 1-pair match at ts3
+    assert(q("TO NEXT ROW") == Seq((1L, 2L), (3L, 1L)))
+    // PAST LAST ROW sees only the maximal first match
+    assert(q("PAST LAST ROW") == Seq((1L, 2L)))
+    // TO FIRST B resumes at ts2 (no match there), then finds ts3
+    assert(q("TO FIRST B") == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("graph pattern + degenerate skip raises the SQL:2016 runtime error") {
+    prepareKindView()
+    // TO LAST A on ((A B)+): key 4's second match anchors AT its own last A
+    // (single pair, A = first row) — resuming there would loop forever
+    val ex = intercept[org.apache.spark.SparkException] {
+      MatchRecognize.sql(spark,
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(A.*) AS n_pairs
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO LAST A
+          |  PATTERN ((A B)+)
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+          |)""".stripMargin).collect()
     }
+    assert(ex.getCause != null &&
+      ex.getCause.getMessage.contains("would loop forever"), ex.getMessage)
   }
 }

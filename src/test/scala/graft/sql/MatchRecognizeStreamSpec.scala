@@ -257,4 +257,41 @@ class MatchRecognizeStreamSpec extends AnyFunSuite {
       assert(got == Seq((2L, 2L)))
     } finally q.stop()
   }
+
+  test("graph pattern + SKIP TO NEXT ROW over a stream: overlapping matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    input.toDS().toDF("tick", "kind")
+      .withColumn("ts", to_timestamp(from_unixtime($"tick" * 60)))
+      .withWatermark("ts", "5 minutes")
+      .createOrReplaceTempView("skip_stream")
+    val result = MatchRecognize.sql(spark,
+      """SELECT * FROM skip_stream MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES FIRST(A.tick) AS a_t, COUNT(A.*) AS n_pairs
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((A B)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |)""".stripMargin)
+    val q = result.writeStream.format("memory").queryName("skip_stream_out")
+      .outputMode("append").start()
+    try {
+      // a b a b a split across batches: the greedy 2-pair match anchored at
+      // tick 1 AND the overlapped 1-pair match anchored at tick 3 — both
+      // must survive the deferred-candidate state round-trip
+      input.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      input.addData(Seq((3L, "a"), (4L, "b"), (5L, "a"), (40L, "x")))
+      q.processAllAvailable()
+      // push the watermark past every attempt's within-horizon so the
+      // deferred candidates flush
+      input.addData(Seq((120L, "x")))
+      q.processAllAvailable()
+      val got = spark.table("skip_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 2L), (3L, 1L)))
+    } finally q.stop()
+  }
 }

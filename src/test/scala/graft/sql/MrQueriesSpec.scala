@@ -131,6 +131,56 @@ class MrQueriesSpec extends AnyFunSuite {
     assert(got.sorted == want.sorted)
   }
 
+  test("q_mr_skip_overlap equals a literal every-anchor scan at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = MrQueries.skipOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime)).toSeq
+    assert(got.nonEmpty, "q_mr_skip_overlap must produce rows at sf0.001 (driver smoke)")
+
+    // brute force: SKIP TO NEXT ROW visits EVERY row as an anchor. At each
+    // anchor: greedy maximal contiguous view/click run, backed off to the
+    // longest run whose next row is a purchase within 1h — the anchored-
+    // preferred ((V | K)+ P) match. Then advance one row (overlap legal).
+    val Within = 3600L * 1000L
+    val want = eventsByUser(dir).toSeq.flatMap { case (uid, ev) =>
+      ev.indices.flatMap { i =>
+        var m = 0
+        while (i + m < ev.length &&
+            (ev(i + m)._2 == "view" || ev(i + m)._2 == "click")) m += 1
+        (m to 1 by -1).collectFirst {
+          case r if i + r < ev.length && ev(i + r)._2 == "purchase" &&
+              ev(i + r)._1 < ev(i)._1 + Within =>
+            val run = ev.slice(i, i + r)
+            (uid, run.count(_._2 == "view").toLong,
+              run.count(_._2 == "click").toLong,
+              (ev(i + r)._1 / 1000L) * 1000L)
+        }
+      }
+    }
+    assert(got.sorted == want.sorted)
+    // and it must be a strict SUPERSET of the PAST LAST ROW variant: the
+    // old engine could only express the non-overlapping scan
+    val pastLast = MatchRecognize(
+      graft.sources.Tables.events(spark, dir)
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type")),
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(V.*) AS n_views, COUNT(K.*) AS n_clicks,
+        |         P.ts AS purchase_ts0
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN ((V | K)+ P) WITHIN INTERVAL '1' HOUR
+        |DEFINE
+        |  V AS V.event_type = 'view',
+        |  K AS K.event_type = 'click',
+        |  P AS P.event_type = 'purchase'""".stripMargin).count()
+    assert(got.size > pastLast, s"overlap expected: toNext=${got.size} pastLast=$pastLast")
+  }
+
   test("q_mr_cycles equals a literal greedy pair scan at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = MrQueries.cycles(spark, dir).collect()
