@@ -228,6 +228,30 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** t-digest accuracy for [[lengthStatsApprox]]: relative rank error ≤
+    * 1/Accuracy, the bound `CurationSpec` asserts against the exact ranks. */
+  val ApproxAccuracy = 10000
+
+  /** The scale path [[lengthStats]]'s Scaladoc names: per-source quantiles
+    * via `approx_percentile` (t-digest — mergeable, map-side-combinable, no
+    * per-stratum sort), for strata too large to sort. ONE hash-aggregate
+    * shuffle carrying sketches instead of rows; a 10^10-doc stratum costs
+    * the same reduce-side state as a 10^3-doc one. Non-oracle (the sketch
+    * is implementation-defined): rows-only driver check + a rank-error
+    * tolerance test against the exact operator. */
+  def lengthStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        percentile_approx($"n_chars", lit(0.5), lit(ApproxAccuracy)).as("p50_chars"),
+        percentile_approx($"n_chars", lit(0.9), lit(ApproxAccuracy)).as("p90_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> langId _,
     "q_text_quality" -> quality _,
@@ -237,6 +261,7 @@ object TextAnalysis {
     "q_text_chunk" -> chunk _,
     "q_text_tfidf" -> tfidf _,
     "q_text_length_stats" -> lengthStats _,
+    "q_text_length_stats_approx" -> lengthStatsApprox _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =

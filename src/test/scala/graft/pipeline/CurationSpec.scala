@@ -85,28 +85,34 @@ class CurationSpec extends AnyFunSuite {
     assert(again.sameElements(out.collect().map(_.toString).sorted))
   }
 
-  test("length stats: the approx_percentile scale path tracks the exact ranks") {
+  test("length stats: approx scale path within t-digest rank bounds at sf0.1") {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // the documented swap-in for strata too large to sort: t-digest sketch,
-    // mergeable, no per-stratum sort. At sf strata sizes the default
-    // accuracy reproduces the exact rank values; at 100 TB it is within the
-    // sketch's rank-error bound.
-    val approx = graft.sources.Tables.table(spark, sf, "documents")
-      .groupBy($"source")
-      .agg(
-        percentile_approx($"n_chars", lit(0.5), lit(10000)).as("p50"),
-        percentile_approx($"n_chars", lit(0.9), lit(10000)).as("p90"))
-      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val exact = TextAnalysis.lengthStats(spark, sf)
-      .select($"source", $"p50_chars", $"p90_chars")
-      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    exact.foreach { case (src, (p50, p90)) =>
-      val (a50, a90) = approx(src)
-      // both define the quantile as a real element; rank conventions may
-      // differ by one position, so allow the neighboring element's distance
-      assert(math.abs(a50 - p50) <= p50 / 5, s"$src p50 approx $a50 vs $p50")
-      assert(math.abs(a90 - p90) <= p90 / 5, s"$src p90 approx $a90 vs $p90")
+    // the documented swap-in for strata too large to sort, asserted by the
+    // sketch's own guarantee: relative rank error ≤ 1/Accuracy, so each
+    // approx quantile must be an element whose rank lies within
+    // p·n ± (n/Accuracy + 1) of the target — checked against the fully
+    // sorted per-source values at the bench scale factor
+    val sf01 = "/root/testdata/sf0.1"
+    val approx = TextAnalysis.lengthStatsApprox(spark, sf01)
+      .select($"source", $"n_docs", $"min_chars", $"max_chars",
+        $"p50_chars", $"p90_chars")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(approx.nonEmpty)
+    val bySource = graft.sources.Tables.table(spark, sf01, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (src, nDocs, mn, mx, a50, a90) =>
+      val vals = bySource(src)
+      val n = vals.length
+      assert(nDocs == n && mn == vals.head && mx == vals.last, src)
+      val slack = n / TextAnalysis.ApproxAccuracy + 1
+      for ((p, a) <- Seq(0.5 -> a50, 0.9 -> a90)) {
+        val target = (p * n).toInt
+        val lo = vals((target - slack).max(0).min(n - 1))
+        val hi = vals((target + slack).max(0).min(n - 1))
+        assert(a >= lo && a <= hi,
+          s"$src p$p approx $a outside rank window [$lo, $hi] (n=$n)")
+      }
     }
   }
 
