@@ -56,7 +56,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The per-query map goes to a FILE; stdout gets only a short totals
+    // line. Both r3 and r4 lost the head of the long per-query JSON line to
+    // the driver's tail-capture ("parsed": null) — a file can't truncate.
+    val detail =
+      s"""{"metric":"total","value":${r3f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.writeString(detailPath, detail + "\n")
+    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -116,12 +116,18 @@ object ScaleProbe {
     val pairsE = spark.range(450000L)
       .select(($"id" * 2 + 20000000L).as("u"), ($"id" * 2 + 20000001L).as("v"))
     val edges = chain.union(hub).union(pairsE)
+    val ccRounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val (ccStats, ccSecs) = time {
-      val cc = graft.pipeline.Components.connectedComponents(edges)
+      val cc = graft.pipeline.Components.connectedComponents(
+        edges, (r, n) => ccRounds += ((r, n)))
       val comps = cc.groupBy($"root").count()
       val r = comps.agg(count(lit(1)), max($"count")).head()
       (r.getLong(0), r.getLong(1))
     }
+    // early-exit evidence: settled components leave the loop, so the
+    // unsettled edge count must shrink every round (the 450k pair stars and
+    // the 100k hub star drop out at round 0; only the chains iterate)
+    println(s"""{"probe":"components_rounds","unsettled_per_round":[${ccRounds.map(_._2).mkString(",")}]}""")
     val nEdges = 999000L + 100000L + 450000L
     assert(ccStats._1 == 451001L, s"component count ${ccStats._1}")
     assert(ccStats._2 == 100001L, s"max component ${ccStats._2}")

@@ -45,7 +45,24 @@ object Components {
     *         `pairs`, `root` = minimum node id of its component (roots map
     *         to themselves).
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, (_, _) => ())
+
+  /** Edge-count gate for the early-exit split: while the working set is
+    * larger than this, each round first moves settled star components out
+    * of the loop; below it, the split's fixed per-round stage cost exceeds
+    * what it saves (a sub-100k-edge graph iterates in milliseconds), so the
+    * loop falls back to plain fingerprint-terminated star rounds. */
+  val SplitThreshold = 100000L
+
+  /** [[connectedComponents]] with a per-round observer: `roundLog(round,
+    * workingSetEdges)` after each round — what `ScaleProbe` prints and
+    * `ComponentsSpec` asserts shrinks. `splitThreshold` overrides the
+    * [[SplitThreshold]] gate (0 = always split; tests use it). */
+  private[graft] def connectedComponents(
+      pairs: DataFrame,
+      roundLog: (Int, Long) => Unit,
+      splitThreshold: Long = SplitThreshold): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
 
@@ -54,8 +71,9 @@ object Components {
         .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
         .distinct()
 
-    // (count, hash-xor) fingerprint: one tiny action per round, used only
-    // to decide termination. XOR (not sum) so ANSI mode can't overflow.
+    // (count, hash-xor) fingerprint: one tiny action per small-mode round,
+    // used only to decide termination. XOR (not sum) so ANSI mode can't
+    // overflow. The count rides along to keep the threshold decision fresh.
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
@@ -80,6 +98,38 @@ object Components {
       moved.union(self)
     }
 
+    // EARLY EXIT: a component that is already a STAR with the minimum at
+    // its center is a fixed point of both star operations, and components
+    // never exchange edges — so its edges can leave the loop now instead of
+    // being re-canonicalized every remaining round. In canon orientation
+    // (child u > parent v) a parent v's group is a settled star iff no
+    // child of v has a second parent, no child of v is itself a parent
+    // (deeper structure below), and v is nobody's child (root final). All
+    // three reduce to one per-node role count — "impure" nodes are children
+    // with a second parent-or-child role — so the split costs ONE shuffle
+    // (map-side-combinable role aggregate) plus semi/anti joins against the
+    // impure set, which AQE broadcasts once the unsettled tail is small.
+    // Most real dedup components are tiny stars that settle in a round or
+    // two; splitting them off makes late rounds run over the long-chain
+    // tail only, not the whole corpus.
+    def splitSettled(e: DataFrame): (DataFrame, DataFrame) = {
+      val roles = e.select($"u".as("node"), lit(1L).as("c"), lit(0L).as("p"))
+        .union(e.select($"v".as("node"), lit(0L).as("c"), lit(1L).as("p")))
+      val impure = roles.groupBy($"node")
+        .agg(sum($"c").as("nc"), sum($"p").as("np"))
+        .filter($"nc" >= 1 && ($"nc" > 1 || $"np" >= 1))
+        .select($"node")
+      val unsettled = e.join(impure.select($"node".as("u")), Seq("u"), "left_semi")
+        .select($"v")
+        .union(e.join(impure.select($"node".as("v")), Seq("v"), "left_semi").select($"v"))
+        .distinct()
+      // re-select (u, v): the using-column join moves the key first, and
+      // the star ops' unions are POSITIONAL — a (v, u)-ordered frame would
+      // silently swap the columns there
+      (e.join(unsettled, Seq("v"), "left_anti").select($"u", $"v"),
+        e.join(unsettled, Seq("v"), "left_semi").select($"u", $"v"))
+    }
+
     // Checkpoint (not cache) each round: an iterative DataFrame loop
     // doubles its logical plan per round — by round ~8 the PLAN alone OOMs
     // the driver. Checkpointing truncates lineage to the materialized RDD,
@@ -87,27 +137,56 @@ object Components {
     // configured (cluster deployment) rounds are reliably checkpointed and
     // survive executor loss; without one (local/test) localCheckpoint keeps
     // the truncation but stores blocks on executors. Lazy (eager = false):
-    // the fingerprint aggregate right after is the materializing action, so
-    // each round costs ONE Spark job, not two — per-round latency, not data
-    // volume, dominates on small/converged graphs.
+    // the per-round count/fingerprint right after — also the termination
+    // test — is the materializing action, so each round costs ONE Spark
+    // job, not two.
     val ckpt: DataFrame => DataFrame =
       if (s.sparkContext.getCheckpointDir.isDefined) _.checkpoint(eager = false)
       else _.localCheckpoint(eager = false)
-    var edges = ckpt(canon(pairs.toDF("u", "v")))
-    var fp = fingerprint(edges)
-    var converged = false
+
+    var settledAcc = List.empty[DataFrame]
+    var rest = ckpt(canon(pairs.toDF("u", "v")))
+    var nRest = rest.count()
+    roundLog(0, nRest)
     var round = 0
+    var fp = (-1L, -1L) // last small-mode fingerprint (count, xor)
+    // The split costs roughly half a star round, so it runs only while it
+    // PAYS: while the working set is over the size gate AND the last split
+    // round shrank it by ≥ 20%. Typical dedup graphs settle most of their
+    // mass in the first round or two (big win); the adversarial all-chains
+    // graph settles nothing until the end (the heuristic switches the split
+    // off after one unproductive round instead of taxing every round).
+    var splitOn = true
+    var converged = nRest == 0
     while (!converged && round < MaxRounds) {
-      val next = ckpt(canon(smallStar(largeStar(edges))))
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      fp = nfp
-      edges = next
+      if (splitOn && nRest > splitThreshold) {
+        // split mode: settled stars leave, the tail iterates; converged
+        // when everything has settled out
+        val (st, rs) = splitSettled(rest)
+        settledAcc ::= st
+        rest = ckpt(canon(smallStar(largeStar(rs))))
+        val prev = nRest
+        nRest = rest.count()
+        splitOn = nRest <= (prev * 4) / 5
+        fp = (-1L, -1L)
+        converged = nRest == 0
+      } else {
+        // small mode: plain star rounds, fingerprint-equality termination
+        // (the fixed point is a star forest, kept in `rest`)
+        val next = ckpt(canon(smallStar(largeStar(rest))))
+        val nfp = fingerprint(next)
+        converged = nfp == fp
+        fp = nfp
+        rest = next
+        nRest = nfp._1
+      }
       round += 1
+      roundLog(round, nRest)
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $MaxRounds star rounds")
+    val edges = (rest :: settledAcc).reduce(_ union _)
 
     // Fixed point is a star forest with u > v = component min: children map
     // to their root, roots map to themselves. Nodes whose ONLY appearance is

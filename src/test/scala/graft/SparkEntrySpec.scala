@@ -16,10 +16,14 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("every declared query has an oracle or is a documented non-oracle op") {
     val nonOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // CEP is non-SQL-expressible (DuckDB has no MATCH_RECOGNIZE) — SURVEY §2.3
-    // CEP + MATCH_RECOGNIZE queries: sequential skip-past-last-row semantics
-    // are not SQL-expressible; pinned by golden/property/front-end-equivalence
-    assert(nonOracle.forall(q => q.startsWith("q_cep_") || q.startsWith("q_mr_")),
+    // CEP + MATCH_RECOGNIZE queries: sequential after-match-skip semantics
+    // are not SQL-expressible (DuckDB has no MATCH_RECOGNIZE); pinned by
+    // golden/property/front-end-equivalence tests. The approx-quantile scale
+    // path is sketch-valued (implementation-defined), pinned by a rank-error
+    // tolerance test against the exact oracled operator.
+    val documented = Set("q_text_length_stats_approx")
+    assert(nonOracle.forall(q =>
+      q.startsWith("q_cep_") || q.startsWith("q_mr_") || documented(q)),
       s"undocumented non-oracle: $nonOracle")
   }
 

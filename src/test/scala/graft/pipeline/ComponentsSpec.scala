@@ -71,6 +71,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(40L) == 40L && got(41L) == 40L)
   }
 
+  test("settled components leave the loop: unsettled edges shrink per round") {
+    import spark.implicits._
+    // 200 disjoint pairs (stars already — settle in the first split round)
+    // + one 60-node chain (needs several rounds): after the first split the
+    // loop must run on the chain tail only, not re-canonicalize the pairs
+    val pairs = (0L until 400L by 2).map(i => (i + 1000000L, i + 1000001L))
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val edges = pairs ++ chain
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val got = Components.connectedComponents(
+        edges.toDF("u", "v").repartition(4), (r, n) => rounds += ((r, n)),
+        splitThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+    // before any round: the full edge set
+    assert(rounds.head == (0, (pairs.length + chain.length).toLong), rounds.toString)
+    // after the first split round the 200 pair-star edges are out of the
+    // working set for good — every later round runs on the chain tail only
+    // (star ops may transiently reshape the chain's edges, hence the slack)
+    assert(rounds.tail.forall(_._2 < 120L), rounds.toString)
+  }
+
   test("pure self-loop nodes appear as singleton components") {
     // 99 appears ONLY as a self-loop; 5 has a self-loop AND real edges.
     val edges = Seq((99L, 99L), (5L, 5L), (5L, 3L), (3L, 1L), (10L, 11L))
