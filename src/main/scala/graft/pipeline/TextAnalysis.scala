@@ -228,6 +228,61 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Word n-grams (space-joined), empty below n tokens. */
+  private def grams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition metrics — the Gopher-style quality signals
+    * (Rae et al. 2021 §A1.1) that catch boilerplate and degenerate
+    * generations BEFORE any corpus-wide dedup: duplicate 2-/3-gram mass and
+    * top-token concentration, in exact integer basis points. Single-pass
+    * narrow scan (all higher-order-function builtins, no shuffle but the
+    * final ORDER BY); the top-token fold is O(distinct × tokens) per doc —
+    * bounded per row, embarrassingly parallel at corpus scale. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dupBp(g: Column): Column =
+      when(size(g) > 0,
+        floor((size(g) - size(array_distinct(g))) * 10000L / size(g)))
+        .otherwise(0L).cast("long")
+    Tables.table(s, dir, "documents")
+      .withColumn("w", tokens($"text"))
+      .withColumn("g2", grams($"w", 2))
+      .withColumn("g3", grams($"w", 3))
+      .select(
+        $"doc_id",
+        size($"w").as("n_tok"),
+        dupBp($"g2").as("dup2_bp"),
+        dupBp($"g3").as("dup3_bp"),
+        array_max(transform(array_distinct($"w"), t =>
+          size(filter($"w", x => x === t)))).as("top_tok"),
+        floor(
+          array_max(transform(array_distinct($"w"), t =>
+            size(filter($"w", x => x === t)))) * 10000L / size($"w"))
+          .cast("long").as("top_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-source contamination audit: distinct word-3-gram shingles shared
+    * between every pair of sources — the leakage check run before declaring
+    * train/eval splits clean. Shape: one shuffle on the shingle key for the
+    * distinct (shingle, source) table; the self-join fans out at most
+    * C(#sources, 2) rows per shingle (bounded by source-count², not corpus
+    * size), then a tiny pair aggregate. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.table(s, dir, "documents")
+      .select($"source", explode(array_distinct(shingles3(tokens($"text")))).as("sh"))
+      .distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** t-digest accuracy for [[lengthStatsApprox]]: relative rank error ≤
     * 1/Accuracy, the bound `CurationSpec` asserts against the exact ranks. */
   val ApproxAccuracy = 10000
@@ -262,6 +317,8 @@ object TextAnalysis {
     "q_text_tfidf" -> tfidf _,
     "q_text_length_stats" -> lengthStats _,
     "q_text_length_stats_approx" -> lengthStatsApprox _,
+    "q_text_repetition" -> repetition _,
+    "q_source_overlap" -> sourceOverlap _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -345,6 +402,35 @@ object TextAnalysis {
          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
          |  CAST(df AS BIGINT) AS df, CAST(tfidf_micro AS BIGINT) AS tfidf_micro
          |FROM r WHERE rk <= $TfIdfTopK ORDER BY doc_id, term""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, w,
+         |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
+         |    ${duckShingles("w")} AS g3
+         |  FROM d),
+         |t AS (SELECT doc_id, w, g2, g3,
+         |    list_max(list_transform(list_distinct(w),
+         |      t -> len(list_filter(w, x -> x = t)))) AS top_tok
+         |  FROM g)
+         |SELECT doc_id, CAST(len(w) AS INT) AS n_tok,
+         |  CAST(CASE WHEN len(g2) > 0
+         |    THEN (len(g2) - len(list_distinct(g2))) * 10000 // len(g2)
+         |    ELSE 0 END AS BIGINT) AS dup2_bp,
+         |  CAST(CASE WHEN len(g3) > 0
+         |    THEN (len(g3) - len(list_distinct(g3))) * 10000 // len(g3)
+         |    ELSE 0 END AS BIGINT) AS dup3_bp,
+         |  CAST(top_tok AS INT) AS top_tok,
+         |  CAST(top_tok * 10000 // len(w) AS BIGINT) AS top_bp
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH d AS (SELECT source, ${duckTokens("text")} AS w FROM documents),
+         |sh AS (SELECT DISTINCT source, sh FROM
+         |  (SELECT source, unnest(list_distinct(${duckShingles("w")})) AS sh FROM d))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_length_stats" ->
       """WITH r AS (SELECT source, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
