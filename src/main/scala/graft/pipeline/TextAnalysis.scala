@@ -243,11 +243,20 @@ object TextAnalysis {
     * bounded per row, embarrassingly parallel at corpus scale. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    repetitionOf(Tables.table(s, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** The repetition metrics on any `(doc_id, text)` frame — stateless /
+    * narrow, so it applies unchanged to a streaming DataFrame (pinned by
+    * `PipelineStreamSpec`). */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     def dupBp(g: Column): Column =
       when(size(g) > 0,
         floor((size(g) - size(array_distinct(g))) * 10000L / size(g)))
         .otherwise(0L).cast("long")
-    Tables.table(s, dir, "documents")
+    docs
       .withColumn("w", tokens($"text"))
       .withColumn("g2", grams($"w", 2))
       .withColumn("g3", grams($"w", 3))
@@ -262,7 +271,6 @@ object TextAnalysis {
           array_max(transform(array_distinct($"w"), t =>
             size(filter($"w", x => x === t)))) * 10000L / size($"w"))
           .cast("long").as("top_bp"))
-      .orderBy($"doc_id")
   }
 
   /** Cross-source contamination audit: distinct word-3-gram shingles shared

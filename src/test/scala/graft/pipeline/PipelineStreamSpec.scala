@@ -56,6 +56,14 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_redact", TextAnalysis.redactOf) == b)
   }
 
+  test("repetition metrics: streaming == batch") {
+    val b = batch(TextAnalysis.repetitionOf)
+    // doc 42 is "dup dup dup ..." (8 tokens): 6 of 7 bigrams duplicate
+    // (8571 bp), 5 of 6 trigrams (8333 bp), top token owns all 8 (10000 bp)
+    assert(b.nonEmpty && b.exists(_.startsWith("42|8|8571|8333|8|10000")), b.toString)
+    assert(streamed("pipe_rep", TextAnalysis.repetitionOf) == b)
+  }
+
   test("chunking: streaming == batch") {
     val b = batch(TextAnalysis.chunkOf)
     assert(b.size > docs.size) // the long doc must split into several chunks
