@@ -273,6 +273,35 @@ object TextAnalysis {
           .cast("long").as("top_bp"))
   }
 
+  /** Unigram cross-entropy quality score — the CCNet-style LM quality proxy
+    * (Wenzek et al. 2020 use a 5-gram KenLM; the unigram form keeps the
+    * operator SHAPE — train token distribution, score each doc by mean
+    * negative log-probability — with an exactly-oracled arithmetic). Low
+    * score = common words (fluent-ish), high = rare-token soup. Shape: one
+    * (doc, term) explode feeding BOTH the corpus unigram table (one term
+    * shuffle, map-side combinable) and the scoring join back (vocab-sized
+    * table, AQE-sized like tfidf's df join — no forced broadcast); per-doc
+    * aggregate on doc_id. Determinism: the single float op `ln(cnt/total)`
+    * is floor-quantized to integer micros immediately; everything after is
+    * exact integer, per the oracle-determinism rules. */
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.table(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val unigram = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val total = unigram.agg(sum($"cnt").as("total"))
+    val logp = unigram.crossJoin(broadcast(total))
+      .select($"term",
+        floor(log($"cnt".cast("double") / $"total") * 1e6).cast("long")
+          .as("logp_micro"))
+    toks.join(logp, "term")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), (-sum($"logp_micro")).as("nll_micro"))
+      .select($"doc_id", $"n_tok".cast("int").as("n_tok"),
+        expr("nll_micro div n_tok").as("ce_micro"))
+      .orderBy($"doc_id")
+  }
+
   /** Cross-source contamination audit: distinct word-3-gram shingles shared
     * between every pair of sources — the leakage check run before declaring
     * train/eval splits clean. Shape: one shuffle on the shingle key for the
@@ -327,6 +356,7 @@ object TextAnalysis {
     "q_text_length_stats_approx" -> lengthStatsApprox _,
     "q_text_repetition" -> repetition _,
     "q_source_overlap" -> sourceOverlap _,
+    "q_text_perplexity" -> perplexity _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -431,6 +461,19 @@ object TextAnalysis {
          |  CAST(top_tok AS INT) AS top_tok,
          |  CAST(top_tok * 10000 // len(w) AS BIGINT) AS top_bp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${duckTokens("text")}) AS term FROM documents),
+         |u AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |tot AS (SELECT sum(cnt) AS total FROM u),
+         |lp AS (SELECT term,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS logp_micro
+         |  FROM u, tot),
+         |d AS (SELECT t.doc_id, count(*) AS n_tok,
+         |    -CAST(sum(lp.logp_micro) AS BIGINT) AS nll_micro
+         |  FROM t JOIN lp USING (term) GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+         |  CAST(nll_micro // n_tok AS BIGINT) AS ce_micro
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q_source_overlap" ->
       s"""WITH d AS (SELECT source, ${duckTokens("text")} AS w FROM documents),
          |sh AS (SELECT DISTINCT source, sh FROM
