@@ -195,6 +195,35 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("repetition metrics stay narrow: one exchange at most (the final sort)") {
+    val df = SparkEntry.queries("q_text_repetition")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    // single text scan, no join, no aggregate — pure per-row HOF projection
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("source overlap: distinct shingle table built once, pair join bounded") {
+    val df = SparkEntry.queries("q_source_overlap")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the equi-join on the shingle key — never a cartesian of the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("perplexity: scoring join strategy left to AQE, no cartesian blowup") {
+    val df = SparkEntry.queries("q_text_perplexity")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the only nested-loop allowed is the broadcast of the 1-row total;
+    // the vocab scoring join must be an equi-join of whatever strategy AQE
+    // picks (broadcast when the vocabulary fits, term shuffle when not)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("chunk and redact stay narrow: one exchange at most (the final sort)") {
     for (q <- Seq("q_text_chunk", "q_text_redact")) {
       val df = SparkEntry.queries(q)(spark, sf)

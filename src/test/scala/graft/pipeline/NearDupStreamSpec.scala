@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
@@ -90,6 +92,40 @@ class NearDupStreamSpec extends AnyFunSuite {
       NearDoc("k2", 2L, "alpha beta gamma delta epsilon zeta"))
     val got = annotatedStream(Seq(sharded))
     assert(got == Map(1L -> -1L, 2L -> -1L))
+  }
+
+  test("query restart from checkpoint preserves the signature store") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val mem = MemoryStream[NearDoc]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def start() = NearDupStream.annotate(mem.toDF()).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupStream.Annotated], _: Long) =>
+        b.collect().foreach(a => got.add((a.doc_id, a.dup_of)))
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // run 1: the original enters the signature store
+    val q1 = start()
+    try {
+      mem.addData(NearDoc("k", 1L, base))
+      q1.processAllAvailable()
+      assert(got.asScala.toSet == Set(1L -> -1L))
+    } finally q1.stop()
+
+    // run 2 (fresh query instance, same checkpoint): an exact dup arrives —
+    // flagged ONLY if the RocksDB MapState survived the restart
+    val q2 = start()
+    try {
+      mem.addData(NearDoc("k", 2L, base))
+      q2.processAllAvailable()
+      assert(got.asScala.toSet == Set(1L -> -1L, 2L -> 1L))
+    } finally q2.stop()
   }
 
   test("curateNear composition applies the batch sample filter to survivors") {
