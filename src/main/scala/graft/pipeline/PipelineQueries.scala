@@ -7,12 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ Sampling.queries ++ Curation.queries ++
-      Embeddings.queries
+    Dedup.queries ++ SpanDedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ Sampling.queries ++
+      Curation.queries ++ Embeddings.queries
 
   val oracles: Map[String, String] =
-    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ Sampling.oracles ++ Curation.oracles ++
-      Embeddings.oracles
+    Dedup.oracles ++ SpanDedup.oracles ++ Similarity.oracles ++
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
+      Curation.oracles ++ Embeddings.oracles
 }

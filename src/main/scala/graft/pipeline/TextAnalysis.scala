@@ -344,6 +344,41 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Feature-hash buckets for [[classifier]] (2^10; production fastText uses
+    * 2^21 — the arithmetic is bucket-count-agnostic). */
+  val ClfBuckets = 1024L
+  /** Knuth multiplicative-hash constant: spreads bucket ids over the weight
+    * range so adjacent buckets get uncorrelated weights. */
+  val ClfMixer = 2654435761L
+
+  /** Deterministic per-bucket weight in [-1000, 1000] milli-units. A trained
+    * model ships its weights as a table (broadcast-joined) or a literal
+    * array; this derivation keeps the weights reproducible inside BOTH
+    * engines so the oracle can check the full scoring pipeline. */
+  private def clfWeight(bucket: Column): Column =
+    (bucket * ClfMixer) % 2001L - 1000L
+
+  /** Hashed bag-of-words linear quality classifier — the fastText-shaped
+    * scorer every pretraining pipeline runs (CCNet / GPT-3 Common Crawl
+    * filtering): token → feature-hash bucket → weight lookup → sum →
+    * threshold. The hash is the portable char-fold (native codegen'd
+    * expression), the "lookup" is pure arithmetic on the bucket id, and the
+    * whole document scores in ONE narrow codegen'd pass (an `aggregate`
+    * fold over the token array — no explode, no shuffle but the final ORDER
+    * BY). At 100 TB this is scan-bound, exactly like langid/quality. */
+  def classifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .withColumn("w", tokens(lower($"text")))
+      .select(
+        $"doc_id",
+        aggregate($"w", lit(0L),
+          (acc, t) => acc + clfWeight(charFoldHash(t) % ClfBuckets))
+          .as("score_milli"))
+      .withColumn("keep", ($"score_milli" > 0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> langId _,
     "q_text_quality" -> quality _,
@@ -357,6 +392,7 @@ object TextAnalysis {
     "q_text_repetition" -> repetition _,
     "q_source_overlap" -> sourceOverlap _,
     "q_text_perplexity" -> perplexity _,
+    "q_text_classifier" -> classifier _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -482,6 +518,16 @@ object TextAnalysis {
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_classifier" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
+         |sc AS (SELECT doc_id,
+         |    CAST(COALESCE(list_sum(list_transform(w, t ->
+         |      ((((${duckCharFold("t")}) % $ClfBuckets) * $ClfMixer) % 2001) - 1000)), 0)
+         |      AS BIGINT) AS score_milli
+         |  FROM d)
+         |SELECT doc_id, score_milli,
+         |  CAST(score_milli > 0 AS INT) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q_text_length_stats" ->
       """WITH r AS (SELECT source, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,

@@ -21,4 +21,16 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Uncorrelated scalar subquery over a finished single-row/single-column
+    * DataFrame — the expression shape Spark's own `InjectRuntimeFilter`
+    * emits for bloom-filter runtime pruning. The subquery plan executes once
+    * before the main query; its scalar result is then a constant available
+    * to every task (`BloomFilterMightContain` requires its filter side to be
+    * foldable or exactly this). */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed))
 }

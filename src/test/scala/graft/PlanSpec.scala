@@ -224,6 +224,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("classifier stays narrow: one exchange at most, no join, no aggregate") {
+    val df = SparkEntry.queries("q_text_classifier")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // token → bucket → weight → sum is one codegen'd fold per row; the only
+    // exchange is the final ORDER BY's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("span dedup: hash-bucketed equi-joins only, never a cartesian") {
+    val df = SparkEntry.queries("q_dedup_spans")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // occurrence count is a two-phase aggregate on the span hash
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    spark.catalog.clearCache()
+  }
+
+  test("incremental dedup: bloom runtime filter sits before the corpus distinct") {
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the probe must survive optimization INSIDE the corpus branch — deeper
+    // than the final equi-join (tree printing: children render after their
+    // parent), so the corpus-side distinct only sees bloom survivors
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(probeIdx > joinIdx && joinIdx >= 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("chunk and redact stay narrow: one exchange at most (the final sort)") {
     for (q <- Seq("q_text_chunk", "q_text_redact")) {
       val df = SparkEntry.queries(q)(spark, sf)
