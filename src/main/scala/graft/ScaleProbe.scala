@@ -101,6 +101,31 @@ object ScaleProbe {
     spark.catalog.clearCache()
     println(f"""{"probe":"dedup_minhash","docs":$nDocs,"pairs":$nPairs,"secs":$dedupSecs%.1f,"docs_per_sec":${(nDocs / dedupSecs).toLong}}""")
 
+    // ---- span-level dedup + bloom-incremental over the same 10× corpus ----
+    // The planted near-copies differ only in word 1, so each copy pair
+    // shares EXACTLY the 45 5-token spans that start at positions 2..46 of
+    // the 50-word docs (the random 5000-word vocabulary makes accidental
+    // 5-gram collisions vanishingly unlikely): 1000 docs with n_dup = 45.
+    // The copy (odd id, id%100==1) and its source (even id) always sit on
+    // opposite parities, so the incremental probe must flag exactly the 500
+    // copy docs.
+    val (spanStats, spanSecs) = time {
+      val r = graft.pipeline.SpanDedup.spansOf(spark, docs)
+        .filter($"n_dup" > 0)
+        .agg(count(lit(1)), sum($"n_dup"), max($"n_dup")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    spark.catalog.clearCache()
+    assert(spanStats._1 == 1000L, s"span-dup docs ${spanStats._1}")
+    assert(spanStats._3 == 45L, s"max n_dup ${spanStats._3}")
+    println(f"""{"probe":"dedup_spans","docs":$nDocs,"dup_docs":${spanStats._1},"dup_spans":${spanStats._2},"secs":$spanSecs%.1f,"docs_per_sec":${(nDocs / spanSecs).toLong}}""")
+
+    val (incrHits, incrSecs) = time {
+      graft.pipeline.SpanDedup.incrementalOf(spark, docs).count()
+    }
+    assert(incrHits == 500L, s"incremental hits $incrHits")
+    println(f"""{"probe":"dedup_incremental","docs":$nDocs,"flagged":$incrHits,"secs":$incrSecs%.1f,"docs_per_sec":${(nDocs / incrSecs).toLong}}""")
+
     // ---- Connected components: 1.55M edges over ~2M nodes, adversarial ----
     // shapes for cluster resolution: 1000 chains of length 1000 (worst-case
     // diameter — label propagation would need 1000 rounds; the star

@@ -52,13 +52,18 @@ object SpanDedup {
     * partitioning), then a doc_id aggregate. The duplicated-hash table is
     * small (only repeated content); AQE broadcasts the join back when it
     * fits, no forced hint. */
-  def spans(s: SparkSession, dir: String): DataFrame = {
+  def spans(s: SparkSession, dir: String): DataFrame =
+    spansOf(s, Tables.table(s, dir, "documents"))
+
+  /** [[spans]] over any `(doc_id, text)` table — the probe / library entry
+    * point ([[graft.ScaleProbe]] drives it at 10× bench scale). */
+  def spansOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     // Two plan branches (per-doc totals + the explode) read the span-hash
     // array: materialize it once. At 100 TB you would recompute instead of
     // cache — the narrow ShingleMd5 pass is cheaper than corpus-wide cache
     // residency; the branch structure is identical either way.
-    val base = Tables.table(s, dir, "documents")
+    val base = docs
       .select($"doc_id", shingleMd5(tokens($"text"), SpanK).as("hs"))
       .cache()
     val sp = base.select($"doc_id", explode($"hs").as("h"))
@@ -83,9 +88,13 @@ object SpanDedup {
     * ~|batch ∩ corpus| + fpp·|corpus|. The subsequent exact equi-join
     * removes Bloom false positives, so the result is exact — the Bloom
     * changes the plan, never the answer (`SpanDedupSpec` pins this). */
-  def incremental(s: SparkSession, dir: String): DataFrame = {
+  def incremental(s: SparkSession, dir: String): DataFrame =
+    incrementalOf(s, Tables.table(s, dir, "documents"))
+
+  /** [[incremental]] over any `(doc_id, text)` table (probe entry point). */
+  def incrementalOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val spans0 = Tables.table(s, dir, "documents")
+    val spans0 = docs
       .select($"doc_id", explode(shingleMd5(tokens($"text"), SpanK)).as("h"))
     val batch = spans0.filter($"doc_id" % 2 === 1)
     val corpus = spans0.filter($"doc_id" % 2 === 0)
@@ -96,6 +105,24 @@ object SpanDedup {
     batch.join(corpusHits, "h")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy($"doc_id")
+  }
+
+  /** Streaming [[incremental]]: the same span-overlap count on a LIVE
+    * ingest — a stream-static join between the incoming document stream's
+    * spans and the (static) corpus span-hash table. Per micro-batch Spark
+    * re-plans the static side, so AQE sizes the join each batch; no state
+    * store beyond the aggregation. The Bloom direction inverts here: a
+    * static-corpus bloom (built once, ~1 GB at 10^9 distinct spans) would
+    * prefilter the stream's spans — worth it only when the corpus-side join
+    * state dominates; the join itself is already exact without it. Pinned
+    * streaming ≡ batch in `PipelineStreamSpec`. */
+  def incrementalStream(docs: DataFrame, corpusSpans: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", explode(shingleMd5(tokens($"text"), SpanK)).as("h"))
+      .join(corpusSpans, "h")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
   /** [[incremental]] without the Bloom prefilter — the reference plan the

@@ -307,11 +307,15 @@ object TextAnalysis {
     * train/eval splits clean. Shape: one shuffle on the shingle key for the
     * distinct (shingle, source) table; the self-join fans out at most
     * C(#sources, 2) rows per shingle (bounded by source-count², not corpus
-    * size), then a tiny pair aggregate. */
+    * size), then a tiny pair aggregate. The shingle KEY is the fused native
+    * md5 ([[Hashing.shingleMd5]]) rather than the materialized gram string:
+    * same distinct/join/count semantics, fixed-width keys, no per-shingle
+    * string building — the r5 bench had the string spelling at 2.4× the
+    * hashed one. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.table(s, dir, "documents")
-      .select($"source", explode(array_distinct(shingles3(tokens($"text")))).as("sh"))
+      .select($"source", explode(array_distinct(shingleMd5(tokens($"text")))).as("sh"))
       .distinct()
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -368,7 +372,17 @@ object TextAnalysis {
     * BY). At 100 TB this is scan-bound, exactly like langid/quality. */
   def classifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.table(s, dir, "documents")
+    classifierOf(Tables.table(s, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** The classifier transform on any `(doc_id, text)` frame — stateless /
+    * narrow, so it applies unchanged to a streaming DataFrame (pinned by
+    * `PipelineStreamSpec`): the live ingest path scores documents with the
+    * same plan the backfill job uses. */
+  def classifierOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .withColumn("w", tokens(lower($"text")))
       .select(
         $"doc_id",
@@ -376,7 +390,66 @@ object TextAnalysis {
           (acc, t) => acc + clfWeight(charFoldHash(t) % ClfBuckets))
           .as("score_milli"))
       .withColumn("keep", ($"score_milli" > 0).cast("int"))
-      .orderBy($"doc_id")
+  }
+
+  /** Language-ID quality audit: confusion matrix of the stopword-vote
+    * prediction against the corpus's labeled `lang` column — the
+    * eval-the-filter step a pipeline runs before trusting a classifier at
+    * corpus scale. Shape: the narrow prediction scan feeding ONE tiny
+    * aggregate (cells ≤ labels × predictions — bounded by language-set size,
+    * not corpus size). */
+  def langIdEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pred = Tables.table(s, dir, "documents")
+      .withColumn("w", tokens(lower($"text")))
+      .select($"lang",
+        hits($"w", stopEn).as("s_en"), hits($"w", stopDe).as("s_de"),
+        hits($"w", stopFr).as("s_fr"), hits($"w", stopEs).as("s_es"))
+      .withColumn("best", greatest($"s_en", $"s_de", $"s_fr", $"s_es"))
+      .withColumn("lang_pred",
+        when($"best" === 0, "unk")
+          .when($"s_en" === $"best", "en")
+          .when($"s_de" === $"best", "de")
+          .when($"s_fr" === $"best", "fr")
+          .otherwise("es"))
+    pred.groupBy($"lang", $"lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  /** Per-source shingle-vocabulary stats with EXACT distinct counts — the
+    * corpus-composition report (how much unique content does each source
+    * contribute?). The exact distinct expands to a two-phase aggregate over
+    * the (source, shingle) key — a corpus-sized shuffle; that is what the
+    * approx twin below exists to avoid at scale. Keys are the fused native
+    * shingle md5, never materialized gram strings. */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select($"source", explode(shingleMd5(tokens($"text"))).as("sh"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_shingles"), countDistinct($"sh").as("n_distinct"))
+      .orderBy($"source")
+  }
+
+  /** Relative standard deviation for [[vocabApprox]]'s HLL++ sketches;
+    * `CurationSpec` asserts the observed error against (a multiple of) it. */
+  val VocabRsd = 0.01
+
+  /** The sketch scale path for [[vocab]]: `approx_count_distinct` (HLL++ —
+    * mergeable, map-side-combinable) replaces the exact distinct's
+    * corpus-sized (source, shingle) shuffle with ONE aggregate whose reduce
+    * state is #sources × sketch (kilobytes at any corpus size). Non-oracle
+    * (the sketch is implementation-defined): rows-only driver check + a
+    * relative-error tolerance test against the exact operator. */
+  def vocabApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select($"source", explode(shingleMd5(tokens($"text"))).as("sh"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_shingles"),
+        approx_count_distinct($"sh", VocabRsd).as("n_distinct_approx"))
+      .orderBy($"source")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,6 +466,9 @@ object TextAnalysis {
     "q_source_overlap" -> sourceOverlap _,
     "q_text_perplexity" -> perplexity _,
     "q_text_classifier" -> classifier _,
+    "q_langid_eval" -> langIdEval _,
+    "q_text_vocab" -> vocab _,
+    "q_text_vocab_approx" -> vocabApprox _,
   )
 
   private def duckHits(w: String, words: Seq[String]): String =
@@ -513,11 +589,32 @@ object TextAnalysis {
     "q_source_overlap" ->
       s"""WITH d AS (SELECT source, ${duckTokens("text")} AS w FROM documents),
          |sh AS (SELECT DISTINCT source, sh FROM
-         |  (SELECT source, unnest(list_distinct(${duckShingles("w")})) AS sh FROM d))
+         |  (SELECT source, unnest(list_distinct(${duckMinhashBase(duckShingles("w"))})) AS sh FROM d))
          |SELECT a.source AS source_a, b.source AS source_b,
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_vocab" ->
+      s"""WITH d AS (SELECT source, ${duckTokens("text")} AS w FROM documents),
+         |g AS (SELECT source, unnest(${duckMinhashBase(duckShingles("w"))}) AS sh FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_langid_eval" ->
+      s"""WITH d AS (SELECT lang, ${duckTokens("lower(text)")} AS w FROM documents),
+         |sc AS (SELECT lang,
+         |    ${duckHits("w", stopEn)} AS s_en, ${duckHits("w", stopDe)} AS s_de,
+         |    ${duckHits("w", stopFr)} AS s_fr, ${duckHits("w", stopEs)} AS s_es
+         |  FROM d),
+         |p AS (SELECT lang,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |  FROM sc)
+         |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "q_text_classifier" ->
       s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
          |sc AS (SELECT doc_id,

@@ -256,6 +256,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("vocab: exact distinct pays two agg shuffles; HLL sketch path pays one") {
+    val exact = SparkEntry.queries("q_text_vocab")(spark, sf)
+    exact.collect()
+    val pe = finalPlan(exact.queryExecution.executedPlan.toString)
+    // exact count-distinct expands over (source, sh) then source — two
+    // hashpartitioning exchanges before the final sort
+    assert("Exchange hashpartitioning".r.findAllIn(pe).size == 2, pe)
+    val approx = SparkEntry.queries("q_text_vocab_approx")(spark, sf)
+    approx.collect()
+    val pa = finalPlan(approx.queryExecution.executedPlan.toString)
+    // the sketch is map-side combinable: ONE exchange carrying per-source
+    // HLL state — the whole point of the scale path
+    assert("Exchange hashpartitioning".r.findAllIn(pa).size == 1, pa)
+  }
+
   test("chunk and redact stay narrow: one exchange at most (the final sort)") {
     for (q <- Seq("q_text_chunk", "q_text_redact")) {
       val df = SparkEntry.queries(q)(spark, sf)

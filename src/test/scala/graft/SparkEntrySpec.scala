@@ -18,10 +18,11 @@ class SparkEntrySpec extends AnyFunSuite {
     val nonOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // CEP + MATCH_RECOGNIZE queries: sequential after-match-skip semantics
     // are not SQL-expressible (DuckDB has no MATCH_RECOGNIZE); pinned by
-    // golden/property/front-end-equivalence tests. The approx-quantile scale
-    // path is sketch-valued (implementation-defined), pinned by a rank-error
-    // tolerance test against the exact oracled operator.
-    val documented = Set("q_text_length_stats_approx")
+    // golden/property/front-end-equivalence tests. The approx scale paths
+    // (t-digest quantiles, HLL distinct) are sketch-valued
+    // (implementation-defined), each pinned by a tolerance test against its
+    // exact oracled twin.
+    val documented = Set("q_text_length_stats_approx", "q_text_vocab_approx")
     assert(nonOracle.forall(q =>
       q.startsWith("q_cep_") || q.startsWith("q_mr_") || documented(q)),
       s"undocumented non-oracle: $nonOracle")

@@ -116,6 +116,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab stats: HLL approx within relative-error bounds of the exact counts at sf0.1") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.1"
+    val exact = TextAnalysis.vocab(spark, sf01)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = TextAnalysis.vocabApprox(spark, sf01)
+      .as[(String, Long, Long)].collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { case (src, nSh, nApprox) =>
+      val (nShExact, nExact) = exact(src)
+      assert(nSh == nShExact, src) // the plain count must be exact
+      // HLL++ rsd is a standard deviation, not a hard bound: allow 5 sigma
+      val tol = 5 * TextAnalysis.VocabRsd * nExact
+      assert(math.abs(nApprox - nExact) <= tol,
+        s"$src approx $nApprox vs exact $nExact (tol $tol)")
+    }
+  }
+
   test("decontamination flags exactly the docs sharing an eval shingle") {
     import spark.implicits._
     val docs = graft.sources.Tables.table(spark, sf, "documents")

@@ -64,6 +64,14 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_rep", TextAnalysis.repetitionOf) == b)
   }
 
+  test("classifier: streaming == batch") {
+    val b = batch(TextAnalysis.classifierOf)
+    // the scorer must split the tiny corpus (some kept, some dropped) for
+    // the threshold to be exercised at all
+    assert(b.exists(_.endsWith("|1")) && b.exists(_.endsWith("|0")), b.toString)
+    assert(streamed("pipe_clf", TextAnalysis.classifierOf) == b)
+  }
+
   test("chunking: streaming == batch") {
     val b = batch(TextAnalysis.chunkOf)
     assert(b.size > docs.size) // the long doc must split into several chunks
@@ -92,6 +100,40 @@ class PipelineStreamSpec extends AnyFunSuite {
       input.addData(train.drop(10): _*)
       q.processAllAvailable()
       val got = spark.table("pipe_decon").collect().map(_.mkString("|")).toSeq.sorted
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("incremental span dedup: stream-static join == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // own corpus: 5-token spans must actually cross the corpus/batch line
+    val corpusDocs = Seq(
+      StreamDoc(1L, "alpha beta gamma delta epsilon zeta"),
+      StreamDoc(2L, "one two three four five six seven"))
+    val batch = Seq(
+      StreamDoc(10L, "x alpha beta gamma delta epsilon y"), // shares a span
+      StreamDoc(11L, "three four five six seven eight"),    // shares a span
+      StreamDoc(12L, "nothing shared here at all ok")) ++
+      (100L until 130L).map(i => StreamDoc(i,
+        if (i % 2 == 0) s"pad $i one two three four five" else s"pad $i no overlap content"))
+    val corpusSpans = corpusDocs.toDF()
+      .select(explode(Hashing.shingleMd5(
+        Hashing.tokens($"text"), SpanDedup.SpanK)).as("h"))
+      .distinct()
+    val expected = SpanDedup.incrementalStream(batch.toDF(), corpusSpans)
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(expected.nonEmpty) // doc-100 family shares doc 3's span content
+
+    val input = MemoryStream[StreamDoc]
+    val q = SpanDedup.incrementalStream(input.toDF(), corpusSpans).writeStream
+      .format("memory").queryName("pipe_spans").outputMode("complete").start()
+    try {
+      input.addData(batch.take(10): _*)
+      q.processAllAvailable()
+      input.addData(batch.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("pipe_spans").collect().map(_.mkString("|")).toSeq.sorted
       assert(got == expected)
     } finally q.stop()
   }
