@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Hashing._
+
+/** Corpus-composition operators for training-data curation: deterministic
+  * train/val/test splitting, token-budget mixture sampling, and an exact
+  * histogram-based per-source quality gate. All three are reproducible
+  * (salted content-independent hashes, never `rand()`) and keep the
+  * 100 TB shape: per-document work is a narrow codegen'd projection or
+  * filter; the only shuffles are over per-source aggregates (≤ the number
+  * of sources, i.e. trivially broadcastable) or, for the split report, a
+  * `sources × 3` hash aggregation with map-side partial combine.
+  */
+object Mixture {
+
+  /** Split boundaries in percent: `[0,Train)` → train, `[Train,Val)` → val,
+    * `[Val,100)` → test. */
+  val TrainPct = 80
+  val ValPct = 90
+
+  /** Per-source character budget for [[mixture]] — sized so the rate is
+    * ~40% at sf0.01 (≈7.5k chars/source) and ~4% at sf0.1 (≈74k), i.e. the
+    * budget genuinely bites at both verify SFs. */
+  val BudgetChars = 3000L
+
+  /** Deterministic doc→split assignment, reported as per-(source, split)
+    * doc and char counts — the shape of a split-manifest audit. The
+    * assignment hash is salted independently of the sampling hashes so the
+    * split is uncorrelated with any sample built from the same corpus. */
+  def split(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .withColumn("h",
+        charFoldHash(concat(lit("split:"), $"doc_id".cast("string"))) % 100)
+      .withColumn("split",
+        when($"h" < TrainPct, "train")
+          .when($"h" < ValPct, "val")
+          .otherwise(lit("test")))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source", $"split")
+  }
+
+  /** Token-budget mixture sampling: pick a deterministic subset of each
+    * source whose expected size hits a per-source character budget —
+    * the "mix N billion tokens of web with M billion of code" step of a
+    * pretraining data recipe. Two-phase, scale-safe:
+    *
+    *  1. per-source char totals — a map-side-combinable aggregate whose
+    *     output is one row per source;
+    *  2. keep-rate in exact integer micros, `min(1e6, budget·1e6 div
+    *     total)`, broadcast-joined back and applied as one narrow
+    *     hash-threshold filter.
+    *
+    * The corpus is never shuffled; re-running at any cluster size selects
+    * the same documents. Integer `div` keeps the rate identical on both
+    * engines (double division can differ by 1 ulp at 2^53 scale). */
+  def mixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val rates = docs.groupBy($"source")
+      .agg(sum($"n_chars").as("src_chars"))
+      .select($"source",
+        least(lit(1000000L),
+          expr(s"(${BudgetChars}L * 1000000L) div src_chars")).as("rate_micro"))
+    // Fold over the md5 HEX of the salted id, not the id itself: the plain
+    // char fold has weak avalanche (consecutive ids → near-consecutive
+    // hashes, fine mod 100, badly clustered mod 1e6 — measured min(h%1e6)
+    // ≈ 179k over 5k docs), while the md5 pre-mix makes the micro-threshold
+    // genuinely uniform.
+    docs.join(broadcast(rates), "source")
+      .filter(
+        charFoldHash(md5(concat(lit("mix:"), $"doc_id".cast("string")))) % 1000000L
+          < $"rate_micro")
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Exact per-source median gate without a corpus-wide sort: keep documents
+    * at or above their source's median length. The median comes from a
+    * VALUE HISTOGRAM — `(source, n_chars)` counts (bounded by the number of
+    * distinct lengths, not the corpus), a cumulative window over that small
+    * frame, threshold = lowest value whose cumulative count reaches
+    * `(total+1) div 2` (lower median) — then one broadcast join + narrow
+    * filter over the corpus. The alternative (rank window over all rows per
+    * source) sorts every row of a 100 TB stratum; this shape never sorts
+    * the corpus at all. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val hist = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"source")
+    val thresholds = hist
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("tot", sum($"cnt").over(wTot))
+      .filter($"cum" >= expr("(tot + 1) div 2"))
+      .groupBy($"source").agg(min($"n_chars").as("threshold"))
+    docs.join(broadcast(thresholds), "source")
+      .filter($"n_chars" >= $"threshold")
+      .groupBy($"source")
+      .agg(min($"threshold").as("threshold"),
+        count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars_kept"))
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split" -> split _,
+    "q_mixture" -> mixture _,
+    "q_quality_gate" -> qualityGate _,
+  )
+
+  private def saltHash(salt: String) =
+    duckCharFold(s"'$salt:' || CAST(doc_id AS VARCHAR)")
+
+  val oracles: Map[String, String] = Map(
+    "q_split" ->
+      s"""WITH a AS (SELECT source, n_chars,
+         |    CASE WHEN ${saltHash("split")} % 100 < $TrainPct THEN 'train'
+         |         WHEN ${saltHash("split")} % 100 < $ValPct THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q_mixture" ->
+      s"""WITH r AS (SELECT source,
+         |    least(1000000, (CAST($BudgetChars AS BIGINT) * 1000000) // sum(n_chars))
+         |      AS rate_micro
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE ${duckCharFold("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000 < r.rate_micro
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_quality_gate" ->
+      s"""WITH hist AS (SELECT source, n_chars, count(*) AS cnt
+         |    FROM documents GROUP BY source, n_chars),
+         |c AS (SELECT source, n_chars,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS tot
+         |  FROM hist),
+         |t AS (SELECT source, min(n_chars) AS threshold FROM c
+         |  WHERE cum >= (tot + 1) // 2 GROUP BY source)
+         |SELECT d.source, CAST(min(t.threshold) AS BIGINT) AS threshold,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars_kept
+         |FROM documents d JOIN t ON d.source = t.source
+         |WHERE d.n_chars >= t.threshold
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+  )
+}

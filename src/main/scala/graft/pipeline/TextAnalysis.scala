@@ -452,7 +452,34 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Top-[[FreqK]] tokens per source (count desc, token asc) — the
+    * per-subcorpus vocabulary profile used to spot boilerplate and
+    * source-level contamination. Shape: narrow explode → `(source, token)`
+    * hash aggregation with map-side partial combine (the shuffle carries
+    * per-source vocabularies, not the corpus), then the top-k window runs
+    * over the AGGREGATED frame — bounded by vocabulary size, never by
+    * document count. At 100 TB the vocabulary of a single source still fits
+    * a partition (Heaps' law); if it didn't, the same plan takes a
+    * count-min-sketch pre-pass to prefilter candidates. */
+  def freqItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.table(s, dir, "documents")
+      .select($"source", explode(split(lower($"text"), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"source", $"word")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"word")
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= FreqK)
+      .select($"source", $"word", $"cnt", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
+  /** Top-k cutoff for [[freqItems]]. */
+  val FreqK = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_freqitems" -> freqItems _,
     "q_text_langid" -> langId _,
     "q_text_quality" -> quality _,
     "q_text_token_stats" -> tokenStats _,
@@ -475,6 +502,17 @@ object TextAnalysis {
     s"len(list_filter($w, t -> t IN (${words.map(x => s"'$x'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_text_freqitems" ->
+      s"""WITH t AS (SELECT source,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         |c AS (SELECT source, word, count(*) AS cnt FROM t
+         |  WHERE word <> '' GROUP BY source, word),
+         |r AS (SELECT source, word, cnt,
+         |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rk
+         |  FROM c)
+         |SELECT source, word, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= $FreqK ORDER BY source, rk""".stripMargin,
     "q_text_langid" ->
       s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
          |sc AS (SELECT doc_id,

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Semantic properties of the corpus-composition operators (the oracle gate
+  * pins exact values; these pin the SEMANTICS the values must obey).
+  */
+class MixtureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = {
+    import spark.implicits._
+    Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+  }
+
+  test("split partitions every document exactly once, ~80/10/10") {
+    val rows = Mixture.split(spark, sf).collect()
+    val totalDocs = rows.map(_.getLong(2)).sum
+    assert(totalDocs === docs.length)
+    val bySplit = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // 500 docs at sf0.001: binomial(500, .8) is within ±10pp w.h.p.
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / totalDocs
+    assert(trainFrac > 0.70 && trainFrac < 0.90, s"train frac $trainFrac")
+    // char conservation: split char sums add up to the corpus total
+    assert(rows.map(_.getLong(3)).sum === docs.map(_._3).sum)
+  }
+
+  test("mixture hits the per-source char budget in expectation and is deterministic") {
+    val kept = Mixture.mixture(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nSources = docs.map(_._2).distinct.length
+    val totalKeptChars = kept.map(_._3).sum.toDouble
+    val target = Mixture.BudgetChars.toDouble * nSources
+    // ~150k chars total at sf0.001, rate ~40%: expect within ±35% of target
+    assert(totalKeptChars > 0.65 * target && totalKeptChars < 1.35 * target,
+      s"kept $totalKeptChars vs target $target")
+    // kept set is a subset of the corpus and reproducible
+    val ids = kept.map(_._1).toSet
+    assert(ids.subsetOf(docs.map(_._1).toSet))
+    val again = Mixture.mixture(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
+
+  test("quality gate threshold is the per-source lower median") {
+    val rows = Mixture.qualityGate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2)
+    assert(rows.map(_._1).toSet === bySource.keySet)
+    rows.foreach { case (src, threshold, nKept) =>
+      val lens = bySource(src).map(_._3).sorted
+      val median = lens((lens.length + 1) / 2 - 1) // lower median, 1-based rank (n+1)/2
+      assert(threshold === median, s"$src threshold")
+      assert(nKept === lens.count(_ >= median), s"$src kept count")
+      assert(nKept >= lens.length / 2 && nKept <= lens.length)
+    }
+  }
+
+  test("freqItems matches a brute-force per-source recount") {
+    val got = TextAnalysis.freqItems(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    import spark.implicits._
+    val texts = Tables.table(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val expected = texts.groupBy(_._1).flatMap { case (src, ds) =>
+      val counts = ds.flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      counts.sortBy { case (w, c) => (-c, w) }.take(TextAnalysis.FreqK)
+        .zipWithIndex.map { case ((w, c), i) => (src, w, c, i + 1) }
+    }.toSet
+    assert(got.toSet === expected)
+  }
+
+  test("quantization error is bounded by one quantization step") {
+    val rows = Embeddings.quantizeAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, maxErr, dims) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(dims === 64)
+      // one int8 step is scale/127; truncating quant+dequant stays within it
+      assert(maxErr <= scale / 127 + 1, s"vec ${r.getLong(0)}: $maxErr vs $scale")
+    }
+  }
+}
