@@ -63,22 +63,39 @@ object Mixture {
   def mixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
-    val rates = docs.groupBy($"source")
+    mixtureOf(docs, rateTable(docs)).orderBy($"doc_id")
+  }
+
+  /** Per-source keep-rates in exact integer micros from a corpus snapshot —
+    * one row per source. */
+  def rateTable(docs: DataFrame, budget: Long = BudgetChars): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.groupBy($"source")
       .agg(sum($"n_chars").as("src_chars"))
       .select($"source",
         least(lit(1000000L),
-          expr(s"(${BudgetChars}L * 1000000L) div src_chars")).as("rate_micro"))
-    // Fold over the md5 HEX of the salted id, not the id itself: the plain
-    // char fold has weak avalanche (consecutive ids → near-consecutive
-    // hashes, fine mod 100, badly clustered mod 1e6 — measured min(h%1e6)
-    // ≈ 179k over 5k docs), while the md5 pre-mix makes the micro-threshold
-    // genuinely uniform.
+          expr(s"(${budget}L * 1000000L) div src_chars")).as("rate_micro"))
+  }
+
+  /** The mixture filter on any `(doc_id, source, n_chars)` frame against a
+    * precomputed rate table: a stream-static broadcast join + one stateless
+    * narrow predicate, so the SAME code serves the backfill job and the
+    * live ingest path (pinned streaming ≡ batch in `PipelineStreamSpec`).
+    *
+    * Fold over the md5 HEX of the salted id, not the id itself: the plain
+    * char fold has weak avalanche (consecutive ids → near-consecutive
+    * hashes, fine mod 100, badly clustered mod 1e6 — measured min(h%1e6)
+    * ≈ 179k over 5k docs), while the md5 pre-mix makes the micro-threshold
+    * genuinely uniform. */
+  def mixtureOf(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     docs.join(broadcast(rates), "source")
       .filter(
         charFoldHash(md5(concat(lit("mix:"), $"doc_id".cast("string")))) % 1000000L
           < $"rate_micro")
       .select($"doc_id", $"source", $"n_chars")
-      .orderBy($"doc_id")
   }
 
   /** Exact per-source median gate without a corpus-wide sort: keep documents

@@ -397,7 +397,14 @@ object TextAnalysis {
     * eval-the-filter step a pipeline runs before trusting a classifier at
     * corpus scale. Shape: the narrow prediction scan feeding ONE tiny
     * aggregate (cells ≤ labels × predictions — bounded by language-set size,
-    * not corpus size). */
+    * not corpus size).
+    *
+    * Bench note (r5, same mechanism as the q_text_tokens outlier): this
+    * query sorts alphabetically BEFORE q_text_langid, so it pays the
+    * one-time whole-stage-codegen compile of the 4-stoplist `isInCollection`
+    * filter shape that langid then reuses warm — measured 6.6 s cold vs
+    * 0.9 s warm for THIS query in one session. At corpus scale the one-time
+    * compile vanishes into the scan. */
   def langIdEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pred = Tables.table(s, dir, "documents")

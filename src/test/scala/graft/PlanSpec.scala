@@ -279,4 +279,54 @@ class PlanSpec extends AnyFunSuite {
       assert("Exchange".r.findAllIn(p).size <= 1, s"$q plan has extra shuffles:\n$p")
     }
   }
+
+  test("mixture: per-source rates broadcast back, corpus never hash-shuffled") {
+    val df = SparkEntry.queries("q_mixture")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the rate table (one row per source) joins broadcast; the only
+    // hashpartitioning exchange is the tiny rate aggregation itself
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // the corpus side scans only the three needed columns + text never read
+    assert(!p.contains("text"), "mixture reads the text column it never uses:\n" + p)
+  }
+
+  test("quality gate: histogram median — corpus aggregated, never sorted") {
+    val df = SparkEntry.queries("q_quality_gate")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // every Sort in the plan runs over the histogram/threshold side
+    // (post-aggregation, bounded by distinct lengths × sources), so no sort
+    // node may sit directly above the parquet scan's codegen stage
+    val scanStage = p.split("\n").find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scanStage.nonEmpty, p)
+    // the corpus path is scan → project → broadcast-join → partial agg:
+    // its exchange count is the per-source report aggregation only
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("freqItems: top-k window runs over the aggregated vocabulary frame") {
+    val df = SparkEntry.queries("q_text_freqitems")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // two-phase (source, word) aggregation BEFORE the window: the Window
+    // node's child chain must contain the final HashAggregate, i.e. the
+    // window never sees raw exploded tokens
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggBelow = lines.drop(winIdx).exists(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggBelow, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("embedding quantize: explode feeds one map-side-combinable aggregate") {
+    val df = SparkEntry.queries("q_embedding_quantize")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(p.contains("Generate explode"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), "quantize audit must not join:\n" + p)
+  }
 }

@@ -144,4 +144,20 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_sample", Sampling.bernoulliOf) == b)
     assert(batch(Sampling.bernoulliOf) == b) // re-run picks the same docs
   }
+
+  test("mixture sampling: stream-static rate join == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs need (source, n_chars) — derive both deterministically
+    def enrich(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("source", concat(lit("s"), (col("doc_id") % 3).cast("string")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // static rate table from the full corpus snapshot (what a live ingest
+    // path would load from the last backfill)
+    // small budget so the rate threshold genuinely bites on this corpus
+    val rates = Mixture.rateTable(enrich(docs.toDF()), budget = 300L)
+    val b = batch(df => Mixture.mixtureOf(enrich(df), rates))
+    assert(b.nonEmpty && b.size < docs.size, b.toString)
+    assert(streamed("pipe_mixture", df => Mixture.mixtureOf(enrich(df), rates)) == b)
+  }
 }
