@@ -281,6 +281,26 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Verified-pair + transitive-closure CTEs (requires [[sigCte]] +
+    * [[candCtes]] upstream and `WITH RECURSIVE`); shared by the cluster and
+    * leakage-free-split oracles. `walk` closes the edge relation so
+    * `min(reach) GROUP BY node` is each node's component minimum. */
+  private[pipeline] val ccCtes =
+    s"""prs AS (SELECT doc_a, doc_b FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(generate_series(1, $MinhashK),
+       |      i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS matches
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b)
+       |WHERE matches >= 4),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |walk(node, reach) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -357,20 +377,7 @@ object Dedup {
     "q_dedup_cluster" ->
       s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$candCtes,
-         |prs AS (SELECT doc_a, doc_b FROM (
-         |  SELECT c.doc_a, c.doc_b,
-         |    CAST(len(list_filter(generate_series(1, $MinhashK),
-         |      i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS matches
-         |  FROM cand c
-         |  JOIN sig sa ON sa.doc_id = c.doc_a
-         |  JOIN sig sb ON sb.doc_id = c.doc_b)
-         |WHERE matches >= 4),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-         |  UNION SELECT doc_b, doc_a FROM prs),
-         |walk(node, reach) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+         |$ccCtes
          |SELECT node AS doc_id, min(reach) AS cluster_id
          |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
   )

@@ -32,18 +32,43 @@ object Mixture {
     * doc and char counts — the shape of a split-manifest audit. The
     * assignment hash is salted independently of the sampling hashes so the
     * split is uncorrelated with any sample built from the same corpus. */
+  /** Split label from any id column — md5-fold for avalanche (see
+    * [[mixtureOf]]'s note), then the percent boundaries. */
+  def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = charFoldHash(md5(concat(lit("split:"), id.cast("string")))) % 100
+    when(h < TrainPct, "train").when(h < ValPct, "val").otherwise(lit("test"))
+  }
+
   def split(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.table(s, dir, "documents")
-      .withColumn("h",
-        charFoldHash(concat(lit("split:"), $"doc_id".cast("string"))) % 100)
-      .withColumn("split",
-        when($"h" < TrainPct, "train")
-          .when($"h" < ValPct, "val")
-          .otherwise(lit("test")))
+      .withColumn("split", splitOf($"doc_id"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
       .orderBy($"source", $"split")
+  }
+
+  /** Leakage-free split: near-duplicate documents must land in the SAME
+    * split, or held-out evaluation leaks training content through the
+    * duplicate (Lee et al. '22 measure this directly). Split by the
+    * near-dup CLUSTER id, not the doc id: MinHash-LSH verified pairs →
+    * connected components → every member inherits the component minimum;
+    * unpaired docs are their own singleton cluster. Scale shape: the
+    * component map covers only paired docs (≪ corpus), so the corpus-side
+    * join stays a broadcast/AQE-picked left join — the corpus itself is
+    * never shuffled, and the split assignment is one narrow projection. */
+  def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val cc = Components.connectedComponents(
+        Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"root")
+    docs.select($"doc_id", $"source")
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"root", $"doc_id"))
+      .withColumn("split", splitOf($"cluster_id"))
+      .select($"doc_id", $"cluster_id", $"split")
+      .orderBy($"doc_id")
   }
 
   /** Token-budget mixture sampling: pick a deterministic subset of each
@@ -109,7 +134,20 @@ object Mixture {
     * the corpus at all. */
   def qualityGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.table(s, dir, "documents")
+    gateOf(Tables.table(s, dir, "documents"))
+      .groupBy($"source")
+      .agg(min($"threshold").as("threshold"),
+        count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars_kept"))
+      .orderBy($"source")
+  }
+
+  /** The gate itself on any `(doc_id, source, n_chars)` frame: rows at or
+    * above their source's lower median, with the `threshold` column kept
+    * for the report. Composable — [[recipe]] feeds its output straight
+    * into [[mixtureOf]]. */
+  def gateOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val hist = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy($"source").orderBy($"n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -121,31 +159,88 @@ object Mixture {
       .groupBy($"source").agg(min($"n_chars").as("threshold"))
     docs.join(broadcast(thresholds), "source")
       .filter($"n_chars" >= $"threshold")
-      .groupBy($"source")
-      .agg(min($"threshold").as("threshold"),
-        count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars_kept"))
-      .orderBy($"source")
+  }
+
+  /** The full pretraining-data recipe as ONE Catalyst plan: median quality
+    * gate → token-budget mixture over the survivors → split manifest.
+    * Each stage is the already-oracled operator above; composing them in
+    * one `DataFrame` lets the optimizer fuse the narrow filters and share
+    * the scan, exactly like `q_pipeline_curate` does for the dedup chain.
+    * Output is the per-(source, split) manifest a training job consumes. */
+  def recipe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gated = gateOf(Tables.table(s, dir, "documents"))
+      .select($"doc_id", $"source", $"n_chars")
+    mixtureOf(gated, rateTable(gated))
+      .withColumn("split", splitOf($"doc_id"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source", $"split")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split" -> split _,
+    "q_split_leakfree" -> splitLeakfree _,
     "q_mixture" -> mixture _,
     "q_quality_gate" -> qualityGate _,
+    "q_pipeline_recipe" -> recipe _,
   )
 
-  private def saltHash(salt: String) =
-    duckCharFold(s"'$salt:' || CAST(doc_id AS VARCHAR)")
+  /** DuckDB: split label from id expression `e` (mirrors [[splitOf]]). */
+  private def duckSplit(e: String): String = {
+    val h = s"${duckCharFold(s"md5('split:' || CAST($e AS VARCHAR))")} % 100"
+    s"CASE WHEN $h < $TrainPct THEN 'train' WHEN $h < $ValPct THEN 'val' ELSE 'test' END"
+  }
+
+  /** DuckDB: the mixture keep predicate (mirrors [[mixtureOf]]'s filter). */
+  private val duckMixKeep =
+    s"${duckCharFold("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+
+  /** DuckDB: gate CTEs over a docs relation `rel` → gated rows in `g`. */
+  private def duckGateCtes(rel: String): String =
+    s"""hist AS (SELECT source, n_chars, count(*) AS cnt
+       |    FROM $rel GROUP BY source, n_chars),
+       |c AS (SELECT source, n_chars,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS tot
+       |  FROM hist),
+       |t AS (SELECT source, min(n_chars) AS threshold FROM c
+       |  WHERE cum >= (tot + 1) // 2 GROUP BY source),
+       |g AS (SELECT d.doc_id, d.source, d.n_chars, t.threshold
+       |  FROM $rel d JOIN t ON d.source = t.source
+       |  WHERE d.n_chars >= t.threshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_split" ->
-      s"""WITH a AS (SELECT source, n_chars,
-         |    CASE WHEN ${saltHash("split")} % 100 < $TrainPct THEN 'train'
-         |         WHEN ${saltHash("split")} % 100 < $ValPct THEN 'val'
-         |         ELSE 'test' END AS split
+      s"""WITH a AS (SELECT source, n_chars, ${duckSplit("doc_id")} AS split
          |  FROM documents)
          |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q_split_leakfree" ->
+      s"""${Dedup.sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${Dedup.candCtes},
+         |${Dedup.ccCtes},
+         |cc AS (SELECT node AS doc_id, min(reach) AS root
+         |  FROM walk GROUP BY node),
+         |a AS (SELECT d.doc_id, COALESCE(cc.root, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  ${duckSplit("cluster_id")} AS split
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_pipeline_recipe" ->
+      s"""WITH ${duckGateCtes("documents")},
+         |r AS (SELECT source,
+         |    least(1000000, (CAST($BudgetChars AS BIGINT) * 1000000) // sum(n_chars))
+         |      AS rate_micro
+         |  FROM g GROUP BY source),
+         |m AS (SELECT g.doc_id, g.source, g.n_chars,
+         |    ${duckSplit("g.doc_id")} AS split
+         |  FROM g JOIN r ON g.source = r.source
+         |  WHERE $duckMixKeep < r.rate_micro)
+         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM m GROUP BY source, split ORDER BY source, split""".stripMargin,
     "q_mixture" ->
       s"""WITH r AS (SELECT source,
          |    least(1000000, (CAST($BudgetChars AS BIGINT) * 1000000) // sum(n_chars))

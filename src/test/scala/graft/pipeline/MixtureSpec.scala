@@ -79,6 +79,39 @@ class MixtureSpec extends AnyFunSuite {
     assert(got.toSet === expected)
   }
 
+  test("leakfree split: near-dup cluster members always share a split") {
+    val rows = Mixture.splitLeakfree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // covers the whole corpus exactly once
+    assert(rows.map(_._1).sorted.toSeq === docs.map(_._1).sorted.toSeq)
+    // the leakage property: one split per cluster
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length === 1, s"cluster $cid spans splits")
+    }
+    // the clustering itself must be the declared near-dup clustering
+    val cc = Dedup.cluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.nonEmpty) // fixture corpus has planted near-dups
+    rows.foreach { case (doc, cid, _) =>
+      assert(cid === cc.getOrElse(doc, doc), s"doc $doc cluster")
+    }
+  }
+
+  test("recipe composes gate, mixture, and split into consistent manifests") {
+    val manifest = Mixture.recipe(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.nonEmpty)
+    // every manifest row's source exists; splits are from the fixed set
+    assert(manifest.map(_._1).toSet.subsetOf(docs.map(_._2).toSet))
+    assert(manifest.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the recipe can never keep more than the gate's survivors
+    val gateKept = Mixture.qualityGate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    manifest.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= gateKept(src), s"$src kept more than gated")
+    }
+  }
+
   test("quantization error is bounded by one quantization step") {
     val rows = Embeddings.quantizeAudit(spark, sf).collect()
     assert(rows.nonEmpty)
