@@ -264,4 +264,28 @@ object Curation {
          |ORDER BY doc_id""".stripMargin
     },
   )
+
+  /** Deterministic sharded training-output sink: the "write the final
+    * shuffled corpus as N balanced shards" step every pretraining job ends
+    * with. Documents get a salted-md5-fold shuffle key (content-independent
+    * and reproducible — a re-run lays out the SAME shards), then
+    * `repartitionByRange` on that key: one total-order range exchange, each
+    * output file a contiguous disjoint key range, `sortWithinPartitions`
+    * making the within-shard order deterministic too. Rows arrive at the
+    * trainer in salted-hash order = a deterministic global shuffle of the
+    * corpus, without ever materializing a permutation table. At 100 TB the
+    * range exchange is the one unavoidable full shuffle of the job, sized
+    * by `shards` (thousands of files, each a sane HDFS/S3 object size);
+    * AQE cannot drop it, and nothing else in the plan touches the corpus.
+    */
+  def shardedWrite(docs: DataFrame, outDir: String, shards: Int): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("shuffle_key",
+        charFoldHash(md5(concat(lit("shard:"), $"doc_id".cast("string")))))
+      .repartitionByRange(shards, $"shuffle_key")
+      .sortWithinPartitions($"shuffle_key")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -77,23 +77,12 @@ object Multimodal {
     * actually understands the layout can do. */
   def decodeBmp(r: MediaRow): MediaFeatures = {
     val b = r.payload
-    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
-      s"doc ${r.doc_id}: not a BMP payload")
-    def i32(off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-    val dataOffset = i32(10)
-    val w = i32(18)
-    val h = i32(22)
-    val bpp = i16(28)
-    val compression = i32(30)
-    require(bpp == 24 && compression == 0,
-      s"doc ${r.doc_id}: unsupported BMP variant (bpp=$bpp compression=$compression)")
+    val geom = parseBmpHeader(b, r.doc_id)
+    val dataOffset = geom.dataOffset
+    val w = geom.w
+    val h = geom.h
     val rowBytes = 3 * w
-    val stride = (rowBytes + 3) / 4 * 4
-    require(dataOffset + stride.toLong * h <= b.length,
-      s"doc ${r.doc_id}: truncated BMP pixel data")
+    val stride = geom.stride
     var sum = 0L
     var checksum = 0L
     var y = 0
@@ -132,19 +121,75 @@ object Multimodal {
     }
   }
 
-  /** ==== STUB ==== "resize": reduce the payload to a fixed number of
-    * bucket-summed intensities (a real implementation would interpolate
-    * pixels). Keeps the real operator shape: narrow per-row compute, fixed
-    * small output width. */
-  def resizeStub(r: MediaRow, buckets: Int): Array[Long] = {
-    val bytes = r.payload
-    val out = Array.ofDim[Long](buckets)
-    var i = 0
-    while (i < bytes.length) {
-      out(i * buckets / bytes.length) += bytes(i) & 0xff
-      i += 1
+  /** Parsed BMP pixel-layout geometry (shared by [[decodeBmp]]'s walk and
+    * [[resizeBmp]]'s sampler). */
+  private final case class BmpGeom(dataOffset: Int, w: Int, h: Int, stride: Int)
+
+  private def parseBmpHeader(b: Array[Byte], docId: Long): BmpGeom = {
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+      s"doc $docId: not a BMP payload")
+    def i32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val g = BmpGeom(i32(10), i32(18), i32(22), (3 * i32(18) + 3) / 4 * 4)
+    require(i16(28) == 24 && i32(30) == 0,
+      s"doc $docId: unsupported BMP variant (bpp=${i16(28)} compression=${i32(30)})")
+    require(g.dataOffset + g.stride.toLong * g.h <= b.length,
+      s"doc $docId: truncated BMP pixel data")
+    g
+  }
+
+  /** Encode explicit row-major 24-bit pixel bytes (`3*w*h`, stored row
+    * order) as a real padded BMP — the output side of [[resizeBmp]]. */
+  def encodeBmpRaw(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == 3 * w * h, "pixel buffer does not match geometry")
+    val rowBytes = 3 * w
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      buf.put(pixels, y * rowBytes, rowBytes)
+      var k = 0
+      while (k < pad) { buf.put(0: Byte); k += 1 }
+      y += 1
     }
-    out
+    buf.array()
+  }
+
+  /** REAL nearest-neighbor resize: parse the source BMP's geometry, sample
+    * pixel (⌊ty·h/th⌋, ⌊tx·w/tw⌋) per target position (stored-row
+    * coordinates on both sides, so orientation is preserved), and re-encode
+    * a well-formed target BMP. Replaces the r1–r4 byte-bucket stub — the
+    * only codec work a resize needs beyond the existing encode/decode pair
+    * is the sampler, and that is pure integer math. Narrow per-row compute;
+    * the operator shape (mapPartitions batch, blob in → blob out) is the
+    * production one. */
+  def resizeBmp(r: MediaRow, tw: Int, th: Int): MediaRow = {
+    val b = r.payload
+    val g = parseBmpHeader(b, r.doc_id)
+    val out = new Array[Byte](3 * tw * th)
+    var p = 0
+    var ty = 0
+    while (ty < th) {
+      val srcRow = g.dataOffset + (ty * g.h / th) * g.stride
+      var tx = 0
+      while (tx < tw) {
+        val srcPx = srcRow + (tx * g.w / tw) * 3
+        out(p) = b(srcPx); out(p + 1) = b(srcPx + 1); out(p + 2) = b(srcPx + 2)
+        p += 3
+        tx += 1
+      }
+      ty += 1
+    }
+    MediaRow(r.doc_id, r.mime, encodeBmpRaw(tw, th, out))
   }
 
   /** Declared query: every 2nd 64-byte frame per document, summarized. */
@@ -265,10 +310,29 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Target geometry for [[resized]] — width 16 keeps the output row
+    * 4-byte aligned, so the resized BMP carries no padding. */
+  val ResizeW = 16
+  val ResizeH = 8
+
+  /** Declared query: features of the nearest-neighbor-RESIZED image — the
+    * full blob→decode→resample→re-encode→re-decode round trip, so a wrong
+    * stride, offset, or sampling index anywhere in the chain fails the
+    * oracle hash. */
+  def resized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bmpTable(s, dir)
+      .mapPartitions(_.map(r => decodeBmp(resizeBmp(r, ResizeW, ResizeH))))
+      .toDF()
+      .select($"doc_id", $"width", $"height", $"mean_intensity", $"checksum")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features _,
     "q_multimodal_frames" -> frames _,
     "q_multimodal_audio" -> audio _,
+    "q_multimodal_resize" -> resized _,
   )
 
   // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
@@ -300,6 +364,31 @@ object Multimodal {
          |      list_transform(generate_series(0, pp - 1), i -> bs[(i % n) + 1])),
          |    (a, b) -> (a * 31 + b) % 9007199254740881) AS checksum
          |FROM g ORDER BY doc_id""".stripMargin,
+    // What a correct decode→NN-resample→encode→decode chain must yield:
+    // target byte i (row-major, 3 bytes/pixel, 16×8 → 384 bytes, no
+    // padding at width 16) samples source pixel (⌊ty·h/8⌋, ⌊tx·w/16⌋),
+    // whose stored bytes are the cycled text bytes at non-pad position
+    // sy·rowBytes + sx·3 + c.
+    "q_multimodal_resize" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+         |  FROM documents),
+         |g AS (SELECT doc_id, bs, len(bs) AS n,
+         |    1 + len(bs) % 31 AS w, 1 + len(bs) % 17 AS h
+         |  FROM c),
+         |t AS (SELECT doc_id,
+         |    list_transform(generate_series(0, ${3 * ResizeW * ResizeH - 1}), i ->
+         |      bs[((((i // ${3 * ResizeW}) * h // $ResizeH) * (3 * w)
+         |          + ((i % ${3 * ResizeW}) // 3) * w // $ResizeW * 3
+         |          + (i % 3)) % n) + 1]) AS tb
+         |  FROM g)
+         |SELECT doc_id, CAST($ResizeW AS INT) AS width, CAST($ResizeH AS INT) AS height,
+         |  CAST(CAST(list_sum(tb) AS BIGINT) // ${3 * ResizeW * ResizeH} AS INT)
+         |    AS mean_intensity,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), tb),
+         |    (a, b) -> (a * 31 + b) % 9007199254740881) AS checksum
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH c AS (SELECT doc_id,
          |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),

@@ -100,4 +100,29 @@ class MultimodalSpec extends AnyFunSuite {
       decodeBmp(MediaRow(1L, "image/bmp", bmp2))
     }
   }
+
+  test("resizeBmp identity: same geometry reproduces the source pixels exactly") {
+    val src = MediaRow(9L, "image/bmp", encodeBmp((1 to 173).map(_.toByte).toArray))
+    val f = decodeBmp(src)
+    val same = decodeBmp(resizeBmp(src, f.width, f.height))
+    assert(same.width === f.width && same.height === f.height)
+    assert(same.checksum === f.checksum) // pixel-exact, padding re-derived
+    assert(same.mean_intensity === f.mean_intensity)
+  }
+
+  test("resizeBmp nearest-neighbor picks floor-sampled pixels") {
+    // 2×2 image with distinct per-pixel colors, downsampled to 1×1: NN must
+    // keep exactly the stored-first pixel (sy = sx = 0)
+    val px = Array[Byte](
+      10, 11, 12,  20, 21, 22,   // stored row 0: pixels (0,0) (0,1)
+      30, 31, 32,  40, 41, 42)   // stored row 1
+    val src = MediaRow(5L, "image/bmp", encodeBmpRaw(2, 2, px))
+    val out = resizeBmp(src, 1, 1)
+    val g = decodeBmp(out)
+    assert(g.width === 1 && g.height === 1)
+    // checksum over exactly bytes 10,11,12
+    val expect = ((10L * 31 + 11) * 31 + 12) % 9007199254740881L
+    assert(g.checksum === expect)
+    assert(g.mean_intensity === (10 + 11 + 12) / 3)
+  }
 }
