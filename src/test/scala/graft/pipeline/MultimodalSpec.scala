@@ -101,6 +101,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeAvi emits a well-formed RIFF-AVI (magics, list walk, sizes)") {
+    val src = (1 to 200).map(_.toByte).toArray
+    val avi = encodeAvi(src)
+    def cc(off: Int) = new String(avi, off, 4, "US-ASCII")
+    def i32(off: Int) =
+      (avi(off) & 0xff) | ((avi(off + 1) & 0xff) << 8) |
+        ((avi(off + 2) & 0xff) << 16) | ((avi(off + 3) & 0xff) << 24)
+    assert(cc(0) === "RIFF" && cc(8) === "AVI ")
+    assert(8 + i32(4) === avi.length) // RIFF size spans the whole file
+    assert(cc(12) === "LIST" && cc(20) === "hdrl")
+    assert(cc(24) === "avih" && i32(28) === 56)
+    // the movi list follows the hdrl list immediately
+    val moviOff = 20 + i32(16)
+    assert(cc(moviOff) === "LIST" && cc(moviOff + 8) === "movi")
+  }
+
+  test("demuxAvi round trip: frame count, geometry, distinct rolling frames") {
+    val src = (1 to 200).map(_.toByte).toArray
+    val n = src.length
+    val frames = demuxAvi(MediaRow(3L, "video/x-msvideo", encodeAvi(src))).toSeq
+    assert(frames.length === 2 + n % 5)
+    assert(frames.forall(f => f.width === 1 + n % 19 && f.height === 1 + n % 13))
+    assert(frames.map(_.frame_no) === frames.indices)
+    // pixels cycle continuously, so consecutive frames differ
+    assert(frames.map(_.checksum).distinct.length === frames.length)
+  }
+
+  test("demuxAvi rejects malformed containers") {
+    intercept[IllegalArgumentException] { // not RIFF
+      demuxAvi(MediaRow(1L, "video/x-msvideo", Array.fill[Byte](64)(9))).toSeq
+    }
+    val avi = encodeAvi((1 to 100).map(_.toByte).toArray)
+    avi(36) = 0 // zero out part of dwMicroSecPerFrame — harmless field
+    demuxAvi(MediaRow(1L, "video/x-msvideo", avi)).toSeq // still parses
+    val bad = encodeAvi((1 to 100).map(_.toByte).toArray)
+    // corrupt the strf bit depth (strf data starts after hdrl/strl headers)
+    val strfData = 12 + 8 + 4 + 64 + 8 + 4 + 64 + 8
+    assert(new String(bad, strfData - 8, 4, "US-ASCII") === "strf")
+    bad(strfData + 14) = 8 // claim 8 bpp
+    intercept[IllegalArgumentException] {
+      demuxAvi(MediaRow(1L, "video/x-msvideo", bad)).toSeq
+    }
+  }
+
   test("resizeBmp identity: same geometry reproduces the source pixels exactly") {
     val src = MediaRow(9L, "image/bmp", encodeBmp((1 to 173).map(_.toByte).toArray))
     val f = decodeBmp(src)
