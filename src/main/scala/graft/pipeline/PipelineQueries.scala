@@ -9,10 +9,12 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ SpanDedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Sampling.queries ++
-      Curation.queries ++ Embeddings.queries ++ Mixture.queries
+      Curation.queries ++ Embeddings.queries ++ Mixture.queries ++
+      HeavyHitters.queries ++ Profiling.queries ++ Layout.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ SpanDedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
-      Curation.oracles ++ Embeddings.oracles ++ Mixture.oracles
+      Curation.oracles ++ Embeddings.oracles ++ Mixture.oracles ++
+      HeavyHitters.oracles ++ Profiling.oracles ++ Layout.oracles
 }

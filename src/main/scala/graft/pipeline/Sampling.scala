@@ -73,9 +73,45 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** Target expected keep-rate (percent of docs) for [[weighted]] at the
+    * corpus mean weight. */
+  val WeightedPct = 20L
+
+  /** Length-weighted deterministic sampling: keep probability proportional
+    * to `n_chars` (the token-budget proxy — sampling docs
+    * length-proportionally makes every TOKEN equally likely to survive,
+    * the right marginal when the downstream budget is tokens, not docs).
+    * Each doc keeps iff `hash % 1e6 < rate_micro` with
+    * `rate_micro = min(1e6, n_chars·[[WeightedPct]]·1e6 div (100·mean))`,
+    * the mean from ONE tiny map-side-combinable aggregate broadcast back —
+    * the corpus itself is never shuffled, and a re-run at any cluster size
+    * keeps the SAME docs. `rate_micro` rides along in the output: it is the
+    * exact inclusion probability, which downstream estimators divide by
+    * (Horvitz–Thompson) to stay unbiased. All arithmetic exact integer
+    * (micro rates, `div`), per the oracle-determinism rules; the hash gets
+    * the md5 pre-mix because a mod-1e6 threshold needs avalanche the plain
+    * char fold lacks (same rationale as [[Mixture.mixtureOf]]). */
+  def weighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    // Exact integer mean (floor): double division can differ from floor-div
+    // by 1 ulp → oracle mismatch, same rationale as [[stratified]].
+    val stats = docs.agg(expr("sum(n_chars) div count(1)").as("mean_chars"))
+    docs.crossJoin(broadcast(stats))
+      .withColumn("rate_micro",
+        least(lit(1000000L),
+          expr(s"(n_chars * ${WeightedPct}L * 1000000L) div (100L * mean_chars)")))
+      .filter(
+        charFoldHash(md5(concat(lit("wsamp:"), $"doc_id".cast("string"))))
+          % 1000000L < $"rate_micro")
+      .select($"doc_id", $"source", $"n_chars", $"rate_micro")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> bernoulli _,
     "q_sample_stratified" -> stratified _,
+    "q_sample_weighted" -> weighted _,
   )
 
   private def saltHash(salt: String) =
@@ -85,6 +121,16 @@ object Sampling {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${saltHash("sample")} % 100 < $SamplePct
+         |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      s"""WITH s AS (SELECT sum(n_chars) // count(*) AS mean_chars FROM documents),
+         |r AS (SELECT doc_id, source, n_chars,
+         |    least(1000000, (n_chars * $WeightedPct * 1000000)
+         |      // (100 * s.mean_chars)) AS rate_micro
+         |  FROM documents, s)
+         |SELECT doc_id, source, n_chars, CAST(rate_micro AS BIGINT) AS rate_micro
+         |FROM r
+         |WHERE ${duckCharFold("md5('wsamp:' || CAST(doc_id AS VARCHAR))")} % 1000000 < rate_micro
          |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH h AS (SELECT doc_id, lang, source, n_chars,
