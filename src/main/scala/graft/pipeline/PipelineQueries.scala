@@ -10,11 +10,13 @@ object PipelineQueries {
     Dedup.queries ++ SpanDedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Sampling.queries ++
       Curation.queries ++ Embeddings.queries ++ Mixture.queries ++
-      HeavyHitters.queries ++ Profiling.queries ++ Layout.queries
+      HeavyHitters.queries ++ Profiling.queries ++ Layout.queries ++
+      Retrieval.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ SpanDedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Curation.oracles ++ Embeddings.oracles ++ Mixture.oracles ++
-      HeavyHitters.oracles ++ Profiling.oracles ++ Layout.oracles
+      HeavyHitters.oracles ++ Profiling.oracles ++ Layout.oracles ++
+      Retrieval.oracles
 }

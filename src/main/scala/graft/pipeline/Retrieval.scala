@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Hashing._
+
+/** Lexical retrieval and index-quality audit — the "find the docs worth
+  * keeping / check the index before trusting it" pair every large-corpus
+  * pipeline runs:
+  *
+  *  - [[bm25]]: Okapi BM25 ranking (Robertson & Walker '94) for a fixed
+  *    query, in the inverted-index shape: ONLY the query terms' postings
+  *    ever shuffle (the term filter sits before the aggregation, pushdown-
+  *    friendly), document lengths are one narrow projection, corpus stats
+  *    one tiny aggregate, and the final top-k is a global
+  *    `TakeOrderedAndProject` — no corpus-sized sort. At 100 TB this is the
+  *    standard quality-mining scan: score every document against a topic
+  *    query, keep the head.
+  *  - [[annRecall]]: recall@k of the LSH multiprobe index
+  *    ([[Similarity.annLsh]]) against the exact brute-force top-k — the
+  *    measure-your-index step that decides plane count / probe radius
+  *    BEFORE a 100 TB build. Query-set-sized work: queries broadcast against
+  *    the corpus for the exact baseline; the ANN side reuses the production
+  *    plan unchanged.
+  *
+  * Determinism: the one float op in BM25 (`ln` of an exact integer ratio —
+  * the idf takes ≤ |query| distinct values) is floor-quantized to micros
+  * immediately; every other step is exact integer (the k1/b saturation term
+  * is cleared to a common integer denominator), per the oracle rules.
+  */
+object Retrieval {
+
+  /** Fixed topic query: one rare discriminative term + two common ones. */
+  val QueryTerms = Seq("dup", "vector", "merge")
+  /** BM25 k1 (term-frequency saturation), in centi-units: 1.2. */
+  val K1Centi = 120L
+  /** BM25 b (length normalization), in centi-units: 0.75. */
+  val BCenti = 75L
+  /** Result head size. */
+  val TopK = 20
+
+  /** BM25 scores for [[QueryTerms]], top [[TopK]] documents.
+    *
+    * Integer spelling of the per-term contribution (num and den of the
+    * saturation fraction multiplied by `10000·avgdl` to clear k1/b):
+    * {{{
+    *   idf_micro = floor(ln((2N+2)/(2·df+1)) · 1e6)    // == ln((N-df+.5)/(df+.5)+1)
+    *   c = idf_micro · tf · (k1c+100) · 100 · avgdl
+    *       div (tf·10000·avgdl + k1c·(100-bc)·avgdl + k1c·bc·dl)
+    * }}}
+    * `avgdl` is the floor integer mean doc length. Magnitudes stay < 2^50
+    * at any realistic tf/dl, far from the int64 cliff. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+      .select($"doc_id", tokens(lower($"text")).as("w"))
+    val dl = docs.select($"doc_id", size($"w").cast("long").as("dl"))
+    // corpus stats: one map-side-combinable aggregate, 1 row
+    val stats = dl.agg(count(lit(1)).as("n"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    // inverted-index shape: only query-term postings reach the shuffle
+    val tf = docs
+      .select($"doc_id", explode($"w").as("term"))
+      .filter($"term".isInCollection(QueryTerms))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // document frequency per query term: ≤ |query| rows
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        floor(log((lit(2L) * $"n" + 2L).cast("double") / (lit(2L) * $"df" + 1L))
+          * 1e6).cast("long"))
+      .withColumn("c",
+        expr(s"""(idf_micro * tf * ${K1Centi + 100L} * 100 * avgdl) div
+                |(tf * 10000 * avgdl + $K1Centi * ${100L - BCenti} * avgdl
+                | + $K1Centi * $BCenti * dl)""".stripMargin.replace("\n", " ")))
+    scored.groupBy($"doc_id")
+      .agg(sum($"c").as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(TopK)
+  }
+
+  /** Neighbors compared per query (must equal the k of the ANN plan). */
+  val RecallK = 3
+
+  /** Recall@k of the LSH multiprobe index against exact brute force, per
+    * query vector, in basis points ([[RecallK]] denominator). The exact
+    * baseline broadcasts the query set (tiny) against the corpus — one
+    * narrow pass + a per-query top-k window over query-set-bounded groups;
+    * the ANN side is the UNMODIFIED production plan, so the audit measures
+    * what actually ships. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+    val queries = e.filter($"vec_id" < Similarity.QueryVecs)
+      .select($"vec_id".as("query_id"), $"q".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    val exact = e.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= RecallK)
+      .select($"query_id", $"vec_id")
+    val ann = Similarity.annLsh(s, dir).select($"query_id", $"vec_id")
+    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("h"))
+    // zero-recall queries must SHOW UP in the audit, not vanish
+    queries.select($"query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"h", lit(0L)).as("n_hit"),
+        expr(s"(coalesce(h, 0L) * 10000) div $RecallK").as("recall_bp"))
+      .orderBy($"query_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25" -> bm25 _,
+    "q_ann_recall" -> annRecall _,
+  )
+
+  private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_bm25" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM dl),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |  WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    (CAST(floor(ln(CAST(2 * st.n + 2 AS DOUBLE) / (2 * df.df + 1)) * 1000000) AS BIGINT)
+         |      * tf.tf * ${K1Centi + 100L} * 100 * st.avgdl)
+         |    // (tf.tf * 10000 * st.avgdl + $K1Centi * ${100L - BCenti} * st.avgdl
+         |        + $K1Centi * $BCenti * dl.dl) AS c
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT $TopK""".stripMargin,
+    // exact top-k and the full LSH multiprobe plan re-derived in SQL (the
+    // bit_count pair join is oracle-scale-only, per Similarity's Scaladoc),
+    // then recall = |ann ∩ exact| per query
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q,
+         |    CAST(list_sum(list_transform(generate_series(0, ${Similarity.Planes - 1}), p ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |          d -> q[d] * ((((1103515245 * (d - 1) + 12345 * p) >> 16) & 1) * 2 - 1))) > 0
+         |        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bkt
+         |  FROM e),
+         |annc AS (SELECT qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
+         |  FROM b qr JOIN b c
+         |  ON bit_count(xor(qr.bkt, c.bkt)) <= 2 AND qr.vec_id <> c.vec_id
+         |  WHERE qr.vec_id < ${Similarity.QueryVecs}),
+         |ann AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM annc) WHERE rnk <= $RecallK),
+         |exc AS (SELECT qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
+         |  FROM e qr JOIN e c ON qr.vec_id <> c.vec_id
+         |  WHERE qr.vec_id < ${Similarity.QueryVecs}),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM exc) WHERE rnk <= $RecallK),
+         |h AS (SELECT ex.query_id, count(*) AS h
+         |  FROM ex JOIN ann USING (query_id, vec_id) GROUP BY ex.query_id)
+         |SELECT e.vec_id AS query_id,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+         |  CAST((COALESCE(h.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
+         |FROM e LEFT JOIN h ON h.query_id = e.vec_id
+         |WHERE e.vec_id < ${Similarity.QueryVecs}
+         |ORDER BY query_id""".stripMargin,
+  )
+}

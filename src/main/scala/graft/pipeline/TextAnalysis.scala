@@ -19,19 +19,33 @@ object TextAnalysis {
   private val stopDe = Seq("der", "und", "die", "das", "ein")
   private val stopFr = Seq("le", "et", "les", "la", "un")
   private val stopEs = Seq("el", "y", "los", "en", "un")
+  private val stopLists = Seq(stopEn, stopDe, stopFr, stopEs)
 
-  private def hits(w: Column, words: Seq[String]): Column =
+  /** Built-in-only stopword hit count — the oracle-shaped reference impl
+    * and cross-implementation check for [[stopVotes]] (lambda-bearing, so
+    * CSE-exempt: NOT for multi-reference hot paths — see StopVotes). */
+  private[pipeline] def hits(w: Column, words: Seq[String]): Column =
     size(filter(w, t => t.isInCollection(words)))
 
-  /** Stopword-vote language ID; deterministic tiebreak en > de > fr > es > unk. */
+  /** All four stoplist counts in one native CSE-eligible pass
+    * ([[graft.functions.StopVotes]]). */
+  private[pipeline] def stopVotes(text: Column): Column =
+    graft.functions.StopVotes(text, stopLists)
+
+  /** Stopword-vote language ID; deterministic tiebreak en > de > fr > es >
+    * unk. The scores come from ONE `stop_votes` array (referenced nine
+    * times across columns/CASE arms — subexpression elimination evaluates
+    * it once per row; the lambda-based spelling re-ran the tokenize+filter
+    * per reference and compiled ~28 copies, which is what made this shape's
+    * first compile the r5 bench outlier). */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val v = stopVotes(lower($"text"))
     Tables.table(s, dir, "documents")
-      .withColumn("w", tokens(lower($"text")))
       .select(
         $"doc_id",
-        hits($"w", stopEn).as("s_en"), hits($"w", stopDe).as("s_de"),
-        hits($"w", stopFr).as("s_fr"), hits($"w", stopEs).as("s_es"))
+        v.getItem(0).as("s_en"), v.getItem(1).as("s_de"),
+        v.getItem(2).as("s_fr"), v.getItem(3).as("s_es"))
       .withColumn("best", greatest($"s_en", $"s_de", $"s_fr", $"s_es"))
       .withColumn("lang_pred",
         when($"best" === 0, "unk")
@@ -399,19 +413,19 @@ object TextAnalysis {
     * aggregate (cells ≤ labels × predictions — bounded by language-set size,
     * not corpus size).
     *
-    * Bench note (r5, same mechanism as the q_text_tokens outlier): this
-    * query sorts alphabetically BEFORE q_text_langid, so it pays the
-    * one-time whole-stage-codegen compile of the 4-stoplist `isInCollection`
-    * filter shape that langid then reuses warm — measured 6.6 s cold vs
-    * 0.9 s warm for THIS query in one session. At corpus scale the one-time
-    * compile vanishes into the scan. */
+    * Bench note (r5): this query sorts alphabetically BEFORE q_text_langid
+    * and pays the shape's one-time codegen compile. With the lambda-based
+    * scores that compile was the bench's worst outlier (CSE-exempt filters
+    * duplicated ~28× in generated code — 212 s on a slow host); the native
+    * `stop_votes` array brought the cold run to ~3 s and the warm run under
+    * 1 s (see StopVotes' Scaladoc). */
   def langIdEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val v = stopVotes(lower($"text"))
     val pred = Tables.table(s, dir, "documents")
-      .withColumn("w", tokens(lower($"text")))
       .select($"lang",
-        hits($"w", stopEn).as("s_en"), hits($"w", stopDe).as("s_de"),
-        hits($"w", stopFr).as("s_fr"), hits($"w", stopEs).as("s_es"))
+        v.getItem(0).as("s_en"), v.getItem(1).as("s_de"),
+        v.getItem(2).as("s_fr"), v.getItem(3).as("s_es"))
       .withColumn("best", greatest($"s_en", $"s_de", $"s_fr", $"s_es"))
       .withColumn("lang_pred",
         when($"best" === 0, "unk")
