@@ -126,6 +126,26 @@ object ScaleProbe {
     assert(incrHits == 500L, s"incremental hits $incrHits")
     println(f"""{"probe":"dedup_incremental","docs":$nDocs,"flagged":$incrHits,"secs":$incrSecs%.1f,"docs_per_sec":${(nDocs / incrSecs).toLong}}""")
 
+    // ---- CMS-gated heavy hitters over the 10× corpus + planted boilerplate ----
+    // 500 extra docs share one fixed 5-word phrase → its three 3-gram
+    // shingles occur exactly 500× each; the random-vocabulary shingles of
+    // the base corpus stay far below HeavyT (a copied doc only doubles its
+    // source's shingles). The probe asserts the sketch-gated plan finds
+    // EXACTLY the planted set (sketch changes the plan, never the answer —
+    // the HeavyHittersSpec contract, here at 2.4M shingle occurrences).
+    val hotDocs = spark.range(500)
+      .select(($"id" + nDocs).as("doc_id"),
+        lit("alpha beta gamma delta epsilon").as("text"))
+    val hhCorpus = docs.unionByName(hotDocs)
+    val (hhRows, hhSecs) = time {
+      graft.pipeline.HeavyHitters.heavyHittersOf(hhCorpus).collect()
+    }
+    assert(hhRows.length == 3, s"heavy shingles ${hhRows.length}")
+    assert(hhRows.forall(_.getLong(1) == 500L),
+      s"heavy counts ${hhRows.map(_.getLong(1)).mkString(",")}")
+    val hhShingles = (nDocs + 500) * 48 // ~48 3-gram spans per 50-word doc
+    println(f"""{"probe":"heavy_hitters","docs":${nDocs + 500},"heavy":${hhRows.length},"secs":$hhSecs%.1f,"shingles_per_sec":${(hhShingles / hhSecs).toLong}}""")
+
     // ---- Connected components: 1.55M edges over ~2M nodes, adversarial ----
     // shapes for cluster resolution: 1000 chains of length 1000 (worst-case
     // diameter — label propagation would need 1000 rounds; the star

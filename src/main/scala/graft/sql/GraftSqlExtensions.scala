@@ -51,6 +51,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_shingle_md5(words[, n]): got ${args.length} arguments")
     }))
+    e.injectFunction(fn("graft_shingles", {
+      case Seq(w) => ShingleStrings(w, 3)
+      case Seq(w, n) => ShingleStrings(w, intLit(n, "graft_shingles", "n"))
+      case args => throw new IllegalArgumentException(
+        s"graft_shingles(words[, n]): got ${args.length} arguments")
+    }))
     e.injectFunction(fn("graft_rotminhash", {
       case Seq(b, k) => RotMinHash(b, intLit(k, "graft_rotminhash", "k"))
       case args => throw new IllegalArgumentException(

@@ -17,7 +17,7 @@ class ShingleMd5Spec extends AnyFunSuite {
     import spark.implicits._
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val diff = docs.select(
-        Hashing.minhashBase(Hashing.shingles3(Hashing.tokens($"text"))).as("hof"),
+        Hashing.minhashBase(Hashing.shingles3Hof(Hashing.tokens($"text"))).as("hof"),
         ShingleMd5(Hashing.tokens($"text"), 3).as("native"))
       .filter(!($"hof" <=> $"native"))
       .count()
