@@ -55,14 +55,28 @@ object Components {
     * loop falls back to plain fingerprint-terminated star rounds. */
   val SplitThreshold = 100000L
 
+  /** Working sets at or below this many edges finish with ONE collect and a
+    * driver-side union-find instead of more distributed rounds — the
+    * standard hybrid of the MapReduce-CC literature (each star round costs
+    * 4-6 shuffle stages of round-trip latency, which dominates long before
+    * data volume does; a ≤500k-edge tail is ≤8 MB in the driver and solves
+    * in milliseconds). At 100 TB the LSH pair graph starts huge, the star
+    * rounds shrink it geometrically, and the last O(log n) rounds — all
+    * latency, no data — collapse into one. Bounded by construction: the
+    * collect fires only when the measured edge count is under the gate. */
+  val LocalSolveThreshold = 500000L
+
   /** [[connectedComponents]] with a per-round observer: `roundLog(round,
     * workingSetEdges)` after each round — what `ScaleProbe` prints and
     * `ComponentsSpec` asserts shrinks. `splitThreshold` overrides the
-    * [[SplitThreshold]] gate (0 = always split; tests use it). */
+    * [[SplitThreshold]] gate (0 = always split); `localSolveThreshold`
+    * overrides the [[LocalSolveThreshold]] gate (0 = never leave the
+    * distributed loop); tests use both. */
   private[graft] def connectedComponents(
       pairs: DataFrame,
       roundLog: (Int, Long) => Unit,
-      splitThreshold: Long = SplitThreshold): DataFrame = {
+      splitThreshold: Long = SplitThreshold,
+      localSolveThreshold: Long = LocalSolveThreshold): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
 
@@ -156,10 +170,41 @@ object Components {
     // mass in the first round or two (big win); the adversarial all-chains
     // graph settles nothing until the end (the heuristic switches the split
     // off after one unproductive round instead of taxing every round).
+    // Driver union-find over the collected tail, emitted back as the same
+    // star-forest edge shape (child → component-min) the distributed fixed
+    // point produces, so the closing node→root projection is shared.
+    def localSolve(e: DataFrame): DataFrame = {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+        var y = x0 // path compression
+        while (y != x) { val p = parent.get(y); parent.put(y, x); y = p }
+        x
+      }
+      val rows = e.select($"u", $"v").collect()
+      rows.foreach { r =>
+        val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+        // attach the larger root under the smaller: every set's root stays
+        // its minimum, so no re-rooting sweep is needed
+        if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+      }
+      val star = rows.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .map(x => (x, find(x)))
+        .filter { case (x, root) => x != root }
+        .toArray.distinct
+      s.createDataset(star.toSeq).toDF("u", "v")
+    }
+
     var splitOn = true
     var converged = nRest == 0
     while (!converged && round < MaxRounds) {
-      if (splitOn && nRest > splitThreshold) {
+      if (nRest <= localSolveThreshold) {
+        rest = localSolve(rest)
+        nRest = 0 // distributed working set fully drained
+        converged = true
+      } else if (splitOn && nRest > splitThreshold) {
         // split mode: settled stars leave, the tail iterates; converged
         // when everything has settled out
         val (st, rs) = splitSettled(rest)

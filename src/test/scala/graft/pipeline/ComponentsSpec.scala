@@ -82,7 +82,7 @@ class ComponentsSpec extends AnyFunSuite {
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val got = Components.connectedComponents(
         edges.toDF("u", "v").repartition(4), (r, n) => rounds += ((r, n)),
-        splitThreshold = 0L)
+        splitThreshold = 0L, localSolveThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == unionFind(edges))
     // before any round: the full edge set
@@ -91,6 +91,26 @@ class ComponentsSpec extends AnyFunSuite {
     // working set for good — every later round runs on the chain tail only
     // (star ops may transiently reshape the chain's edges, hence the slack)
     assert(rounds.tail.forall(_._2 < 120L), rounds.toString)
+  }
+
+  test("distributed loop (local solve off) == local solve == oracle") {
+    import spark.implicits._
+    val rnd = new Random(99)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(50)
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("u", "v").repartition(4)
+        val dist = Components.connectedComponents(df, (_, _) => (),
+            localSolveThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val local = Components.connectedComponents(df, (_, _) => ())
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist == local, s"trial $trial")
+        assert(local == unionFind(edges), s"trial $trial")
+      }
+    }
   }
 
   test("pure self-loop nodes appear as singleton components") {
