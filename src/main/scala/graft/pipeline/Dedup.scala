@@ -254,12 +254,57 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Cosine threshold for [[semantic]] as a ratio: τ² = 9/100 → τ = 0.3
+    * (the synthetic embeddings are near-orthogonal — max observed cosine
+    * ≈ 0.5 — so the production 0.9-ish SemDeDup threshold would be empty
+    * here; the MACHINERY is threshold-independent). */
+  val SemTauNum = 9
+  val SemTauDen = 100
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means the embedding space, then compare pairs only WITHIN each
+    * learned cell — near-semantic duplicates land in the same cell, so the
+    * quadratic pair space shrinks to Σ|cell|². The cells are
+    * [[Similarity.ivfCells]] — the same broadcast-join k-means the IVF index
+    * uses (cells adapt to the data distribution, unlike [[embedding]]'s
+    * data-independent hyperplane buckets — the two are complementary scale
+    * paths). At 100 TB, K grows with the corpus so |cell| stays bounded and
+    * the within-cell self-join stays narrow; the output contract (each
+    * vector's lowest-id near-duplicate in its cell + its match count) is a
+    * pure function of the data, independent of cell iteration order.
+    * Cosine test `Den·dot² ≥ Num·|a|²·|b|²` needs 128-bit arithmetic —
+    * same double-prescreen + Decimal(38) borderline trick as [[embedding]]
+    * (bit-identical to the oracle's HUGEINT comparison). */
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec38 = DecimalType(38, 0)
+    val cells = Similarity.ivfCells(s, dir).cache() // both sides of the self-join
+    val a = cells.select($"cell", $"vec_id".as("dup_of"),
+      $"q".as("qa"), $"n2".as("na2"))
+    val b = cells.select($"cell", $"vec_id", $"q".as("qb"), $"n2".as("nb2"))
+    val p = a.join(b, Seq("cell"))
+      .filter($"dup_of" < $"vec_id")
+      .select($"vec_id", $"dup_of", qdot($"qa", $"qb").as("dot"),
+        $"na2", $"nb2")
+    val lhsD = $"dot".cast("double") * $"dot" * SemTauDen.toDouble
+    val rhsD = $"na2".cast("double") * $"nb2" * SemTauNum.toDouble
+    p.filter($"dot" > 0 &&
+        when(lhsD >= rhsD * 1.000000000001d, lit(true))
+          .when(lhsD < rhsD * 0.999999999999d, lit(false))
+          .otherwise($"dot".cast(dec38) * $"dot" * SemTauDen >=
+            $"na2".cast(dec38) * $"nb2" * SemTauNum))
+      .groupBy($"vec_id")
+      .agg(min($"dup_of").as("dup_of"), count(lit(1)).as("n_near"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
     "q_dedup_minhash" -> minhash _,
     "q_dedup_ngram" -> ngram _,
     "q_dedup_simhash" -> simhashNN _,
     "q_dedup_embedding" -> embedding _,
+    "q_dedup_semantic" -> semantic _,
     "q_dedup_cluster" -> cluster _,
   )
 
@@ -371,6 +416,22 @@ object Dedup {
          |WHERE dot > 0
          |  AND CAST(dot AS HUGEINT) * dot * 25 >= CAST(na2 AS HUGEINT) * nb2 * 4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // Within-cell pair space over the SAME k-means CTE chain the IVF oracle
+    // uses (`a3` = final assignment); HUGEINT cosine test, exact like the
+    // Spark side's decimal path.
+    "q_dedup_semantic" ->
+      s"""WITH ${Similarity.duckCellCtes},
+         |p AS (SELECT b.vec_id, a.vec_id AS dup_of,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * a.q[i])) AS BIGINT) AS na2,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> b.q[i] * b.q[i])) AS BIGINT) AS nb2
+         |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT vec_id, CAST(min(dup_of) AS BIGINT) AS dup_of,
+         |  CAST(count(*) AS BIGINT) AS n_near
+         |FROM p
+         |WHERE dot > 0
+         |  AND CAST(dot AS HUGEINT) * dot * $SemTauDen >= CAST(na2 AS HUGEINT) * nb2 * $SemTauNum
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // Transitive closure by recursive reachability + min-per-node: exact at
     // oracle scale, O(component²) expansion — the Spark side's star rounds
     // ([[Components.connectedComponents]]) are the shape that survives 100 TB.

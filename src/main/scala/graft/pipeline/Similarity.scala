@@ -125,6 +125,25 @@ object Similarity {
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val cells = ivfCells(s, dir).cache() // two branches below: queries + candidates
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    cells.filter($"vec_id" < QueryVecs)
+      .select($"vec_id".as("query_id"), $"q".as("qv"), $"cell")
+      .join(cells, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** The learned-cell assignment [[annIvf]] searches and
+    * [[Dedup.semantic]] dedups within: `(vec_id, q, n2, cell)` after
+    * [[IvfIters]] k-means refinements (see [[annIvf]] for the scale shape
+    * of each step). */
+  private[pipeline] def ivfCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("n2", qdot($"q", $"q"))
@@ -166,17 +185,7 @@ object Similarity {
     val cents = (1 to IvfIters).foldLeft(seeds.cache()) { (c, _) =>
       update(c, assign(c)).cache()
     }
-    val cells = assign(cents).cache() // two branches below: queries + candidates
-    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
-    cells.filter($"vec_id" < QueryVecs)
-      .select($"vec_id".as("query_id"), $"q".as("qv"), $"cell")
-      .join(cells, Seq("cell"))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 3)
-      .select($"query_id", $"rnk", $"vec_id")
-      .orderBy($"query_id", $"rnk")
+    assign(cents)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,15 +223,7 @@ object Similarity {
     // (fine at oracle scale; the Spark plan broadcasts the centroid table
     // and reduces with min(struct) instead)
     "q_similarity_ivf" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |seeds AS (SELECT vec_id AS cid, q FROM e WHERE vec_id < $IvfK),
-         |${duckAssign("a1", "seeds")},
-         |${duckUpdate("u1", "a1", "seeds", "c1")},
-         |${duckAssign("a2", "c1")},
-         |${duckUpdate("u2", "a2", "c1", "c2")},
-         |${duckAssign("a3", "c2")},
+      s"""WITH $duckCellCtes,
          |cand AS (SELECT qr.vec_id AS query_id, c.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
          |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
@@ -234,6 +235,21 @@ object Similarity {
          |  FROM cand) WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
   )
+
+  /** DuckDB CTE chain mirroring [[ivfCells]]: quantized vectors `e`, seeded
+    * k-means unrolled ([[IvfIters]] = 2 refinements), ending in `a3` = the
+    * final `(vec_id, q, cell)` assignment — shared by the IVF and semantic-
+    * dedup oracles. */
+  private[pipeline] def duckCellCtes: String =
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, q FROM e WHERE vec_id < $IvfK),
+       |${duckAssign("a1", "seeds")},
+       |${duckUpdate("u1", "a1", "seeds", "c1")},
+       |${duckAssign("a2", "c1")},
+       |${duckUpdate("u2", "a2", "c1", "c2")},
+       |${duckAssign("a3", "c2")}""".stripMargin
 
   /** DuckDB CTE: assign every vector of `e` to its nearest centroid in
     * `cents` (columns cid, q) — argmin by squared-L2 then cid. */

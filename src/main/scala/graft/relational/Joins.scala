@@ -210,6 +210,42 @@ object Joins {
       .orderBy($"k")
   }
 
+  /** Salt fan-out for [[skewSalted]] (hot-key split factor). */
+  val SkewSalt = 8
+
+  /** SALTED skew join — the manual hot-key treatment for a shuffle join on
+    * a pathologically low-cardinality key. `events.event_type` has 5 values,
+    * so a plain shuffle join on it lands n/5 rows in 5 tasks no matter how
+    * many partitions the shuffle has — the one skew AQE's split-by-size can
+    * miss when a single key exceeds every size threshold (AQE subdivides
+    * oversized PARTITIONS, but all rows of one key hash to one partition
+    * whose split still carries the whole key on one side). The salt splits
+    * each hot key across [[SkewSalt]] shuffle partitions: the fact side gets
+    * a deterministic per-row salt (`xxhash64(event_id) mod B` — content-
+    * derived, reproducible), the dim side is EXPLODED ×B (dim×B stays tiny),
+    * and the equi-join runs on `(key, salt)`. Result is salt-invariant by
+    * construction; `JoinSkewSpec` pins both the plan shape (exchange on
+    * key+salt with broadcast disabled) and salted ≡ unsalted. The query
+    * itself is the per-row enrichment a normalization pass needs: each
+    * event joined to its type's corpus stats, deviation-from-mean kept in
+    * exact scaled integers (`cents·n − Σcents`, no division → no floats). */
+  def skewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val dim = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("type_n"),
+        sum(Queries.cents($"value")).as("type_cents"))
+    val salted = ev
+      .select($"event_id", $"event_type", Queries.cents($"value").as("cents"))
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(SkewSalt.toLong)))
+    val dimExp = dim
+      .withColumn("salt", explode(sequence(lit(0L), lit(SkewSalt - 1L))))
+    salted.join(dimExp, Seq("event_type", "salt"))
+      .select($"event_id", $"event_type", $"type_n",
+        ($"cents" * $"type_n" - $"type_cents").as("dev_scaled"))
+      .orderBy($"event_id")
+  }
+
   /** Bounded cross join (dims only). */
   def cross(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -230,6 +266,7 @@ object Joins {
     "q_join_bucketed" -> bucketed _,
     "q_join_full" -> full _,
     "q_join_cross" -> cross _,
+    "q_join_skew_salted" -> skewSalted _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -300,5 +337,15 @@ object Joins {
     "q_join_cross" ->
       """SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region
         |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+    // The oracle is the UNSALTED join — the salt must be invisible in the
+    // result, so the compare itself proves salt-invariance.
+    "q_join_skew_salted" ->
+      """WITH d AS (SELECT event_type, count(*) AS type_n,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS type_cents
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, CAST(d.type_n AS BIGINT) AS type_n,
+        |  CAST(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) * d.type_n - d.type_cents AS BIGINT) AS dev_scaled
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
   )
 }
