@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 100+-query session compiles thousands of whole-stage-codegen classes;
+  // the JDK17 default 240 MB code cache fills mid-run and UseCodeCacheFlushing
+  // then evicts/recompiles hot methods in a storm — measured: the same bench
+  // ran 40 s with 84 queries and 956-1936 s with 115, with single queries
+  // (q_langid_eval, q_similarity_*) degrading 100-600× late in the run while
+  // bit-identical in isolation. Reserve enough that nothing is ever evicted.
+  "-XX:ReservedCodeCacheSize=1g",
 )

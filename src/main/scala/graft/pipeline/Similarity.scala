@@ -138,22 +138,67 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Probed cells per query in [[annIvfProbe]] (the standard IVF recall
+    * lever: a query near a cell boundary finds its true neighbors in an
+    * ADJACENT cell; probing the nprobe nearest centroids recovers them at
+    * nprobe× the candidate cost, still cell-bounded). */
+  val IvfNprobe = 4
+
+  /** IVF search with multi-cell probing: each query ranks the learned
+    * centroids by exact integer squared-L2 and searches its [[IvfNprobe]]
+    * nearest CELLS (single-cell [[annIvf]] is the nprobe=1 special case).
+    * Probe selection is one broadcast of the K-row centroid table against
+    * the query set + a per-query top-nprobe window; candidates come from ONE
+    * equi-join on `cell` (cells are disjoint, so no pair dedup). At 100 TB:
+    * K grows with the corpus, the probe ranking still touches only
+    * queries × K rows, and the candidate join stays narrow — the fact table
+    * never shuffles. */
+  def annIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, cellsRaw) = ivfModel(s, dir)
+    val cells = cellsRaw.cache() // two branches: probe ranking + candidates
+    val pw = Window.partitionBy($"query_id").orderBy($"d", $"cid")
+    val probes = cells.filter($"vec_id" < QueryVecs)
+      .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
+      .crossJoin(broadcast(cents))
+      .select($"query_id", $"qv", $"cid",
+        qdist($"qv", $"qn2", $"cq", $"cn2").as("d"))
+      .withColumn("prnk", row_number().over(pw))
+      .filter($"prnk" <= IvfNprobe)
+      .select($"query_id", $"qv", $"cid".as("cell"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    probes.join(cells, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** Exact integer squared-L2 via |a−b|² = |a|² + |b|² − 2·a·b — the dot
+    * runs through the native fused-loop QDot expression instead of an
+    * interpreted zip_with, and the squared norms are precomputed once per
+    * vector/centroid (values stay < 2^53: |a|²,|b|² ≤ 64e12). */
+  private def qdist(a: Column, an2: Column, b: Column, bn2: Column): Column =
+    an2 + bn2 - lit(2L) * qdot(a, b)
+
   /** The learned-cell assignment [[annIvf]] searches and
     * [[Dedup.semantic]] dedups within: `(vec_id, q, n2, cell)` after
     * [[IvfIters]] k-means refinements (see [[annIvf]] for the scale shape
     * of each step). */
-  private[pipeline] def ivfCells(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def ivfCells(s: SparkSession, dir: String): DataFrame =
+    ivfModel(s, dir)._2
+
+  /** The full IVF model: `(centroids (cid, cq, cn2), assignment (vec_id, q,
+    * n2, cell))` — [[annIvfProbe]] needs the centroid table itself to rank
+    * probe cells per query. */
+  private[pipeline] def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("n2", qdot($"q", $"q"))
       .cache()
-    // exact integer squared-L2 via |a-b|² = |a|² + |b|² - 2·a·b — the dot
-    // runs through the native fused-loop QDot expression instead of an
-    // interpreted zip_with, and the squared norms are precomputed once per
-    // vector/centroid (values stay < 2^53: |a|²,|b|² ≤ 64e12)
-    def qdist(a: Column, an2: Column, b: Column, bn2: Column): Column =
-      an2 + bn2 - lit(2L) * qdot(a, b)
     // nearest centroid per vector: cid is unique within a group, so the
     // lexicographic (d, cid) min is deterministic; q rides along in the
     // struct (never compared — cid already breaks every tie)
@@ -185,12 +230,13 @@ object Similarity {
     val cents = (1 to IvfIters).foldLeft(seeds.cache()) { (c, _) =>
       update(c, assign(c)).cache()
     }
-    assign(cents)
+    (cents, assign(cents))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_ann" -> annLsh _,
     "q_similarity_ivf" -> annIvf _,
+    "q_similarity_ivf_probe" -> annIvfProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,6 +275,27 @@ object Similarity {
          |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
          |  FROM a3 qr JOIN a3 c ON qr.cell = c.cell AND qr.vec_id <> c.vec_id
          |  WHERE qr.vec_id < $QueryVecs)
+         |SELECT query_id, rnk, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    // nprobe probe ranking over the final centroid table c2, candidates from
+    // the probed cells of a3 — same CTE chain, same argmin-by-(L2, cid) tie
+    // rule as assignment
+    "q_similarity_ivf_probe" ->
+      s"""WITH $duckCellCtes,
+         |probes AS (SELECT query_id, q, cell FROM (
+         |  SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c WHERE e.vec_id < $QueryVecs)
+         |  WHERE rn <= $IvfNprobe),
+         |cand AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+         |  FROM probes p JOIN a3 a ON a.cell = p.cell AND a.vec_id <> p.query_id)
          |SELECT query_id, rnk, vec_id FROM (
          |  SELECT query_id, vec_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
