@@ -24,6 +24,11 @@ object Tables {
     raw.schema("ts").dataType.typeName match {
       case "long" | "bigint" =>
         raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case "timestamp_ntz" =>
+        // timestamp[us] without timezone (TIMESTAMP_NTZ): reinterpret the
+        // wall-clock value as UTC, matching the session-timezone pin and the
+        // oracle's naive-timestamp semantics.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw // already a timestamp (future Spark native ns support)
     }
   }

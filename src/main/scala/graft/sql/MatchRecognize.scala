@@ -485,6 +485,7 @@ object MatchRecognize {
       case l: Long => l
       case i: Int => i.toLong
       case d: java.sql.Date => d.getTime
+      case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       case other => throw new IllegalArgumentException(s"unsupported ORDER BY type: $other")
     }
 

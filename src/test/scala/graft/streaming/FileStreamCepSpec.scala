@@ -30,8 +30,12 @@ class FileStreamCepSpec extends AnyFunSuite {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
+    val tsToEts = schema("ts").dataType.typeName match {
+      case "long" | "bigint" => timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+      case _                 => col("ts").cast("timestamp") // TIMESTAMP_NTZ under UTC pin
+    }
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ets", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ets", tsToEts)
       .withWatermark("ets", "0 seconds")
       .select(col("event_id"), unix_micros(col("ets")).as("ts_us"),
         col("user_id"), col("event_type"))
