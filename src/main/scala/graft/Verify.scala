@@ -19,13 +19,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query health (rows written or the error), INCLUDING the non-oracle
+    // queries (CEP/MR/approx) that have no DuckDB compare — so a regression
+    // of the core shows up in the round's correctness artifacts, not only in
+    // bench errors (r5: all 9 CEP/MR queries silently vanished from the
+    // correctness JSON when they errored).
+    val status = scala.collection.mutable.LinkedHashMap[String, (Long, String)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // footer-metadata count of the file just written — no recompute
+        status(name) = (spark.read.parquet(s"$outDir/$name").count(), null)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name) = (-1L, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
       // per-query working-set caches: don't let 64 queries accumulate
       // (clearCache = SQL relations; unpersist = RDD-level checkpoint blocks)
@@ -48,6 +58,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status.map { case (k, (rows, err)) =>
+      s"${q(k)}: {\"rows\": $rows, \"err\": ${if (err == null) "null" else q(err)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/query_status.json"), statusJson)
     spark.stop()
   }
 }

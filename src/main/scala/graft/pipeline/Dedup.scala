@@ -261,6 +261,17 @@ object Dedup {
   val SemTauNum = 9
   val SemTauDen = 100
 
+  /** Hot-CELL guard for [[semantic]] — the IVF-cell analog of [[MaxBucket]]:
+    * the within-cell pair space is Σ|cell|², so one degenerate cell (an
+    * embedding-space collapse — think near-identical boilerplate vectors at
+    * 100 TB) is quadratic on its own. Cells above this size are dropped
+    * before the self-join (broadcast anti-join on the tiny over-size list,
+    * same shape as [[dropHotBuckets]]); at production scale you'd sub-split
+    * them with a local k-means instead. Generous vs the test corpus (max
+    * observed cell 143 at sf0.1, K = [[Similarity.IvfK]]); mirrored exactly
+    * in the oracle. */
+  val MaxCell = 1000
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means the embedding space, then compare pairs only WITHIN each
     * learned cell — near-semantic duplicates land in the same cell, so the
@@ -275,10 +286,22 @@ object Dedup {
     * Cosine test `Den·dot² ≥ Num·|a|²·|b|²` needs 128-bit arithmetic —
     * same double-prescreen + Decimal(38) borderline trick as [[embedding]]
     * (bit-identical to the oracle's HUGEINT comparison). */
-  def semantic(s: SparkSession, dir: String): DataFrame = {
+  def semantic(s: SparkSession, dir: String): DataFrame =
+    semanticOf(s, Similarity.ivfCells(s, dir), MaxCell)
+
+  /** [[semantic]] over any `(cell, vec_id, q, n2)` assignment — the
+    * adversarial-fixture entry point (`SemanticDedupSpec` drives it with a
+    * degenerate cell to pin the [[MaxCell]] guard). */
+  private[pipeline] def semanticOf(
+      s: SparkSession, cellsIn: DataFrame, maxCell: Int): DataFrame = {
     import s.implicits._
     val dec38 = DecimalType(38, 0)
-    val cells = Similarity.ivfCells(s, dir).cache() // both sides of the self-join
+    val all = cellsIn.cache() // size count + both sides of the self-join
+    // over-MaxCell cells reduce to a tiny (cell) list via map-side-combinable
+    // count, broadcast, and anti-join — the corpus side never shuffles for it
+    val hot = all.groupBy($"cell").agg(count(lit(1)).as("csz"))
+      .filter($"csz" > maxCell).select($"cell")
+    val cells = all.join(broadcast(hot), Seq("cell"), "left_anti")
     val a = cells.select($"cell", $"vec_id".as("dup_of"),
       $"q".as("qa"), $"n2".as("na2"))
     val b = cells.select($"cell", $"vec_id", $"q".as("qb"), $"n2".as("nb2"))
@@ -421,11 +444,13 @@ object Dedup {
     // Spark side's decimal path.
     "q_dedup_semantic" ->
       s"""WITH ${Similarity.duckCellCtes},
+         |safe AS (SELECT cell FROM a3 GROUP BY cell HAVING count(*) <= $MaxCell),
          |p AS (SELECT b.vec_id, a.vec_id AS dup_of,
          |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
          |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * a.q[i])) AS BIGINT) AS na2,
          |    CAST(list_sum(list_transform(generate_series(1, 64), i -> b.q[i] * b.q[i])) AS BIGINT) AS nb2
-         |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN safe s ON s.cell = a.cell)
          |SELECT vec_id, CAST(min(dup_of) AS BIGINT) AS dup_of,
          |  CAST(count(*) AS BIGINT) AS n_near
          |FROM p

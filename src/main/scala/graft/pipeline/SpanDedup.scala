@@ -94,8 +94,15 @@ object SpanDedup {
   /** [[incremental]] over any `(doc_id, text)` table (probe entry point). */
   def incrementalOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val spans0 = docs
-      .select($"doc_id", explode(shingleMd5(tokens($"text"), SpanK)).as("h"))
+    // Three consumers read the span hashes (bloom build, corpus probe, batch
+    // join side): materialize the per-doc hash arrays ONCE pre-explode (the
+    // compact form — one md5 pass, ~8% the row count of the exploded view).
+    // At 100 TB swap the cache for recompute-per-branch; the plan shape is
+    // identical (r5 bench: the triple ShingleMd5 pass was 2/3 of the 22.6 s).
+    val base = docs
+      .select($"doc_id", shingleMd5(tokens($"text"), SpanK).as("hs"))
+      .cache()
+    val spans0 = base.select($"doc_id", explode($"hs").as("h"))
     val batch = spans0.filter($"doc_id" % 2 === 1)
     val corpus = spans0.filter($"doc_id" % 2 === 0)
     val bloom = batch.agg(bloomAgg(xxhash64($"h")).as("bf"))

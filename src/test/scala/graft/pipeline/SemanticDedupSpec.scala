@@ -41,4 +41,23 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "semantic dedup must find pairs at sf0.001 (driver smoke)")
     assert(got == expected)
   }
+
+  test("MaxCell guard drops a degenerate cell but keeps sane cells") {
+    import spark.implicits._
+    val maxCell = 4
+    // cell 0: 6 identical vectors (degenerate — over the bound, all mutually
+    // near-dup); cell 1: 2 identical vectors (under the bound)
+    val rows =
+      (0L until 6L).map(i => (0L, i, Array(1000L, 0L), 1000000L)) ++
+        Seq((1L, 10L, Array(0L, 1000L), 1000000L), (1L, 11L, Array(0L, 1000L), 1000000L))
+    val cells = rows.toDF("cell", "vec_id", "q", "n2")
+    val got = Dedup.semanticOf(spark, cells, maxCell)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only the sane cell survives: vec 11 near-dups vec 10; nothing from cell 0
+    assert(got == Set((11L, 10L, 1L)))
+    // control: with the guard slack, the degenerate cell's pairs come back
+    val ungated = Dedup.semanticOf(spark, cells, 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(ungated == Set(1L, 2L, 3L, 4L, 5L, 11L))
+  }
 }
