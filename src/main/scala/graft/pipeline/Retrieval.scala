@@ -94,7 +94,19 @@ object Retrieval {
     * narrow pass + a per-query top-k window over query-set-bounded groups;
     * the ANN side is the UNMODIFIED production plan, so the audit measures
     * what actually ships. */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    recallAgainst(s, dir, Similarity.annLsh(s, dir))
+
+  /** The same recall@k audit for the IVF nprobe index ([[Similarity
+    * .annIvfProbe]]) — re-measured whenever the probe count changes (the
+    * nprobe=4 change landed without a recall number; this pins it into the
+    * round artifacts). */
+  def annRecallIvf(s: SparkSession, dir: String): DataFrame =
+    recallAgainst(s, dir, Similarity.annIvfProbe(s, dir))
+
+  /** recall@[[RecallK]] of any `(query_id, vec_id)` ANN result against the
+    * exact brute-force top-k (query set broadcast, one narrow corpus pass). */
+  private def recallAgainst(s: SparkSession, dir: String, annPlan: DataFrame): DataFrame = {
     import s.implicits._
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
@@ -107,7 +119,7 @@ object Retrieval {
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= RecallK)
       .select($"query_id", $"vec_id")
-    val ann = Similarity.annLsh(s, dir).select($"query_id", $"vec_id")
+    val ann = annPlan.select($"query_id", $"vec_id")
     val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("h"))
     // zero-recall queries must SHOW UP in the audit, not vanish
@@ -121,6 +133,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> bm25 _,
     "q_ann_recall" -> annRecall _,
+    "q_ann_recall_ivf" -> annRecallIvf _,
   )
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -163,6 +176,42 @@ object Retrieval {
          |  FROM b qr JOIN b c
          |  ON bit_count(xor(qr.bkt, c.bkt)) <= 2 AND qr.vec_id <> c.vec_id
          |  WHERE qr.vec_id < ${Similarity.QueryVecs}),
+         |ann AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM annc) WHERE rnk <= $RecallK),
+         |exc AS (SELECT qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
+         |  FROM e qr JOIN e c ON qr.vec_id <> c.vec_id
+         |  WHERE qr.vec_id < ${Similarity.QueryVecs}),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM exc) WHERE rnk <= $RecallK),
+         |h AS (SELECT ex.query_id, count(*) AS h
+         |  FROM ex JOIN ann USING (query_id, vec_id) GROUP BY ex.query_id)
+         |SELECT e.vec_id AS query_id,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+         |  CAST((COALESCE(h.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
+         |FROM e LEFT JOIN h ON h.query_id = e.vec_id
+         |WHERE e.vec_id < ${Similarity.QueryVecs}
+         |ORDER BY query_id""".stripMargin,
+    // the IVF nprobe plan re-derived over the same k-means CTE chain as the
+    // q_similarity_ivf_probe oracle, scored against the exact top-k
+    "q_ann_recall_ivf" ->
+      s"""WITH ${Similarity.duckCellCtes},
+         |probes AS (SELECT query_id, q, cell FROM (
+         |  SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c WHERE e.vec_id < ${Similarity.QueryVecs})
+         |  WHERE rn <= ${Similarity.IvfNprobe}),
+         |annc AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+         |  FROM probes p JOIN a3 a ON a.cell = p.cell AND a.vec_id <> p.query_id),
          |ann AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
