@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Automated anti-pattern scan over EVERY declared query's physical plan —
+  * the at-scale discipline as a pinned invariant instead of a manual
+  * per-round audit:
+  *
+  *  - no `CartesianProduct` outside the intentional allowlist (a cartesian
+  *    that appears when a join condition stops being equi-joinable is the
+  *    classic silent 100 TB killer);
+  *  - no `Exchange SinglePartition` outside the allowlist (a global
+  *    single-partition shuffle of corpus-sized data cannot scale; the
+  *    allowlisted ones are provably bounded tables — see each entry).
+  *
+  * Runs at plan time only (no execution), so the full 116-query sweep is
+  * cheap enough for every `sbt test`.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed to contain a CartesianProduct node: NONE — even the
+    * intentional q_join_cross plans as a BroadcastNestedLoopJoin (bounded
+    * broadcast side), so any CartesianProduct is a regression. */
+  private val cartesianOk = Set.empty[String]
+
+  /** Queries allowed a SinglePartition exchange — each feeds a table that
+    * is BOUNDED by construction (1-row global aggregates / a sub-4096-row
+    * recursion tier), never corpus-sized. */
+  private val singlePartitionOk = Set(
+    // hierarchical prefix sum base case: ≤ input/4096² rows by construction
+    "q_text_pack",
+    // 1-row global corpus-stats aggregates (count/avgdl, token totals,
+    // weight totals): the final step of a partial+final global agg
+    "q_text_bm25", "q_text_tfidf", "q_text_perplexity", "q_sample_weighted",
+    // 1-row sketch aggregates probed via scalar subquery
+    "q_dedup_incremental", // BloomFilterAggregate over the batch spans
+    "q_text_heavyhitters", // count_min_sketch over the token stream
+    // Spark's own InjectRuntimeFilter: a 1-row bloom_filter_agg it builds
+    // from the query-set join side
+    "q_ann_recall_ivf"
+  )
+
+  private def plansOf(name: String): String = {
+    val fn = graft.SparkEntry.queries(name)
+    // executedPlan (post-EnsureRequirements): exchanges are inserted here —
+    // sparkPlan would miss every SinglePartition shuffle. Still plan-only,
+    // no job runs.
+    fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  // Exact-set pinning: a NEW offender fails (scale regression), and a plan
+  // IMPROVEMENT that drops an allowlisted node also fails (update the list —
+  // the allowlist never goes stale).
+  private lazy val offenders: Map[String, Set[String]] = {
+    val hits = graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val plan = plansOf(name)
+      name -> Seq(
+        if (plan.contains("CartesianProduct")) Some("cartesian") else None,
+        if (plan.contains("Exchange SinglePartition")) Some("singlepart") else None
+      ).flatten
+    }
+    Map(
+      "cartesian" -> hits.collect { case (n, t) if t.contains("cartesian") => n }.toSet,
+      "singlepart" -> hits.collect { case (n, t) if t.contains("singlepart") => n }.toSet)
+  }
+
+  test("CartesianProduct appears in exactly the allowlisted query plans") {
+    assert(offenders("cartesian") == cartesianOk,
+      s"extra: ${(offenders("cartesian") -- cartesianOk).toSeq.sorted.mkString(", ")}; " +
+        s"stale allowlist: ${(cartesianOk -- offenders("cartesian")).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("SinglePartition exchange appears in exactly the allowlisted query plans") {
+    assert(offenders("singlepart") == singlePartitionOk,
+      s"extra: ${(offenders("singlepart") -- singlePartitionOk).toSeq.sorted.mkString(", ")}; " +
+        s"stale allowlist: ${(singlePartitionOk -- offenders("singlepart")).toSeq.sorted.mkString(", ")}")
+  }
+}
