@@ -316,6 +316,39 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Bigram-LM cross-entropy per document — the next fidelity tier above
+    * [[perplexity]]'s unigram model (CCNet ships a 5-gram KenLM; the
+    * distributed shape is identical at any order: n-gram explode → count →
+    * conditional log-prob → join back → per-doc aggregate). Self-scored on
+    * the corpus, so every document bigram has a nonzero count and no
+    * smoothing branch is needed. Shape: one bigram-key shuffle for the
+    * counts (map-side combinable), the per-head total from the PAIR table
+    * (vocab²-bounded, not corpus-sized), scoring join back on the same
+    * bigram key (exchange reuse), doc_id aggregate. Determinism: the one
+    * float op `ln(cab/ca)` floor-quantized to micros immediately. */
+  def perplexityBigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.table(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "named_struct('a', element_at(w, i), 'b', element_at(w, i + 1)))")).as("p"))
+      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    val pairCnt = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val headCnt = pairCnt.groupBy($"a").agg(sum($"cab").as("ca"))
+    val logp = pairCnt.join(headCnt, "a")
+      .select($"a", $"b",
+        floor(log($"cab".cast("double") / $"ca") * 1e6).cast("long")
+          .as("logp_micro"))
+    bg.join(logp, Seq("a", "b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigram"), (-sum($"logp_micro")).as("nll_micro"))
+      .select($"doc_id", $"n_bigram".cast("int").as("n_bigram"),
+        expr("nll_micro div n_bigram").as("ce_micro"))
+      .orderBy($"doc_id")
+  }
+
   /** Cross-source contamination audit: distinct word-3-gram shingles shared
     * between every pair of sources — the leakage check run before declaring
     * train/eval splits clean. Shape: one shuffle on the shingle key for the
@@ -513,6 +546,7 @@ object TextAnalysis {
     "q_text_repetition" -> repetition _,
     "q_source_overlap" -> sourceOverlap _,
     "q_text_perplexity" -> perplexity _,
+    "q_text_perplexity_bigram" -> perplexityBigram _,
     "q_text_classifier" -> classifier _,
     "q_langid_eval" -> langIdEval _,
     "q_text_vocab" -> vocab _,
@@ -645,6 +679,24 @@ object TextAnalysis {
          |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(nll_micro // n_tok AS BIGINT) AS ce_micro
          |FROM d ORDER BY doc_id""".stripMargin,
+    "q_text_perplexity_bigram" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 1),
+         |    i -> [w[i], w[i + 1]]) AS ps
+         |  FROM d WHERE len(w) >= 2),
+         |bg AS (SELECT doc_id, p[1] AS a, p[2] AS b
+         |  FROM (SELECT doc_id, unnest(ps) AS p FROM g)),
+         |pc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+         |hc AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM pc GROUP BY a),
+         |lp AS (SELECT pc.a, pc.b,
+         |    CAST(floor(ln(CAST(cab AS DOUBLE) / ca) * 1000000) AS BIGINT) AS logp_micro
+         |  FROM pc JOIN hc USING (a)),
+         |dd AS (SELECT bg.doc_id, count(*) AS n_bigram,
+         |    -CAST(sum(lp.logp_micro) AS BIGINT) AS nll_micro
+         |  FROM bg JOIN lp USING (a, b) GROUP BY bg.doc_id)
+         |SELECT doc_id, CAST(n_bigram AS INT) AS n_bigram,
+         |  CAST(nll_micro // n_bigram AS BIGINT) AS ce_micro
+         |FROM dd ORDER BY doc_id""".stripMargin,
     "q_source_overlap" ->
       s"""WITH d AS (SELECT source, ${duckTokens("text")} AS w FROM documents),
          |sh AS (SELECT DISTINCT source, sh FROM

@@ -42,6 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // Spark's own InjectRuntimeFilter: a 1-row bloom_filter_agg it builds
     // from the query-set join side
     "q_ann_recall_ivf"
+    // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
+    // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject)
   )
 
   private def plansOf(name: String): String = {
