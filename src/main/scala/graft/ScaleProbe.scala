@@ -146,6 +146,33 @@ object ScaleProbe {
     val hhShingles = (nDocs + 500) * 48 // ~48 3-gram spans per 50-word doc
     println(f"""{"probe":"heavy_hitters","docs":${nDocs + 500},"heavy":${hhRows.length},"secs":$hhSecs%.1f,"shingles_per_sec":${(hhShingles / hhSecs).toLong}}""")
 
+    // ---- SemDeDup at 50× vectors with K grown 32× (the scale contract: ----
+    // K grows with the corpus so per-cell width stays bounded and Σ|cell|²
+    // stays linear-ish). 100k 64-dim quantized vectors; every 100th is an
+    // EXACT copy of its predecessor (cosine 1 ≥ τ, and identical vectors
+    // always assign to the same cell under the deterministic (d, cid)
+    // argmin), so all 1000 planted copies MUST appear in the semantic-dedup
+    // output regardless of what random near-dups the cells also contain.
+    val nVecs = 100000L
+    val ivfK = 512 // 32× the bench K for 50× the vectors
+    val vbase = when(pmod($"id", lit(100L)) === 1L, $"id" - 1).otherwise($"id")
+    val emb = spark.range(nVecs).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => pmod(xxhash64(vbase * 67 + d.cast("long") * 13 + 3), lit(2000001L))
+          - 1000000L).as("q"))
+    val (semStats, semSecs) = time {
+      val (_, cells) = graft.pipeline.Similarity.ivfModelOf(spark, emb, ivfK)
+      val out = graft.pipeline.Dedup
+        .semanticOf(spark, cells, maxCell = nVecs.toInt)
+      val planted = out.filter(pmod($"vec_id", lit(100L)) === 1L).count()
+      val total = out.count()
+      (planted, total)
+    }
+    spark.catalog.clearCache()
+    assert(semStats._1 == nVecs / 100, s"planted semantic dups ${semStats._1}")
+    println(f"""{"probe":"dedup_semantic","vecs":$nVecs,"cells":$ivfK,"planted_found":${semStats._1},"flagged":${semStats._2},"secs":$semSecs%.1f,"vecs_per_sec":${(nVecs / semSecs).toLong}}""")
+
     // ---- Connected components: 1.55M edges over ~2M nodes, adversarial ----
     // shapes for cluster resolution: 1000 chains of length 1000 (worst-case
     // diameter — label propagation would need 1000 rounds; the star

@@ -292,7 +292,7 @@ object Dedup {
   /** [[semantic]] over any `(cell, vec_id, q, n2)` assignment — the
     * adversarial-fixture entry point (`SemanticDedupSpec` drives it with a
     * degenerate cell to pin the [[MaxCell]] guard). */
-  private[pipeline] def semanticOf(
+  private[graft] def semanticOf(
       s: SparkSession, cellsIn: DataFrame, maxCell: Int): DataFrame = {
     import s.implicits._
     val dec38 = DecimalType(38, 0)

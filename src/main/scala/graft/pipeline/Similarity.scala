@@ -193,10 +193,20 @@ object Similarity {
   /** The full IVF model: `(centroids (cid, cq, cn2), assignment (vec_id, q,
     * n2, cell))` — [[annIvfProbe]] needs the centroid table itself to rank
     * probe cells per query. */
-  private[pipeline] def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[pipeline] def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfModelOf(s,
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q")),
+      IvfK)
+
+  /** [[ivfModel]] over any `(vec_id, q)` quantized-vector table with K
+    * cells — the probe entry point ([[graft.ScaleProbe]] drives it at 50×
+    * the bench vectors with K grown 32×: at 100 TB, K grows with the corpus
+    * so per-cell width stays bounded). */
+  private[graft] def ivfModelOf(
+      s: SparkSession, eIn: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import s.implicits._
-    val e = Tables.table(s, dir, "embeddings")
-      .select($"vec_id", quantize($"embedding").as("q"))
+    val e = eIn
       .withColumn("n2", qdot($"q", $"q"))
       .cache()
     // nearest centroid per vector: cid is unique within a group, so the
@@ -223,10 +233,10 @@ object Similarity {
         .select($"cid", coalesce($"cent", $"cq").as("cq"))
         .withColumn("cn2", qdot($"cq", $"cq"))
     }
-    val seeds = e.filter($"vec_id" < IvfK)
+    val seeds = e.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"))
     // each refined centroid table is K rows — cache it so the next step's
-    // broadcast reads 16 rows instead of replaying the whole lineage
+    // broadcast reads K rows instead of replaying the whole lineage
     val cents = (1 to IvfIters).foldLeft(seeds.cache()) { (c, _) =>
       update(c, assign(c)).cache()
     }
