@@ -113,14 +113,58 @@ object Mixture {
     * hashes, fine mod 100, badly clustered mod 1e6 — measured min(h%1e6)
     * ≈ 179k over 5k docs), while the md5 pre-mix makes the micro-threshold
     * genuinely uniform. */
-  def mixtureOf(docs: DataFrame, rates: DataFrame): DataFrame = {
+  def mixtureOf(docs: DataFrame, rates: DataFrame, salt: String = "mix:"): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs.join(broadcast(rates), "source")
       .filter(
-        charFoldHash(md5(concat(lit("mix:"), $"doc_id".cast("string")))) % 1000000L
+        charFoldHash(md5(concat(lit(salt), $"doc_id".cast("string")))) % 1000000L
           < $"rate_micro")
       .select($"doc_id", $"source", $"n_chars")
+  }
+
+  /** Temperature exponent α for [[temperatureRates]], in millis: 0.7 — the
+    * multilingual up-sampling rule of XLM-R (Conneau et al. 2020, §3.1:
+    * sample source i with probability ∝ p_i^α), flattening the source
+    * distribution so small sources are over-represented relative to their
+    * share. α = 1 recovers proportional sampling ([[rateTable]]'s shape);
+    * α → 0 approaches uniform-over-sources. */
+  val TempAlphaMilli = 700L
+  /** Character budget for the temperature mixture (distinct from
+    * [[BudgetChars]] so the two declared mixtures differ visibly). */
+  val TempBudgetChars = 6000L
+
+  /** Per-source keep-rates for temperature sampling: rate_i = min(1,
+    * B·w_i / (W·n_i)) with w_i = floor(n_i^α · 1e6), W = Σ w_j — so the
+    * EXPECTED kept characters from source i are ∝ w_i (the temperature
+    * distribution) within budget B. The single float op (`pow`) is
+    * floor-quantized to micros immediately; the rate arithmetic runs in
+    * Decimal(38) (B·1e6·w_i reaches ~2e20, past int64), mirrored by the
+    * oracle's HUGEINT. One row per source — broadcast-sized at any corpus
+    * scale. */
+  def temperatureRates(docs: DataFrame, budget: Long = TempBudgetChars): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs.groupBy($"source").agg(sum($"n_chars").as("src_chars"))
+      .withColumn("w_micro",
+        floor(pow($"src_chars".cast("double"), TempAlphaMilli / 1000.0) * 1e6)
+          .cast("long"))
+    val tot = counts.agg(sum($"w_micro").as("tot_w"))
+    counts.crossJoin(broadcast(tot))
+      .select($"source",
+        least(lit(1000000L), expr(
+          s"CAST(floor((CAST($budget AS DECIMAL(38,0)) * 1000000 * w_micro) / " +
+            "(CAST(tot_w AS DECIMAL(38,0)) * src_chars)) AS BIGINT)"))
+          .as("rate_micro"))
+  }
+
+  /** The declared temperature-mixture query: α-flattened per-source rates,
+    * then the same deterministic salted-hash Bernoulli filter as
+    * [[mixture]] (distinct salt — the two samples are independent). */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    mixtureOf(docs, temperatureRates(docs), salt = "tmix:").orderBy($"doc_id")
   }
 
   /** Exact per-source median gate without a corpus-wide sort: keep documents
@@ -182,6 +226,7 @@ object Mixture {
     "q_split" -> split _,
     "q_split_leakfree" -> splitLeakfree _,
     "q_mixture" -> mixture _,
+    "q_mixture_temperature" -> mixtureTemperature _,
     "q_quality_gate" -> qualityGate _,
     "q_pipeline_recipe" -> recipe _,
   )
@@ -249,6 +294,22 @@ object Mixture {
          |SELECT d.doc_id, d.source, d.n_chars
          |FROM documents d JOIN r ON d.source = r.source
          |WHERE ${duckCharFold("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000 < r.rate_micro
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_mixture_temperature" ->
+      s"""WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, src_chars,
+         |    CAST(floor(power(CAST(src_chars AS DOUBLE), ${TempAlphaMilli / 1000.0})
+         |      * 1000000) AS BIGINT) AS w_micro
+         |  FROM c),
+         |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM w),
+         |r AS (SELECT source,
+         |    least(1000000, CAST((CAST($TempBudgetChars AS HUGEINT) * 1000000 * w_micro)
+         |      // (CAST(tot_w AS HUGEINT) * src_chars) AS BIGINT)) AS rate_micro
+         |  FROM w, t)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE ${duckCharFold("md5('tmix:' || CAST(doc_id AS VARCHAR))")} % 1000000 < r.rate_micro
          |ORDER BY d.doc_id""".stripMargin,
     "q_quality_gate" ->
       s"""WITH hist AS (SELECT source, n_chars, count(*) AS cnt
