@@ -477,11 +477,58 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  final case class ImagePHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** 8×8 average-hash (aHash) perceptual fingerprint — the standard
+    * image-dedup primitive (same family as pHash/dHash; see Zauner 2010,
+    * "Implementation and Benchmarking of Perceptual Image Hash Functions"):
+    * NN-downsample to 8×8 (the [[resizeBmp]] sampler), per-pixel intensity
+    * = exact channel-byte sum, bit i (row-major) set iff `64·s_i > Σ s_j`
+    * (integer mean threshold, strictly greater so a constant image hashes
+    * to zero). Stored as two unsigned 32-bit halves — bit 63 would wrap
+    * int64 differently across engines. Near-duplicate images differ in ≤ a
+    * few bits; the banded Hamming bucket-join for pairing is the SimHash
+    * machinery ([[Dedup.simhashNN]]) applied to these columns. */
+  def ahashBmp(r: MediaRow): ImagePHash = {
+    val b = r.payload
+    val g = parseBmpHeader(b, r.doc_id)
+    val s = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < 64) {
+      val base = g.dataOffset + (i / 8 * g.h / 8) * g.stride + (i % 8 * g.w / 8) * 3
+      val v = (b(base) & 0xff) + (b(base + 1) & 0xff) + (b(base + 2) & 0xff)
+      s(i) = v; tot += v; i += 1
+    }
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * s(i) > tot) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    ImagePHash(r.doc_id, hi, lo)
+  }
+
+  /** Declared query: the aHash fingerprint of every image — the index-build
+    * half of image near-dup (the pair join is corpus-dependent; this corpus
+    * has no duplicate images, so the declared contract is the fingerprint
+    * table itself, hash-pinned against the construction oracle). */
+  def phash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bmpTable(s, dir)
+      .mapPartitions(_.map(ahashBmp))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features _,
     "q_multimodal_frames" -> frames _,
     "q_multimodal_audio" -> audio _,
     "q_multimodal_resize" -> resized _,
+    "q_multimodal_phash" -> phash _,
   )
 
   // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
@@ -538,6 +585,33 @@ object Multimodal {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), tb),
          |    (a, b) -> (a * 31 + b) % 9007199254740881) AS checksum
          |FROM t ORDER BY doc_id""".stripMargin,
+    // What a correct decode→8×8-NN-sample→mean-threshold→pack chain must
+    // yield from the text bytes: pixel (i//8, i%8) samples source pixel
+    // (⌊ty·h/8⌋, ⌊tx·w/8⌋), intensity = its 3 cycled channel bytes summed,
+    // bit set iff 64·s_i > Σ s_j.
+    "q_multimodal_phash" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+         |  FROM documents),
+         |g AS (SELECT doc_id, bs, len(bs) AS n,
+         |    1 + len(bs) % 31 AS w, 1 + len(bs) % 17 AS h
+         |  FROM c),
+         |t AS (SELECT doc_id,
+         |    list_transform(generate_series(0, 63), i ->
+         |        bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 0) % n) + 1]
+         |      + bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 1) % n) + 1]
+         |      + bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 2) % n) + 1]) AS ss
+         |  FROM g),
+         |u AS (SELECT doc_id, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(32, 63), i ->
+         |    CASE WHEN 64 * ss[i + 1] > tot THEN (CAST(1 AS BIGINT) << (i - 32))
+         |      ELSE 0 END)) AS BIGINT) AS ahash_hi,
+         |  CAST(list_sum(list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN 64 * ss[i + 1] > tot THEN (CAST(1 AS BIGINT) << i)
+         |      ELSE 0 END)) AS BIGINT) AS ahash_lo
+         |FROM u ORDER BY doc_id""".stripMargin,
     // What a correct AVI mux→demux round trip must yield from the text
     // bytes: geometry and frame count from the length, frame f's pixels =
     // the cycled bytes at non-pad positions [f·rowBytes·h, (f+1)·rowBytes·h)

@@ -169,4 +169,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.checksum === expect)
     assert(g.mean_intensity === (10 + 11 + 12) / 3)
   }
+
+  test("ahashBmp: bright-top image sets exactly the top-half bits") {
+    // 8×8 image, rows 0-3 white (s=765), rows 4-7 black (s=0); identity
+    // sampling, mean = 765/2 → bits 0..31 set, 32..63 clear
+    val px = new Array[Byte](3 * 8 * 8)
+    java.util.Arrays.fill(px, 0, 3 * 8 * 4, 0xFF.toByte)
+    val h = ahashBmp(MediaRow(7L, "image/bmp", encodeBmpRaw(8, 8, px)))
+    assert(h.ahash_lo === 0xFFFFFFFFL && h.ahash_hi === 0L)
+  }
+
+  test("ahashBmp: constant image hashes to zero (strict mean threshold)") {
+    val px = Array.fill(3 * 8 * 8)(42.toByte)
+    val h = ahashBmp(MediaRow(8L, "image/bmp", encodeBmpRaw(8, 8, px)))
+    assert(h.ahash_lo === 0L && h.ahash_hi === 0L)
+  }
+
+  test("ahashBmp is invariant under NN upscale (the near-dup property)") {
+    // the perceptual contract: a 2× upscaled image must hash identically,
+    // because every 8×8 sample lands on the same source pixel
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(3 * 8 * 8)(rnd.nextInt(256).toByte)
+    val base = MediaRow(9L, "image/bmp", encodeBmpRaw(8, 8, px))
+    val up = resizeBmp(base, 16, 16)
+    assert(ahashBmp(base).copy(doc_id = 0) === ahashBmp(up).copy(doc_id = 0))
+  }
 }
