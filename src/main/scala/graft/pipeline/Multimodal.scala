@@ -440,6 +440,54 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  final case class AudioHash(doc_id: Long, ahash: Long)
+
+  /** Energy-difference audio fingerprint — the Chromaprint/shazam-family
+    * primitive reduced to its time-domain core (Wang 2003 builds constella-
+    * tions from spectral peaks; the robust-bit idea — compare ADJACENT
+    * energy windows and keep only the sign — is the same): the sample
+    * stream splits into 33 equal windows, e_k = Σ|sample| per window
+    * (exact integers), bit k set iff e_{k+1} > e_k. 32 bits → always below
+    * 2^32, sign-free in any engine; near-duplicate audio (same content,
+    * small amplitude changes) keeps the same energy CONTOUR and thus the
+    * same bits, and the Hamming pair-join is the SimHash banding machinery. */
+  def ahashWav(r: MediaRow): AudioHash = {
+    val b = java.nio.ByteBuffer.wrap(r.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.getShort(20) == 1 && b.getShort(22) == 1 && b.getShort(34) == 16,
+      s"doc ${r.doc_id}: not 16-bit PCM mono")
+    val nSamples = b.getInt(40) / 2
+    val e = new Array[Long](33)
+    var k = 0
+    while (k < 33) {
+      var i = k * nSamples / 33
+      val hi = (k + 1) * nSamples / 33
+      while (i < hi) {
+        e(k) += math.abs(b.getShort(44 + 2 * i).toInt)
+        i += 1
+      }
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 32) {
+      if (e(k + 1) > e(k)) hash |= 1L << k
+      k += 1
+    }
+    AudioHash(r.doc_id, hash)
+  }
+
+  /** Declared query: the audio fingerprint of every WAV — the index-build
+    * half of audio near-dup (same contract shape as [[phash]]). */
+  def audioHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(_.map(r =>
+        ahashWav(MediaRow(r.doc_id, "audio/wav", encodeWav(r.payload)))))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   /** Partition-batched decode: the operator a real codec runs inside (narrow,
     * no shuffle; the blob never leaves the partition). */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -529,6 +577,7 @@ object Multimodal {
     "q_multimodal_audio" -> audio _,
     "q_multimodal_resize" -> resized _,
     "q_multimodal_phash" -> phash _,
+    "q_multimodal_audiohash" -> audioHash _,
   )
 
   // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
@@ -585,6 +634,26 @@ object Multimodal {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), tb),
          |    (a, b) -> (a * 31 + b) % 9007199254740881) AS checksum
          |FROM t ORDER BY doc_id""".stripMargin,
+    // What a correct PCM parse→33-window energy→difference-bit chain must
+    // yield from the text bytes: sample i = (byte_i − 128)·256, window k =
+    // samples [k·n/33, (k+1)·n/33), bit k iff e_{k+1} > e_k.
+    "q_multimodal_audiohash" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    list_transform(bs, v -> 256 * abs(v - 128)) AS sa, len(bs) AS n
+         |  FROM c),
+         |e AS (SELECT doc_id, list_transform(generate_series(0, 32), k ->
+         |    COALESCE(CAST(list_sum(sa[(k * n // 33) + 1 : ((k + 1) * n // 33)])
+         |      AS BIGINT), 0)) AS es
+         |  FROM g)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(0, 31), k ->
+         |    CASE WHEN es[k + 2] > es[k + 1] THEN (CAST(1 AS BIGINT) << k)
+         |      ELSE 0 END)) AS BIGINT) AS ahash
+         |FROM e ORDER BY doc_id""".stripMargin,
     // What a correct decode→8×8-NN-sample→mean-threshold→pack chain must
     // yield from the text bytes: pixel (i//8, i%8) samples source pixel
     // (⌊ty·h/8⌋, ⌊tx·w/8⌋), intensity = its 3 cycled channel bytes summed,

@@ -185,6 +185,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.ahash_lo === 0L && h.ahash_hi === 0L)
   }
 
+  test("ahashWav: rising energy sets all bits, constant energy none") {
+    // 66 source bytes → 66 samples, 33 windows of exactly 2: strictly
+    // rising |byte − 128| → every adjacent window pair increases
+    val rising = (0 until 66).map(i => (128 + 2 * i / 2).toByte).toArray
+    val hUp = ahashWav(MediaRow(1L, "audio/wav", encodeWav(rising)))
+    assert(hUp.ahash === 0xFFFFFFFFL)
+    val flat = Array.fill(66)(200.toByte)
+    val hFlat = ahashWav(MediaRow(2L, "audio/wav", encodeWav(flat)))
+    assert(hFlat.ahash === 0L)
+  }
+
+  test("ahashWav is invariant under uniform amplitude change (near-dup property)") {
+    // halving every amplitude preserves the energy CONTOUR, hence the hash
+    val rnd = new scala.util.Random(11)
+    val loud = Array.fill(200)((128 + rnd.nextInt(100)).toByte)
+    val quiet = loud.map(b => (128 + ((b & 0xff) - 128) / 2).toByte)
+    val hL = ahashWav(MediaRow(3L, "audio/wav", encodeWav(loud)))
+    val hQ = ahashWav(MediaRow(4L, "audio/wav", encodeWav(quiet)))
+    assert(hL.ahash === hQ.ahash)
+  }
+
   test("ahashBmp is invariant under NN upscale (the near-dup property)") {
     // the perceptual contract: a 2× upscaled image must hash identically,
     // because every 8×8 sample lands on the same source pixel
