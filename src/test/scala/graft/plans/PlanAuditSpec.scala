@@ -36,6 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row global corpus-stats aggregates (count/avgdl, token totals,
     // weight totals): the final step of a partial+final global agg
     "q_text_bm25", "q_text_tfidf", "q_text_perplexity", "q_sample_weighted",
+    "q_mixture_temperature", // 1-row Σw_micro normalizer over the rate table
     // 1-row sketch aggregates probed via scalar subquery
     "q_dedup_incremental", // BloomFilterAggregate over the batch spans
     "q_text_heavyhitters", // count_min_sketch over the token stream
