@@ -186,7 +186,12 @@ object Multimodal {
     * frame chunks, decoding each raw DIB frame with the padding-aware pixel
     * walk. A demuxer that misreads a list size, the strf geometry, or a
     * chunk boundary produces wrong frame stats and fails the oracle hash. */
-  def demuxAvi(r: MediaRow): Iterator[VideoFrame] = {
+  private final case class AviGeom(
+      w: Int, h: Int, moviStart: Int, moviEnd: Int, stride: Int)
+
+  /** Shared container walk: strf geometry + movi bounds (pass 1 of the
+    * demux — [[demuxAvi]] and [[ahashAvi]] both start here). */
+  private def parseAvi(r: MediaRow): AviGeom = {
     val b = r.payload
     def i32(off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -197,7 +202,7 @@ object Multimodal {
       s"doc ${r.doc_id}: not an AVI payload")
     val riffEnd = math.min(8L + i32(4), b.length.toLong).toInt
 
-    // pass 1: find strf geometry and the movi list by walking the tree
+    // find strf geometry and the movi list by walking the tree
     var w = -1; var h = -1; var moviStart = -1; var moviEnd = -1
     def walk(from: Int, to: Int): Unit = {
       var off = from
@@ -223,8 +228,20 @@ object Multimodal {
     walk(12, riffEnd)
     require(w > 0 && h > 0, s"doc ${r.doc_id}: no video stream header found")
     require(moviStart >= 0, s"doc ${r.doc_id}: no movi list found")
+    AviGeom(w, h, moviStart, moviEnd, (3 * w + 3) / 4 * 4)
+  }
+
+  def demuxAvi(r: MediaRow): Iterator[VideoFrame] = {
+    val b = r.payload
+    def i32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    val g = parseAvi(r)
+    val w = g.w; val h = g.h
+    val moviStart = g.moviStart; val moviEnd = g.moviEnd
     val rowBytes = 3 * w
-    val stride = (rowBytes + 3) / 4 * 4
+    val stride = g.stride
 
     // pass 2: iterate frame chunks inside movi
     val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrame]
@@ -440,6 +457,62 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  final case class FrameHash(
+      doc_id: Long, frame_no: Int, ahash_hi: Long, ahash_lo: Long)
+
+  /** Per-frame aHash of an AVI: the [[ahashBmp]] 8×8 mean-threshold hash
+    * applied to every '00db' frame in place (stride-aware sampling straight
+    * off the container bytes — frames are never copied out). The per-doc
+    * hash SEQUENCE is the video near-dup signature: re-encoded or
+    * re-muxed copies of the same footage keep the per-frame perceptual
+    * bits; temporal alignment is the frame_no column. */
+  def ahashAvi(r: MediaRow): Iterator[FrameHash] = {
+    val b = r.payload
+    def i32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    val g = parseAvi(r)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameHash]
+    var off = g.moviStart
+    var frameNo = 0
+    while (off + 8 <= g.moviEnd) {
+      val size = i32(off + 4)
+      val dataStart = off + 8
+      require(cc(off) == "00db" && dataStart + size <= g.moviEnd,
+        s"doc ${r.doc_id}: bad movi chunk ${cc(off)}")
+      val s = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < 64) {
+        val base = dataStart + (i / 8 * g.h / 8) * g.stride + (i % 8 * g.w / 8) * 3
+        val v = (b(base) & 0xff) + (b(base + 1) & 0xff) + (b(base + 2) & 0xff)
+        s(i) = v; tot += v; i += 1
+      }
+      var hi = 0L; var lo = 0L
+      i = 0
+      while (i < 64) {
+        if (64L * s(i) > tot) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      out += FrameHash(r.doc_id, frameNo, hi, lo)
+      frameNo += 1
+      off = dataStart + size + (size & 1)
+    }
+    out.iterator
+  }
+
+  /** Declared query: the per-frame perceptual-hash sequence of every video. */
+  def videoHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aviTable(s, dir)
+      .flatMap(ahashAvi)
+      .toDF()
+      .orderBy($"doc_id", $"frame_no")
+  }
+
   final case class AudioHash(doc_id: Long, ahash: Long)
 
   /** Energy-difference audio fingerprint — the Chromaprint/shazam-family
@@ -578,6 +651,7 @@ object Multimodal {
     "q_multimodal_resize" -> resized _,
     "q_multimodal_phash" -> phash _,
     "q_multimodal_audiohash" -> audioHash _,
+    "q_multimodal_videohash" -> videoHash _,
   )
 
   // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
@@ -634,6 +708,36 @@ object Multimodal {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), tb),
          |    (a, b) -> (a * 31 + b) % 9007199254740881) AS checksum
          |FROM t ORDER BY doc_id""".stripMargin,
+    // Per-frame aHash from the construction bytes: frame f's pixel (sy,sx)
+    // channel c is cycled byte (f·fb + sy·3w + sx·3 + c) % n; 8×8 NN sample
+    // + integer mean threshold per frame, packed as two unsigned halves.
+    "q_multimodal_videohash" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+         |  FROM documents),
+         |g AS (SELECT doc_id, bs, len(bs) AS n,
+         |    1 + len(bs) % 19 AS w, 1 + len(bs) % 13 AS h,
+         |    2 + len(bs) % 5 AS nf
+         |  FROM c),
+         |f AS (SELECT doc_id, bs, n, w, h, 3 * w * h AS fb,
+         |    unnest(generate_series(0, nf - 1)) AS frame_no
+         |  FROM g),
+         |t AS (SELECT doc_id, frame_no,
+         |    list_transform(generate_series(0, 63), j ->
+         |        bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 0) % n) + 1]
+         |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 1) % n) + 1]
+         |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 2) % n) + 1]) AS ss
+         |  FROM f),
+         |u AS (SELECT doc_id, frame_no, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t)
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         |  CAST(list_sum(list_transform(generate_series(32, 63), j ->
+         |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << (j - 32))
+         |      ELSE 0 END)) AS BIGINT) AS ahash_hi,
+         |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
+         |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << j)
+         |      ELSE 0 END)) AS BIGINT) AS ahash_lo
+         |FROM u ORDER BY doc_id, frame_no""".stripMargin,
     // What a correct PCM parse→33-window energy→difference-bit chain must
     // yield from the text bytes: sample i = (byte_i − 128)·256, window k =
     // samples [k·n/33, (k+1)·n/33), bit k iff e_{k+1} > e_k.
