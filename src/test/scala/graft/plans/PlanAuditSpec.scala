@@ -47,6 +47,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject)
   )
 
+  /** Queries allowed a BroadcastNestedLoopJoin — legitimate ONLY when the
+    * broadcast side is bounded by construction (a BNLJ against a
+    * corpus-sized build side OOMs the cluster; these are all K-row / 1-row
+    * / query-set-sized). */
+  private val bnljOk = Set(
+    "q_join_cross", // bounded nation×region cross join (the intentional one)
+    // 1-row corpus-stats / normalizer tables crossJoined into the plan
+    "q_text_bm25", "q_text_perplexity", "q_sample_weighted",
+    "q_mixture_temperature", "q_text_tfidf", // 1-row doc-count for the idf
+    // K-row centroid tables (IVF k-means assignment / probe ranking) and
+    // query-set-sized exact-baseline sides of the recall audits
+    "q_similarity_ivf", "q_similarity_ivf_probe", "q_dedup_semantic",
+    "q_ann_recall", "q_ann_recall_ivf"
+  )
+
   private def plansOf(name: String): String = {
     val fn = graft.SparkEntry.queries(name)
     // executedPlan (post-EnsureRequirements): exchanges are inserted here —
@@ -63,12 +78,14 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = plansOf(name)
       name -> Seq(
         if (plan.contains("CartesianProduct")) Some("cartesian") else None,
-        if (plan.contains("Exchange SinglePartition")) Some("singlepart") else None
+        if (plan.contains("Exchange SinglePartition")) Some("singlepart") else None,
+        if (plan.contains("BroadcastNestedLoopJoin")) Some("bnlj") else None
       ).flatten
     }
     Map(
       "cartesian" -> hits.collect { case (n, t) if t.contains("cartesian") => n }.toSet,
-      "singlepart" -> hits.collect { case (n, t) if t.contains("singlepart") => n }.toSet)
+      "singlepart" -> hits.collect { case (n, t) if t.contains("singlepart") => n }.toSet,
+      "bnlj" -> hits.collect { case (n, t) if t.contains("bnlj") => n }.toSet)
   }
 
   test("CartesianProduct appears in exactly the allowlisted query plans") {
@@ -81,5 +98,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders("singlepart") == singlePartitionOk,
       s"extra: ${(offenders("singlepart") -- singlePartitionOk).toSeq.sorted.mkString(", ")}; " +
         s"stale allowlist: ${(singlePartitionOk -- offenders("singlepart")).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin appears in exactly the allowlisted query plans") {
+    assert(offenders("bnlj") == bnljOk,
+      s"extra: ${(offenders("bnlj") -- bnljOk).toSeq.sorted.mkString(", ")}; " +
+        s"stale allowlist: ${(bnljOk -- offenders("bnlj")).toSeq.sorted.mkString(", ")}")
   }
 }
