@@ -78,7 +78,10 @@ object NFA {
         * smaller = preferred (leftmost alternation branch, greedy loop).
         * Empty in linear mode — legacy resolution never reads it. */
       ranks: Vector[Int] = Vector.empty) {
-    def dedupKey: (Int, Int, List[(Int, Long)], Set[Int]) =
+    /** Cached: computed once per Partial instead of per HashSet probe /
+      * champion-liveness scan (the per-event hot path allocates one List
+      * per call otherwise; ignored by SnapshotCodec, which writes fields). */
+    lazy val dedupKey: (Int, Int, List[(Int, Long)], Set[Int]) =
       (stage, taken, consumed.map(c => (c.stage, c.idx)), tripped)
     def contentKey: List[(Int, Long)] = consumed.map(c => (c.stage, c.idx))
   }
@@ -283,14 +286,23 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
 
   private val initialEntries: List[Int] = entriesAfter(starts)
 
+  // Per-stage position-list caches: positions() runs twice per partial per
+  // event (step + liveness check on the successor), and everything except
+  // the loop-self element is a pure function of the stage — memoized lists
+  // make the hot path allocation-free but behavior-identical.
+  private val posEntryMemo = scala.collection.mutable.HashMap.empty[Int, List[(Int, Int)]]
+  private def posEntry(s: Int): List[(Int, Int)] =
+    posEntryMemo.getOrElseUpdate(s, entryChain(s).filter(_ < n).map(u => (u, 0)))
+  private val posProceedMemo = scala.collection.mutable.HashMap.empty[Int, List[(Int, Int)]]
+  private def posProceed(s: Int): List[(Int, Int)] =
+    posProceedMemo.getOrElseUpdate(s, entriesAfter(succ(s)).map(u => (u, 0)))
+
   private def positions(p: Partial[T]): List[(Int, Int)] =
-    if (p.taken == 0) entryChain(p.stage).filter(_ < n).map(u => (u, 0))
+    if (p.taken == 0) posEntry(p.stage)
     else {
-      val loopSelf = if (p.taken < stages(p.stage).max) List((p.stage, p.taken)) else Nil
       val proceed =
-        if (p.taken >= stages(p.stage).min) entriesAfter(succ(p.stage)).map(u => (u, 0))
-        else Nil
-      loopSelf ::: proceed
+        if (p.taken >= stages(p.stage).min) posProceed(p.stage) else Nil
+      if (p.taken < stages(p.stage).max) (p.stage, p.taken) :: proceed else proceed
     }
 
   // Lazy bindings view for iterative conditions (simple conditions never
