@@ -38,6 +38,14 @@ object Winnowing {
   /** [[winnow]] over any `(doc_id, text)` table — fixture entry point. */
   def winnowOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
+    fingerprints(docs).orderBy($"doc_id", $"pos")
+  }
+
+  /** The unsorted `(doc_id, pos, fp)` fingerprint table ([[winnowPairs]]
+    * feeds it straight into a shuffle, where the sort would be dead work). */
+  private def fingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     // 1-based gram positions; window j covers grams j .. j+W-1; argmin
     // seeded at j and folded left→right with `<=` so ties land rightmost.
     val selected = expr(
@@ -51,11 +59,38 @@ object Winnowing {
       .filter(size($"hs") >= W)
       .select($"doc_id", explode(selected).as("s"))
       .select($"doc_id", $"s.pos".as("pos"), $"s.fp".as("fp"))
-      .orderBy($"doc_id", $"pos")
+  }
+
+  /** Hot-fingerprint guard for [[winnowPairs]] — the [[Dedup.MaxBucket]]
+    * analog: a boilerplate gram selected in too many documents would
+    * contribute O(n²) pairs; its bucket is dropped via broadcast anti-join
+    * (generous vs the test corpus; mirrored in the oracle). */
+  val MaxFpBucket = 200
+
+  /** MOSS overlap detection — the fingerprints put to their intended use:
+    * document pairs sharing at least one selected fingerprint, with the
+    * shared count (the plagiarism/contamination candidate table). ONE
+    * shuffle on the fingerprint key; pair width bounded by fp-bucket
+    * occupancy (guarded), never all-pairs — the same candidates→verify
+    * shape as MinHash, at winnowing's ~2/(W+1) index size. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uf = fingerprints(Tables.table(s, dir, "documents"))
+      .select($"doc_id", $"fp").distinct()
+    val hot = uf.groupBy($"fp").agg(count(lit(1)).as("c"))
+      .filter($"c" > MaxFpBucket).select($"fp")
+    val cl = uf.join(broadcast(hot), Seq("fp"), "left_anti")
+    cl.as("a").join(cl.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_winnow" -> winnow _,
+    "q_text_winnow_pairs" -> winnowPairs _,
   )
 
   /** DuckDB k-gram md5 hashes (1-based positions), byte-identical to the
@@ -82,5 +117,24 @@ object Winnowing {
          |  FROM (SELECT doc_id, unnest(ss) AS s FROM sel))
          |SELECT doc_id, CAST(pos AS INT) AS pos, fp
          |FROM u ORDER BY doc_id, pos""".stripMargin,
+    "q_text_winnow_pairs" ->
+      s"""WITH d AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, ${duckGramHashes("w")} AS hs FROM d),
+         |sel AS (SELECT doc_id,
+         |    list_transform(generate_series(1, len(hs) - ${W - 1}), j ->
+         |      list_reduce(
+         |        list_transform(generate_series(j, j + ${W - 1}),
+         |          i -> struct_pack(pos := i, fp := hs[i])),
+         |        (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END)) AS ss
+         |  FROM g WHERE len(hs) >= $W),
+         |uf AS (SELECT DISTINCT doc_id, s.fp AS fp
+         |  FROM (SELECT doc_id, unnest(ss) AS s FROM sel)),
+         |cold AS (SELECT doc_id, fp FROM uf
+         |  WHERE fp NOT IN (SELECT fp FROM uf GROUP BY fp
+         |                   HAVING count(*) > $MaxFpBucket))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -15,8 +15,8 @@ import graft.TestSpark
   *    single-partition shuffle of corpus-sized data cannot scale; the
   *    allowlisted ones are provably bounded tables — see each entry).
   *
-  * Runs at plan time only (no execution), so the full 116-query sweep is
-  * cheap enough for every `sbt test`.
+  * Runs at plan time only (no execution), so the full declared-query sweep
+  * is cheap enough for every `sbt test`.
   */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
