@@ -235,10 +235,16 @@ object Similarity {
     }
     val seeds = e.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"))
-    // each refined centroid table is K rows — cache it so the next step's
-    // broadcast reads K rows instead of replaying the whole lineage
-    val cents = (1 to IvfIters).foldLeft(seeds.cache()) { (c, _) =>
-      update(c, assign(c)).cache()
+    // Each refined centroid table is K rows. `.cache()` alone left the fold
+    // LAZY: the final plan referenced every iteration's lineage, and the
+    // first action materialized the whole chain as one deep job graph whose
+    // concurrent branches raced to fill the same cache blocks ("Block
+    // rdd_N already exists" warnings; r6 verdict flagged the cost). An
+    // EAGER localCheckpoint per iteration runs each refinement as its own
+    // tiny job (K rows) and hands the next step a lineage-free K-row table
+    // — the downstream broadcast reads K rows, full stop.
+    val cents = (1 to IvfIters).foldLeft(seeds.localCheckpoint()) { (c, _) =>
+      update(c, assign(c)).localCheckpoint()
     }
     (cents, assign(cents))
   }
