@@ -74,6 +74,12 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.writeString(detailPath, detail + "\n")
+    // ALSO a stable repo-root copy the driver can read without scraping the
+    // sbt tail (r6: the stdout headline survived but "parsed" came back
+    // null once — a committed file path can't be truncated or reformatted)
+    val stable = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => s"BENCH_detail_r$r.json").getOrElse("BENCH_detail_latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(stable), detail + "\n")
     println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }

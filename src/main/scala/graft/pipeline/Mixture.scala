@@ -150,11 +150,19 @@ object Mixture {
         floor(pow($"src_chars".cast("double"), TempAlphaMilli / 1000.0) * 1e6)
           .cast("long"))
     val tot = counts.agg(sum($"w_micro").as("tot_w"))
+    // `div` (IntegralDivide) truncates the EXACT decimal quotient — all
+    // operands positive, so it equals the oracle's HUGEINT floor-division
+    // '//' bit-for-bit. The previous floor(a / b) spelling first rounded
+    // the Decimal(38,6) quotient HALF_UP, which could differ by 1 when the
+    // exact quotient sits within ~5e-7 of an integer. (The one remaining
+    // float op is pow() inside w_micro — floor-quantized to micros at the
+    // source; a 1-ulp pow divergence between engines is accepted and
+    // documented, same class as the perplexity ln() case.)
     counts.crossJoin(broadcast(tot))
       .select($"source",
         least(lit(1000000L), expr(
-          s"CAST(floor((CAST($budget AS DECIMAL(38,0)) * 1000000 * w_micro) / " +
-            "(CAST(tot_w AS DECIMAL(38,0)) * src_chars)) AS BIGINT)"))
+          s"CAST((CAST($budget AS DECIMAL(38,0)) * 1000000 * w_micro) div " +
+            "(CAST(tot_w AS DECIMAL(38,0)) * src_chars) AS BIGINT)"))
           .as("rate_micro"))
   }
 

@@ -481,6 +481,7 @@ object Multimodal {
       val dataStart = off + 8
       require(cc(off) == "00db" && dataStart + size <= g.moviEnd,
         s"doc ${r.doc_id}: bad movi chunk ${cc(off)}")
+      require(size == g.stride * g.h, s"doc ${r.doc_id}: frame size mismatch")
       val s = new Array[Long](64)
       var tot = 0L
       var i = 0
@@ -527,9 +528,20 @@ object Multimodal {
   def ahashWav(r: MediaRow): AudioHash = {
     val b = java.nio.ByteBuffer.wrap(r.payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def magic(at: Int, s: String): Unit = {
+      val m = new Array[Byte](4); b.position(at); b.get(m)
+      require(new String(m) == s, s"doc ${r.doc_id}: bad magic at $at")
+    }
+    // same validation ladder as decodeWav: a truncated or non-WAV payload
+    // must fail with the doc-tagged error, never index out of bounds or
+    // hash garbage
+    require(r.payload.length >= 44, s"doc ${r.doc_id}: truncated WAV header")
+    magic(0, "RIFF"); magic(8, "WAVE"); magic(12, "fmt "); magic(36, "data")
     require(b.getShort(20) == 1 && b.getShort(22) == 1 && b.getShort(34) == 16,
       s"doc ${r.doc_id}: not 16-bit PCM mono")
-    val nSamples = b.getInt(40) / 2
+    val dataSize = b.getInt(40)
+    require(r.payload.length >= 44 + dataSize, s"doc ${r.doc_id}: truncated data chunk")
+    val nSamples = dataSize / 2
     val e = new Array[Long](33)
     var k = 0
     while (k < 33) {
