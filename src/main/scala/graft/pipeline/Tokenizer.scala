@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,8 +58,191 @@ object Tokenizer {
       .orderBy($"rnk")
   }
 
+  // ---------------------------------------------------------------- BPE
+  // train + encode: beyond pair statistics, the engine learns an ordered
+  // merge list and APPLIES it — the tokenizer every downstream token count
+  // (mixture budgets, packing) ultimately wants.
+
+  /** Learned merges (applied in this order). */
+  val NMerges = 16
+
+  /** Training-vocabulary cap: merges are learned from the top [[VocabCap]]
+    * words by (count desc, word) — the standard frequency-truncated
+    * training vocabulary. At 100 TB the corpus collapses to a vocab ONCE
+    * (the only corpus-sized shuffle), the capped head is collected to the
+    * driver (bounded by construction — it IS the trainer's working set,
+    * and the resulting merge list is the model), and encoding streams the
+    * model back through a codegen'd expression. Encoding always covers the
+    * FULL vocabulary; the cap only bounds what the trainer counts. */
+  val VocabCap = 4000
+
+  /** Output head of [[bpeEncode]] (token space is merge-bounded; the cap
+    * only guards a degenerate charset). */
+  val EncodeTop = 200
+
+  /** Sentinel merge emitted once the pair table is exhausted (never matches
+    * real text, so applying it is a no-op) — keeps the merge list a fixed
+    * [[NMerges]] rows in both engines. */
+  val Sentinel = "\u0001"
+
+  /** Classic BPE trainer over a `(word, count)` vocabulary: [[nMerges]]
+    * rounds of (count adjacent symbol pairs weighted by word count) →
+    * (pick max by count desc, pair asc) → (greedy left-to-right rewrite).
+    * Pure driver-side Scala — the input is the capped vocabulary, the
+    * output is the model. */
+  private[graft] def bpeTrain(
+      vocab: Seq[(String, Long)], nMerges: Int): Seq[(String, String, Long)] = {
+    val words = vocab.map { case (w, c) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val l = Character.charCount(w.codePointAt(i))
+        buf += w.substring(i, i + l)
+        i += l
+      }
+      (buf, c)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var step = 0
+    while (step < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sy, c) =>
+        var j = 0
+        while (j + 1 < sy.length) {
+          val k = (sy(j), sy(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      val pick =
+        if (counts.isEmpty) (Sentinel, Sentinel, 0L)
+        else {
+          val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          (a, b, n)
+        }
+      out += pick
+      if (pick._3 > 0) words.foreach { case (sy, _) =>
+        var r = 0
+        var w = 0
+        while (r < sy.length) {
+          if (r + 1 < sy.length && sy(r) == pick._1 && sy(r + 1) == pick._2) {
+            sy(w) = pick._1 + pick._2
+            r += 2
+          } else {
+            sy(w) = sy(r)
+            r += 1
+          }
+          w += 1
+        }
+        sy.dropRightInPlace(sy.length - w)
+      }
+      step += 1
+    }
+    out.result()
+  }
+
+  /** Train on `docs`: one corpus→vocab collapse, collect the capped head,
+    * run [[bpeTrain]]. Returns (merge list, FULL cached vocab DF). */
+  private[graft] def bpeModelOf(
+      s: SparkSession, docs: DataFrame): (Seq[(String, String, Long)], DataFrame) = {
+    import s.implicits._
+    val words = docs
+      .select(explode(tokens(lower($"text"))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("wcnt"))
+      .cache() // two consumers: the capped collect + the full-vocab encode
+    val capped = words.orderBy($"wcnt".desc, $"word").limit(VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (bpeTrain(capped, NMerges), words)
+  }
+
+  /** Declared query: the learned merge list itself `(rnk, a, b, n)` — the
+    * model as a first-class, oracle-checkable output (the oracle REPLAYS
+    * training as [[NMerges]] unrolled CTE rounds, the same pattern as the
+    * IVF k-means oracle). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = bpeModelOf(s, Tables.table(s, dir, "documents"))
+    merges.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+      .toDF("rnk", "a", "b", "n")
+      .orderBy($"rnk")
+  }
+
+  /** Declared query: ENCODE the corpus with the learned merges — subword-
+    * token corpus frequencies `(tid, token, n)`. The apply step is the
+    * codegen'd [[graft.functions.BpeApply]] over the full vocabulary
+    * (vocab-sized, never corpus-sized: occurrences weight by word count),
+    * so the only corpus-sized work remains the initial collapse. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, words) = bpeModelOf(s, Tables.table(s, dir, "documents"))
+    val model = merges.map { case (a, b, _) => (a, b) }
+    words
+      .select($"wcnt",
+        explode(graft.functions.BpeApply($"word", model)).as("token"))
+      .groupBy($"token").agg(sum($"wcnt").as("n"))
+      .withColumn("tid", row_number().over(Window.orderBy($"n".desc, $"token")))
+      .filter($"tid" <= EncodeTop)
+      .select($"tid", $"token", $"n")
+      .orderBy($"tid")
+  }
+
+  /** Built-in-only apply: the merge chain as literal string `replace`s over
+    * the padded-symbol spelling — the oracle-shaped cross-check for
+    * [[graft.functions.BpeApply]] (`BpeSpec` pins equality). Every symbol
+    * is wrapped in its OWN leading+trailing space (`"abc"` →
+    * `" a  b  c "`), so adjacent merge sites never share a boundary space
+    * and non-overlapping left-to-right `replace` equals the greedy array
+    * rewrite — with a SHARED single-space separator, `replace` consumes
+    * the boundary and misses every immediately-adjacent second site. */
+  private[graft] def bpeApplyHof(
+      word: Column, merges: Seq[(String, String)]): Column = {
+    val seg0 = regexp_replace(word, "(.)", " $1 ")
+    val segN = merges.foldLeft(seg0) { case (sg, (a, b)) =>
+      replace(sg, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    split(trim(segN), "  ")
+  }
+
+  /** DuckDB: vocabulary + padded-symbol segmentation CTEs (`v`, `w0`). */
+  private def duckVocabCtes: String =
+    s"""v AS MATERIALIZED (SELECT word, count(*) AS wcnt FROM
+       |    (SELECT unnest(${duckTokens("lower(text)")}) AS word FROM documents)
+       |  GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT word, wcnt,
+       |    row_number() OVER (ORDER BY wcnt DESC, word) <= $VocabCap AS cap,
+       |    regexp_replace(word, '(.)', ' \\1 ', 'g') AS seg
+       |  FROM v)""".stripMargin
+
+  /** DuckDB: one unrolled training round `i` — pair stats over the capped
+    * vocab (`p`), deterministic pick (`k`), sentinel-guarded pick (`g`),
+    * rewritten segmentation (`w`). Mirrors [[bpeTrain]] exactly. */
+  private def duckMergeIter(i: Int): String =
+    s"""p$i AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(wcnt) AS BIGINT) AS n FROM
+       |    (SELECT wcnt, unnest(list_transform(generate_series(1, len(sy) - 1),
+       |        j -> [sy[j], sy[j + 1]])) AS pr
+       |      FROM (SELECT wcnt, string_split(trim(seg), '  ') AS sy
+       |            FROM w${i - 1} WHERE cap)
+       |      WHERE len(sy) >= 2)
+       |  GROUP BY 1, 2),
+       |k$i AS (SELECT a, b, n FROM
+       |    (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn FROM p$i)
+       |  WHERE rn = 1),
+       |g$i AS MATERIALIZED (SELECT coalesce(k.a, chr(1)) AS a, coalesce(k.b, chr(1)) AS b,
+       |    coalesce(k.n, CAST(0 AS BIGINT)) AS n
+       |  FROM (SELECT 1 AS one) o LEFT JOIN k$i k ON true),
+       |w$i AS MATERIALIZED (SELECT w.word, w.wcnt, w.cap,
+       |    replace(w.seg, ' ' || g.a || '  ' || g.b || ' ',
+       |      ' ' || g.a || g.b || ' ') AS seg
+       |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+
+  private def duckTrainCtes: String =
+    (duckVocabCtes +: (1 to NMerges).map(duckMergeIter)).mkString(",\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bpe_pairs" -> bpePairs _,
+    "q_text_bpe_merges" -> bpeMerges _,
+    "q_text_bpe_encode" -> bpeEncode _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -75,5 +258,19 @@ object Tokenizer {
          |r AS (SELECT row_number() OVER (ORDER BY n DESC, a, b) AS rnk, a, b, n FROM agg)
          |SELECT CAST(rnk AS INT) AS rnk, a, b, n FROM r
          |WHERE rnk <= $TopPairs ORDER BY rnk""".stripMargin,
+    "q_text_bpe_merges" ->
+      s"""WITH $duckTrainCtes,
+         |m AS (${(1 to NMerges).map(i =>
+               s"SELECT CAST($i AS INT) AS rnk, a, b, n FROM g$i")
+             .mkString("\n  UNION ALL ")})
+         |SELECT rnk, a, b, n FROM m ORDER BY rnk""".stripMargin,
+    "q_text_bpe_encode" ->
+      s"""WITH $duckTrainCtes,
+         |t AS (SELECT unnest(string_split(trim(seg), '  ')) AS token, wcnt
+         |  FROM w$NMerges),
+         |agg AS (SELECT token, CAST(sum(wcnt) AS BIGINT) AS n FROM t GROUP BY token),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS tid,
+         |    token, n FROM agg)
+         |SELECT tid, token, n FROM r WHERE tid <= $EncodeTop ORDER BY tid""".stripMargin,
   )
 }

@@ -29,4 +29,88 @@ class TokenizerSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
     assert(got == Set(("a", "b", 1L), ("b", "c", 1L)))
   }
+
+  // ------------------------------------------------------------ BPE train+encode
+
+  test("bpeTrain reproduces the classic hand-derived merge sequence") {
+    // Sennrich-style fixture: low×3, lower×2, newest×1
+    //  round 1: (l,o)=5 ties (o,w)=5 → pair asc picks (l,o)
+    //  round 2: (lo,w)=5
+    //  round 3: (low,e)=2 ties (e,r)=2 → "e" < "low" picks (e,r)
+    //  round 4: (low,er)=2
+    val vocab = Seq(("low", 3L), ("lower", 2L), ("newest", 1L))
+    val got = Tokenizer.bpeTrain(vocab, 4)
+    assert(got == Seq(
+      ("l", "o", 5L), ("lo", "w", 5L), ("e", "r", 2L), ("low", "er", 2L)))
+  }
+
+  test("bpeTrain pads with sentinel merges once pairs are exhausted") {
+    // "ab"×1: round 1 merges (a,b); rounds 2-3 have no pairs left
+    val got = Tokenizer.bpeTrain(Seq(("ab", 1L)), 3)
+    assert(got == Seq(
+      ("a", "b", 1L),
+      (Tokenizer.Sentinel, Tokenizer.Sentinel, 0L),
+      (Tokenizer.Sentinel, Tokenizer.Sentinel, 0L)))
+  }
+
+  test("greedy left-to-right merge is non-overlapping") {
+    // "aaa": (a,a)=2 → merge once greedily: [aa, a]; round 2 pairs:
+    // (aa,a)=1 → [aaa]
+    val got = Tokenizer.bpeTrain(Seq(("aaa", 1L)), 2)
+    assert(got == Seq(("a", "a", 2L), ("aa", "a", 1L)))
+  }
+
+  test("BpeApply equals the replace-chain spelling and the driver trainer on the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val (merges, words) = Tokenizer.bpeModelOf(spark, docs)
+    val model = merges.map { case (a, b, _) => (a, b) }
+    val both = words.select(
+      $"word",
+      graft.functions.BpeApply($"word", model).as("native"),
+      Tokenizer.bpeApplyHof($"word", model).as("hof"))
+    assert(both.filter(not($"native" <=> $"hof")).count() == 0)
+    // and the distributed apply agrees with the driver-side trainer's own
+    // final segmentation on every trained word
+    val trained = words.orderBy($"wcnt".desc, $"word").limit(Tokenizer.VocabCap)
+      .collect().map(_.getString(0)).toSeq
+    val applied = both.filter($"word".isin(trained: _*))
+      .select($"word", $"native").as[(String, Seq[String])].collect().toMap
+    trained.foreach { w =>
+      var syms: Seq[String] = w.map(_.toString)
+      model.foreach { case (a, b) =>
+        val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            nb += (a + b); i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.toSeq
+      }
+      assert(applied(w) == syms, s"word $w")
+    }
+    words.unpersist()
+  }
+
+  test("bpeEncode conserves corpus symbol mass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val enc = Tokenizer.bpeEncode(spark, "/root/testdata/sf0.001")
+      .as[(Int, String, Long)].collect()
+    assert(enc.nonEmpty && enc.forall(_._2.nonEmpty))
+    // Σ (token occurrences × token length in chars) = total corpus chars
+    // across all words — merging never creates or destroys characters
+    val totalChars = docs
+      .select(explode(Hashing.tokens(lower($"text"))).as("w"))
+      .agg(sum(length($"w"))).as[Long].head()
+    val encChars = enc.map { case (_, t, n) => t.length.toLong * n }.sum
+    assert(encChars == totalChars)
+    // tids are dense from 1 in (n desc, token) order
+    assert(enc.map(_._1).toSeq == (1 to enc.length))
+  }
 }
