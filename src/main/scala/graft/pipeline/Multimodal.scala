@@ -656,6 +656,84 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Hot-bucket guard for the banded pair joins — same role as
+    * [[Dedup.MaxBucket]]: one degenerate band bucket (a constant-color
+    * image corpus hashing to 0) is quadratic on its own. Mirrored exactly
+    * in the oracles. */
+  val NeardupMaxBucket = 200
+
+  /** Image near-dup: 8 bands of 8 bits over the 64-bit aHash; threshold 7.
+    * `tau < bands` is the pigeonhole guarantee: a pair within `tau` bits
+    * differs in at most `tau < 8` bands, so at least one band matches
+    * exactly — banded recall is 1.0, no multiprobe needed. */
+  val ImageBands = 8
+  val ImageTau = 7
+
+  /** Audio near-dup: 4 bands of 8 bits over the 32-bit energy-contour
+    * hash; threshold 3 (< 4 bands — same pigeonhole argument). */
+  val AudioBands = 4
+  val AudioTau = 3
+
+  /** Banded Hamming near-dup pair join over a `(doc_id, h1, h2)`
+    * fingerprint table — the [[Dedup.simhashNN]] machinery applied to the
+    * perceptual hashes: band b's key is byte b of (h2 ++ h1), candidates
+    * come from ONE equi-join on `(band, key)` (never all-pairs; candidate
+    * width is bounded by bucket occupancy × band count), over-sized
+    * buckets drop via a broadcast anti-join on the tiny hot list, and a
+    * pair sharing several bands collapses in the final min-aggregate (no
+    * distinct shuffle). Output `(doc_a, doc_b, hamming)`, doc_a < doc_b,
+    * hamming ≤ tau — EXACT under the pigeonhole condition tau < bands. */
+  private[graft] def neardupOf(
+      s: SparkSession, fpIn: DataFrame, nBands: Int, tau: Int,
+      maxBucket: Int = NeardupMaxBucket): DataFrame = {
+    import s.implicits._
+    require(tau < nBands, "pigeonhole recall guarantee needs tau < bands")
+    val key = (b: Int) =>
+      (if (b < 4) shiftright($"h2", 8 * b) else shiftright($"h1", 8 * (b - 4)))
+        .bitwiseAND(255)
+    val bands0 = fpIn.select($"doc_id", $"h1", $"h2",
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), key(b).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"h1", $"h2", $"bk.band".as("band"), $"bk.key".as("key"))
+      .cache() // three consumers: hot-list + both join sides
+    val hot = bands0.groupBy($"band", $"key").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > maxBucket).select($"band", $"key")
+    val bands = bands0.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
+          bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).cast("int").as("hamming"))
+      .filter($"hamming" <= tau)
+      .groupBy($"doc_a", $"doc_b").agg(min($"hamming").as("hamming"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Declared query: image near-duplicate pairs — the pair-join half the
+    * fingerprints exist for (re-encoded/re-compressed copies keep their
+    * perceptual bits; this corpus's collisions stand in for them). */
+  def neardupImage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    neardupOf(s,
+      bmpTable(s, dir).mapPartitions(_.map(ahashBmp)).toDF()
+        .select($"doc_id", $"ahash_hi".as("h1"), $"ahash_lo".as("h2")),
+      ImageBands, ImageTau)
+  }
+
+  /** Declared query: audio near-duplicate pairs over the energy-contour
+    * fingerprints (h1 = 0: the 32-bit hash lives in the low half). */
+  def neardupAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    neardupOf(s,
+      mediaTable(s, dir)
+        .mapPartitions(_.map(r =>
+          ahashWav(MediaRow(r.doc_id, "audio/wav", encodeWav(r.payload)))))
+        .toDF()
+        .select($"doc_id", lit(0L).as("h1"), $"ahash".as("h2")),
+      AudioBands, AudioTau)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features _,
     "q_multimodal_frames" -> frames _,
@@ -664,6 +742,8 @@ object Multimodal {
     "q_multimodal_phash" -> phash _,
     "q_multimodal_audiohash" -> audioHash _,
     "q_multimodal_videohash" -> videoHash _,
+    "q_multimodal_neardup" -> neardupImage _,
+    "q_multimodal_neardup_audio" -> neardupAudio _,
   )
 
   // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
@@ -673,6 +753,72 @@ object Multimodal {
   // length, pixel stats over the cycled bytes, padding never counted — so a
   // decoder that misreads the header, the stride, or the padding fails the
   // hash compare.
+  /** DuckDB: the [[ahashWav]] construction from the text bytes. */
+  private val duckAudioHashSql: String =
+    s"""WITH c AS (SELECT doc_id, text,
+       |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+       |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |    list_transform(bs, v -> 256 * abs(v - 128)) AS sa, len(bs) AS n
+       |  FROM c),
+       |e AS (SELECT doc_id, list_transform(generate_series(0, 32), k ->
+       |    COALESCE(CAST(list_sum(sa[(k * n // 33) + 1 : ((k + 1) * n // 33)])
+       |      AS BIGINT), 0)) AS es
+       |  FROM g)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(0, 31), k ->
+       |    CASE WHEN es[k + 2] > es[k + 1] THEN (CAST(1 AS BIGINT) << k)
+       |      ELSE 0 END)) AS BIGINT) AS ahash
+       |FROM e ORDER BY doc_id""".stripMargin
+
+  /** DuckDB: the [[ahashBmp]] construction from the text bytes. */
+  private val duckPhashSql: String =
+    s"""WITH c AS (SELECT doc_id, text,
+       |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+       |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+       |  FROM documents),
+       |g AS (SELECT doc_id, bs, len(bs) AS n,
+       |    1 + len(bs) % 31 AS w, 1 + len(bs) % 17 AS h
+       |  FROM c),
+       |t AS (SELECT doc_id,
+       |    list_transform(generate_series(0, 63), i ->
+       |        bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 0) % n) + 1]
+       |      + bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 1) % n) + 1]
+       |      + bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 2) % n) + 1]) AS ss
+       |  FROM g),
+       |u AS (SELECT doc_id, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(32, 63), i ->
+       |    CASE WHEN 64 * ss[i + 1] > tot THEN (CAST(1 AS BIGINT) << (i - 32))
+       |      ELSE 0 END)) AS BIGINT) AS ahash_hi,
+       |  CAST(list_sum(list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN 64 * ss[i + 1] > tot THEN (CAST(1 AS BIGINT) << i)
+       |      ELSE 0 END)) AS BIGINT) AS ahash_lo
+       |FROM u ORDER BY doc_id""".stripMargin
+
+  /** DuckDB: [[neardupOf]] over fingerprint SQL `fpSql` — bands, hot-bucket
+    * guard, pair join, hamming threshold, all mirrored. */
+  private def duckNeardupSql(
+      fpSql: String, h1: String, h2: String, nBands: Int, tau: Int): String =
+    s"""WITH fp AS MATERIALIZED (SELECT doc_id, $h1 AS h1, $h2 AS h2
+       |  FROM ($fpSql) src),
+       |bands AS MATERIALIZED (SELECT doc_id, h1, h2, b.band,
+       |    CASE WHEN b.band < 4 THEN (h2 >> (8 * b.band)) & 255
+       |         ELSE (h1 >> (8 * (b.band - 4))) & 255 END AS key
+       |  FROM fp CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${nBands - 1})) AS band) b),
+       |ok AS (SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $NeardupMaxBucket),
+       |bok AS MATERIALIZED (SELECT bands.* FROM bands JOIN ok USING (band, key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INT)
+       |      AS hamming
+       |  FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" ->
       s"""WITH c AS (SELECT doc_id, text,
@@ -753,50 +899,21 @@ object Multimodal {
     // What a correct PCM parse→33-window energy→difference-bit chain must
     // yield from the text bytes: sample i = (byte_i − 128)·256, window k =
     // samples [k·n/33, (k+1)·n/33), bit k iff e_{k+1} > e_k.
-    "q_multimodal_audiohash" ->
-      s"""WITH c AS (SELECT doc_id, text,
-         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
-         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
-         |  FROM documents),
-         |g AS (SELECT doc_id,
-         |    list_transform(bs, v -> 256 * abs(v - 128)) AS sa, len(bs) AS n
-         |  FROM c),
-         |e AS (SELECT doc_id, list_transform(generate_series(0, 32), k ->
-         |    COALESCE(CAST(list_sum(sa[(k * n // 33) + 1 : ((k + 1) * n // 33)])
-         |      AS BIGINT), 0)) AS es
-         |  FROM g)
-         |SELECT doc_id,
-         |  CAST(list_sum(list_transform(generate_series(0, 31), k ->
-         |    CASE WHEN es[k + 2] > es[k + 1] THEN (CAST(1 AS BIGINT) << k)
-         |      ELSE 0 END)) AS BIGINT) AS ahash
-         |FROM e ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audiohash" -> duckAudioHashSql,
     // What a correct decode→8×8-NN-sample→mean-threshold→pack chain must
     // yield from the text bytes: pixel (i//8, i%8) samples source pixel
     // (⌊ty·h/8⌋, ⌊tx·w/8⌋), intensity = its 3 cycled channel bytes summed,
     // bit set iff 64·s_i > Σ s_j.
-    "q_multimodal_phash" ->
-      s"""WITH c AS (SELECT doc_id, text,
-         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
-         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
-         |  FROM documents),
-         |g AS (SELECT doc_id, bs, len(bs) AS n,
-         |    1 + len(bs) % 31 AS w, 1 + len(bs) % 17 AS h
-         |  FROM c),
-         |t AS (SELECT doc_id,
-         |    list_transform(generate_series(0, 63), i ->
-         |        bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 0) % n) + 1]
-         |      + bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 1) % n) + 1]
-         |      + bs[((((i // 8) * h // 8) * (3 * w) + ((i % 8) * w // 8) * 3 + 2) % n) + 1]) AS ss
-         |  FROM g),
-         |u AS (SELECT doc_id, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t)
-         |SELECT doc_id,
-         |  CAST(list_sum(list_transform(generate_series(32, 63), i ->
-         |    CASE WHEN 64 * ss[i + 1] > tot THEN (CAST(1 AS BIGINT) << (i - 32))
-         |      ELSE 0 END)) AS BIGINT) AS ahash_hi,
-         |  CAST(list_sum(list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN 64 * ss[i + 1] > tot THEN (CAST(1 AS BIGINT) << i)
-         |      ELSE 0 END)) AS BIGINT) AS ahash_lo
-         |FROM u ORDER BY doc_id""".stripMargin,
+    "q_multimodal_phash" -> duckPhashSql,
+    // The banded pair joins over the same fingerprint constructions — the
+    // band/bucket-guard machinery mirrored exactly (the oracle drops the
+    // same over-MaxBucket buckets), so the compare pins recall AND the
+    // guard, not just the hamming arithmetic.
+    "q_multimodal_neardup" ->
+      duckNeardupSql(duckPhashSql, "ahash_hi", "ahash_lo", ImageBands, ImageTau),
+    "q_multimodal_neardup_audio" ->
+      duckNeardupSql(duckAudioHashSql, "CAST(0 AS BIGINT)", "ahash",
+        AudioBands, AudioTau),
     // What a correct AVI mux→demux round trip must yield from the text
     // bytes: geometry and frame count from the length, frame f's pixels =
     // the cycled bytes at non-pad positions [f·rowBytes·h, (f+1)·rowBytes·h)

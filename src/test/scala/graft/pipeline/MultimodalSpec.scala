@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MultimodalSpec extends AnyFunSuite {
   import Multimodal._
+  private lazy val spark = graft.TestSpark.spark
 
   test("encodeBmp emits a well-formed 24-bit BMP (header + padded rows)") {
     val src = (1 to 100).map(_.toByte).toArray // n=100 → w=8, h=16
@@ -214,5 +215,67 @@ class MultimodalSpec extends AnyFunSuite {
     val base = MediaRow(9L, "image/bmp", encodeBmpRaw(8, 8, px))
     val up = resizeBmp(base, 16, 16)
     assert(ahashBmp(base).copy(doc_id = 0) === ahashBmp(up).copy(doc_id = 0))
+  }
+
+  // ---------------------------------------------------------- near-dup pairs
+
+  test("neardupOf finds a planted upscaled copy through the real decode path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(21)
+    val px = Array.fill(3 * 8 * 8)(rnd.nextInt(256).toByte)
+    val orig = MediaRow(1L, "image/bmp", encodeBmpRaw(8, 8, px))
+    // doc 2 = the 2× NN-upscaled re-encode of doc 1 (hamming 0); doc 3 =
+    // an unrelated image (far); docs never pair with themselves
+    val copy = resizeBmp(orig, 16, 16).copy(doc_id = 2L)
+    val far = MediaRow(3L, "image/bmp",
+      encodeBmpRaw(8, 8, Array.fill(3 * 8 * 8)(rnd.nextInt(256).toByte)))
+    val fp = Seq(orig, copy, far).map(ahashBmp).toDF()
+      .select($"doc_id", $"ahash_hi".as("h1"), $"ahash_lo".as("h2"))
+    val got = Multimodal.neardupOf(spark, fp, Multimodal.ImageBands, Multimodal.ImageTau)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
+  test("a pair sharing every band appears exactly once (no multi-band dup)") {
+    import spark.implicits._
+    val fp = Seq((1L, 5L, 7L), (2L, 5L, 7L)).toDF("doc_id", "h1", "h2")
+    val got = Multimodal.neardupOf(spark, fp, 8, 7).collect()
+    assert(got.length == 1 && got.head.getInt(2) == 0)
+  }
+
+  test("hot-bucket guard drops degenerate buckets (adversarial constant corpus)") {
+    import spark.implicits._
+    // 30 identical hashes: every band bucket holds 30 > maxBucket=8 rows,
+    // so ALL pairs drop — the quadratic cell never forms. One near pair
+    // with a distinct hash survives untouched.
+    val degenerate = (1L to 30L).map(i => (i, 0L, 0L))
+    val near = Seq((100L, 0x0101010101010101L, 3L), (101L, 0x0101010101010101L, 1L))
+    val fp = (degenerate ++ near).toDF("doc_id", "h1", "h2")
+    val got = Multimodal.neardupOf(spark, fp, 8, 7, maxBucket = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((100L, 101L, 1)))
+  }
+
+  test("banded pair join is exact vs brute force under the pigeonhole bound") {
+    import spark.implicits._
+    // clustered random hashes so some pairs land under the threshold
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(6)(rnd.nextLong())
+    val hashes = (1L to 120L).map { i =>
+      var h = centers(rnd.nextInt(centers.length))
+      (0 until rnd.nextInt(6)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+      (i, (h >>> 32) & 0xFFFFFFFFL, h & 0xFFFFFFFFL)
+    }
+    def ham(x: (Long, Long, Long), y: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(x._2 ^ y._2) + java.lang.Long.bitCount(x._3 ^ y._3)
+    val brute = (for {
+      a <- hashes; b <- hashes if a._1 < b._1 && ham(a, b) <= 7
+    } yield (a._1, b._1, ham(a, b))).sorted
+    val got = Multimodal.neardupOf(
+        spark, hashes.toDF("doc_id", "h1", "h2"), 8, 7, maxBucket = 1000)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(brute.nonEmpty && got == brute)
   }
 }
