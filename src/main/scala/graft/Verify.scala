@@ -58,8 +58,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // tolerance verdicts for the no-oracle approx queries — the same
+    // bounds CurationSpec enforces, emitted where the driver can see a
+    // regression (r6 verdict: rows-only reporting let them drift silently)
+    val approx = graft.pipeline.ApproxCheck.verdicts(spark, sfDir, status.keySet.toSet)
     val statusJson = status.map { case (k, (rows, err)) =>
-      s"${q(k)}: {\"rows\": $rows, \"err\": ${if (err == null) "null" else q(err)}}"
+      val extra = approx.get(k).map(", " + _).getOrElse("")
+      s"${q(k)}: {\"rows\": $rows, \"err\": ${if (err == null) "null" else q(err)}$extra}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/query_status.json"), statusJson)
     spark.stop()

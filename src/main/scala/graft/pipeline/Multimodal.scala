@@ -508,10 +508,7 @@ object Multimodal {
   /** Declared query: the per-frame perceptual-hash sequence of every video. */
   def videoHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    aviTable(s, dir)
-      .flatMap(ahashAvi)
-      .toDF()
-      .orderBy($"doc_id", $"frame_no")
+    videoHashOf(Tables.table(s, dir, "documents")).orderBy($"doc_id", $"frame_no")
   }
 
   final case class AudioHash(doc_id: Long, ahash: Long)
@@ -566,11 +563,7 @@ object Multimodal {
     * half of audio near-dup (same contract shape as [[phash]]). */
   def audioHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir)
-      .mapPartitions(_.map(r =>
-        ahashWav(MediaRow(r.doc_id, "audio/wav", encodeWav(r.payload)))))
-      .toDF()
-      .orderBy($"doc_id")
+    audioHashOf(Tables.table(s, dir, "documents")).orderBy($"doc_id")
   }
 
   /** Partition-batched decode: the operator a real codec runs inside (narrow,
@@ -644,16 +637,47 @@ object Multimodal {
     ImagePHash(r.doc_id, hi, lo)
   }
 
+  /** Stream-safe transforms over any `(doc_id, …, text)` frame: blob
+    * encode → perceptual hash, one narrow mapPartitions, no shuffle — the
+    * live-ingest spelling of the three fingerprint queries
+    * (`PipelineStreamSpec` pins streaming ≡ batch for each). */
+  def phashOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        ahashBmp(MediaRow(id, "image/bmp", encodeBmp(p))) })
+      .toDF()
+  }
+
+  def audioHashOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        ahashWav(MediaRow(id, "audio/wav", encodeWav(p))) })
+      .toDF()
+  }
+
+  def videoHashOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        ahashAvi(MediaRow(id, "video/avi", encodeAvi(p))) }
+      .toDF()
+  }
+
   /** Declared query: the aHash fingerprint of every image — the index-build
     * half of image near-dup (the pair join is corpus-dependent; this corpus
     * has no duplicate images, so the declared contract is the fingerprint
     * table itself, hash-pinned against the construction oracle). */
   def phash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bmpTable(s, dir)
-      .mapPartitions(_.map(ahashBmp))
-      .toDF()
-      .orderBy($"doc_id")
+    phashOf(Tables.table(s, dir, "documents")).orderBy($"doc_id")
   }
 
   /** Hot-bucket guard for the banded pair joins — same role as
@@ -716,7 +740,7 @@ object Multimodal {
   def neardupImage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     neardupOf(s,
-      bmpTable(s, dir).mapPartitions(_.map(ahashBmp)).toDF()
+      phashOf(Tables.table(s, dir, "documents"))
         .select($"doc_id", $"ahash_hi".as("h1"), $"ahash_lo".as("h2")),
       ImageBands, ImageTau)
   }
@@ -726,10 +750,7 @@ object Multimodal {
   def neardupAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     neardupOf(s,
-      mediaTable(s, dir)
-        .mapPartitions(_.map(r =>
-          ahashWav(MediaRow(r.doc_id, "audio/wav", encodeWav(r.payload)))))
-        .toDF()
+      audioHashOf(Tables.table(s, dir, "documents"))
         .select($"doc_id", lit(0L).as("h1"), $"ahash".as("h2")),
       AudioBands, AudioTau)
   }

@@ -41,6 +41,12 @@ object Winnowing {
     fingerprints(docs).orderBy($"doc_id", $"pos")
   }
 
+  /** The unsorted `(doc_id, pos, fp)` fingerprint table as a stream-safe
+    * DataFrame→DataFrame transform (pure per-row array lambdas, no shuffle
+    * and no sort) — the live-ingest spelling of [[winnow]];
+    * `PipelineStreamSpec` pins streaming ≡ batch. */
+  def winnowFpOf(docs: DataFrame): DataFrame = fingerprints(docs)
+
   /** The unsorted `(doc_id, pos, fp)` fingerprint table ([[winnowPairs]]
     * feeds it straight into a shuffle, where the sort would be dead work). */
   private def fingerprints(docs: DataFrame): DataFrame = {

@@ -145,6 +145,24 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(batch(Sampling.bernoulliOf) == b) // re-run picks the same docs
   }
 
+  test("winnowing fingerprints: streaming == batch") {
+    val b = batch(Winnowing.winnowFpOf)
+    assert(b.nonEmpty)
+    assert(streamed("pipe_winnow", Winnowing.winnowFpOf) == b)
+  }
+
+  test("perceptual hashes (image/audio/video): streaming == batch") {
+    val bi = batch(Multimodal.phashOf)
+    assert(bi.size == docs.size)
+    assert(streamed("pipe_phash", Multimodal.phashOf) == bi)
+    val ba = batch(Multimodal.audioHashOf)
+    assert(ba.size == docs.size)
+    assert(streamed("pipe_audiohash", Multimodal.audioHashOf) == ba)
+    val bv = batch(Multimodal.videoHashOf)
+    assert(bv.size >= docs.size) // ≥1 frame per doc
+    assert(streamed("pipe_videohash", Multimodal.videoHashOf) == bv)
+  }
+
   test("mixture sampling: stream-static rate join == batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
