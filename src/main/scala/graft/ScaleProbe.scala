@@ -62,6 +62,59 @@ object ScaleProbe {
     }
     println(f"""{"probe":"cep","rows":$nEvents,"keys":$users,"matches":$nMatches,"secs":$cepSecs%.1f,"rows_per_sec":${(nEvents / cepSecs).toLong}}""")
 
+    // ---- CEP under SKEW: one key holds ~30% of 10M events, through the ----
+    // full EventPatterns.detect operator (the reference's entire runtime,
+    // FlinkCEPExample.scala:76). local[32] at sf0.1 never stresses one-hot-
+    // key behavior: the hot key serializes onto ONE task (flatMapSortedGroups
+    // is per-key sequential by contract), so this measures (a) whole-job
+    // throughput under a straggler key and (b) that per-key NFA state stays
+    // bounded by the within horizon, not by key volume (§7.4.7).
+    val kindName = array(lit("error"), lit("view"), lit("click"), lit("view"),
+      lit("click"), lit("view"), lit("click"), lit("purchase"),
+      lit("search"), lit("idle"))
+    val skewed = spark.range(nEvents).select(
+      $"id".as("event_id"),
+      (lit(1700000000000000L) +
+        pmod(xxhash64($"id" * 13 + 5), lit(30L * 86400 * 1000000L))).as("ts_us"),
+      when(pmod(xxhash64($"id" * 19 + 3), lit(10L)) < 3, lit(0L))
+        .otherwise(pmod(xxhash64($"id" * 7 + 1), lit(users))).as("user_id"),
+      element_at(kindName,
+        (pmod(xxhash64($"id" * 31 + 11), lit(10)) + 1).cast("int")).as("event_type"))
+      .as[EventPatterns.EventRow]
+    val (skewOut, skewSecs) = time {
+      val out = EventPatterns.detectOf(skewed).cache()
+      val hot = out.filter($"user_id" === 0L).count()
+      (out.count(), hot)
+    }
+    spark.catalog.clearCache()
+    assert(skewOut._2 > 0, "hot key produced no matches/timeouts")
+    println(f"""{"probe":"cep_skew","rows":$nEvents,"hot_share":0.3,"out_rows":${skewOut._1},"hot_out":${skewOut._2},"secs":$skewSecs%.1f,"rows_per_sec":${(nEvents / skewSecs).toLong}}""")
+
+    // Bounded-state evidence for the hot key itself: replay its first 300k
+    // events (time-sorted, exactly what flatMapSortedGroups feeds the NFA)
+    // through an instrumented NfaRunner, sampling live-partial count every
+    // 1000 events. The §7.4.7 contract: state is bounded by the events
+    // inside ONE within-horizon (~1h ≈ nEvents·0.3/720 here), never by the
+    // key's total volume — a linear-growth regression trips the assert.
+    val hotEvents = skewed.filter($"user_id" === 0L)
+      .orderBy($"ts_us", $"event_id").limit(300000)
+      .collect()
+    val runner = new graft.pattern.NfaRunner[EventPatterns.EventRow](
+      EventPatterns.pattern, _.ts_us / 1000L)
+    var maxPartials = 0
+    var fed = 0
+    hotEvents.foreach { e =>
+      runner.onEvent(e)
+      fed += 1
+      if (fed % 1000 == 0)
+        maxPartials = maxPartials.max(runner.snapshot().partials.size)
+    }
+    runner.flush()
+    val horizonEvents = (nEvents * 3 / 10 / 720).toInt // ≈ events per 1h window
+    assert(maxPartials <= horizonEvents,
+      s"hot-key live partials $maxPartials exceed the within-horizon bound $horizonEvents")
+    println(s"""{"probe":"cep_skew_state","hot_events_replayed":${hotEvents.length},"max_live_partials":$maxPartials,"horizon_bound":$horizonEvents}""")
+
     // ---- custom as-of join: 10M events ⋈ 1M orders on user ----
     val left = syntheticEvents(spark, nEvents, users)
       .select($"event_id", $"user_id", $"ts")

@@ -41,6 +41,14 @@ object EventPatterns {
     val events = graft.sources.Tables.events(spark, sfDir)
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"event_type")
       .as[EventRow]
+    detectOf(events)
+  }
+
+  /** [[detect]] over any typed event set — the probe entry point
+    * ([[graft.ScaleProbe]] drives it at 10M events with a 30%-hot key). */
+  def detectOf(events: org.apache.spark.sql.Dataset[EventRow]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val raw = Cep.matchPattern[Long, EventRow, CepRaw](
       events,
       keyFn = _.user_id,

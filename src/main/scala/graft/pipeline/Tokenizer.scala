@@ -187,6 +187,26 @@ object Tokenizer {
       .orderBy($"tid")
   }
 
+  /** Declared query: per-document REAL token counts under the learned
+    * merges — the number every downstream budget (mixture, packing)
+    * actually wants instead of whitespace-token approximations. The corpus
+    * explodes to words and joins the BROADCAST vocab-sized per-word token
+    * counts (BPE applies once per vocab word, not once per occurrence —
+    * the amortization that matters when a 100 TB corpus repeats a ~100M-
+    * word vocabulary billions of times). */
+  def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val (merges, words) = bpeModelOf(s, docs)
+    val model = merges.map { case (a, b, _) => (a, b) }
+    val perWord = words.select($"word",
+      size(graft.functions.BpeApply($"word", model)).as("n_tok"))
+    docs.select($"doc_id", explode(tokens(lower($"text"))).as("word"))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy($"doc_id").agg(sum($"n_tok").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Built-in-only apply: the merge chain as literal string `replace`s over
     * the padded-symbol spelling — the oracle-shaped cross-check for
     * [[graft.functions.BpeApply]] (`BpeSpec` pins equality). Every symbol
@@ -243,6 +263,7 @@ object Tokenizer {
     "q_text_bpe_pairs" -> bpePairs _,
     "q_text_bpe_merges" -> bpeMerges _,
     "q_text_bpe_encode" -> bpeEncode _,
+    "q_text_bpe_doc_tokens" -> bpeDocTokens _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +293,14 @@ object Tokenizer {
          |r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS tid,
          |    token, n FROM agg)
          |SELECT tid, token, n FROM r WHERE tid <= $EncodeTop ORDER BY tid""".stripMargin,
+    "q_text_bpe_doc_tokens" ->
+      s"""WITH $duckTrainCtes,
+         |wt AS (SELECT word, len(string_split(trim(seg), '  ')) AS n_tok
+         |  FROM w$NMerges),
+         |dw AS (SELECT doc_id, unnest(${duckTokens("lower(text)")}) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wt USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -112,5 +112,9 @@ class TokenizerSpec extends AnyFunSuite {
     assert(encChars == totalChars)
     // tids are dense from 1 in (n desc, token) order
     assert(enc.map(_._1).toSeq == (1 to enc.length))
+    // per-doc token counts are the same mass, sliced per document
+    val docTotal = Tokenizer.bpeDocTokens(spark, "/root/testdata/sf0.001")
+      .agg(sum($"n_tokens")).as[Long].head()
+    assert(docTotal == enc.map(_._3).sum)
   }
 }

@@ -813,6 +813,77 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(q("TO FIRST B") == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("graph patterns round-trip through the INJECTED parser = library API") {
+    // The reference clause set exercised spark.sql() only on the flat
+    // golden query; every graph-pattern extension (PERMUTE, alternation,
+    // quantified groups, bounded quantifiers, the SKIP modes) must ALSO
+    // parse and run identically as SQL text through GraftSqlExtensions —
+    // the two front-ends share the lowering, so any drift is a parser-
+    // injection bug.
+    prepareKindView()
+    val statements = Seq(
+      "PERMUTE" ->
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES FIRST(A.ts) AS a_ts, FIRST(B.ts) AS b_ts, FIRST(C.ts) AS c_ts
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (PERMUTE(A, B, C))
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+          |)""".stripMargin,
+      "alternation" ->
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+          |  ALL ROWS PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A (B | C))
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+          |)""".stripMargin,
+      "quantified group" ->
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN ((A B)+)
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+          |)""".stripMargin,
+      "bounded quantifier" ->
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(A.*) AS n_a
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A{1,2} B)
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+          |)""".stripMargin,
+      "skip to next row" ->
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN ((A B)+)
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+          |)""".stripMargin,
+      "skip to first var" ->
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES FIRST(A.ts) AS a_ts, FIRST(B.ts) AS b_ts
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO FIRST B
+          |  PATTERN (A B)
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+          |)""".stripMargin)
+    statements.foreach { case (label, stmt) =>
+      val viaParser = spark.sql(stmt).collect().map(_.toString).sorted.toSeq
+      val viaApi = MatchRecognize.sql(spark, stmt).collect().map(_.toString).sorted.toSeq
+      assert(viaParser.nonEmpty, s"$label: empty result")
+      assert(viaParser == viaApi, s"$label: parser != library API")
+    }
+  }
+
   test("graph pattern + degenerate skip raises the SQL:2016 runtime error") {
     prepareKindView()
     // TO LAST A on ((A B)+): key 4's second match anchors AT its own last A
