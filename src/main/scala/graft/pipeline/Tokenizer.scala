@@ -294,13 +294,19 @@ object Tokenizer {
          |    token, n FROM agg)
          |SELECT tid, token, n FROM r WHERE tid <= $EncodeTop ORDER BY tid""".stripMargin,
     "q_text_bpe_doc_tokens" ->
-      s"""WITH $duckTrainCtes,
-         |wt AS (SELECT word, len(string_split(trim(seg), '  ')) AS n_tok
-         |  FROM w$NMerges),
-         |dw AS (SELECT doc_id, unnest(${duckTokens("lower(text)")}) AS word
-         |  FROM documents)
-         |SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-         |FROM dw JOIN wt USING (word)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckDocTokensCtes
+         |SELECT doc_id, n_tokens FROM dt ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB: training + per-doc real token counts, ending in
+    * `dt (doc_id, n_tokens)` — shared by the doc-tokens oracle and the
+    * BPE-budget packing oracle ([[Curation]]). */
+  private[pipeline] def duckDocTokensCtes: String =
+    s"""$duckTrainCtes,
+       |wt AS (SELECT word, len(string_split(trim(seg), '  ')) AS n_tok
+       |  FROM w$NMerges),
+       |dw AS (SELECT doc_id, unnest(${duckTokens("lower(text)")}) AS word
+       |  FROM documents),
+       |dt AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN wt USING (word) GROUP BY doc_id)""".stripMargin
 }

@@ -163,6 +163,23 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_videohash", Multimodal.videoHashOf) == bv)
   }
 
+  test("BPE encode with a static merge model: streaming == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // model trained on the batch snapshot — what a live ingest path loads;
+    // application is a stateless per-row transform
+    val (merges, words) = Tokenizer.bpeModelOf(spark, docs.toDF())
+    words.unpersist()
+    val model = merges.map { case (a, b, _) => (a, b) }
+    def enc(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"), explode(Hashing.tokens(lower(col("text")))).as("word"))
+        .select(col("doc_id"),
+          explode(graft.functions.BpeApply(col("word"), model)).as("token"))
+    val b = batch(enc)
+    assert(b.nonEmpty)
+    assert(streamed("pipe_bpe", enc) == b)
+  }
+
   test("mixture sampling: stream-static rate join == batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
