@@ -755,6 +755,34 @@ object Multimodal {
       AudioBands, AudioTau)
   }
 
+  /** Video near-dup: pairs of videos sharing at least one EXACT per-frame
+    * perceptual hash, with the shared-hash count — the temporal analog of
+    * [[Winnowing.winnowPairs]] (frame hashes are the video's fingerprint
+    * selection; re-encoded/re-muxed copies keep them bit-for-bit, pinned
+    * by `MultimodalSpec`'s mux→demux invariance). ONE shuffle on the
+    * 64-bit hash key, per-video frames deduped first, hot hashes (a black
+    * frame shared by half the corpus) dropped via broadcast anti-join. */
+  def neardupVideo(s: SparkSession, dir: String): DataFrame =
+    neardupVideoOf(videoHashOf(Tables.table(s, dir, "documents")))
+
+  /** [[neardupVideo]] over any `(doc_id, …, ahash_hi, ahash_lo)` frame-hash
+    * table — fixture entry point. */
+  private[graft] def neardupVideoOf(fpIn: DataFrame): DataFrame = {
+    val s = fpIn.sparkSession
+    import s.implicits._
+    val fp = fpIn.select($"doc_id", $"ahash_hi", $"ahash_lo").distinct()
+    val hot = fp.groupBy($"ahash_hi", $"ahash_lo").agg(count(lit(1)).as("c"))
+      .filter($"c" > NeardupMaxBucket).select($"ahash_hi", $"ahash_lo")
+    val cl = fp.join(broadcast(hot), Seq("ahash_hi", "ahash_lo"), "left_anti")
+    cl.as("a").join(cl.as("b"),
+        col("a.ahash_hi") === col("b.ahash_hi") &&
+          col("a.ahash_lo") === col("b.ahash_lo") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features _,
     "q_multimodal_frames" -> frames _,
@@ -765,6 +793,7 @@ object Multimodal {
     "q_multimodal_videohash" -> videoHash _,
     "q_multimodal_neardup" -> neardupImage _,
     "q_multimodal_neardup_audio" -> neardupAudio _,
+    "q_multimodal_neardup_video" -> neardupVideo _,
   )
 
   // Oracles reproduce the CONSTRUCTION arithmetic from the text chars
@@ -774,6 +803,35 @@ object Multimodal {
   // length, pixel stats over the cycled bytes, padding never counted — so a
   // decoder that misreads the header, the stride, or the padding fails the
   // hash compare.
+  /** DuckDB: the [[ahashAvi]] per-frame construction from the text bytes. */
+  private val duckVideoHashSql: String =
+      s"""WITH c AS (SELECT doc_id, text,
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
+         |  FROM documents),
+         |g AS (SELECT doc_id, bs, len(bs) AS n,
+         |    1 + len(bs) % 19 AS w, 1 + len(bs) % 13 AS h,
+         |    2 + len(bs) % 5 AS nf
+         |  FROM c),
+         |f AS (SELECT doc_id, bs, n, w, h, 3 * w * h AS fb,
+         |    unnest(generate_series(0, nf - 1)) AS frame_no
+         |  FROM g),
+         |t AS (SELECT doc_id, frame_no,
+         |    list_transform(generate_series(0, 63), j ->
+         |        bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 0) % n) + 1]
+         |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 1) % n) + 1]
+         |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 2) % n) + 1]) AS ss
+         |  FROM f),
+         |u AS (SELECT doc_id, frame_no, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t)
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         |  CAST(list_sum(list_transform(generate_series(32, 63), j ->
+         |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << (j - 32))
+         |      ELSE 0 END)) AS BIGINT) AS ahash_hi,
+         |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
+         |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << j)
+         |      ELSE 0 END)) AS BIGINT) AS ahash_lo
+         |FROM u ORDER BY doc_id, frame_no""".stripMargin
+
   /** DuckDB: the [[ahashWav]] construction from the text bytes. */
   private val duckAudioHashSql: String =
     s"""WITH c AS (SELECT doc_id, text,
@@ -890,33 +948,7 @@ object Multimodal {
     // Per-frame aHash from the construction bytes: frame f's pixel (sy,sx)
     // channel c is cycled byte (f·fb + sy·3w + sx·3 + c) % n; 8×8 NN sample
     // + integer mean threshold per frame, packed as two unsigned halves.
-    "q_multimodal_videohash" ->
-      s"""WITH c AS (SELECT doc_id, text,
-         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
-         |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
-         |  FROM documents),
-         |g AS (SELECT doc_id, bs, len(bs) AS n,
-         |    1 + len(bs) % 19 AS w, 1 + len(bs) % 13 AS h,
-         |    2 + len(bs) % 5 AS nf
-         |  FROM c),
-         |f AS (SELECT doc_id, bs, n, w, h, 3 * w * h AS fb,
-         |    unnest(generate_series(0, nf - 1)) AS frame_no
-         |  FROM g),
-         |t AS (SELECT doc_id, frame_no,
-         |    list_transform(generate_series(0, 63), j ->
-         |        bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 0) % n) + 1]
-         |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 1) % n) + 1]
-         |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 2) % n) + 1]) AS ss
-         |  FROM f),
-         |u AS (SELECT doc_id, frame_no, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t)
-         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
-         |  CAST(list_sum(list_transform(generate_series(32, 63), j ->
-         |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << (j - 32))
-         |      ELSE 0 END)) AS BIGINT) AS ahash_hi,
-         |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
-         |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << j)
-         |      ELSE 0 END)) AS BIGINT) AS ahash_lo
-         |FROM u ORDER BY doc_id, frame_no""".stripMargin,
+    "q_multimodal_videohash" -> duckVideoHashSql,
     // What a correct PCM parse→33-window energy→difference-bit chain must
     // yield from the text bytes: sample i = (byte_i − 128)·256, window k =
     // samples [k·n/33, (k+1)·n/33), bit k iff e_{k+1} > e_k.
@@ -935,6 +967,17 @@ object Multimodal {
     "q_multimodal_neardup_audio" ->
       duckNeardupSql(duckAudioHashSql, "CAST(0 AS BIGINT)", "ahash",
         AudioBands, AudioTau),
+    "q_multimodal_neardup_video" ->
+      s"""WITH fpv AS MATERIALIZED (SELECT DISTINCT doc_id, ahash_hi, ahash_lo
+         |  FROM ($duckVideoHashSql) src),
+         |ok AS (SELECT ahash_hi, ahash_lo FROM fpv GROUP BY 1, 2
+         |  HAVING count(*) <= $NeardupMaxBucket),
+         |cl AS (SELECT fpv.* FROM fpv JOIN ok USING (ahash_hi, ahash_lo))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cl a JOIN cl b ON a.ahash_hi = b.ahash_hi
+         |  AND a.ahash_lo = b.ahash_lo AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     // What a correct AVI mux→demux round trip must yield from the text
     // bytes: geometry and frame count from the length, frame f's pixels =
     // the cycled bytes at non-pad positions [f·rowBytes·h, (f+1)·rowBytes·h)

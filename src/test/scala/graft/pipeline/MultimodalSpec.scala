@@ -258,6 +258,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((100L, 101L, 1)))
   }
 
+  test("video near-dup: a byte-identical re-upload shares every frame hash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumped over the lazy dog tonight"),
+      (2L, "the quick brown fox jumped over the lazy dog tonight"), // re-upload
+      (3L, "completely different content with no shared footage at all"))
+      .toDF("doc_id", "text")
+    val fp = Multimodal.videoHashOf(docs)
+    val nFrames1 = fp.filter($"doc_id" === 1L)
+      .select($"ahash_hi", $"ahash_lo").distinct().count()
+    val got = Multimodal.neardupVideoOf(fp)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.contains((1L, 2L, nFrames1)), s"got $got")
+  }
+
   test("banded pair join is exact vs brute force under the pigeonhole bound") {
     import spark.implicits._
     // clustered random hashes so some pairs land under the threshold
