@@ -875,6 +875,15 @@ class MatchRecognizeSpec extends AnyFunSuite {
           |  AFTER MATCH SKIP TO FIRST B
           |  PATTERN (A B)
           |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+          |)""".stripMargin,
+      "permute + within" ->
+        """SELECT * FROM kindev MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES FIRST(A.ts) AS a_ts, FIRST(B.ts) AS b_ts, FIRST(C.ts) AS c_ts
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (PERMUTE(A, B, C)) WITHIN INTERVAL '1' HOUR
+          |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
           |)""".stripMargin)
     statements.foreach { case (label, stmt) =>
       val viaParser = spark.sql(stmt).collect().map(_.toString).sorted.toSeq
