@@ -37,6 +37,28 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Decontamination at the SUB-LINEAR index tier: eval-set overlap
+    * detected through winnowing FINGERPRINTS ([[Winnowing.winnowFpOf]])
+    * instead of the full shingle table — the index is ~2/(W+1) the size,
+    * and the winnowing guarantee (any shared run of ≥ W+K−1 tokens yields
+    * ≥ 1 shared fingerprint) is exactly the contamination property the
+    * filter needs: long verbatim eval passages CANNOT escape; only
+    * sub-threshold fragments can. Same broadcast-eval-side join shape as
+    * [[decontaminate]] — at 100 TB the eval fingerprint set stays tiny
+    * and the corpus side never shuffles for the probe. */
+  def decontaminateWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val ev = Winnowing.winnowFpOf(docs.filter($"source" === EvalSource))
+      .select($"fp").distinct()
+    Winnowing.winnowFpOf(docs.filter($"source" =!= EvalSource))
+      .select($"doc_id", $"fp").distinct()
+      .join(broadcast(ev), "fp")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
   /** Streaming decontamination: the same overlap filter on a LIVE ingest —
     * a stream-static join between the incoming document stream and the
     * (static, broadcast) eval shingle set. Per micro-batch Spark re-plans
@@ -212,6 +234,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
+    "q_decontaminate_winnow" -> decontaminateWinnow _,
     "q_text_pack" -> pack _,
     "q_text_pack_bpe" -> packBpe _,
     "q_pipeline_curate" -> curate _,
@@ -251,6 +274,25 @@ object Curation {
          |  CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
          |  CAST(n_tok AS INT) AS n_tok
          |FROM cum ORDER BY doc_id, chunk_id""".stripMargin,
+    // Winnow-fingerprint decontamination: the winnowing selection CTEs with
+    // the source column carried through, then the same eval/corpus split.
+    "q_decontaminate_winnow" ->
+      s"""WITH d AS (SELECT doc_id, source, ${duckTokens("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, source, ${Winnowing.duckGramHashes("w")} AS hs FROM d),
+         |sel AS (SELECT doc_id, source,
+         |    list_transform(generate_series(1, len(hs) - ${Winnowing.W - 1}), j ->
+         |      list_reduce(
+         |        list_transform(generate_series(j, j + ${Winnowing.W - 1}),
+         |          i -> struct_pack(pos := i, fp := hs[i])),
+         |        (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END)) AS ss
+         |  FROM g WHERE len(hs) >= ${Winnowing.W}),
+         |uf AS (SELECT DISTINCT doc_id, source, s.fp AS fp
+         |  FROM (SELECT doc_id, source, unnest(ss) AS s FROM sel)),
+         |ev AS (SELECT DISTINCT fp FROM uf WHERE source = '$EvalSource')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM uf JOIN ev USING (fp)
+         |WHERE source <> '$EvalSource'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // BPE-budget packing: the doc-token CTE chain (training replay included)
     // then the same serial prefix-sum statement of the packing math.
     "q_text_pack_bpe" ->

@@ -101,7 +101,7 @@ object Winnowing {
 
   /** DuckDB k-gram md5 hashes (1-based positions), byte-identical to the
     * native ShingleMd5 — same construction as SpanDedup's oracle at k=K. */
-  private def duckGramHashes(w: String): String = {
+  private[pipeline] def duckGramHashes(w: String): String = {
     val parts = (0 until K).map(j => s"$w[i+$j]").mkString(", ")
     s"CASE WHEN len($w) >= $K THEN " +
       s"list_transform(generate_series(1, len($w) - ${K - 1}), " +

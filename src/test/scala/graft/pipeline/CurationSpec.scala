@@ -153,4 +153,30 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.view.mapValues(_.toInt).toMap == expected)
   }
+
+  test("winnow decontamination: the W+K-1 guarantee catches a planted verbatim passage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // eval doc 1 contains a 10-token passage (≥ W+K−1 = 7: the winnowing
+    // guarantee applies); doc 100 copies it verbatim inside unrelated text
+    // → MUST share ≥1 fingerprint. Doc 200 shares nothing that long.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, Curation.EvalSource, s"held out benchmark $passage end of prompt"),
+      (100L, "web", s"scraped page begins here $passage and then rambles on"),
+      (200L, "web", "totally unrelated words that never echo the benchmark"))
+      .toDF("doc_id", "source", "text")
+    docs.createOrReplaceTempView("winnow_fixture_docs")
+    val ev = graft.pipeline.Winnowing
+      .winnowFpOf(docs.filter($"source" === Curation.EvalSource))
+      .select($"fp").distinct()
+    val flagged = graft.pipeline.Winnowing
+      .winnowFpOf(docs.filter($"source" =!= Curation.EvalSource))
+      .select($"doc_id", $"fp").distinct()
+      .join(broadcast(ev), "fp")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.contains(100L) && flagged(100L) >= 1)
+    assert(!flagged.contains(200L))
+  }
 }
