@@ -154,8 +154,15 @@ object Similarity {
     * queries × K rows, and the candidate join stays narrow — the fact table
     * never shuffles. */
   def annIvfProbe(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val (cents, cellsRaw) = ivfModel(s, dir)
+    probeQuery(s, cents, cellsRaw)
+  }
+
+  /** The nprobe SERVING plan over an already-built model — shared by the
+    * declared query (model built inline) and the persisted-index path. */
+  private def probeQuery(
+      s: SparkSession, cents: DataFrame, cellsRaw: DataFrame): DataFrame = {
+    import s.implicits._
     val cells = cellsRaw.cache() // two branches: probe ranking + candidates
     val pw = Window.partitionBy($"query_id").orderBy($"d", $"cid")
     val probes = cells.filter($"vec_id" < QueryVecs)
@@ -175,6 +182,26 @@ object Similarity {
       .select($"query_id", $"rnk", $"vec_id")
       .orderBy($"query_id", $"rnk")
   }
+
+  /** Persist the learned IVF model (centroids + cell assignment) as
+    * parquet — the BUILD half of the production contract: at 100 TB the
+    * k-means runs once per corpus snapshot, the cell table is written
+    * bucketed-by-cell next to the vectors, and every subsequent search
+    * reads the model instead of replaying training. `IvfIndexSpec` pins
+    * that a query served from the persisted index is bit-identical to one
+    * served from the inline model. */
+  def writeIvfIndex(s: SparkSession, dir: String, out: String): Unit = {
+    val (cents, cells) = ivfModel(s, dir)
+    cents.write.mode("overwrite").parquet(s"$out/centroids")
+    cells.write.mode("overwrite").parquet(s"$out/cells")
+  }
+
+  /** [[annIvfProbe]] served from a PERSISTED index — no k-means replay;
+    * the only lineage is two parquet scans. */
+  def annIvfProbeFromIndex(s: SparkSession, indexPath: String): DataFrame =
+    probeQuery(s,
+      s.read.parquet(s"$indexPath/centroids"),
+      s.read.parquet(s"$indexPath/cells"))
 
   /** Exact integer squared-L2 via |a−b|² = |a|² + |b|² − 2·a·b — the dot
     * runs through the native fused-loop QDot expression instead of an
