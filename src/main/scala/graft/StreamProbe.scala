@@ -38,9 +38,9 @@ object StreamProbe {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-    /** Feed `rows` events in 4 micro-batches through transformWithState;
+    /** Feed `events` in 4 micro-batches through transformWithState;
       * returns wall seconds and the match count. */
-    def run(name: String, rows: Long): (Double, Long) = {
+    def runEvents(name: String, events: Array[Ev]): (Double, Long) = {
       val mem = MemoryStream[Ev]
       val timed = mem.toDS()
         .withColumn("ets", timestamp_micros($"ts"))
@@ -51,26 +51,39 @@ object StreamProbe {
         (k, m) => Some((k, m.startTs)), (_, _) => None)
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      val batches = ScaleProbe.syntheticEvents(spark, rows, users).as[Ev]
-        .collect().grouped((rows / 4).toInt + 1).toSeq
+      val batches = events.grouped(events.length / 4 + 1).toSeq
       val t0 = System.nanoTime()
-      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      batches.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
       val secs = (System.nanoTime() - t0) / 1e9
       val nOut = spark.table(name).count()
       q.stop()
       (secs, nOut)
     }
 
-    run("warmup_cep", math.max(nStream / 10, 10000L)) // untimed: JIT + codegen
+    val uniform = ScaleProbe.syntheticEvents(spark, nStream, users).as[Ev].collect()
+    // one key holds ~30% of rows — the streaming analog of the batch skew
+    // probe: that key's state round-trips the store every micro-batch
+    val skewed = ScaleProbe.syntheticEvents(spark, nStream, users)
+      .withColumn("user_id",
+        when(pmod(xxhash64($"event_id" * 19 + 3), lit(10L)) < 3, lit(0L))
+          .otherwise($"user_id"))
+      .as[Ev].collect()
+
+    runEvents("warmup_cep",
+      uniform.take(math.max(nStream / 10, 10000L).toInt)) // untimed: JIT + codegen
     // Three timed repetitions, MEDIAN reported: a single run still swings
     // ±40% with GC and RocksDB compaction phasing; the median of three is
     // stable across JVM invocations.
-    val reps = (1 to 3).map { i =>
-      System.gc()
-      run(s"stream_cep_$i", nStream)
+    def median3(tag: String, events: Array[Ev]): Unit = {
+      val reps = (1 to 3).map { i =>
+        System.gc()
+        runEvents(s"${tag}_$i", events)
+      }
+      val (secs, nOut) = reps.sortBy(_._1)(Ordering.Double.TotalOrdering)(1)
+      println(f"""{"probe":"$tag","rows":$nStream,"batches":4,"matches":$nOut,"secs":$secs%.1f,"rows_per_sec":${(nStream / secs).toLong},"reps_secs":[${reps.map(r => f"${r._1}%.1f").mkString(",")}]}""")
     }
-    val (secs, nOut) = reps.sortBy(_._1)(Ordering.Double.TotalOrdering)(1)
-    println(f"""{"probe":"cep_stream","rows":$nStream,"batches":4,"matches":$nOut,"secs":$secs%.1f,"rows_per_sec":${(nStream / secs).toLong},"reps_secs":[${reps.map(r => f"${r._1}%.1f").mkString(",")}]}""")
+    median3("cep_stream", uniform)
+    median3("cep_stream_skew", skewed)
     spark.stop()
   }
 }

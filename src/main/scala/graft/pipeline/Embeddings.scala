@@ -61,12 +61,135 @@ object Embeddings {
       .orderBy($"vec_id")
   }
 
+  /** Product-quantization geometry: 64 dims → [[PqSub]] subspaces of
+    * [[PqDim]], [[PqK]] centroids each → an 8-byte code per vector
+    * (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+    * Neighbor Search"). */
+  val PqSub = 8
+  val PqDim = 8
+  val PqK = 16
+
+  /** Product-quantization audit — the vector-index COMPRESSION step beyond
+    * [[quantizeAudit]]'s scalar int8: each subspace trains its own codebook
+    * with the SAME seeded 2-iteration k-means the IVF index uses
+    * ([[Similarity.ivfModelOf]] is dimension-agnostic), every vector maps
+    * to its 8 nearest-centroid codes, and the output carries the exact
+    * integer squared reconstruction error — the measure-the-index-before-
+    * building-it discipline applied to compression (64×8 B micros →
+    * 8 B/vector = 64× smaller). Shape: per subspace one broadcast-centroid
+    * assignment (the fact table never shuffles for it), then [[PqSub]]
+    * narrow `vec_id` equi-joins of code columns — after the first join the
+    * partitioning is reused, and at 100 TB each join carries only
+    * (vec_id, code, err). */
+  def pqAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ALL subspaces train in ONE k-means fold: subspace id `m` becomes a
+    // key column, so one broadcast equi-join on m (BroadcastHashJoin, 16
+    // rows per key) + one (vec_id, m) aggregation per refinement trains
+    // all 8 codebooks simultaneously — 5 jobs total, vs 8 sequential
+    // trainers (~50 jobs; measured 12.6 s → this shape, 2-3 s).
+    val sub = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("qf"))
+      .select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${PqSub - 1}), m -> " +
+          s"named_struct('m', m, 'q', slice(qf, m * $PqDim + 1, $PqDim)))")).as("s"))
+      .select($"vec_id", $"s.m".cast("int").as("m"), $"s.q".as("q"))
+      .withColumn("n2", qdot($"q", $"q"))
+      .cache()
+    // seeds: subspace m's first PqK subvectors (same rule as the IVF model)
+    val seeds = sub.filter($"vec_id" < PqK)
+      .select($"m", $"vec_id".as("cid"), $"q".as("cq"))
+      .withColumn("cn2", qdot($"cq", $"cq"))
+    // nearest centroid per (vector, subspace): argmin by (squared L2, cid);
+    // d rides along — for the FINAL assignment it IS the reconstruction err
+    def assign(cents: DataFrame): DataFrame =
+      sub.join(broadcast(cents), Seq("m"))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct(
+          ($"n2" + $"cn2" - lit(2L) * qdot($"q", $"cq")).as("d"),
+          $"cid".as("cid"), $"q".as("q"))).as("x"))
+        .select($"vec_id", $"m", $"x.cid".as("cell"), $"x.q".as("q"), $"x.d".as("d"))
+    // per-(subspace, cell) floor-of-mean centroid; empty cells keep the
+    // previous centroid via the left join — identical to the IVF update
+    def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
+      val u = assigned
+        .select($"m", $"cell", posexplode($"q").as(Seq("pos", "v")))
+        .groupBy($"m", $"cell", $"pos")
+        .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cm"))
+        .groupBy($"m", $"cell")
+        .agg(sort_array(collect_list(struct($"pos", $"cm"))).as("pm"))
+        .select($"m", $"cell", transform($"pm", x => x("cm")).as("cent"))
+      cents.join(u, cents("m") === u("m") && cents("cid") === u("cell"), "left")
+        .select(cents("m"), $"cid", coalesce($"cent", $"cq").as("cq"))
+        .withColumn("cn2", qdot($"cq", $"cq"))
+    }
+    val cents = (1 to Similarity.IvfIters).foldLeft(seeds.localCheckpoint()) {
+      (c, _) => update(c, assign(c)).localCheckpoint()
+    }
+    val outCols = (0 until PqSub).map(m =>
+      max(when($"m" === m, $"cell")).cast("int").as(s"c$m")) :+
+      sum($"d").as("sq_err")
+    assign(cents)
+      .groupBy($"vec_id")
+      .agg(outCols.head, outCols.tail: _*)
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_centroids" -> centroids _,
     "q_embedding_quantize" -> quantizeAudit _,
+    "q_embedding_pq" -> pqAudit _,
   )
 
+  /** DuckDB: subspace-`m` codebook chain — slice, seeds, two assign/update
+    * k-means rounds, final assignment + per-vector code and squared error
+    * (`m{m}err`). Mirrors [[Similarity.ivfModelOf]] on the sliced vectors,
+    * the same unrolled-CTE pattern as the IVF oracle. */
+  private def pqChain(m: Int): String = {
+    val p = s"m$m"
+    val d = PqDim
+    def assign(name: String, cents: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id, q, cell FROM (
+         |  SELECT e.vec_id, e.q, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, $d),
+         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+         |  FROM ${p}e e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, prev: String, out: String): String =
+      s"""$u AS (SELECT cell, list_transform(generate_series(1, $d), i ->
+         |    CAST(floor(CAST(list_sum(list_transform(qs, v -> v[i])) AS DOUBLE)
+         |      / len(qs)) AS BIGINT)) AS cent
+         |  FROM (SELECT cell, list(q) AS qs FROM $a GROUP BY cell)),
+         |$out AS (SELECT s.cid, COALESCE(u.cent, s.q) AS q
+         |  FROM $prev s LEFT JOIN $u u ON u.cell = s.cid)""".stripMargin
+    s"""${p}e AS MATERIALIZED (SELECT vec_id,
+       |    qv[${m * PqDim + 1}:${m * PqDim + PqDim}] AS q FROM eq),
+       |${p}seeds AS (SELECT vec_id AS cid, q FROM ${p}e WHERE vec_id < $PqK),
+       |${assign(s"${p}a1", s"${p}seeds")},
+       |${update(s"${p}u1", s"${p}a1", s"${p}seeds", s"${p}c1")},
+       |${assign(s"${p}a2", s"${p}c1")},
+       |${update(s"${p}u2", s"${p}a2", s"${p}c1", s"${p}c2")},
+       |${assign(s"${p}a3", s"${p}c2")},
+       |${p}err AS (SELECT a.vec_id, CAST(a.cell AS INT) AS c$m,
+       |    CAST(list_sum(list_transform(generate_series(1, $d),
+       |      i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS BIGINT) AS e$m
+       |  FROM ${p}a3 a JOIN ${p}c2 c ON a.cell = c.cid)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_embedding_pq" -> {
+      val joins = (1 until PqSub)
+        .map(m => s"JOIN m${m}err e$m USING (vec_id)").mkString("\n")
+      s"""WITH eq AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |${(0 until PqSub).map(pqChain).mkString(",\n")}
+         |SELECT e0.vec_id, ${(0 until PqSub).map(m => s"e$m.c$m").mkString(", ")},
+         |  CAST(${(0 until PqSub).map(m => s"e$m.e$m").mkString(" + ")} AS BIGINT) AS sq_err
+         |FROM m0err e0
+         |$joins
+         |ORDER BY e0.vec_id""".stripMargin
+    },
     // Parallel unnests in SELECT zip in DuckDB, so unnest(range(len(qv)))
     // yields the 0-based position alongside each component — same numbering
     // as Spark posexplode (WITH ORDINALITY is unimplemented in this DuckDB).
