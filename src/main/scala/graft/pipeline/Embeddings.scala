@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -83,11 +84,26 @@ object Embeddings {
     * (vec_id, code, err). */
   def pqAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ALL subspaces train in ONE k-means fold: subspace id `m` becomes a
-    // key column, so one broadcast equi-join on m (BroadcastHashJoin, 16
-    // rows per key) + one (vec_id, m) aggregation per refinement trains
-    // all 8 codebooks simultaneously — 5 jobs total, vs 8 sequential
-    // trainers (~50 jobs; measured 12.6 s → this shape, 2-3 s).
+    val (_, assigned) = pqModel(s, dir)
+    val outCols = (0 until PqSub).map(m =>
+      max(when($"m" === m, $"cell")).cast("int").as(s"c$m")) :+
+      sum($"d").as("sq_err")
+    assigned
+      .groupBy($"vec_id")
+      .agg(outCols.head, outCols.tail: _*)
+      .orderBy($"vec_id")
+  }
+
+  /** The trained PQ model: `(codebooks (m, cid, cq, cn2), assignment
+    * (vec_id, m, cell, q, d))` — shared by [[pqAudit]] and the ADC search
+    * ([[annPq]]). ALL subspaces train in ONE k-means fold: subspace id
+    * `m` becomes a key column, so one broadcast equi-join on m
+    * (BroadcastHashJoin, 16 rows per key) + one (vec_id, m) aggregation
+    * per refinement trains all 8 codebooks simultaneously — 5 jobs total,
+    * vs 8 sequential trainers (~50 jobs; measured 12.6 s → this shape,
+    * 2-3 s). */
+  private[pipeline] def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     val sub = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("qf"))
       .select($"vec_id", explode(expr(
@@ -126,13 +142,37 @@ object Embeddings {
     val cents = (1 to Similarity.IvfIters).foldLeft(seeds.localCheckpoint()) {
       (c, _) => update(c, assign(c)).localCheckpoint()
     }
-    val outCols = (0 until PqSub).map(m =>
-      max(when($"m" === m, $"cell")).cast("int").as(s"c$m")) :+
-      sum($"d").as("sq_err")
-    assign(cents)
-      .groupBy($"vec_id")
-      .agg(outCols.head, outCols.tail: _*)
-      .orderBy($"vec_id")
+    (cents, assign(cents))
+  }
+
+  /** PQ asymmetric-dot ANN search over the COMPRESSED index: the query
+    * keeps full precision, the corpus is its 8-byte codes, and the ranking
+    * score is the IP-ADC estimate Σ_m q_m · centroid_m[code_m] — computed
+    * by broadcasting the tiny (queries × subspaces × K) lookup table of
+    * per-subspace query-to-centroid dots against the code table, then ONE
+    * (query, vector) aggregation. The corpus side touches only codes:
+    * this is the search that runs when the vectors themselves no longer
+    * fit — 64× smaller index than [[Similarity.annLsh]]'s exact re-rank.
+    * Output shape matches the other ANN plans; `q_ann_recall_pq` measures
+    * what the compression costs in recall. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, assigned) = pqModel(s, dir)
+    val codes = assigned.select($"vec_id", $"m", $"cell")
+    // queries × subspaces × K: ≤ 5·8·16 = 640 rows — broadcast
+    val qd = assigned.filter($"vec_id" < Similarity.QueryVecs)
+      .select($"vec_id".as("query_id"), $"m", $"q")
+      .join(broadcast(cents), Seq("m"))
+      .select($"query_id", $"m", $"cid".as("cell"), qdot($"q", $"cq").as("pd"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc".desc, $"vec_id")
+    codes.join(broadcast(qd), Seq("m", "cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"pd").as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id")
+      .orderBy($"query_id", $"rnk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -176,14 +216,20 @@ object Embeddings {
        |  FROM ${p}a3 a JOIN ${p}c2 c ON a.cell = c.cid)""".stripMargin
   }
 
+  /** DuckDB: quantized vectors (`eq`) + all [[PqSub]] codebook chains —
+    * shared by the PQ-audit oracle and the PQ recall oracle
+    * ([[Retrieval]]). */
+  private[pipeline] def duckPqCtes: String =
+    s"""eq AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${(0 until PqSub).map(pqChain).mkString(",\n")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_embedding_pq" -> {
       val joins = (1 until PqSub)
         .map(m => s"JOIN m${m}err e$m USING (vec_id)").mkString("\n")
-      s"""WITH eq AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |${(0 until PqSub).map(pqChain).mkString(",\n")}
+      s"""WITH $duckPqCtes
          |SELECT e0.vec_id, ${(0 until PqSub).map(m => s"e$m.c$m").mkString(", ")},
          |  CAST(${(0 until PqSub).map(m => s"e$m.e$m").mkString(" + ")} AS BIGINT) AS sq_err
          |FROM m0err e0

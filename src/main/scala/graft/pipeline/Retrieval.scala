@@ -130,10 +130,17 @@ object Retrieval {
       .orderBy($"query_id")
   }
 
+  /** Recall@k of the PQ asymmetric-dot search over the COMPRESSED index
+    * ([[Embeddings.annPq]]) — the third audited index family, measuring
+    * what 64× compression costs against the same exact baseline. */
+  def annRecallPq(s: SparkSession, dir: String): DataFrame =
+    recallAgainst(s, dir, Embeddings.annPq(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> bm25 _,
     "q_ann_recall" -> annRecall _,
     "q_ann_recall_ivf" -> annRecallIvf _,
+    "q_ann_recall_pq" -> annRecallPq _,
   )
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -233,5 +240,46 @@ object Retrieval {
          |FROM e LEFT JOIN h ON h.query_id = e.vec_id
          |WHERE e.vec_id < ${Similarity.QueryVecs}
          |ORDER BY query_id""".stripMargin,
+    // PQ IP-ADC search re-derived over the same codebook CTE chains as the
+    // q_embedding_pq oracle, scored against the exact top-k: per subspace a
+    // query×centroid dot lookup, summed per (query, vector) via the codes.
+    "q_ann_recall_pq" -> {
+      import Embeddings.{PqDim, PqSub}
+      val qds = (0 until PqSub).map(m =>
+        s"""qd$m AS (SELECT q.vec_id AS query_id, c.cid AS cell,
+           |    CAST(list_sum(list_transform(generate_series(1, $PqDim),
+           |      i -> q.q[i] * c.q[i])) AS BIGINT) AS pd
+           |  FROM m${m}e q CROSS JOIN m${m}c2 c
+           |  WHERE q.vec_id < ${Similarity.QueryVecs})""".stripMargin).mkString(",\n")
+      val adcu = (0 until PqSub).map(m =>
+        s"SELECT qd$m.query_id, a.vec_id, qd$m.pd FROM m${m}a3 a " +
+          s"JOIN qd$m ON a.cell = qd$m.cell").mkString("\n  UNION ALL ")
+      s"""WITH ${Embeddings.duckPqCtes},
+         |$qds,
+         |adcu AS ($adcu),
+         |adc AS (SELECT query_id, vec_id, CAST(sum(pd) AS BIGINT) AS adc
+         |  FROM adcu WHERE vec_id <> query_id GROUP BY 1, 2),
+         |ann AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rnk
+         |  FROM adc) WHERE rnk <= $RecallK),
+         |exc AS (SELECT qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qr.qv[i] * c.qv[i])) AS BIGINT) AS dot
+         |  FROM eq qr JOIN eq c ON qr.vec_id <> c.vec_id
+         |  WHERE qr.vec_id < ${Similarity.QueryVecs}),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM exc) WHERE rnk <= $RecallK),
+         |h AS (SELECT ex.query_id, count(*) AS h
+         |  FROM ex JOIN ann USING (query_id, vec_id) GROUP BY ex.query_id)
+         |SELECT eq.vec_id AS query_id,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+         |  CAST((COALESCE(h.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
+         |FROM eq LEFT JOIN h ON h.query_id = eq.vec_id
+         |WHERE eq.vec_id < ${Similarity.QueryVecs}
+         |ORDER BY query_id""".stripMargin
+    },
   )
 }

@@ -42,7 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_text_heavyhitters", // count_min_sketch over the token stream
     // Spark's own InjectRuntimeFilter: a 1-row bloom_filter_agg it builds
     // from the query-set join side
-    "q_ann_recall_ivf"
+    "q_ann_recall_ivf", "q_ann_recall_pq"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject)
   )
@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // K-row centroid tables (IVF k-means assignment / probe ranking) and
     // query-set-sized exact-baseline sides of the recall audits
     "q_similarity_ivf", "q_similarity_ivf_probe", "q_dedup_semantic",
-    "q_ann_recall", "q_ann_recall_ivf"
+    "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_pq"
   )
 
   private def plansOf(name: String): String = {
