@@ -321,8 +321,35 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** Canonical-document selection: [[cluster]]'s transitive closure resolved
+    * to an actionable keep-list — per near-dup cluster, keep the LONGEST
+    * member (`n_chars` max, ties to the lower doc_id), the standard curation
+    * policy (the longest near-duplicate usually subsumes the others; min-id
+    * keep-first is an accident of ingest order). One extra narrow join of
+    * the component table against the docs' (doc_id, n_chars) projection plus
+    * a map-side-combinable argmax per cluster — the closure dominates, so
+    * the at-scale story is [[Components.connectedComponents]]'s. The argmax
+    * is spelled `min(struct(-n_chars, doc_id))`: one combinable aggregate,
+    * no per-cluster sort. */
+  def canonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b")
+    val comp = Components.connectedComponents(pairs)
+    comp.join(
+        Tables.table(s, dir, "documents")
+          .select($"doc_id".as("node"), $"n_chars"), "node")
+      .groupBy($"root")
+      .agg(min(struct((-$"n_chars").as("nc"), $"node".as("id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select($"root".as("cluster_id"), $"m.id".as("keep_doc"),
+        (-$"m.nc").as("keep_chars"), $"n_members")
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
+    "q_dedup_canonical" -> canonical _,
     "q_dedup_minhash" -> minhash _,
     "q_dedup_ngram" -> ngram _,
     "q_dedup_simhash" -> simhashNN _,
@@ -457,6 +484,24 @@ object Dedup {
          |WHERE dot > 0
          |  AND CAST(dot AS HUGEINT) * dot * $SemTauDen >= CAST(na2 AS HUGEINT) * nb2 * $SemTauNum
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Same closure as q_dedup_cluster, resolved to the keep-longest policy
+    // with a per-cluster window instead of the Spark side's combinable argmin
+    // struct — equivalent at oracle scale.
+    "q_dedup_canonical" ->
+      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$candCtes,
+         |$ccCtes,
+         |comp AS (SELECT node, min(reach) AS root FROM walk GROUP BY node),
+         |cd AS (SELECT c.root, c.node, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+         |SELECT cluster_id, keep_doc, keep_chars, n_members FROM (
+         |  SELECT root AS cluster_id, node AS keep_doc,
+         |    n_chars AS keep_chars,
+         |    CAST(count(*) OVER (PARTITION BY root) AS BIGINT) AS n_members,
+         |    row_number() OVER (PARTITION BY root
+         |      ORDER BY n_chars DESC, node) AS rk
+         |  FROM cd)
+         |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     // Transitive closure by recursive reachability + min-per-node: exact at
     // oracle scale, O(component²) expansion — the Spark side's star rounds
     // ([[Components.connectedComponents]]) are the shape that survives 100 TB.

@@ -108,10 +108,75 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** Hashed-feature bucket count for [[dsir]]. Small so the bucket table is
+    * trivially broadcastable; production DSIR uses ~10k buckets, still a
+    * broadcast (the model IS the bucket table — vocab-independent size). */
+  val DsirBuckets = 64
+  /** Selection budget: the [[DsirTopK]] highest-importance raw docs win. */
+  val DsirTopK = 100
+  /** The target domain: docs whose distribution the selection should match. */
+  val DsirTarget = "src0"
+
+  /** DSIR-style importance selection (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"): fit
+    * bag-of-hashed-unigram models on a TARGET slice (here `source =
+    * `[[DsirTarget]]) and on the RAW rest, score every raw doc by its
+    * importance log-weight Σ_tokens ln(p_target(bucket)/p_raw(bucket))
+    * (+1-smoothed), and keep the top-[[DsirTopK]]. The paper resamples with
+    * Gumbel noise; the deterministic top-k is the reproducible-curation
+    * variant (same rationale as the salted hashes above — a 100 TB re-run
+    * must pick the SAME docs).
+    *
+    * Shape at scale: the corpus tokenizes in two narrow passes — one
+    * collapsing map-side to the [[DsirBuckets]]-row histogram (broadcast
+    * back joined, never shuffled by corpus size), one scoring pass joined
+    * against the broadcast ratio table, then a doc_id aggregate and a
+    * global top-k (TakeOrderedAndProject: per-partition heads, one tiny
+    * final merge — no full sort). Determinism: the one float op
+    * `ln(ratio-of-exact-int64-products)` floor-quantized to micros
+    * immediately, the [[TextAnalysis.perplexity]] precedent; scores stay
+    * summed integers, no division (Spark `div` truncates toward zero while
+    * DuckDB `//` floors — they disagree on negative log-weights). */
+  def dsir(s: SparkSession, dir: String): DataFrame =
+    dsirOf(Tables.table(s, dir, "documents"), DsirTarget, DsirTopK)
+
+  /** [[dsir]] over any `(doc_id, source, text)` frame — the fixture /
+    * library entry point (`DsirSpec` drives it with a planted vocabulary
+    * split and a brute-force oracle). */
+  def dsirOf(docs: DataFrame, target: String, topK: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id", $"source", explode(tokens($"text")).as("term"))
+      .withColumn("bkt",
+        charFoldHash(concat(lit("dsir:"), $"term")) % DsirBuckets)
+    val hist = toks.groupBy($"bkt").agg(
+      sum(when($"source" === target, 1L).otherwise(0L)).as("tc"),
+      sum(when($"source" =!= target, 1L).otherwise(0L)).as("rc"))
+    val tot = hist.agg(sum($"tc").as("tt"), sum($"rc").as("rt"))
+    // (tc+1)(rt+B) ≤ ~2^35 at sf0.1 — exact in int64 (and in double, < 2^53),
+    // so the ln argument is a ratio of exactly-represented integers on both
+    // engines; at 100 TB the products move to Decimal before the ln.
+    val ratios = hist.crossJoin(broadcast(tot))
+      .select($"bkt",
+        floor(log((($"tc" + 1L) * ($"rt" + DsirBuckets)).cast("double") /
+          (($"rc" + 1L) * ($"tt" + DsirBuckets)).cast("double")) * 1e6)
+          .cast("long").as("lr_micro"))
+    toks.filter($"source" =!= target)
+      .join(broadcast(ratios), "bkt")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tok"),
+        sum($"lr_micro").as("logw_micro"))
+      .orderBy($"logw_micro".desc, $"doc_id")
+      .limit(topK)
+      .select($"doc_id", $"n_tok", $"logw_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> bernoulli _,
     "q_sample_stratified" -> stratified _,
     "q_sample_weighted" -> weighted _,
+    "q_sample_dsir" -> dsir _,
   )
 
   private def saltHash(salt: String) =
@@ -144,5 +209,26 @@ object Sampling {
          |  FROM f)
          |SELECT doc_id, lang, source, n_chars FROM r
          |WHERE rk <= $Quota ORDER BY doc_id""".stripMargin,
+    "q_sample_dsir" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |    ${duckCharFold("'dsir:' || term")} % $DsirBuckets AS bkt
+         |  FROM (SELECT doc_id, source, unnest(${duckTokens("text")}) AS term
+         |        FROM documents)),
+         |h AS (SELECT bkt,
+         |    sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS tc,
+         |    sum(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS rc
+         |  FROM b GROUP BY bkt),
+         |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM h),
+         |r AS (SELECT bkt,
+         |    CAST(floor(ln(CAST((tc + 1) * (rt + $DsirBuckets) AS DOUBLE)
+         |      / CAST((rc + 1) * (tt + $DsirBuckets) AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS lr_micro
+         |  FROM h, tot)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+         |  CAST(sum(lr_micro) AS BIGINT) AS logw_micro
+         |FROM b JOIN r USING (bkt)
+         |WHERE source <> '$DsirTarget'
+         |GROUP BY doc_id
+         |ORDER BY logw_micro DESC, doc_id LIMIT $DsirTopK""".stripMargin,
   )
 }
