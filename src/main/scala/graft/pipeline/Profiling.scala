@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import Hashing.{charFoldHash, tokens}
 
 /** Data-quality profiling — the audit pass a pipeline runs over a new drop
   * BEFORE spending compute on it: per-source completeness, metadata/payload
@@ -36,8 +37,52 @@ object Profiling {
       .orderBy($"source")
   }
 
+  /** Bucket count for [[drift]]'s hashed-vocabulary distributions — same
+    * rationale as [[Sampling.DsirBuckets]]: the distribution table is
+    * B × sources rows, broadcast-sized at any corpus scale. */
+  val DriftBuckets = 64
+
+  /** Per-source DISTRIBUTION drift: chi-squared divergence between each
+    * source's hashed-unigram bucket distribution and the corpus-wide one —
+    * the content-level monitor the schema-level [[profile]] can't see (a
+    * source whose vocabulary shifts between drops keeps its row counts and
+    * lengths while its χ² jumps). χ²(P_s‖Q) = Σ_b (p_b − q_b)²/q_b, chosen
+    * over KL/JS because it is RATIONAL in the counts: with p = c/t and
+    * q = C/T the per-bucket term is (cT − Ct)²/(C·t²·T) — exact integer
+    * arithmetic end-to-end, no ln to disagree on (the products pass int64,
+    * so they run in Decimal(38), mirrored by the oracle's HUGEINT; per-bucket
+    * terms are nonnegative so truncating `div` ≡ the oracle's floor `//`).
+    *
+    * Shape at scale: one corpus scan collapsing map-side to the
+    * (source × bucket) count table; everything after is arithmetic on
+    * broadcast-sized tables. Zero-count (source, bucket) cells still
+    * contribute (their term is q_b), so the grid is completed by a
+    * sources × buckets cross of two tiny tables before the left join. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.table(s, dir, "documents")
+      .select($"source", explode(tokens($"text")).as("term"))
+      .select($"source",
+        (charFoldHash(concat(lit("drift:"), $"term")) % DriftBuckets).as("bkt"))
+    val sb = toks.groupBy($"source", $"bkt").agg(count(lit(1)).as("c"))
+    val ts = sb.groupBy($"source").agg(sum($"c").as("t_s"))
+    val cb = sb.groupBy($"bkt").agg(sum($"c").as("cb"))
+    val tot = cb.agg(sum($"cb").as("tt"))
+    ts.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+      .join(sb, Seq("source", "bkt"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+      .withColumn("term_micro", expr(
+        "(CAST(c * tt - cb * t_s AS DECIMAL(38,0)) * (c * tt - cb * t_s) " +
+          "* 1000000) div (CAST(cb AS DECIMAL(38,0)) * t_s * t_s * tt)"))
+      .groupBy($"source")
+      .agg(sum($"term_micro").as("chi2_micro"),
+        sum(when($"c" > 0, 1L).otherwise(0L)).as("n_active"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profile _,
+    "q_profile_drift" -> drift _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,5 +97,25 @@ object Profiling {
         |  max(n_chars) AS max_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_profile_drift" ->
+      s"""WITH b AS (SELECT source,
+         |    ${Hashing.duckCharFold("'drift:' || term")} % $DriftBuckets AS bkt
+         |  FROM (SELECT source, unnest(${Hashing.duckTokens("text")}) AS term
+         |        FROM documents)),
+         |sb AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS c
+         |  FROM b GROUP BY source, bkt),
+         |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM sb GROUP BY source),
+         |cb AS (SELECT bkt, CAST(sum(c) AS BIGINT) AS cb FROM sb GROUP BY bkt),
+         |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS tt FROM cb),
+         |g AS (SELECT ts.source, cb.bkt, ts.t_s, cb.cb, tot.tt,
+         |    COALESCE(sb.c, 0) AS c
+         |  FROM ts CROSS JOIN cb CROSS JOIN tot
+         |  LEFT JOIN sb ON sb.source = ts.source AND sb.bkt = cb.bkt)
+         |SELECT source,
+         |  CAST(sum((CAST(c * tt - cb * t_s AS HUGEINT) * (c * tt - cb * t_s)
+         |    * 1000000) // (CAST(cb AS HUGEINT) * t_s * t_s * tt)) AS BIGINT)
+         |    AS chi2_micro,
+         |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
   )
 }

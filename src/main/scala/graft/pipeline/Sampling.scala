@@ -172,6 +172,54 @@ object Sampling {
       .select($"doc_id", $"n_tok", $"logw_micro")
   }
 
+  /** The FROZEN DSIR model: the per-bucket log-ratio table as a plain
+    * [[DsirBuckets]]-element array — like the BPE merge list, driver-side
+    * state IS the model (64 longs; production's ~10k-bucket model is still
+    * KBs). The bounded collect here is the model-fitting step, not a data
+    * movement; fit once on a batch snapshot, then [[dsirScorerOf]] applies
+    * it statelessly anywhere — including a live ingest stream. The Scala
+    * `math.log` is bit-identical to the Column `log` (both Java Math.log),
+    * so scorer output ≡ [[dsirOf]]'s join-path scores (pinned in
+    * `PipelineStreamSpec`). */
+  def dsirModel(docs: DataFrame, target: String): Array[Long] = {
+    import docs.sparkSession.implicits._
+    val hist = docs
+      .select($"source", explode(tokens($"text")).as("term"))
+      .select($"source",
+        (charFoldHash(concat(lit("dsir:"), $"term")) % DsirBuckets).as("bkt"))
+      .groupBy($"bkt").agg(
+        sum(when($"source" === target, 1L).otherwise(0L)).as("tc"),
+        sum(when($"source" =!= target, 1L).otherwise(0L)).as("rc"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val tt = hist.valuesIterator.map(_._1).sum
+    val rt = hist.valuesIterator.map(_._2).sum
+    Array.tabulate(DsirBuckets) { b =>
+      val (tc, rc) = hist.getOrElse(b, (0L, 0L))
+      math.floor(math.log(((tc + 1L) * (rt + DsirBuckets)).toDouble /
+        ((rc + 1L) * (tt + DsirBuckets)).toDouble) * 1e6).toLong
+    }
+  }
+
+  /** Stateless per-row DSIR scoring with a frozen [[dsirModel]]: the
+    * 64-long model rides as a LITERAL array into codegen (element_at by
+    * bucket — no join, no shuffle, no state), so the same transform runs on
+    * batch frames and append-mode streams unchanged — the
+    * fit-offline/score-online split every production scorer uses. */
+  def dsirScorerOf(model: Array[Long]): DataFrame => DataFrame = { docs =>
+    val s = docs.sparkSession
+    import s.implicits._
+    val lrs = typedLit(model.toSeq)
+    docs.withColumn("n_tok", size(tokens($"text")).cast("int"))
+      .withColumn("logw_micro",
+        aggregate(
+          transform(tokens($"text"), t =>
+            element_at(lrs,
+              ((charFoldHash(concat(lit("dsir:"), t)) % DsirBuckets) + 1L)
+                .cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> bernoulli _,
     "q_sample_stratified" -> stratified _,

@@ -59,6 +59,18 @@ class DsirSpec extends AnyFunSuite {
     assert(got.drop(3).forall(_._3 < 0))
   }
 
+  test("frozen-model scorer ≡ join-path scores") {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "source", "text")
+    val joinPath = Sampling.dsirOf(df, "tgt", 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scorer = Sampling.dsirScorerOf(Sampling.dsirModel(df, "tgt"))
+    val scored = scorer(df).filter($"source" =!= "tgt")
+      .select($"doc_id", $"n_tok", $"logw_micro").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(scored == joinPath)
+  }
+
   test("topK truncates deterministically") {
     import spark.implicits._
     val df = docs.toDF("doc_id", "source", "text")

@@ -180,6 +180,21 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_bpe", enc) == b)
   }
 
+  test("DSIR scoring with a frozen model: streaming == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // model fit on the batch snapshot (target = doc_id % 3 == 0 slice);
+    // scoring is a stateless literal-lookup transform — no join, no state
+    def enrich(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("source", concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val model = Sampling.dsirModel(enrich(docs.toDF()), "s0")
+    val score = (df: org.apache.spark.sql.DataFrame) =>
+      Sampling.dsirScorerOf(model)(enrich(df))
+    val b = batch(score)
+    assert(b.size == docs.size)
+    assert(streamed("pipe_dsir", score) == b)
+  }
+
   test("mixture sampling: stream-static rate join == batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
