@@ -246,4 +246,52 @@ object Components {
       .union(selfRoots)
       .groupBy($"node").agg(min($"root").as("root"))
   }
+
+  /** Per-node triangle counts over an undirected `(u, v)` edge list — the
+    * local-density census of a dedup graph (a node's triangle count says
+    * whether its near-dup neighborhood is a tight boilerplate clique or a
+    * thin chain of borderline matches — clique-heavy components are safe to
+    * collapse aggressively, chains are where false-positive merges hide).
+    *
+    * Algorithm: compact-forward / degree orientation (Latapy 2008; the
+    * MapReduce form is Suri & Vassilvitskii, WWW '11 "Counting Triangles
+    * and the Curse of the Last Reducer"): orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges at the
+    * SOURCE, and close them with one join. The orientation is the 100 TB
+    * point — out-degree is bounded by O(√m) on any graph, so a viral
+    * boilerplate hub with millions of neighbors generates wedges only from
+    * its (few) lower-degree peers, never the hub itself; naive u<v
+    * orientation puts Θ(d²) wedges on the oldest doc of every clique.
+    * Three shuffles total (degree count, wedge self-join, closure join),
+    * all on edge keys; triangle identity is orientation-independent, so
+    * the output is a pure function of the undirected graph. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val e0 = pairs.toDF("u", "v").filter($"u" =!= $"v")
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct()
+    val deg = e0.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // both joins are on edge endpoints against the (node, degree) table —
+    // broadcast-sized only for small graphs, so left as shuffle joins
+    val e = e0
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+      .select(
+        when(struct($"du", $"u") < struct($"dv", $"v"),
+          struct($"u".as("s"), $"v".as("t"), $"dv".as("dt")))
+          .otherwise(struct($"v".as("s"), $"u".as("t"), $"du".as("dt"))).as("x"))
+      .select($"x.s".as("s"), $"x.t".as("t"), $"x.dt".as("dt"))
+      .cache() // three plan branches: two wedge sides + the closure probe
+    val wedges = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") &&
+          struct(col("a.dt"), col("a.t")) < struct(col("b.dt"), col("b.t")))
+      .select(col("a.s").as("va"), col("a.t").as("vb"), col("b.t").as("vc"))
+    // wedge (vb, vc) has vb ≺ vc in orientation order, so the closing edge —
+    // if the undirected edge {vb, vc} exists — is oriented vb → vc
+    val tri = wedges.join(e.select($"s".as("vb"), $"t".as("vc")), Seq("vb", "vc"))
+    tri.select(explode(array($"va", $"vb", $"vc")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -347,9 +347,24 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** Triangle census of the near-dup graph ([[Components.triangleCounts]]
+    * over the verified MinHash pairs): per-doc triangle participation — the
+    * cohesion diagnostic run before trusting [[cluster]]'s components (a
+    * doc in many triangles sits in a boilerplate clique; a bridge doc with
+    * pairs but no triangles is the classic false-positive merge point). */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b")
+    Components.triangleCounts(pairs)
+      .select($"node".as("doc_id"), $"n_tri")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
     "q_dedup_canonical" -> canonical _,
+    "q_dedup_triangles" -> triangles _,
     "q_dedup_minhash" -> minhash _,
     "q_dedup_ngram" -> ngram _,
     "q_dedup_simhash" -> simhashNN _,
@@ -380,7 +395,9 @@ object Dedup {
     * [[candCtes]] upstream and `WITH RECURSIVE`); shared by the cluster and
     * leakage-free-split oracles. `walk` closes the edge relation so
     * `min(reach) GROUP BY node` is each node's component minimum. */
-  private[pipeline] val ccCtes =
+  /** Verified MinHash pair CTE (requires [[sigCte]] + [[candCtes]]
+    * upstream) — the oracle's `minhashPairs`. */
+  private[pipeline] val prsCte =
     s"""prs AS (SELECT doc_a, doc_b FROM (
        |  SELECT c.doc_a, c.doc_b,
        |    CAST(len(list_filter(generate_series(1, $MinhashK),
@@ -388,7 +405,10 @@ object Dedup {
        |  FROM cand c
        |  JOIN sig sa ON sa.doc_id = c.doc_a
        |  JOIN sig sb ON sb.doc_id = c.doc_b)
-       |WHERE matches >= 4),
+       |WHERE matches >= 4)""".stripMargin
+
+  private[pipeline] val ccCtes =
+    s"""$prsCte,
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
        |  UNION SELECT doc_b, doc_a FROM prs),
        |walk(node, reach) AS (
@@ -484,6 +504,19 @@ object Dedup {
          |WHERE dot > 0
          |  AND CAST(dot AS HUGEINT) * dot * $SemTauDen >= CAST(na2 AS HUGEINT) * nb2 * $SemTauNum
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Triangles by id-ordered enumeration over the verified pair table
+    // (doc_a < doc_b by construction) — fine at oracle scale; the Spark
+    // side's degree orientation is the shape that survives skewed graphs.
+    "q_dedup_triangles" ->
+      s"""$sigCte,
+         |$candCtes,
+         |$prsCte,
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM prs e1 JOIN prs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
     // Same closure as q_dedup_cluster, resolved to the keep-longest policy
     // with a per-cluster window instead of the Spark side's combinable argmin
     // struct — equivalent at oracle scale.

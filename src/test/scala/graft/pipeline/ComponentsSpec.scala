@@ -139,4 +139,45 @@ class ComponentsSpec extends AnyFunSuite {
     val got = run(pairs)
     assert(got == pairs.flatMap { case (a, b) => Seq(a -> b, b -> b) }.toMap)
   }
+
+  /** Brute-force triangle oracle: all node triples over the distinct
+    * undirected edge set. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tri = for {
+      (a, i) <- nodes.zipWithIndex
+      b <- nodes.drop(i + 1) if es((a, b))
+      c <- nodes.dropWhile(_ <= b) if es((a, c)) && es((b, c))
+    } yield Seq(a, b, c)
+    tri.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.triangleCounts(edges.toDF("u", "v").repartition(4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle counts match brute force on random graphs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 6) {
+      val n = 10 + rnd.nextInt(20)
+      val m = n + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(runTriangles(edges) == bruteTriangles(edges), s"trial $trial")
+    }
+  }
+
+  test("triangle counts: clique, hub, duplicate/self-loop noise") {
+    // K5 embedded in a star hub: each K5 node sits in C(4,2)=6 triangles;
+    // the hub's spokes alone close nothing
+    val k5 = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    val hub = (10L until 30L).map(v => (99L, v))
+    val noise = Seq((0L, 0L), (1L, 0L), (0L, 1L)) // self-loop + dup both ways
+    val got = runTriangles(k5 ++ hub ++ noise)
+    assert((0L until 5L).forall(n => got(n) == 6L), got.toString)
+    assert(!got.contains(99L) && !got.contains(10L))
+  }
 }

@@ -37,6 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // weight totals): the final step of a partial+final global agg
     "q_text_bm25", "q_text_tfidf", "q_text_perplexity", "q_sample_weighted",
     "q_mixture_temperature", // 1-row Σw_micro normalizer over the rate table
+    "q_sample_dsir",    // 1-row (tt, rt) token-total aggregate over 64 buckets
+    "q_profile_drift",  // 1-row corpus token total over the 64-bucket table
     // 1-row sketch aggregates probed via scalar subquery
     "q_dedup_incremental", // BloomFilterAggregate over the batch spans
     "q_text_heavyhitters", // count_min_sketch over the token stream
@@ -56,6 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-stats / normalizer tables crossJoined into the plan
     "q_text_bm25", "q_text_perplexity", "q_sample_weighted",
     "q_mixture_temperature", "q_text_tfidf", // 1-row doc-count for the idf
+    "q_sample_dsir",    // 1-row totals into the 64-row ratio table
+    "q_profile_drift",  // 64-row bucket table × 1-row total into the grid
     // K-row centroid tables (IVF k-means assignment / probe ranking) and
     // query-set-sized exact-baseline sides of the recall audits
     "q_similarity_ivf", "q_similarity_ivf_probe", "q_dedup_semantic",
