@@ -67,7 +67,35 @@ object TimeWindows {
       .orderBy($"user_id", $"event_type", $"hstart")
   }
 
+  /** Events per count window for [[countWindow]] — small so window rollover
+    * is exercised at every SF (most users have ≥ 6 events at sf0.001). */
+  val CountWindowN = 5
+
+  /** COUNT windows — Flink's `keyedStream.countWindow(n)`: per user, the
+    * event sequence (ordered by event time, event_id tiebreak) chopped into
+    * consecutive windows of [[CountWindowN]] events; the tail window is
+    * partial. The one window-function pass per user partition is the same
+    * at-scale shape as [[dedup]]'s survivor ranking: the sort is per-user,
+    * never global, and everything after is a map-side-combinable aggregate.
+    * First/last events per window via the combinable min/max(struct(rn, id))
+    * argmin trick — no second window pass. */
+  def countWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("win_id", expr(s"(rn - 1) div $CountWindowN"))
+      .groupBy($"user_id", $"win_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct($"rn", $"event_id")).as("fst"),
+        max(struct($"rn", $"event_id")).as("lst"))
+      .select($"user_id", $"win_id", $"n_events",
+        $"fst.event_id".as("first_ev"), $"lst.event_id".as("last_ev"))
+      .orderBy($"user_id", $"win_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_count" -> countWindow _,
     "q_window_tumbling" -> tumbling _,
     "q_window_sliding" -> sliding _,
     "q_window_session" -> session _,
@@ -75,6 +103,18 @@ object TimeWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_count" ->
+      s"""WITH s AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+         |  FROM events),
+         |r AS (SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM s)
+         |SELECT user_id, CAST((rn - 1) // $CountWindowN AS BIGINT) AS win_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  arg_min(event_id, rn) AS first_ev,
+         |  arg_max(event_id, rn) AS last_ev
+         |FROM r GROUP BY user_id, (rn - 1) // $CountWindowN
+         |ORDER BY user_id, win_id""".stripMargin,
     "q_window_tumbling" ->
       """SELECT date_trunc('hour', date_trunc('second', ts)) AS wstart,
         |  event_type, count(*) AS cnt
