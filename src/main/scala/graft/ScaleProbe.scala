@@ -258,6 +258,40 @@ object ScaleProbe {
     assert(ccStats._2 == 100001L, s"max component ${ccStats._2}")
     println(f"""{"probe":"components","edges":$nEdges,"components":${ccStats._1},"max_size":${ccStats._2},"secs":$ccSecs%.1f,"edges_per_sec":${(nEdges / ccSecs).toLong}}""")
 
+    // ---- Triangle census: ~445k edges, adversarial degree skew ----
+    // 200 50-cliques (the boilerplate families: 200·C(50,3) = 3.92M
+    // triangles) + one 100k-degree hub whose spokes form a chain ring
+    // (99,999 hub triangles). The hub is the point: naive u<v orientation
+    // enumerates C(100k,2) ≈ 5e9 wedges AT THE HUB (the "curse of the last
+    // reducer" — one task owns them all); degree orientation enumerates
+    // wedges only at the degree-≤3 spokes and degree-49 clique nodes, so
+    // the probe finishing in seconds IS the evidence the orientation works.
+    val cliqueN = 200L; val cliqueM = 50L
+    val cliques = spark.range(cliqueN * cliqueM * cliqueM).select(
+        ($"id" / (cliqueM * cliqueM)).cast("long").as("c"),
+        pmod($"id" / cliqueM, lit(cliqueM)).as("i"),
+        pmod($"id", lit(cliqueM)).as("j"))
+      .filter($"i" < $"j")
+      .select(($"c" * 1000 + $"i" + 40000000L).as("u"),
+        ($"c" * 1000 + $"j" + 40000000L).as("v"))
+    val hubId = 50000000L
+    val spokes = spark.range(100000L)
+      .select(lit(hubId).as("u"), ($"id" + hubId + 1).as("v"))
+    val ring = spark.range(99999L)
+      .select(($"id" + hubId + 1).as("u"), ($"id" + hubId + 2).as("v"))
+    val triEdges = cliques.union(spokes).union(ring)
+    val expTriangles = cliqueN * (cliqueM * (cliqueM - 1) * (cliqueM - 2) / 6) + 99999L
+    val (triStats, triSecs) = time {
+      val t = graft.pipeline.Components.triangleCounts(triEdges)
+      val r = t.agg(sum($"n_tri"), max($"n_tri"),
+        sum(when($"node" === hubId, $"n_tri"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(triStats._1 == 3 * expTriangles, s"participation sum ${triStats._1}")
+    assert(triStats._3 == 99999L, s"hub triangles ${triStats._3}")
+    val nTriEdges = cliqueN * cliqueM * (cliqueM - 1) / 2 + 100000L + 99999L
+    println(f"""{"probe":"triangles","edges":$nTriEdges,"triangles":$expTriangles,"hub_degree":100000,"secs":$triSecs%.1f,"edges_per_sec":${(nTriEdges / triSecs).toLong}}""")
+
     spark.stop()
   }
 }

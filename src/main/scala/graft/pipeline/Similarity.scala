@@ -183,6 +183,42 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** kNN similarity JOIN — EVERY vector is a query: each vector's top-3
+    * dot-product neighbors among its [[IvfNprobe]] nearest IVF cells (the
+    * all-pairs version of [[annIvfProbe]]; the "scaled similarity join" of
+    * SURVEY §7.3 M6). The all-N query side changes the scale math: the
+    * crossJoin + window probe ranking [[annIvfProbe]] uses would put
+    * N × K rows through a shuffle, so here the K-row centroid table is
+    * COLLECTED into a literal array (16 structs — it IS the model, the
+    * [[Sampling.dsirModel]] pattern) and probe selection happens row-locally
+    * inside codegen: transform → array_sort by (dist, cid) → slice(nprobe),
+    * ZERO probe-stage shuffle at any N. Candidates then come from the one
+    * cell equi-join; the only per-query shuffle is the final top-3 window,
+    * partitioned by query — the unavoidable ranking, never all-pairs. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (centsDf, cellsRaw) = ivfModel(s, dir)
+    val centArr: Seq[(Long, Seq[Long], Long)] = centsDf
+      .select($"cid", $"cq", $"cn2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    val cl = typedLit(centArr)
+    val cells = cellsRaw.cache() // two branches: probe side + candidate side
+    val probes = cells
+      .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
+      .withColumn("pc", explode(slice(array_sort(transform(cl, c =>
+        struct(($"qn2" + c.getField("_3") - lit(2L) * qdot($"qv", c.getField("_2")))
+          .as("d"), c.getField("_1").as("cid")))), 1, IvfNprobe)))
+      .select($"query_id", $"qv", $"pc.cid".as("cell"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    probes.join(cells, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id")
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** Persist the learned IVF model (centroids + cell assignment) as
     * parquet — the BUILD half of the production contract: at 100 TB the
     * k-means runs once per corpus snapshot, the cell table is written
@@ -280,6 +316,7 @@ object Similarity {
     "q_similarity_ann" -> annLsh _,
     "q_similarity_ivf" -> annIvf _,
     "q_similarity_ivf_probe" -> annIvfProbe _,
+    "q_similarity_knn_join" -> knnJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -334,6 +371,27 @@ object Similarity {
          |      list_sum(list_transform(generate_series(1, 64),
          |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
          |  FROM e CROSS JOIN c2 c WHERE e.vec_id < $QueryVecs)
+         |  WHERE rn <= $IvfNprobe),
+         |cand AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+         |  FROM probes p JOIN a3 a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+         |SELECT query_id, rnk, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    // The probe oracle with the query filter removed: every vector ranks
+    // all K centroids (fine at oracle scale; the Spark plan makes the same
+    // selection row-locally against the literal centroid array).
+    "q_similarity_knn_join" ->
+      s"""WITH $duckCellCtes,
+         |probes AS (SELECT query_id, q, cell FROM (
+         |  SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c)
          |  WHERE rn <= $IvfNprobe),
          |cand AS (SELECT p.query_id, a.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),

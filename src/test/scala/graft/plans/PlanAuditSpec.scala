@@ -63,7 +63,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // K-row centroid tables (IVF k-means assignment / probe ranking) and
     // query-set-sized exact-baseline sides of the recall audits
     "q_similarity_ivf", "q_similarity_ivf_probe", "q_dedup_semantic",
-    "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_pq"
+    "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_pq",
+    "q_similarity_knn_join" // K-row centroid broadcast inside k-means training
+
   )
 
   private def plansOf(name: String): String = {
