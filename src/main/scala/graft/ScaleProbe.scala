@@ -267,13 +267,15 @@ object ScaleProbe {
     // wedges only at the degree-≤3 spokes and degree-49 clique nodes, so
     // the probe finishing in seconds IS the evidence the orientation works.
     val cliqueN = 200L; val cliqueM = 50L
+    // integral div/%: Column./ on longs is DOUBLE division — fractional
+    // node ids would silently dissolve every clique
     val cliques = spark.range(cliqueN * cliqueM * cliqueM).select(
-        ($"id" / (cliqueM * cliqueM)).cast("long").as("c"),
-        pmod($"id" / cliqueM, lit(cliqueM)).as("i"),
-        pmod($"id", lit(cliqueM)).as("j"))
+        expr(s"id div ${cliqueM * cliqueM}").as("c"),
+        expr(s"(id div $cliqueM) % $cliqueM").as("i"),
+        expr(s"id % $cliqueM").as("j"))
       .filter($"i" < $"j")
-      .select(($"c" * 1000 + $"i" + 40000000L).as("u"),
-        ($"c" * 1000 + $"j" + 40000000L).as("v"))
+      .select(($"c" * 1000L + $"i" + 40000000L).as("u"),
+        ($"c" * 1000L + $"j" + 40000000L).as("v"))
     val hubId = 50000000L
     val spokes = spark.range(100000L)
       .select(lit(hubId).as("u"), ($"id" + hubId + 1).as("v"))

@@ -287,6 +287,27 @@ object TextAnalysis {
           .cast("long").as("top_bp"))
   }
 
+  /** Corpus-level n-gram DIVERSITY per source — the distinct-n ratio
+    * (Li et al. 2016, "A Diversity-Promoting Objective Function for Neural
+    * Conversation Models": distinct bigrams / total bigrams), the standard
+    * degenerate-corpus detector at the SOURCE level that the per-doc
+    * [[repetition]] signals can't see (a source of 10k distinct-looking docs
+    * sharing one template has clean per-doc metrics and a collapsed
+    * distinct-2 ratio). Shape: one bigram-key shuffle into the
+    * (source, gram) count table — map-side combinable, vocab²-bounded
+    * output — then a tiny per-source rollup; exact integer basis points. */
+  def diversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select($"source", explode(grams(tokens($"text"), 2)).as("g"))
+      .groupBy($"source", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_distinct"), sum($"c").as("n_total"))
+      .select($"source", $"n_distinct", $"n_total",
+        expr("(n_distinct * 10000L) div n_total").as("distinct_bp"))
+      .orderBy($"source")
+  }
+
   /** Unigram cross-entropy quality score — the CCNet-style LM quality proxy
     * (Wenzek et al. 2020 use a 5-gram KenLM; the unigram form keeps the
     * operator SHAPE — train token distribution, score each doc by mean
@@ -544,6 +565,7 @@ object TextAnalysis {
     "q_text_length_stats" -> lengthStats _,
     "q_text_length_stats_approx" -> lengthStatsApprox _,
     "q_text_repetition" -> repetition _,
+    "q_text_diversity" -> diversity _,
     "q_source_overlap" -> sourceOverlap _,
     "q_text_perplexity" -> perplexity _,
     "q_text_perplexity_bigram" -> perplexityBigram _,
@@ -666,6 +688,17 @@ object TextAnalysis {
          |  CAST(top_tok AS INT) AS top_tok,
          |  CAST(top_tok * 10000 // len(w) AS BIGINT) AS top_bp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_diversity" ->
+      s"""WITH d AS (SELECT source, ${duckTokens("text")} AS w FROM documents),
+         |g AS (SELECT source, unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(generate_series(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1]) ELSE [] END) AS g
+         |  FROM d),
+         |c AS (SELECT source, g, count(*) AS c FROM g GROUP BY source, g)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(c) AS BIGINT) AS n_total,
+         |  CAST((count(*) * 10000) // sum(c) AS BIGINT) AS distinct_bp
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q_text_perplexity" ->
       s"""WITH t AS (SELECT doc_id, unnest(${duckTokens("text")}) AS term FROM documents),
          |u AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
