@@ -107,6 +107,27 @@ object MaterializedView {
     }
   }
 
+  /** Drop version directories no longer referenced by the CURRENT
+    * manifest — the storage-reclaim half of MVCC (run it after a grace
+    * period in production so in-flight readers of older snapshots finish;
+    * the manifest flip itself never blocks on vacuum). Returns the deleted
+    * version dir names. */
+  def vacuum(outDir: String): Seq[String] = {
+    val live: Set[String] =
+      currentManifest(outDir).values.map(_.split("/", 2)(0)).toSet
+    val root = new java.io.File(outDir)
+    val dead = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !live.contains(f.getName))
+    dead.foreach(deleteRec)
+    dead.map(_.getName).toSeq.sorted
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   /** The view as of the last committed epoch — one consistent snapshot. */
   def readView(spark: SparkSession, outDir: String): DataFrame = {
     val m = currentManifest(outDir)

@@ -62,6 +62,30 @@ class MaterializedViewSpec extends AnyFunSuite {
       _.listFiles().count(_.getName.startsWith("__bucket=")) <= 4))
   }
 
+  test("vacuum drops only unreferenced versions; snapshot unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = tmp()
+    // a second key guaranteed to land in a DIFFERENT bucket than key 1, so
+    // epoch 1 (touching only key 1) leaves epoch 0 partially live
+    def bkt(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(MaterializedView.Buckets.toLong)))
+      .head().getLong(0)
+    val k2 = (2L to 64L).find(k => bkt(k) != bkt(1L)).get
+    MaterializedView.upsert(
+      Seq((1L, 10L, 1L), (k2, 5L, 1L)).toDF("user_id", "total", "n"),
+      "user_id", out, 0L)
+    MaterializedView.upsert(
+      Seq((1L, 17L, 2L)).toDF("user_id", "total", "n"), "user_id", out, 1L)
+    assert(MaterializedView.vacuum(out) == Seq.empty)
+    // epoch 2 rewrites BOTH keys — v0 and v1 become fully dead
+    MaterializedView.upsert(
+      Seq((1L, 20L, 3L), (k2, 6L, 2L)).toDF("user_id", "total", "n"),
+      "user_id", out, 2L)
+    assert(MaterializedView.vacuum(out) == Seq("v0", "v1"))
+    assert(viewRows(out) == Map(1L -> (20L, 3L), k2 -> (6L, 2L)))
+  }
+
   test("redelivered epoch is skipped; snapshot stays consistent") {
     import spark.implicits._
     val out = tmp()
