@@ -361,10 +361,50 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** RECALL AUDIT of the MinHash-LSH dedup index — [[Similarity]]'s
+    * `q_ann_recall` discipline applied to dedup: ground truth is every pair
+    * with exact Jaccard ≥ 30% (computed via the shingle INVERTED INDEX —
+    * sound, because any pair with Jaccard > 0 shares at least one shingle,
+    * so the index join enumerates a superset of the truth), and the audit
+    * measures how many of those the production banded-LSH criterion
+    * (signature agreement ≥ 4/8, [[minhashPairs]]) recovers. One row:
+    * truth size, LSH pair count, hits, recall in basis points. At 100 TB
+    * the truth side runs on a sample (the inverted-index join is exact,
+    * not all-pairs, but a viral shingle still fans out) — at audit SFs it
+    * runs whole-corpus, which is the point of auditing small first. */
+  def recallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.table(s, dir, "documents")
+      .select($"doc_id", array_distinct(shingles3(tokens($"text"))).as("sh"))
+      .cache()
+    // ground truth: inverted-index candidates → exact Jaccard ≥ 30%
+    val inv = base.select($"doc_id", explode($"sh").as("g"))
+    val cand = inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val truth = cand
+      .join(base.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .filter($"inter" * 100L >=
+        (size($"sh_a") + size($"sh_b") - $"inter") * 30L)
+      .select($"doc_a", $"doc_b")
+    val lsh = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b")
+    val hit = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true")).crossJoin(
+        lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select($"n_true", $"n_lsh", $"n_hit",
+        expr("(n_hit * 10000L) div n_true").as("recall_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
     "q_dedup_canonical" -> canonical _,
     "q_dedup_triangles" -> triangles _,
+    "q_dedup_recall" -> recallAudit _,
     "q_dedup_minhash" -> minhash _,
     "q_dedup_ngram" -> ngram _,
     "q_dedup_simhash" -> simhashNN _,
@@ -504,6 +544,30 @@ object Dedup {
          |WHERE dot > 0
          |  AND CAST(dot AS HUGEINT) * dot * $SemTauDen >= CAST(na2 AS HUGEINT) * nb2 * $SemTauNum
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Truth via the shingle inverted index (sound superset), LSH via the
+    // production pair CTE — counts and recall as scalar subqueries.
+    "q_dedup_recall" ->
+      s"""$sigCte,
+         |$candCtes,
+         |$prsCte,
+         |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sig),
+         |inv AS (SELECT doc_id, unnest(sh) AS g FROM ds),
+         |tc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |truth AS (SELECT doc_a, doc_b FROM (
+         |  SELECT t.doc_a, t.doc_b,
+         |    len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS inter,
+         |    len(da.sh) AS la, len(db.sh) AS lb
+         |  FROM tc t JOIN ds da ON da.doc_id = t.doc_a
+         |  JOIN ds db ON db.doc_id = t.doc_b)
+         |  WHERE inter * 100 >= (la + lb - inter) * 30),
+         |hit AS (SELECT t.doc_a FROM truth t JOIN prs p
+         |  ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+         |  CAST((SELECT count(*) FROM prs) AS BIGINT) AS n_lsh,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CAST(((SELECT count(*) FROM hit) * 10000)
+         |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_bp""".stripMargin,
     // Triangles by id-ordered enumeration over the verified pair table
     // (doc_a < doc_b by construction) — fine at oracle scale; the Spark
     // side's degree orientation is the shape that survives skewed graphs.
