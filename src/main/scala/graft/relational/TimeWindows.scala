@@ -94,7 +94,43 @@ object TimeWindows {
       .orderBy($"user_id", $"win_id")
   }
 
+  /** Corpus-wide FUNNEL conversion aggregate — the relational complement of
+    * the CEP funnel (`q_cep_funnel` emits per-match rows; product analytics
+    * wants the conversion RATES): per user, the earliest error, the
+    * earliest view strictly after it, and the earliest purchase strictly
+    * after that, all within 1 hour of the error; one output row with stage
+    * counts and step conversions in basis points. Shape: one narrow scan
+    * split by type into three per-user min aggregates chained by two
+    * broadcast-free equi-joins on user_id (stage tables shrink user-wise at
+    * every step) — no window function, no self-join fan-out; the 100 TB
+    * cost is three map-side-combinable mins on the same user key. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select($"user_id", $"event_type", $"ts_sec")
+    val s1 = e.filter($"event_type" === "error")
+      .groupBy($"user_id").agg(min($"ts_sec").as("t1"))
+    val s2 = e.filter($"event_type" === "view")
+      .join(s1, "user_id")
+      .filter($"ts_sec" > $"t1" && $"ts_sec" <= $"t1" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"t1").as("t1"), min($"ts_sec").as("t2"))
+    val s3 = e.filter($"event_type" === "purchase")
+      .join(s2, "user_id")
+      .filter($"ts_sec" > $"t2" && $"ts_sec" <= $"t1" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"ts_sec").as("t3"))
+    s1.agg(count(lit(1)).as("n_error")).crossJoin(
+        s2.agg(count(lit(1)).as("n_view")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+      .select($"n_error", $"n_view", $"n_purchase",
+        // empty upstream stage → 0 bp, not divide-by-zero (sf0.001 has
+        // errors but no in-window purchases)
+        when($"n_error" === 0L, 0L)
+          .otherwise(expr("(n_view * 10000L) div n_error")).as("conv12_bp"),
+        when($"n_view" === 0L, 0L)
+          .otherwise(expr("(n_purchase * 10000L) div n_view")).as("conv23_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_steps" -> funnelSteps _,
     "q_window_count" -> countWindow _,
     "q_window_tumbling" -> tumbling _,
     "q_window_sliding" -> sliding _,
@@ -103,6 +139,30 @@ object TimeWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'error' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+        |  FROM e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view'
+        |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL '1 hour'
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL '1 hour'
+        |  GROUP BY e.user_id)
+        |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_error,
+        |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view,
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase,
+        |  CAST(CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0
+        |    ELSE ((SELECT count(*) FROM s2) * 10000)
+        |      // (SELECT count(*) FROM s1) END AS BIGINT) AS conv12_bp,
+        |  CAST(CASE WHEN (SELECT count(*) FROM s2) = 0 THEN 0
+        |    ELSE ((SELECT count(*) FROM s3) * 10000)
+        |      // (SELECT count(*) FROM s2) END AS BIGINT) AS conv23_bp""".stripMargin,
     "q_window_count" ->
       s"""WITH s AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
          |  FROM events),

@@ -40,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_dsir",    // 1-row (tt, rt) token-total aggregate over 64 buckets
     "q_profile_drift",  // 1-row corpus token total over the 64-bucket table
     "q_dedup_recall",   // three 1-row count aggregates crossJoined to one row
+    "q_funnel_steps",   // three 1-row stage counts crossJoined to one row
     // 1-row sketch aggregates probed via scalar subquery
     "q_dedup_incremental", // BloomFilterAggregate over the batch spans
     "q_text_heavyhitters", // count_min_sketch over the token stream
@@ -62,6 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_dsir",    // 1-row totals into the 64-row ratio table
     "q_profile_drift",  // 64-row bucket table × 1-row total into the grid
     "q_dedup_recall",   // 1-row count × 1-row count × 1-row count
+    "q_funnel_steps",   // 1-row stage counts crossJoined
     // K-row centroid tables (IVF k-means assignment / probe ranking) and
     // query-set-sized exact-baseline sides of the recall audits
     "q_similarity_ivf", "q_similarity_ivf_probe", "q_dedup_semantic",
