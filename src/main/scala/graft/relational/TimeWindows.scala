@@ -129,7 +129,28 @@ object TimeWindows {
           .otherwise(expr("(n_purchase * 10000L) div n_view")).as("conv23_bp"))
   }
 
+  /** Retention COHORTS: users grouped by first-activity day, counted by
+    * day offset from it — the second classic event-analytics aggregate
+    * next to [[funnelSteps]]. Shape: per-user first-seen day (one
+    * map-side-combinable min), joined back on user_id, distinct
+    * (cohort, offset, user) collapsed by one aggregate — cohort table
+    * cardinality is days × horizon, never user count. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+      .select($"user_id", to_date($"ts_sec").as("d"))
+    val first = e.groupBy($"user_id").agg(min($"d").as("cohort"))
+    e.join(first, "user_id")
+      .select($"user_id", $"cohort", datediff($"d", $"cohort").as("day_off"))
+      .filter($"day_off" <= 7)
+      .distinct()
+      .groupBy($"cohort", $"day_off")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort", $"day_off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> retention _,
     "q_funnel_steps" -> funnelSteps _,
     "q_window_count" -> countWindow _,
     "q_window_tumbling" -> tumbling _,
@@ -139,6 +160,18 @@ object TimeWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_trunc('day', date_trunc('second', ts)) AS DATE) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id),
+        |o AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    date_diff('day', f.cohort, e.d) AS day_off
+        |  FROM e JOIN f ON f.user_id = e.user_id
+        |  WHERE date_diff('day', f.cohort, e.d) <= 7)
+        |SELECT cohort, CAST(day_off AS INT) AS day_off,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM o GROUP BY cohort, day_off ORDER BY cohort, day_off""".stripMargin,
     "q_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts
         |  FROM events),
