@@ -374,21 +374,24 @@ object Dedup {
     * runs whole-corpus, which is the point of auditing small first. */
   def recallAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // distinct md5 shingle KEYS (fixed-width, the source_overlap precedent)
+    // — the inverted-index join shuffles 32-char hashes, never gram text
     val base = Tables.table(s, dir, "documents")
-      .select($"doc_id", array_distinct(shingles3(tokens($"text"))).as("sh"))
+      .select($"doc_id", array_distinct(shingleMd5(tokens($"text"))).as("sh"))
       .cache()
-    // ground truth: inverted-index candidates → exact Jaccard ≥ 30%
+    val sizes = base.select($"doc_id", size($"sh").as("n"))
     val inv = base.select($"doc_id", explode($"sh").as("g"))
-    val cand = inv.as("a").join(inv.as("b"),
+    // ONE aggregate gives |A ∩ B| directly (sh is distinct per doc: the
+    // pair appears exactly once per shared shingle) — no pair distinct, no
+    // array carry, no array_intersect re-verify
+    val inter = inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val truth = cand
-      .join(base.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(base.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
-      .filter($"inter" * 100L >=
-        (size($"sh_a") + size($"sh_b") - $"inter") * 30L)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("la")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("lb")), "doc_b")
+      .filter($"inter" * 100L >= ($"la" + $"lb" - $"inter") * 30L)
       .select($"doc_a", $"doc_b")
     val lsh = minhashPairs(s, Tables.table(s, dir, "documents"))
       .select($"doc_a", $"doc_b")
@@ -550,17 +553,17 @@ object Dedup {
       s"""$sigCte,
          |$candCtes,
          |$prsCte,
-         |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sig),
+         |ds AS (SELECT doc_id, list_distinct(bh) AS sh FROM bh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM ds),
          |inv AS (SELECT doc_id, unnest(sh) AS g FROM ds),
-         |tc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |truth AS (SELECT doc_a, doc_b FROM (
-         |  SELECT t.doc_a, t.doc_b,
-         |    len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS inter,
-         |    len(da.sh) AS la, len(db.sh) AS lb
-         |  FROM tc t JOIN ds da ON da.doc_id = t.doc_a
-         |  JOIN ds db ON db.doc_id = t.doc_b)
-         |  WHERE inter * 100 >= (la + lb - inter) * 30),
+         |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT doc_a, doc_b
+         |  FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
+         |  JOIN sz sb ON sb.doc_id = ix.doc_b
+         |  WHERE inter * 100 >= (sa.n + sb.n - inter) * 30),
          |hit AS (SELECT t.doc_a FROM truth t JOIN prs p
          |  ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
          |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
