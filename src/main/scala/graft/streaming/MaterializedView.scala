@@ -135,4 +135,19 @@ object MaterializedView {
       throw new IllegalStateException(s"no committed view under $outDir")
     spark.read.parquet(m.values.map(d => s"$outDir/$d").toSeq: _*)
   }
+
+  /** TIME TRAVEL: the view exactly as of epoch `id` — every published
+    * manifest is itself a complete bucket→dir snapshot, so any historical
+    * epoch is readable until [[vacuum]] reclaims the versions it
+    * references (the Delta/Iceberg `VERSION AS OF` contract in miniature). */
+  def readViewAt(spark: SparkSession, outDir: String, id: Long): DataFrame = {
+    val vf = Paths.get(outDir, "_versions", id.toString)
+    if (!Files.exists(vf))
+      throw new IllegalStateException(s"epoch $id was never committed under $outDir")
+    val m = Files.readAllLines(vf).asScala.filter(_.nonEmpty).map { line =>
+      val Array(_, d) = line.split(" ", 2)
+      d
+    }
+    spark.read.parquet(m.map(d => s"$outDir/$d").toSeq: _*)
+  }
 }

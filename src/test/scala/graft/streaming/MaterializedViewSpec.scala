@@ -86,6 +86,24 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewRows(out) == Map(1L -> (20L, 3L), k2 -> (6L, 2L)))
   }
 
+  test("time travel: every committed epoch reads as its own snapshot") {
+    import spark.implicits._
+    val out = tmp()
+    MaterializedView.upsert(
+      Seq((1L, 10L, 1L), (2L, 5L, 1L)).toDF("user_id", "total", "n"),
+      "user_id", out, 0L)
+    MaterializedView.upsert(
+      Seq((1L, 17L, 2L)).toDF("user_id", "total", "n"), "user_id", out, 1L)
+    def at(id: Long): Map[Long, (Long, Long)] =
+      MaterializedView.readViewAt(spark, out, id)
+        .select($"user_id", $"total", $"n").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(at(0L) == Map(1L -> (10L, 1L), 2L -> (5L, 1L)))
+    assert(at(1L) == Map(1L -> (17L, 2L), 2L -> (5L, 1L)))
+    assert(at(1L) == viewRows(out))
+    intercept[IllegalStateException](MaterializedView.readViewAt(spark, out, 9L))
+  }
+
   test("redelivered epoch is skipped; snapshot stays consistent") {
     import spark.implicits._
     val out = tmp()
