@@ -115,4 +115,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"extra: ${(offenders("bnlj") -- bnljOk).toSeq.sorted.mkString(", ")}; " +
         s"stale allowlist: ${(bnljOk -- offenders("bnlj")).toSeq.sorted.mkString(", ")}")
   }
+
+  test("scan pushdown: filters and pruned columns reach the parquet scan") {
+    // the flagship scan query: the quantity predicate must be in
+    // PushedFilters (footer/row-group pruning at 100 TB) and the scan
+    // schema must be the 5 projected columns, not lineitem's 16
+    val plan = plansOf("q_scan_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,45.0)]"), plan.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("; "))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
 }
