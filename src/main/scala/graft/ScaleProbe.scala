@@ -294,6 +294,28 @@ object ScaleProbe {
     val nTriEdges = cliqueN * cliqueM * (cliqueM - 1) / 2 + 100000L + 99999L
     println(f"""{"probe":"triangles","edges":$nTriEdges,"triangles":$expTriangles,"hub_degree":100000,"secs":$triSecs%.1f,"edges_per_sec":${(nTriEdges / triSecs).toLong}}""")
 
+    // ---- PageRank: 5 integer power-iteration rounds over the same ----
+    // adversarial 1.55M-edge / 2M-node graph (chains + 100k-degree hub +
+    // disjoint pairs). The hub is again the point: its 100k-edge fan-in
+    // must collapse in map-side partial aggregation, never in one task's
+    // memory. Correctness invariants ride along: every disjoint-pair node
+    // is a 1-regular fixpoint (exactly 1e6 micro-rank survives all 5
+    // rounds — the integer recurrence preserves it bit-exactly), and the
+    // hub is the global max-rank node.
+    val (prStats, prSecs) = time {
+      val pr = graft.pipeline.Components.pageRank(edges, 5).cache()
+      val r = pr.agg(count(lit(1)), max($"rank_micro"),
+        sum(when($"node" >= 20000000L, $"rank_micro"))).head()
+      val hubRank = pr.filter($"node" === 10000000L).head().getLong(1)
+      (r.getLong(0), r.getLong(1), r.getLong(2), hubRank)
+    }
+    spark.catalog.clearCache()
+    assert(prStats._1 == 2000001L, s"pagerank node count ${prStats._1}")
+    assert(prStats._3 == 900000L * 1000000L,
+      s"pair-node fixpoint mass ${prStats._3}")
+    assert(prStats._4 == prStats._2, s"hub ${prStats._4} is not max ${prStats._2}")
+    println(f"""{"probe":"pagerank","edges":$nEdges,"nodes":${prStats._1},"iters":5,"hub_rank_micro":${prStats._4},"secs":$prSecs%.1f,"edges_per_sec":${(5 * nEdges / prSecs).toLong}}""")
+
     spark.stop()
   }
 }

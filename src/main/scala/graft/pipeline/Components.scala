@@ -294,4 +294,53 @@ object Components {
     tri.select(explode(array($"va", $"vb", $"vc")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Damping factor in percent (0.85) and teleport base in micro-rank
+    * (0.15 × 1e6) for [[pageRank]] — integer so every contribution and sum
+    * is exact on any engine. */
+  val PrDampPct = 85L
+  val PrBaseMicro = 150000L
+
+  /** Fixed-iteration PageRank over an undirected pair table — the HUB
+    * diagnostic of the near-dup graph: [[triangleCounts]] finds cliques,
+    * PageRank finds the documents the duplication mass CONCENTRATES on (a
+    * boilerplate template every crawl variant links to scores high even
+    * when its neighborhood is too sparse for triangles). Power iteration
+    * in INTEGER MICRO-RANK: every node starts at 1e6, each round sends
+    * `(rank * 85) div (100 * deg)` along every edge and restarts from
+    * 150000 + Σ inbound — the per-edge floor division makes each round a
+    * pure integer function of the graph, so the result is bit-identical in
+    * the oracle (float PageRank never oracle-matches: partial-sum order
+    * differs per engine). Symmetrized edges mean no dangling nodes and no
+    * sink-mass correction.
+    *
+    * 100 TB shape: the Pregel/power-iteration standard — `iters` rounds of
+    * ONE shuffle each (join ranks to the cached edge+degree table, then a
+    * map-side-combinable integer sum on the destination key); a viral hub's
+    * million-edge fan-in collapses in partial aggregation, never in one
+    * task. Rank mass is unnormalized (no global divide), so no driver-side
+    * action at all.
+    *
+    * @param pairs two long columns `(src, dst)`, one row per undirected
+    *              edge, self-loops/duplicates assumed pre-filtered.
+    * @return `(node, rank_micro)` after `iters` rounds.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val p = pairs.toDF("a", "b")
+    val edges = p.select($"a".as("u"), $"b".as("v"))
+      .union(p.select($"b".as("u"), $"a".as("v")))
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, "u").cache() // iterated `iters` times
+    var ranks = deg.select($"u".as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks.withColumnRenamed("node", "u"), "u")
+        .select($"v".as("node"),
+          expr(s"(rank * $PrDampPct) div (100 * d)").as("c"))
+        .groupBy($"node")
+        .agg((sum($"c") + lit(PrBaseMicro)).as("rank"))
+    }
+    ranks.select($"node", $"rank".cast("long").as("rank_micro"))
+  }
 }

@@ -361,6 +361,28 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** PageRank iterations for [[pagerank]] — enough rounds for hub scores to
+    * separate on dedup-graph diameters (clusters are shallow); the oracle
+    * unrolls the same count. */
+  val PageRankIters = 5
+
+  /** Duplication-hub centrality: [[Components.pageRank]] over the verified
+    * MinHash pair graph — the third graph diagnostic next to [[cluster]]
+    * (membership) and [[triangles]] (cohesion). High-rank docs are the
+    * templates duplication mass concentrates on; curation reviews those
+    * FIRST, because deleting a hub's cluster removes the most redundancy
+    * per decision. Integer micro-rank throughout (see
+    * [[Components.pageRank]]) so the 5-round power iteration is
+    * bit-identical to the oracle's unrolled CTEs. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b")
+    Components.pageRank(pairs, PageRankIters)
+      .select($"node".as("doc_id"), $"rank_micro")
+      .orderBy($"doc_id")
+  }
+
   /** RECALL AUDIT of the MinHash-LSH dedup index — [[Similarity]]'s
     * `q_ann_recall` discipline applied to dedup: ground truth is every pair
     * with exact Jaccard ≥ 30% (computed via the shingle INVERTED INDEX —
@@ -403,10 +425,71 @@ object Dedup {
         expr("(n_hit * 10000L) div n_true").as("recall_bp"))
   }
 
+  /** [[containment]] thresholds: flag A-in-B when ≥ 80% of A's shingles
+    * appear in B, for docs with at least 10 distinct shingles (below that
+    * the percentage is noise). */
+  val ContainPct = 80L
+  val ContainMinShingles = 10
+
+  /** Hot-shingle guard for [[containment]] — the [[MaxBucket]] analog on
+    * the inverted index: a boilerplate shingle present in more than this
+    * many docs would fan out O(n²) pairs, so its posting list is dropped
+    * (broadcast anti-join) and the containment denominator is the KEPT
+    * shingle set — containment over the informative-shingle universe,
+    * consistently on both sides of the ratio. Generous vs the test corpus;
+    * mirrored in the oracle. */
+  val MaxShingleBucket = 200
+
+  /** Asymmetric CONTAINMENT near-dup (Broder 1997's second resemblance
+    * measure): ordered pairs where ≥ [[ContainPct]]% of doc A's distinct
+    * shingles appear in doc B — the quote-inclusion / doc-in-doc detector
+    * Jaccard structurally misses (a paragraph quoted inside a 100× longer
+    * page has Jaccard ≈ 1%, containment ≈ 100%; symmetric dedup keeps
+    * both, a containment pass flags the subsumed copy). Computed on the
+    * same shingle inverted index as [[recallAudit]]'s truth side: the
+    * index join enumerates every pair sharing ≥ 1 shingle with the
+    * intersection size as ONE count aggregate — exact, never all-pairs.
+    * Directed output: `doc_a` is the contained doc, `cont_bp` the
+    * containment in basis points.
+    *
+    * 100 TB shape: one shuffle on 32-char shingle keys (map-side
+    * combinable pair counts), one n_a side join; a viral boilerplate
+    * shingle would fan out quadratically in its bucket, so postings longer
+    * than [[MaxShingleBucket]] are dropped up front (broadcast anti-join —
+    * the [[MaxBucket]]/MaxFpBucket skew control) with the denominator
+    * consistently restricted to the kept shingles. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(Tables.table(s, dir, "documents"))
+
+  /** [[containment]] over any `(doc_id, text)` table — fixture entry point. */
+  def containmentOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select($"doc_id", array_distinct(shingleMd5(tokens($"text"))).as("sh"))
+    val all = base.select($"doc_id", explode($"sh").as("g"))
+    val hot = all.groupBy($"g").agg(count(lit(1)).as("c"))
+      .filter($"c" > MaxShingleBucket).select($"g")
+    val inv = all.join(broadcast(hot), Seq("g"), "left_anti")
+    val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("n_a"))
+    inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_a"), "doc_a")
+      .filter($"n_a" >= ContainMinShingles &&
+        $"inter" * 100L >= $"n_a" * ContainPct)
+      .select($"doc_a", $"doc_b", $"inter", $"n_a",
+        expr("(inter * 10000L) div n_a").as("cont_bp"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
+    "q_dedup_containment" -> containment _,
     "q_dedup_canonical" -> canonical _,
     "q_dedup_triangles" -> triangles _,
+    "q_dedup_pagerank" -> pagerank _,
     "q_dedup_recall" -> recallAudit _,
     "q_dedup_minhash" -> minhash _,
     "q_dedup_ngram" -> ngram _,
@@ -547,6 +630,26 @@ object Dedup {
          |WHERE dot > 0
          |  AND CAST(dot AS HUGEINT) * dot * $SemTauDen >= CAST(na2 AS HUGEINT) * nb2 * $SemTauNum
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Directed containment over the same inverted-index CTEs as the recall
+    // truth side (bh = md5 3-gram shingles from sigCte).
+    "q_dedup_containment" ->
+      s"""$sigCte,
+         |ds AS (SELECT doc_id, list_distinct(bh) AS sh FROM bh),
+         |al AS (SELECT doc_id, unnest(sh) AS g FROM ds),
+         |inv AS (SELECT doc_id, g FROM al
+         |  WHERE g NOT IN (SELECT g FROM al GROUP BY g
+         |                  HAVING count(*) > $MaxShingleBucket)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(sa.n AS BIGINT) AS n_a,
+         |  CAST((inter * 10000) // sa.n AS BIGINT) AS cont_bp
+         |FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
+         |WHERE sa.n >= $ContainMinShingles AND inter * 100 >= sa.n * $ContainPct
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Truth via the shingle inverted index (sound superset), LSH via the
     // production pair CTE — counts and recall as scalar subqueries.
     "q_dedup_recall" ->
@@ -584,6 +687,27 @@ object Dedup {
          |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
          |GROUP BY node ORDER BY doc_id""".stripMargin,
+    // Unrolled 5-round integer power iteration over the verified pair
+    // graph — identical per-edge floor division, so bit-exact vs the Spark
+    // side's loop ([[Components.pageRank]]).
+    "q_dedup_pagerank" -> {
+      val iters = (1 to PageRankIters).map { i =>
+        s"""r$i AS (SELECT ed.v AS node,
+           |  CAST(${Components.PrBaseMicro} + sum((r.rank * ${Components.PrDampPct}) // (100 * ed.d)) AS BIGINT) AS rank
+           |  FROM ed JOIN r${i - 1} r ON r.node = ed.u GROUP BY ed.v)""".stripMargin
+      }.mkString(",\n")
+      s"""$sigCte,
+         |$candCtes,
+         |$prsCte,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+         |ed AS (SELECT e.u, e.v, d.d FROM edges e JOIN deg d ON d.u = e.u),
+         |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         |$iters
+         |SELECT node AS doc_id, rank AS rank_micro
+         |FROM r$PageRankIters ORDER BY doc_id""".stripMargin
+    },
     // Same closure as q_dedup_cluster, resolved to the keep-longest policy
     // with a per-cluster window instead of the Spark side's combinable argmin
     // struct — equivalent at oracle scale.

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -80,9 +81,64 @@ object Profiling {
       .orderBy($"source")
   }
 
+  /** Outlier threshold for [[outliers]] in centi-MADs: flag docs further
+    * than 2.00 MADs from their source median. The classic 3σ-equivalent
+    * (≈ 4.45 MADs, Leys et al. 2013) assumes heavy-tailed real corpora;
+    * the screen here is the CONSERVATIVE first-pass review queue, and 2
+    * MADs keeps it non-degenerate on near-uniform length distributions
+    * too. Integer comparison `100·|x − med| > 200·MAD` — no float scale
+    * constant (1.4826) anywhere, so the flag is engine-exact. */
+  val OutlierCentiMads = 200L
+
+  /** Robust per-source length-outlier screen — median / MAD (median
+    * absolute deviation), the estimator that still works when the
+    * contamination IS what you're hunting (mean/stddev are dragged by the
+    * very outliers they're meant to flag; the median's breakdown point is
+    * 50%). Both medians are the DISCRETE lower median (value at rank
+    * ⌈n/2⌉, [[TextAnalysis.lengthStats]]'s exact-quantile convention) so
+    * every output is an integer from the data, never an interpolation.
+    *
+    * Shape: two per-source window passes (rank selection over the stratum
+    * sort — the exact-median plan; strata too large to sort swap in
+    * `approx_percentile` exactly as lengthStats documents) plus two
+    * broadcast-sized joins of the sources × 1 median tables back to the
+    * scan. Flagged rows only: source, doc, length, and the med/MAD context
+    * a reviewer needs to see WHY it flagged. */
+  def outliers(s: SparkSession, dir: String): DataFrame =
+    outliersOf(Tables.table(s, dir, "documents"))
+
+  /** [[outliers]] over any `(source, doc_id, n_chars)` table — fixture
+    * entry point. */
+  def outliersOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs.select($"source", $"doc_id", $"n_chars")
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val wn = Window.partitionBy($"source")
+    val med = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"source", $"n_chars".as("med"))
+    val dev = base.join(broadcast(med), "source")
+      .withColumn("dev", abs($"n_chars" - $"med"))
+    val wd = Window.partitionBy($"source").orderBy($"dev", $"doc_id")
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"source", $"dev".as("mad"))
+    dev.join(broadcast(mad), "source")
+      .filter($"dev" * 100L > $"mad" * OutlierCentiMads)
+      .select($"source", $"doc_id", $"n_chars",
+        $"med".as("med_chars"), $"mad".as("mad_chars"))
+      .orderBy($"source", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profile _,
     "q_profile_drift" -> drift _,
+    "q_profile_outliers" -> outliers _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,5 +173,22 @@ object Profiling {
          |    AS chi2_micro,
          |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_profile_outliers" ->
+      s"""WITH base AS (SELECT source, doc_id, n_chars FROM documents),
+         |rk AS (SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n FROM base),
+         |m AS (SELECT source, n_chars AS med FROM rk WHERE rn = (n + 1) // 2),
+         |d AS (SELECT b.source, b.doc_id, b.n_chars, m.med,
+         |    abs(b.n_chars - m.med) AS dev FROM base b JOIN m USING (source)),
+         |dr AS (SELECT source, doc_id, dev,
+         |    row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n FROM d),
+         |md AS (SELECT source, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+         |SELECT d.source, d.doc_id, d.n_chars,
+         |  d.med AS med_chars, md.mad AS mad_chars
+         |FROM d JOIN md USING (source)
+         |WHERE 100 * d.dev > $OutlierCentiMads * md.mad
+         |ORDER BY d.source, d.doc_id""".stripMargin,
   )
 }

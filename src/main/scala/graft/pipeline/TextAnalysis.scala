@@ -553,7 +553,60 @@ object TextAnalysis {
   /** Top-k cutoff for [[freqItems]]. */
   val FreqK = 10
 
+  /** [[collocations]] minimum pair count (PMI's classic low-count
+    * instability: a hapax pair has infinite lift) and ranking cutoff. */
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
+  /** PMI-ranked bigram collocations — the phrase detector (Church & Hanks
+    * 1990; the word2vec phrase pass, Mikolov et al. 2013 §4): the top
+    * [[CollocTopK]] adjacent word pairs by pointwise mutual information,
+    * the signal for merging "new york"-style units before tokenizer
+    * training. PMI = ln(p(w1w2)/(p(w1)p(w2))) is ranked by its ARGUMENT —
+    * the lift (c12·T²)/(B·c1·c2), a ratio of exact integer products — so
+    * the score is emitted as floor-quantized integer micro-lift
+    * (Decimal(38) / HUGEINT cross-multiplication, no ln and no float
+    * division anywhere; ln is monotone, so the PMI ranking is identical).
+    *
+    * Shape at scale: the bigram and unigram count tables are each ONE
+    * map-side-combinable shuffle off the same tokenized scan; scoring is
+    * two vocab-keyed joins (AQE-sized) plus two broadcast 1-row totals,
+    * and the cutoff is a TakeOrderedAndProject — no global sort
+    * materialized. At corpus scales where c12·T²·1e6 approaches 38
+    * digits, pre-divide T once (the ranking only needs relative lift). */
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsOf(Tables.table(s, dir, "documents"))
+
+  /** [[collocations]] over any table with a `text` column — fixture entry
+    * point. */
+  def collocationsOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val docs = corpus.select(tokens(lower($"text")).as("w"))
+    val uni = docs.select(explode($"w").as("t"))
+    val u = uni.groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(count(lit(1)).as("T"))
+    val bg = docs.filter(size($"w") >= 2)
+      .select(explode(grams($"w", 2)).as("g"))
+      .select(split_part($"g", lit(" "), lit(1)).as("w1"),
+        split_part($"g", lit(" "), lit(2)).as("w2"))
+    val b = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val btot = bg.agg(count(lit(1)).as("B"))
+    b.filter($"c12" >= CollocMinCount)
+      .join(u.select($"t".as("w1"), $"c".as("c1")), "w1")
+      .join(u.select($"t".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("lift_micro", expr(
+        "CAST((CAST(c12 AS DECIMAL(38,0)) * T * T * 1000000) div " +
+          "(CAST(B AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)"))
+      .select($"w1", $"w2", $"c12", $"c1", $"c2", $"lift_micro")
+      .orderBy($"lift_micro".desc, $"w1", $"w2")
+      .limit(CollocTopK)
+      .orderBy($"lift_micro".desc, $"w1", $"w2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_collocations" -> collocations _,
     "q_text_freqitems" -> freqItems _,
     "q_text_langid" -> langId _,
     "q_text_quality" -> quality _,
@@ -699,6 +752,24 @@ object TextAnalysis {
          |  CAST(sum(c) AS BIGINT) AS n_total,
          |  CAST((count(*) * 10000) // sum(c) AS BIGINT) AS distinct_bp
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_collocations" ->
+      s"""WITH d AS (SELECT ${duckTokens("lower(text)")} AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS t FROM d),
+         |u AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+         |tot AS (SELECT count(*) AS tcnt FROM uni),
+         |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+         |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+         |        FROM d WHERE len(w) >= 2)),
+         |b AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |btot AS (SELECT count(*) AS bcnt FROM bg)
+         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+         |  CAST((CAST(c12 AS HUGEINT) * tcnt * tcnt * 1000000)
+         |    // (CAST(bcnt AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS lift_micro
+         |FROM b, tot, btot
+         |JOIN u u1 ON u1.t = b.w1 JOIN u u2 ON u2.t = b.w2
+         |WHERE c12 >= $CollocMinCount
+         |ORDER BY lift_micro DESC, w1, w2 LIMIT $CollocTopK""".stripMargin,
     "q_text_perplexity" ->
       s"""WITH t AS (SELECT doc_id, unnest(${duckTokens("text")}) AS term FROM documents),
          |u AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),

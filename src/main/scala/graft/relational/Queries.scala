@@ -85,7 +85,8 @@ object Queries {
     "q_join_broadcast" -> joinBroadcast _,
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     SetOps.queries ++ Funcs.queries ++ Funcs2.queries ++
-    Subqueries.queries ++ TimeWindows.queries ++ TextSim.queries
+    Subqueries.queries ++ TimeWindows.queries ++ TimeSeries.queries ++
+    TextSim.queries
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -110,5 +111,6 @@ object Queries {
         |ORDER BY n_nationkey""".stripMargin,
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     SetOps.oracles ++ Funcs.oracles ++ Funcs2.oracles ++
-    Subqueries.oracles ++ TimeWindows.oracles ++ TextSim.oracles
+    Subqueries.oracles ++ TimeWindows.oracles ++ TimeSeries.oracles ++
+    TextSim.oracles
 }

@@ -1,0 +1,161 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Time-series regularization over the events stream: resample an irregular
+  * per-key event sequence onto a fixed bucket grid and FORWARD-FILL the
+  * gaps — the preprocessing every downstream window model assumes ("value
+  * as of bucket t, for every t"), and the op the plain window inventory
+  * ([[TimeWindows]]) lacks: tumbling aggregation drops empty buckets,
+  * gap-fill materializes them with the last observation carried forward.
+  */
+object TimeSeries {
+
+  /** Resample bucket width. 6 h over the 30-day events span yields ~120
+    * buckets per user against ~13 purchase events — sparse enough that the
+    * fill path (not the copy path) carries the query. */
+  val BucketHours = 6
+
+  /** Per-user purchase-value series on a regular [[BucketHours]] grid:
+    * observed buckets aggregate exact integer cents (doubles quantized
+    * per-row BEFORE the sum — order-independent); missing buckets are
+    * materialized from each user's min..max observed bucket and filled
+    * with the previous bucket's value (`n_obs = 0` marks the fills; the
+    * first bucket is observed by construction, so `filled_cents` is total).
+    *
+    * Shape at scale: one scan → map-side-combinable (user, bucket)
+    * aggregate; the grid explodes off the USERS × 1 span table (output is
+    * grid-sized, never events-sized: span/bucket controls it); the fill is
+    * one per-user window pass ordered by bucket — the partition is a
+    * single user's grid, bounded by span/bucket, so no stratum ever
+    * outgrows a task the way a global sort would. DuckDB mirrors with
+    * generate_series + last_value IGNORE NULLS. */
+  def gapfill(s: SparkSession, dir: String): DataFrame =
+    gapfillOf(Tables.events(s, dir))
+
+  /** [[gapfill]] over any `(user_id, ts, event_type, value)` events table —
+    * fixture entry point. */
+  def gapfillOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val obs = events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("second", $"ts").as("ts_sec"),
+        floor($"value" * 100).cast("long").as("vc"))
+      .groupBy($"user_id", window($"ts_sec", s"$BucketHours hours"))
+      .agg(sum($"vc").as("cents"), count(lit(1)).as("n_obs"))
+      .select($"user_id", $"window.start".as("b"), $"cents", $"n_obs")
+    val span = obs.groupBy($"user_id").agg(min($"b").as("b0"), max($"b").as("b1"))
+    val grid = span.select($"user_id",
+      explode(sequence($"b0", $"b1", expr(s"INTERVAL $BucketHours HOURS"))).as("b"))
+    val w = Window.partitionBy($"user_id").orderBy($"b")
+    grid.join(obs, Seq("user_id", "b"), "left")
+      .withColumn("filled_cents", last($"cents", ignoreNulls = true).over(w))
+      .select($"user_id", $"b".as("bstart"), $"filled_cents",
+        coalesce($"n_obs", lit(0L)).as("n_obs"))
+      .orderBy($"user_id", $"bstart")
+  }
+
+  /** [[anomaly]] trailing window (buckets) and spike multiple: flag a
+    * bucket whose volume exceeds [[SpikeMult]]× its trailing
+    * [[TrailN]]-bucket average — integer cross-multiplied
+    * (`cents·TrailN > SpikeMult·trailing_sum`), no division at all. */
+  val TrailN = 8
+  val SpikeMult = 5L
+
+  /** Volume-spike detection on the regularized series — the monitoring twin
+    * of [[gapfill]]: the same per-user bucket grid, but gaps count as ZERO
+    * volume (a spike detector that forward-fills would mute the very
+    * signal it hunts), each bucket compared against its trailing
+    * [[TrailN]]-bucket average. Only buckets with a FULL trailing window
+    * flag (partial history is warm-up, not evidence). Output: flagged
+    * buckets with the volume and trailing-sum context.
+    *
+    * Shape at scale: [[gapfill]]'s grid (output grid-sized, span/bucket-
+    * bounded strata) plus ONE more per-user window frame pass — the
+    * trailing sum rides the same (user, bucket) sort the fill used, so
+    * the second window adds no exchange. */
+  def anomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyOf(Tables.events(s, dir))
+
+  /** [[anomaly]] over any `(user_id, ts, event_type, value)` events table —
+    * fixture entry point. */
+  def anomalyOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val obs = events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("second", $"ts").as("ts_sec"),
+        floor($"value" * 100).cast("long").as("vc"))
+      .groupBy($"user_id", window($"ts_sec", s"$BucketHours hours"))
+      .agg(sum($"vc").as("cents"))
+      .select($"user_id", $"window.start".as("b"), $"cents")
+    val span = obs.groupBy($"user_id").agg(min($"b").as("b0"), max($"b").as("b1"))
+    val grid = span.select($"user_id",
+      explode(sequence($"b0", $"b1", expr(s"INTERVAL $BucketHours HOURS"))).as("b"))
+    val w = Window.partitionBy($"user_id").orderBy($"b")
+      .rowsBetween(-TrailN, -1)
+    grid.join(obs, Seq("user_id", "b"), "left")
+      .withColumn("cents", coalesce($"cents", lit(0L)))
+      .withColumn("tsum", coalesce(sum($"cents").over(w), lit(0L)))
+      .withColumn("tn", count(lit(1)).over(w))
+      .filter($"tn" === TrailN && $"cents" > 0 &&
+        $"cents" * TrailN > lit(SpikeMult) * $"tsum")
+      .select($"user_id", $"b".as("bstart"), $"cents", $"tsum")
+      .orderBy($"user_id", $"bstart")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_gapfill" -> gapfill _,
+    "q_ts_anomaly" -> anomaly _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ts_gapfill" ->
+      s"""WITH s AS (SELECT user_id, date_trunc('second', ts) AS ts,
+         |    CAST(floor(value * 100) AS BIGINT) AS vc
+         |  FROM events WHERE event_type = 'purchase'),
+         |obs AS (SELECT user_id,
+         |    time_bucket(INTERVAL '$BucketHours hours', ts) AS b,
+         |    CAST(sum(vc) AS BIGINT) AS cents, count(*) AS n_obs
+         |  FROM s GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    unnest(generate_series(b0, b1, INTERVAL '$BucketHours hours')) AS b
+         |  FROM span),
+         |j AS (SELECT g.user_id, g.b, o.cents, COALESCE(o.n_obs, 0) AS n_obs
+         |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b)
+         |SELECT user_id, CAST(b AS TIMESTAMP) AS bstart,
+         |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+         |  CAST(n_obs AS BIGINT) AS n_obs
+         |FROM j ORDER BY user_id, bstart""".stripMargin,
+    "q_ts_anomaly" ->
+      s"""WITH s AS (SELECT user_id, date_trunc('second', ts) AS ts,
+         |    CAST(floor(value * 100) AS BIGINT) AS vc
+         |  FROM events WHERE event_type = 'purchase'),
+         |obs AS (SELECT user_id,
+         |    time_bucket(INTERVAL '$BucketHours hours', ts) AS b,
+         |    CAST(sum(vc) AS BIGINT) AS cents
+         |  FROM s GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    unnest(generate_series(b0, b1, INTERVAL '$BucketHours hours')) AS b
+         |  FROM span),
+         |j AS (SELECT g.user_id, g.b, COALESCE(o.cents, 0) AS cents
+         |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b),
+         |t AS (SELECT user_id, b, cents,
+         |    CAST(COALESCE(sum(cents) OVER (PARTITION BY user_id ORDER BY b
+         |      ROWS BETWEEN $TrailN PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tsum,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY b
+         |      ROWS BETWEEN $TrailN PRECEDING AND 1 PRECEDING) AS tn
+         |  FROM j)
+         |SELECT user_id, CAST(b AS TIMESTAMP) AS bstart, cents, tsum
+         |FROM t WHERE tn = $TrailN AND cents > 0 AND cents * $TrailN > $SpikeMult * tsum
+         |ORDER BY user_id, bstart""".stripMargin,
+  )
+}

@@ -180,4 +180,53 @@ class ComponentsSpec extends AnyFunSuite {
     assert((0L until 5L).forall(n => got(n) == 6L), got.toString)
     assert(!got.contains(99L) && !got.contains(10L))
   }
+
+  /** In-memory reference of [[Components.pageRank]]'s exact integer
+    * recurrence (same per-edge floor division, same base/damping). */
+  private def prOracle(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) =>
+          rank(u) * Components.PrDampPct / (100L * deg(u)) }.sum
+      }
+      rank = deg.keys.map(n =>
+        n -> (Components.PrBaseMicro + contrib.getOrElse(n, 0L))).toMap
+    }
+    rank
+  }
+
+  private def runPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Components.pageRank(edges.toDF("a", "b").repartition(4), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank matches the integer recurrence on random graphs") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(16)
+      val m = n + rnd.nextInt(2 * n)
+      // unique undirected pairs, no self-loops (pageRank's input contract —
+      // minhashPairs emits doc_a < doc_b distinct)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (a min b, a max b) }.distinct
+      val iters = 1 + rnd.nextInt(5)
+      assert(runPageRank(edges, iters) == prOracle(edges, iters), s"trial $trial")
+    }
+  }
+
+  test("pageRank: hubs outrank leaves; regular graphs sit at the fixpoint") {
+    // star: the center concentrates rank, every leaf ties
+    val star = (1L to 6L).map(v => (0L, v))
+    val got = runPageRank(star, 5)
+    assert(got(0L) > got(1L), got.toString)
+    assert((2L to 6L).forall(v => got(v) == got(1L)), got.toString)
+    // triangle (2-regular): 1e6 is exactly preserved every round
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    assert(runPageRank(tri, 4).values.toSet == Set(1000000L))
+  }
 }

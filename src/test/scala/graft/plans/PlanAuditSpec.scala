@@ -39,6 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mixture_temperature", // 1-row Σw_micro normalizer over the rate table
     "q_sample_dsir",    // 1-row (tt, rt) token-total aggregate over 64 buckets
     "q_profile_drift",  // 1-row corpus token total over the 64-bucket table
+    "q_text_collocations", // 1-row unigram/bigram totals for the lift denominator
     "q_dedup_recall",   // three 1-row count aggregates crossJoined to one row
     "q_funnel_steps",   // three 1-row stage counts crossJoined to one row
     // 1-row sketch aggregates probed via scalar subquery
@@ -62,6 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mixture_temperature", "q_text_tfidf", // 1-row doc-count for the idf
     "q_sample_dsir",    // 1-row totals into the 64-row ratio table
     "q_profile_drift",  // 64-row bucket table × 1-row total into the grid
+    "q_text_collocations", // 1-row T × 1-row B crossJoined into the score
     "q_dedup_recall",   // 1-row count × 1-row count × 1-row count
     "q_funnel_steps",   // 1-row stage counts crossJoined
     // K-row centroid tables (IVF k-means assignment / probe ranking) and

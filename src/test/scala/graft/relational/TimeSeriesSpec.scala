@@ -1,0 +1,83 @@
+package graft.relational
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Planted-gap fixtures for the [[TimeSeries.gapfill]] resampler: exact
+  * grid materialization, forward-fill values, observed/fill flags, and the
+  * event-type filter — the semantics the oracle hash pins at corpus scale,
+  * asserted here on a hand-computable series.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("gapfill materializes gaps with last value carried forward") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: buckets 00:00 (observed), 06:00 (gap), 12:00 (observed)
+      (1L, ts("2024-01-01 01:00:00"), "purchase", 10.00),
+      (1L, ts("2024-01-01 13:30:00"), "purchase", 20.00),
+      // same bucket as the first event: cents sum, n_obs = 2
+      (1L, ts("2024-01-01 02:15:00"), "purchase", 0.50),
+      // non-purchase events never enter the series
+      (1L, ts("2024-01-01 07:00:00"), "view", 99.0),
+      // user 2: single bucket, single row out
+      (2L, ts("2024-01-02 18:05:00"), "purchase", 7.25)
+    ).toDF("user_id", "ts", "event_type", "value")
+
+    val got = TimeSeries.gapfillOf(events)
+      .as[(Long, Timestamp, Long, Long)].collect().toSeq
+
+    assert(got == Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1050L, 2L),
+      (1L, ts("2024-01-01 06:00:00"), 1050L, 0L),
+      (1L, ts("2024-01-01 12:00:00"), 2000L, 1L),
+      (2L, ts("2024-01-02 18:00:00"), 725L, 1L)), got.toString)
+  }
+
+  test("anomaly flags a spike over the trailing average, warm-up never flags") {
+    import spark.implicits._
+    // 9 flat buckets of 1.00 then a 10.00 spike; the spike's trailing-8
+    // window is all-flat (sum 800): 1000·8 > 5·800. Bucket 9 (the 9th flat
+    // one) has a full window too but 100·8 < 5·800 stays quiet; buckets
+    // 0..7 are warm-up (tn < 8) and can never flag even if large.
+    val base = ts("2024-03-01 00:30:00").getTime
+    val flat = (0 until 9).map(i =>
+      (7L, new Timestamp(base + i * 6L * 3600 * 1000), "purchase", 1.00))
+    val spike = Seq((7L, new Timestamp(base + 9L * 6 * 3600 * 1000), "purchase", 10.00))
+    // early large value inside warm-up: must not flag
+    val early = Seq((8L, ts("2024-03-01 01:00:00"), "purchase", 500.00),
+      (8L, ts("2024-03-01 07:00:00"), "purchase", 1.00))
+    val got = TimeSeries.anomalyOf((flat ++ spike ++ early)
+        .toDF("user_id", "ts", "event_type", "value"))
+      .as[(Long, Timestamp, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, ts("2024-03-03 06:00:00"), 1000L, 800L)), got.toString)
+  }
+
+  test("gapfill on the driver corpus: grid is dense, fills carry, firsts observed") {
+    import spark.implicits._
+    val rows = TimeSeries.gapfill(spark, "/root/testdata/sf0.001")
+      .as[(Long, Timestamp, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val step = TimeSeries.BucketHours * 3600L * 1000L
+    rows.groupBy(_._1).foreach { case (uid, series) =>
+      // orderBy in the query: already (user, bstart)-sorted; grid is dense
+      val times = series.map(_._2.getTime)
+      assert(times.zip(times.tail).forall { case (a, b) => b - a == step },
+        s"user $uid grid not dense")
+      // the first bucket is observed by construction (span starts at min)
+      assert(series.head._4 > 0, s"user $uid first bucket is a fill")
+      // every fill row repeats the previous value
+      series.sliding(2).foreach {
+        case Seq((_, _, prev, _), (_, t, v, n)) =>
+          if (n == 0L) assert(v == prev, s"user $uid fill at $t")
+        case _ =>
+      }
+    }
+  }
+}
