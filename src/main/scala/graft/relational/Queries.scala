@@ -86,7 +86,7 @@ object Queries {
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     SetOps.queries ++ Funcs.queries ++ Funcs2.queries ++
     Subqueries.queries ++ TimeWindows.queries ++ TimeSeries.queries ++
-    TextSim.queries
+    Skyline.queries ++ Changelog.queries ++ Basket.queries ++ TextSim.queries
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -112,5 +112,5 @@ object Queries {
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     SetOps.oracles ++ Funcs.oracles ++ Funcs2.oracles ++
     Subqueries.oracles ++ TimeWindows.oracles ++ TimeSeries.oracles ++
-    TextSim.oracles
+    Skyline.oracles ++ Changelog.oracles ++ Basket.oracles ++ TextSim.oracles
 }

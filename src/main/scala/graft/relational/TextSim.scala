@@ -61,9 +61,64 @@ object TextSim {
       .limit(20)
   }
 
+  /** [[typoPairs]] edit-distance threshold and minimum token length (a
+    * 1–2-char word is within distance 2 of half the alphabet — noise). */
+  val TypoMaxDist = 2
+  val TypoMinLen = 3
+
+  /** Fuzzy VOCABULARY self-join — typo/variant pair mining for vocabulary
+    * normalization: token pairs within Levenshtein distance
+    * [[TypoMaxDist]], with corpus counts (the rare side of a pair is the
+    * misspelling candidate of the frequent side). The all-pairs
+    * `levenshtein(a, b) ≤ k` join is O(V²); this is the FastSS deletion-
+    * neighborhood blocking (Bocek et al. 2007): each token emits every
+    * variant reachable by ≤ k deletions, candidates are pairs SHARING a
+    * variant (sound: an edit script aligning a and b deletes ≤ k chars
+    * from each side to a common subsequence), then a codegen'd
+    * `levenshtein` verifies — the candidates→verify discipline of the
+    * MinHash/SimHash suite, on the string-edit metric.
+    *
+    * Shape at scale: variants are per-row array lambdas (O(len²) ≈ 40
+    * strings per word), ONE shuffle on the variant key, and the variant
+    * buckets are ALPHABET-bounded (the words mapping to variant x are
+    * those reachable by ≤ k insertions: ≤ (len+1)^k·|Σ|^k), so no
+    * data-dependent hot key exists and no guard is needed. The vocab
+    * itself is corpus-log-sized. Oracle: the independent O(V²) spelling. */
+  def typoPairs(s: SparkSession, dir: String): DataFrame =
+    typoPairsOf(Tables.table(s, dir, "documents"))
+
+  /** [[typoPairs]] over any table with a `text` column — fixture entry
+    * point. */
+  def typoPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val v = docs
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter($"w" =!= "" && length($"w") >= TypoMinLen)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val del1 =
+      "transform(sequence(1, length(%1$s)), i -> " +
+        "concat(substring(%1$s, 1, i-1), substring(%1$s, i+1, length(%1$s))))"
+    val variants = v.select($"w", $"c", explode(expr(
+      s"""array_distinct(concat(
+         |  array(w),
+         |  ${del1.format("w")},
+         |  flatten(transform(${del1.format("w")},
+         |    x -> ${del1.format("x")}))))""".stripMargin)).as("var"))
+    variants.as("a").join(variants.as("b"),
+        col("a.var") === col("b.var") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"),
+        col("a.c").as("c1"), col("b.c").as("c2"))
+      .distinct()
+      .filter(levenshtein($"w1", $"w2") <= TypoMaxDist)
+      .withColumn("dist", levenshtein($"w1", $"w2").cast("int"))
+      .orderBy($"w1", $"w2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_cosine" -> similarityCosine _,
     "q_text_tokens" -> textTokens _,
+    "q_text_typo_pairs" -> typoPairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -78,5 +133,16 @@ object TextSim {
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q_text_typo_pairs" ->
+      s"""WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         |v AS (SELECT w, count(*) AS c FROM t
+         |  WHERE w <> '' AND length(w) >= $TypoMinLen GROUP BY w)
+         |SELECT a.w AS w1, b.w AS w2, CAST(a.c AS BIGINT) AS c1,
+         |  CAST(b.c AS BIGINT) AS c2,
+         |  CAST(levenshtein(a.w, b.w) AS INT) AS dist
+         |FROM v a JOIN v b
+         |  ON a.w < b.w AND levenshtein(a.w, b.w) <= $TypoMaxDist
+         |ORDER BY w1, w2""".stripMargin,
   )
 }

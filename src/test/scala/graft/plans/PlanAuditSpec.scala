@@ -33,6 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val singlePartitionOk = Set(
     // hierarchical prefix sum base case: ≤ input/4096² rows by construction
     "q_text_pack", "q_text_pack_bpe",
+    // hierarchical suffix-min base case: ≤ buckets/4096² rows (same machinery)
+    "q_skyline",
     // 1-row global corpus-stats aggregates (count/avgdl, token totals,
     // weight totals): the final step of a partial+final global agg
     "q_text_bm25", "q_text_tfidf", "q_text_perplexity", "q_sample_weighted",

@@ -1,0 +1,42 @@
+package graft.relational
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CDC materialization semantics on a hand-written change log: last writer
+  * wins, a trailing delete tombstones the key, a later upsert resurrects
+  * it, and same-timestamp changes resolve by event_id (the LSN tiebreak).
+  */
+class ChangelogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("last-writer-wins, tombstones, resurrection, LSN tiebreak") {
+    import spark.implicits._
+    val log = Seq(
+      // user 1: two upserts → latest value survives
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.00),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "purchase", 2.00),
+      // user 2: upsert then delete → absent
+      (2L, ts("2024-01-01 10:00:00"), 3L, "view", 3.00),
+      (2L, ts("2024-01-01 12:00:00"), 4L, "error", 0.00),
+      // user 3: delete then later upsert → resurrected
+      (3L, ts("2024-01-01 10:00:00"), 5L, "error", 0.00),
+      (3L, ts("2024-01-01 13:00:00"), 6L, "signup", 4.50),
+      // user 4: same timestamp, higher event_id wins
+      (4L, ts("2024-01-01 10:00:00"), 7L, "click", 5.00),
+      (4L, ts("2024-01-01 10:00:00"), 8L, "view", 6.00)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+
+    val got = Changelog.cdcStateOf(log)
+      .as[(Long, Long, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 200L, ts("2024-01-01 11:00:00"), 2L),
+      (3L, 450L, ts("2024-01-01 13:00:00"), 2L),
+      (4L, 600L, ts("2024-01-01 10:00:00"), 2L)), got.toString)
+  }
+}
