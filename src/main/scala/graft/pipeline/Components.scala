@@ -343,4 +343,52 @@ object Components {
     }
     ranks.select($"node", $"rank".cast("long").as("rank_micro"))
   }
+
+  /** Multi-source BFS hop distances from each component's ROOT (the min-id
+    * exemplar [[connectedComponents]] elects): per node, the fewest edges
+    * between it and its cluster canonical — the CHAIN-DEPTH diagnostic
+    * that completes the graph suite ([[connectedComponents]] says which
+    * cluster, [[triangleCounts]] says how cohesive, [[pageRank]] says
+    * where the mass concentrates; hops says how FAR a member sits from
+    * the doc it will be collapsed into — a hops-5 member joined by a
+    * chain of borderline matches deserves review before deletion, a
+    * hops-1 clique member doesn't).
+    *
+    * Frontier-based BFS: each round joins only the newly-reached frontier
+    * against the cached symmetric edge list (one shuffle), keeps the
+    * first-reach rows (unweighted BFS: first reach IS the minimum), and
+    * stops when the frontier empties — rounds = max eccentricity of any
+    * root, the same O(component diameter) bound the star rounds shrink.
+    * The per-round `count()` is loop CONTROL (a one-row action), not a
+    * data collect; `localCheckpoint` truncates the union lineage so round
+    * r never replays rounds 1..r−1.
+    */
+  def hopsFromRoots(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val p = pairs.toDF("a", "b")
+    val edges = p.select($"a".as("u"), $"b".as("v"))
+      .union(p.select($"b".as("u"), $"a".as("v")))
+      .distinct().cache()
+    val comp = connectedComponents(pairs).localCheckpoint()
+    var dist = comp.filter($"node" === $"root")
+      .select($"node", lit(0L).as("hops")).localCheckpoint()
+    var frontier = dist
+    var r = 0
+    var live = true
+    while (live && r < maxRounds) {
+      val cand = edges.join(frontier.withColumnRenamed("node", "u"), "u")
+        .select($"v".as("node"), ($"hops" + 1L).as("hops"))
+        .groupBy($"node").agg(min($"hops").as("hops"))
+      val imp = cand.join(dist.select($"node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (imp.count() == 0L) live = false
+      else {
+        dist = dist.union(imp).localCheckpoint()
+        frontier = imp
+        r += 1
+      }
+    }
+    comp.join(dist, "node").select($"node", $"root", $"hops")
+  }
 }

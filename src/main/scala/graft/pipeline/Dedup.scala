@@ -383,6 +383,21 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Chain-depth map of the near-dup graph ([[Components.hopsFromRoots]]
+    * over the verified MinHash pairs): per doc, the BFS hop count to its
+    * cluster's canonical exemplar. Read with [[triangles]]: a high-hops
+    * member reached only through a chain of borderline matches is the
+    * false-positive-merge review queue; hops-1 clique members collapse
+    * safely. */
+  def hops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b")
+    Components.hopsFromRoots(pairs)
+      .select($"node".as("doc_id"), $"root".as("cluster_id"), $"hops")
+      .orderBy($"doc_id")
+  }
+
   /** RECALL AUDIT of the MinHash-LSH dedup index — [[Similarity]]'s
     * `q_ann_recall` discipline applied to dedup: ground truth is every pair
     * with exact Jaccard ≥ 30% (computed via the shingle INVERTED INDEX —
@@ -490,6 +505,7 @@ object Dedup {
     "q_dedup_canonical" -> canonical _,
     "q_dedup_triangles" -> triangles _,
     "q_dedup_pagerank" -> pagerank _,
+    "q_dedup_hops" -> hops _,
     "q_dedup_recall" -> recallAudit _,
     "q_dedup_minhash" -> minhash _,
     "q_dedup_ngram" -> ngram _,
@@ -726,6 +742,25 @@ object Dedup {
          |      ORDER BY n_chars DESC, node) AS rk
          |  FROM cd)
          |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    // Multi-source BFS from the component roots, bounded-depth recursive
+    // CTE (UNION dedups (node, d) pairs; d < 40 >> any dedup-cluster
+    // diameter) — the Spark side's frontier loop stops at the true
+    // fixpoint, which the bound dominates.
+    "q_dedup_hops" ->
+      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$candCtes,
+         |$ccCtes,
+         |comp AS (SELECT node, min(reach) AS root FROM walk GROUP BY node),
+         |roots AS (SELECT DISTINCT root FROM comp),
+         |bfs(node, d) AS (
+         |  SELECT root, 0 FROM roots
+         |  UNION
+         |  SELECT e.v, b.d + 1 FROM bfs b JOIN edges e ON e.u = b.node
+         |  WHERE b.d < 40)
+         |SELECT c.node AS doc_id, c.root AS cluster_id,
+         |  CAST(min(b.d) AS BIGINT) AS hops
+         |FROM comp c JOIN bfs b ON b.node = c.node
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // Transitive closure by recursive reachability + min-per-node: exact at
     // oracle scale, O(component²) expansion — the Spark side's star rounds
     // ([[Components.connectedComponents]]) are the shape that survives 100 TB.

@@ -1,0 +1,140 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sequence/path analytics over the events stream — the aggregate
+  * complements of the CEP operator: CEP extracts individual matching
+  * episodes; these queries summarize the WHOLE behavior graph (where do
+  * users go next, and which touchpoint gets credit for a conversion).
+  */
+object Paths {
+
+  /** Session gap bound for [[transitions]] — adjacent events further apart
+    * than this are different journeys, not a transition (matches the
+    * session-window gap of `q_window_session`). */
+  val TransitionGapMin = 30
+
+  /** First-order Markov transition matrix of the event-type sequence: per
+    * user, consecutive (by event time, event_id tiebreak) event pairs
+    * within [[TransitionGapMin]] minutes, counted into the type×type
+    * matrix with row-conditional probabilities in integer basis points —
+    * the navigation-flow summary (and the empirical transition model a
+    * next-event predictor starts from).
+    *
+    * Shape at scale: ONE user-key shuffle + per-user window (each
+    * partition sorts one user's slice, never a global order), then a
+    * map-side-combinable count into the TYPE²-BOUNDED matrix; the
+    * row-margin window runs over that tiny aggregated frame (the
+    * freqItems precedent), not the corpus. */
+  def transitions(s: SparkSession, dir: String): DataFrame =
+    transitionsOf(Tables.events(s, dir))
+
+  /** [[transitions]] over any `(user_id, ts, event_type)` events table —
+    * fixture entry point. */
+  def transitionsOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val pairs = events
+      .select($"user_id", $"event_id", $"event_type",
+        date_trunc("second", $"ts").as("ts_sec"))
+      .withColumn("src", lag($"event_type", 1).over(w))
+      .withColumn("gap_s",
+        unix_timestamp($"ts_sec") - unix_timestamp(lag($"ts_sec", 1).over(w)))
+      .filter($"src".isNotNull && $"gap_s" <= TransitionGapMin * 60L)
+    pairs
+      .groupBy($"src", $"event_type".as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob_bp", expr("(cnt * 10000L) div sum(cnt) over (partition by src)"))
+      .select($"src", $"dst", $"cnt", $"prob_bp")
+      .orderBy($"src", $"dst")
+  }
+
+  /** Attribution lookback for [[attribution]]. */
+  val AttributionWindowMin = 60
+
+  /** LAST-TOUCH conversion attribution: each purchase is credited to the
+    * latest non-purchase event of the same user within the preceding
+    * [[AttributionWindowMin]] minutes (ties by event_id — the LSN
+    * tiebreak); purchases with no touchpoint in the window count as
+    * `(direct)`. Output: conversions per channel — the table every
+    * marketing-analytics pipeline reconciles against.
+    *
+    * Shape at scale: purchases ⋈ events is a user-key equi-join with a
+    * time-range residual (the `q_join_range` shape — state/width bounded
+    * by the window horizon), and the per-purchase winner is ONE
+    * map-side-combinable `max(struct(ts, id, type))` argmax — no window
+    * function, no per-purchase sort; the direct-conversion remainder is a
+    * left join against the purchase table. */
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.events(s, dir))
+
+  /** [[attribution]] over any `(user_id, ts, event_type)` events table —
+    * fixture entry point. */
+  def attributionOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val e = events.select($"user_id", $"event_id", $"event_type",
+      date_trunc("second", $"ts").as("ts_sec"))
+    val pur = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), $"ts_sec".as("pts"))
+    val touch = e.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_id".as("eid"), $"event_type".as("ch"),
+        $"ts_sec".as("ets"))
+    val best = pur.join(touch, Seq("user_id"))
+      .filter($"ets" <= $"pts" &&
+        $"ets" >= $"pts" - expr(s"INTERVAL $AttributionWindowMin MINUTES"))
+      .groupBy($"pid")
+      .agg(max(struct($"ets", $"eid", $"ch")).as("m"))
+      .select($"pid", $"m.ch".as("channel"))
+    pur.join(best, Seq("pid"), "left")
+      .select(coalesce($"channel", lit("(direct)")).as("channel"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"channel")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_path_transitions" -> transitions _,
+    "q_attribution" -> attribution _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_path_transitions" ->
+      s"""WITH s AS (SELECT user_id, event_id, event_type,
+         |    date_trunc('second', ts) AS ts FROM events),
+         |p AS (SELECT user_id, event_type AS dst,
+         |    lag(event_type) OVER w AS src, ts - lag(ts) OVER w AS gap
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |m AS (SELECT src, dst, count(*) AS cnt FROM p
+         |  WHERE src IS NOT NULL AND gap <= INTERVAL '$TransitionGapMin minutes'
+         |  GROUP BY 1, 2)
+         |SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(cnt * 10000 // sum(cnt) OVER (PARTITION BY src) AS BIGINT)
+         |    AS prob_bp
+         |FROM m ORDER BY src, dst""".stripMargin,
+    // independent spelling: per-purchase row_number window instead of the
+    // Spark side's combinable argmax
+    "q_attribution" ->
+      s"""WITH s AS (SELECT user_id, event_id, event_type,
+         |    date_trunc('second', ts) AS ts FROM events),
+         |pur AS (SELECT user_id, event_id AS pid, ts AS pts FROM s
+         |  WHERE event_type = 'purchase'),
+         |cand AS (SELECT p.pid, e.event_type, e.ts, e.event_id AS eid
+         |  FROM pur p JOIN s e ON e.user_id = p.user_id
+         |  WHERE e.event_type <> 'purchase' AND e.ts <= p.pts
+         |    AND e.ts >= p.pts - INTERVAL '$AttributionWindowMin minutes'),
+         |best AS (SELECT pid, event_type AS channel FROM (
+         |  SELECT pid, event_type,
+         |    row_number() OVER (PARTITION BY pid ORDER BY ts DESC, eid DESC) AS rn
+         |  FROM cand) WHERE rn = 1)
+         |SELECT COALESCE(b.channel, '(direct)') AS channel,
+         |  count(*) AS cnt
+         |FROM pur p LEFT JOIN best b ON b.pid = p.pid
+         |GROUP BY 1 ORDER BY channel""".stripMargin,
+  )
+}

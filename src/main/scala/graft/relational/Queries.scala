@@ -86,7 +86,8 @@ object Queries {
   ) ++ Joins.queries ++ Aggregates.queries ++ Windows.queries ++
     SetOps.queries ++ Funcs.queries ++ Funcs2.queries ++
     Subqueries.queries ++ TimeWindows.queries ++ TimeSeries.queries ++
-    Skyline.queries ++ Changelog.queries ++ Basket.queries ++ TextSim.queries
+    Skyline.queries ++ Changelog.queries ++ Basket.queries ++ Paths.queries ++
+    TextSim.queries
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -112,5 +113,6 @@ object Queries {
   ) ++ Joins.oracles ++ Aggregates.oracles ++ Windows.oracles ++
     SetOps.oracles ++ Funcs.oracles ++ Funcs2.oracles ++
     Subqueries.oracles ++ TimeWindows.oracles ++ TimeSeries.oracles ++
-    Skyline.oracles ++ Changelog.oracles ++ Basket.oracles ++ TextSim.oracles
+    Skyline.oracles ++ Changelog.oracles ++ Basket.oracles ++ Paths.oracles ++
+    TextSim.oracles
 }

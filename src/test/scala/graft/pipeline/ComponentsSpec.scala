@@ -219,6 +219,55 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  /** In-memory multi-source BFS oracle: hop distance from each component's
+    * min-id node. */
+  private def hopsOracle(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val comp = unionFind(edges)
+    comp.groupBy(_._2).flatMap { case (root, _) =>
+      var dist = Map(root -> 0L)
+      var level = Seq(root)
+      var h = 0L
+      while (level.nonEmpty) {
+        h += 1
+        val nxt = level.flatMap(adj.getOrElse(_, Nil))
+          .filter(n => !dist.contains(n)).distinct
+        nxt.foreach(n => dist += n -> h)
+        level = nxt
+      }
+      dist.map { case (n, hh) => n -> (root, hh) }
+    }.toMap
+  }
+
+  private def runHops(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Components.hopsFromRoots(edges.toDF("a", "b").repartition(4))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("hopsFromRoots matches level-order BFS on random graphs") {
+    val rnd = new Random(17)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(15)
+      val m = n + rnd.nextInt(n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (a min b, a max b) }.distinct
+      if (edges.nonEmpty)
+        assert(runHops(edges) == hopsOracle(edges), s"trial $trial")
+    }
+  }
+
+  test("hopsFromRoots: chain depth and disjoint components") {
+    // chain 0-1-2-3-4 → hops = index; separate pair (10, 11)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val got = runHops(edges)
+    assert(got == Map(
+      0L -> (0L, 0L), 1L -> (0L, 1L), 2L -> (0L, 2L), 3L -> (0L, 3L),
+      4L -> (0L, 4L), 10L -> (10L, 0L), 11L -> (10L, 1L)), got.toString)
+  }
+
   test("pageRank: hubs outrank leaves; regular graphs sit at the fixpoint") {
     // star: the center concentrates rank, every leaf ties
     val star = (1L to 6L).map(v => (0L, v))

@@ -1,0 +1,57 @@
+package graft.relational
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computable fixtures for the path-analytics pair: the Markov
+  * transition matrix (session-gap bound, row-conditional basis points)
+  * and last-touch attribution (latest touchpoint wins, LSN tiebreak,
+  * direct fallback, lookback bound).
+  */
+class PathsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("transitions: gap bound splits journeys; probs are row basis points") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view→click (5m), click→view (10m), view ⟂ click (2h gap)
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 10:05:00")),
+      (1L, 3L, "view", ts("2024-01-01 10:15:00")),
+      (1L, 4L, "click", ts("2024-01-01 12:15:00")),
+      // user 2: view→purchase (1m)
+      (2L, 5L, "view", ts("2024-01-01 09:00:00")),
+      (2L, 6L, "purchase", ts("2024-01-01 09:01:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Paths.transitionsOf(events)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", "view", 1L, 10000L),
+      ("view", "click", 1L, 5000L),
+      ("view", "purchase", 1L, 5000L)), got.toString)
+  }
+
+  test("attribution: latest touch wins, id tiebreak, direct, lookback bound") {
+    import spark.implicits._
+    val events = Seq(
+      // purchase credited to the LATER of two same-time touches (id 12)
+      (1L, 11L, "view", ts("2024-01-01 10:30:00")),
+      (1L, 12L, "click", ts("2024-01-01 10:30:00")),
+      (1L, 13L, "purchase", ts("2024-01-01 10:45:00")),
+      // touch outside the 60-minute lookback → (direct)
+      (2L, 21L, "view", ts("2024-01-01 08:00:00")),
+      (2L, 22L, "purchase", ts("2024-01-01 10:00:00")),
+      // another user's touch never credits this purchase
+      (3L, 31L, "signup", ts("2024-01-01 09:59:00")),
+      (4L, 41L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Paths.attributionOf(events)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("(direct)", 2L), ("click", 1L)), got.toString)
+  }
+}
