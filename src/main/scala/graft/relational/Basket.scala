@@ -36,7 +36,14 @@ object Basket {
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .distinct()
     val freq = li.groupBy($"p").agg(count(lit(1)).as("c"))
-    val pairs = li.as("a").join(li.as("b"),
+    // Apriori pruning: pair support ≤ min(c1, c2), so parts in fewer than
+    // MinSupport orders can never reach the gate — drop their postings
+    // BEFORE the self-join (the candidate-generation monotonicity that
+    // makes Apriori tractable; on a long-tail catalog this removes most
+    // of the join input, and it is exactly answer-preserving).
+    val hot = li.join(
+      freq.filter($"c" >= BasketMinSupport).select($"p"), Seq("p"), "left_semi")
+    val pairs = hot.as("a").join(hot.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("pair_cnt"))

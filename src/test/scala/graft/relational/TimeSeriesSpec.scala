@@ -59,6 +59,40 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == Seq((7L, ts("2024-03-03 06:00:00"), 1000L, 800L)), got.toString)
   }
 
+  test("gapfill matches an in-memory resample on random event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val bucketS = TimeSeries.BucketHours * 3600L
+    for (trial <- 1 to 4) {
+      val events = Seq.fill(120) {
+        val u = 1L + rnd.nextInt(5)
+        val t = new Timestamp(1704067200000L + // 2024-01-01 UTC
+          rnd.nextInt(5 * 86400) * 1000L)
+        val typ = if (rnd.nextInt(3) == 0) "view" else "purchase"
+        (u, t, typ, rnd.nextInt(10000) / 100.0)
+      }
+      val got = TimeSeries.gapfillOf(
+          events.toDF("user_id", "ts", "event_type", "value"))
+        .as[(Long, Timestamp, Long, Long)].collect().toSeq
+      // in-memory oracle: same quantization, bucket, span, forward fill
+      val expect = events.filter(_._3 == "purchase")
+        .groupBy(_._1).toSeq.flatMap { case (u, es) =>
+          val obs = es.groupBy(e => Math.floorDiv(e._2.getTime / 1000L, bucketS))
+            .map { case (b, xs) =>
+              b -> (xs.map(x => math.floor(x._4 * 100).toLong).sum, xs.size.toLong)
+            }
+          val (b0, b1) = (obs.keys.min, obs.keys.max)
+          var lastCents = 0L
+          (b0 to b1).map { b =>
+            val (c, n) = obs.getOrElse(b, (-1L, 0L))
+            if (n > 0) lastCents = c
+            (u, new Timestamp(b * bucketS * 1000L), lastCents, n)
+          }
+        }.sortBy(r => (r._1, r._2.getTime))
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("gapfill on the driver corpus: grid is dense, fills carry, firsts observed") {
     import spark.implicits._
     val rows = TimeSeries.gapfill(spark, "/root/testdata/sf0.001")

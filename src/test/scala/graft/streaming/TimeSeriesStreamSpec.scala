@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -77,6 +79,43 @@ class TimeSeriesStreamSpec extends AnyFunSuite {
     // one micro-batch, and split buckets across batches out of order
     val shuffled = scala.util.Random.shuffle(fixture.take(9)) ++ fixture.drop(9)
     assert(run(Seq(shuffled)) == batchExpected)
+  }
+
+  test("query restart from checkpoint preserves open buckets and the ring") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("ts_ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[TsFlag]())
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def start() = TimeSeriesStream.anomaly(
+        mem.toDF().toDF("user_id", "ts", "event_type", "value"), "0 seconds")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TsFlag], _: Long) =>
+        b.collect().foreach(got.add)
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1: the flat history only — everything goes into state, no flag
+    val q1 = start()
+    try {
+      mem.addData(fixture.take(9): _*)
+      q1.processAllAvailable()
+      assert(got.isEmpty)
+    } finally q1.stop()
+
+    // run 2 (fresh query, same checkpoint): the spike + watermark advance
+    // can only flag with tsum = 700 if the trailing ring and open buckets
+    // survived the restart
+    val q2 = start()
+    try {
+      mem.addData(fixture.drop(9): _*)
+      q2.processAllAvailable()
+      flush.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+      assert(got.asScala.toSet == batchExpected, got.toString)
+    } finally q2.stop()
   }
 
   test("nothing emits before the watermark passes the spike bucket") {
