@@ -671,6 +671,50 @@ object Multimodal {
       .toDF()
   }
 
+  /** Hamming threshold for [[sceneCuts]]: ≥ 30 of 64 perceptual bits
+    * flipping between adjacent frames marks a cut (independent frames sit
+    * at ~32; within-shot motion stays far below). */
+  val SceneCutHamming = 30
+
+  final case class SceneCut(doc_id: Long, frame_no: Int, hamming: Long)
+
+  /** SCENE-CUT detection — shot segmentation over the per-frame perceptual
+    * hashes ([[ahashAvi]]): a frame whose aHash differs from its
+    * predecessor by ≥ [[SceneCutHamming]] of 64 bits starts a new shot
+    * (the standard first stage of video summarization / keyframe
+    * sampling, here on the exact integer hash instead of pixel
+    * histograms). Emits the cut frames with their hamming distance.
+    *
+    * Shape: a video's frames all decode from ONE input row, so the
+    * adjacent-frame comparison runs entirely inside the per-row flatMap —
+    * no window function, no exchange, embarrassingly parallel at corpus
+    * scale (the window spelling would shuffle every frame row to sort
+    * what the decoder already held in order). Stateless, so the transform
+    * is stream-safe as-is. */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sceneCutsOf(Tables.table(s, dir, "documents")).orderBy($"doc_id", $"frame_no")
+  }
+
+  /** [[sceneCuts]] over any `(doc_id, text)` table — fixture/stream entry
+    * point. */
+  def sceneCutsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val fs = ahashAvi(MediaRow(id, "video/avi", encodeAvi(p))).toVector
+        fs.iterator.zip(fs.iterator.drop(1)).flatMap { case (a, b) =>
+          val ham = java.lang.Long.bitCount(a.ahash_hi ^ b.ahash_hi) +
+            java.lang.Long.bitCount(a.ahash_lo ^ b.ahash_lo)
+          if (ham >= SceneCutHamming) Some(SceneCut(id, b.frame_no, ham.toLong))
+          else None
+        }
+      }
+      .toDF()
+  }
+
   /** Declared query: the aHash fingerprint of every image — the index-build
     * half of image near-dup (the pair join is corpus-dependent; this corpus
     * has no duplicate images, so the declared contract is the fingerprint
@@ -791,6 +835,7 @@ object Multimodal {
     "q_multimodal_phash" -> phash _,
     "q_multimodal_audiohash" -> audioHash _,
     "q_multimodal_videohash" -> videoHash _,
+    "q_multimodal_scenecut" -> sceneCuts _,
     "q_multimodal_neardup" -> neardupImage _,
     "q_multimodal_neardup_audio" -> neardupAudio _,
     "q_multimodal_neardup_video" -> neardupVideo _,
@@ -804,7 +849,9 @@ object Multimodal {
   // decoder that misreads the header, the stride, or the padding fails the
   // hash compare.
   /** DuckDB: the [[ahashAvi]] per-frame construction from the text bytes. */
-  private val duckVideoHashSql: String =
+  /** The per-frame hash table as CTEs ending in `vh(doc_id, frame_no,
+    * ahash_hi, ahash_lo)` — shared by the videohash and scene-cut oracles. */
+  private val duckVideoHashCtes: String =
       s"""WITH c AS (SELECT doc_id, text,
          |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
          |      ch -> CAST(ord(ch) AS BIGINT)) AS bs
@@ -822,15 +869,20 @@ object Multimodal {
          |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 1) % n) + 1]
          |      + bs[((frame_no * fb + ((j // 8) * h // 8) * (3 * w) + ((j % 8) * w // 8) * 3 + 2) % n) + 1]) AS ss
          |  FROM f),
-         |u AS (SELECT doc_id, frame_no, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t)
-         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         |u AS (SELECT doc_id, frame_no, ss, CAST(list_sum(ss) AS BIGINT) AS tot FROM t),
+         |vh AS (SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
          |  CAST(list_sum(list_transform(generate_series(32, 63), j ->
          |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << (j - 32))
          |      ELSE 0 END)) AS BIGINT) AS ahash_hi,
          |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
          |    CASE WHEN 64 * ss[j + 1] > tot THEN (CAST(1 AS BIGINT) << j)
          |      ELSE 0 END)) AS BIGINT) AS ahash_lo
-         |FROM u ORDER BY doc_id, frame_no""".stripMargin
+         |FROM u)""".stripMargin
+
+  private val duckVideoHashSql: String =
+    s"""$duckVideoHashCtes
+       |SELECT doc_id, frame_no, ahash_hi, ahash_lo
+       |FROM vh ORDER BY doc_id, frame_no""".stripMargin
 
   /** DuckDB: the [[ahashWav]] construction from the text bytes. */
   private val duckAudioHashSql: String =
@@ -949,6 +1001,16 @@ object Multimodal {
     // channel c is cycled byte (f·fb + sy·3w + sx·3 + c) % n; 8×8 NN sample
     // + integer mean threshold per frame, packed as two unsigned halves.
     "q_multimodal_videohash" -> duckVideoHashSql,
+    "q_multimodal_scenecut" ->
+      s"""$duckVideoHashCtes,
+         |d AS (SELECT doc_id, frame_no,
+         |    bit_count(CAST(xor(ahash_hi, lag(ahash_hi) OVER w) AS BIGINT))
+         |  + bit_count(CAST(xor(ahash_lo, lag(ahash_lo) OVER w) AS BIGINT))
+         |    AS hamming
+         |  FROM vh WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no))
+         |SELECT doc_id, frame_no, CAST(hamming AS BIGINT) AS hamming
+         |FROM d WHERE hamming >= $SceneCutHamming
+         |ORDER BY doc_id, frame_no""".stripMargin,
     // What a correct PCM parse→33-window energy→difference-bit chain must
     // yield from the text bytes: sample i = (byte_i − 128)·256, window k =
     // samples [k·n/33, (k+1)·n/33), bit k iff e_{k+1} > e_k.

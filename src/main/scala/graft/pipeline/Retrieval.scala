@@ -55,6 +55,13 @@ object Retrieval {
     * at any realistic tf/dl, far from the int64 cliff. */
   def bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bm25Scored(s, dir).orderBy($"score_micro".desc, $"doc_id").limit(TopK)
+  }
+
+  /** The full BM25-scored document table `(doc_id, score_micro, n_terms)`
+    * (no head cut) — shared by [[bm25]] and the [[rrf]] lexical arm. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.table(s, dir, "documents")
       .select($"doc_id", tokens(lower($"text")).as("w"))
     val dl = docs.select($"doc_id", size($"w").cast("long").as("dl"))
@@ -81,8 +88,62 @@ object Retrieval {
                 | + $K1Centi * $BCenti * dl)""".stripMargin.replace("\n", " ")))
     scored.groupBy($"doc_id")
       .agg(sum($"c").as("score_micro"), count(lit(1)).as("n_terms"))
-      .orderBy($"score_micro".desc, $"doc_id")
-      .limit(TopK)
+  }
+
+  /** RRF constant k (Cormack, Clarke & Buettcher, SIGIR '09): 60, the
+    * published default. */
+  val RrfK = 60L
+  /** Depth of each ranker's candidate pool — ranks beyond this contribute
+    * < 1/(60+100) and are cut, which is what makes the fusion scale-safe
+    * (each arm reduces to a global top-k, never a corpus-sized ranking). */
+  val RrfPool = 100
+  /** Fused head size. */
+  val RrfTop = 20
+  /** Query vector for the dense arm: the corpus vector with this id (the
+    * vec_id↔doc_id alignment of the test tables; in production the query
+    * embedding arrives from the encoder). */
+  val DenseQueryVec = 0L
+
+  /** HYBRID retrieval — Reciprocal Rank Fusion of the lexical BM25 ranking
+    * and a dense cosine ranking, the standard two-tower retrieval merge
+    * (RAG stacks, quality mining with a seed document):
+    * `rrf = Σ_arms 1e6 div (k + rank)`, exact integer, docs missing from
+    * an arm's pool contribute 0.
+    *
+    * Shape at scale: each arm is `row_number` over a GLOBAL order followed
+    * by `rank ≤ [[RrfPool]]` — Catalyst's LimitPushdownThroughWindow turns
+    * exactly this into a TakeOrderedAndProject (no corpus-sized sort, no
+    * SinglePartition exchange; the window runs over the already-cut pool).
+    * The fusion is then a full-outer join of two ≤[[RrfPool]]-row tables —
+    * driver-trivial at any corpus size. The dense arm broadcasts the 1-row
+    * query vector (BNLJ allowlisted); the lexical arm reuses the [[bm25]]
+    * inverted-index shape unchanged. */
+  def rrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lexW = Window.orderBy($"score_micro".desc, $"doc_id")
+    val lex = bm25Scored(s, dir)
+      .withColumn("r_lex", row_number().over(lexW))
+      .filter($"r_lex" <= RrfPool)
+      .select($"doc_id", $"r_lex")
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+    val qv = e.filter($"vec_id" === DenseQueryVec)
+      .select($"q".as("qv"))
+    val denW = Window.orderBy($"dot".desc, $"doc_id")
+    val den = e.filter($"vec_id" =!= DenseQueryVec)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id".as("doc_id"), qdot($"qv", $"q").as("dot"))
+      .withColumn("r_den", row_number().over(denW))
+      .filter($"r_den" <= RrfPool)
+      .select($"doc_id", $"r_den")
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        (coalesce(expr(s"1000000 div ($RrfK + r_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + r_den)"), lit(0L))).as("rrf_micro"),
+        coalesce($"r_lex", lit(0)).cast("long").as("r_lex"),
+        coalesce($"r_den", lit(0)).cast("long").as("r_den"))
+      .orderBy($"rrf_micro".desc, $"doc_id")
+      .limit(RrfTop)
   }
 
   /** Neighbors compared per query (must equal the k of the ANN plan). */
@@ -138,6 +199,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> bm25 _,
+    "q_retrieval_rrf" -> rrf _,
     "q_ann_recall" -> annRecall _,
     "q_ann_recall_ivf" -> annRecallIvf _,
     "q_ann_recall_pq" -> annRecallPq _,
@@ -145,25 +207,57 @@ object Retrieval {
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** The BM25 scored-document table as CTEs ending in `bms(doc_id,
+    * score_micro, n_terms)` — shared by the bm25 and rrf oracles. */
+  private val duckBm25Ctes: String =
+    s"""d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM dl),
+       |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |  WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |    (CAST(floor(ln(CAST(2 * st.n + 2 AS DOUBLE) / (2 * df.df + 1)) * 1000000) AS BIGINT)
+       |      * tf.tf * ${K1Centi + 100L} * 100 * st.avgdl)
+       |    // (tf.tf * 10000 * st.avgdl + $K1Centi * ${100L - BCenti} * st.avgdl
+       |        + $K1Centi * $BCenti * dl.dl) AS c
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st),
+       |bms AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_text_bm25" ->
-      s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
-         |st AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM dl),
-         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-         |  WHERE term IN ($termList) GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id,
-         |    (CAST(floor(ln(CAST(2 * st.n + 2 AS DOUBLE) / (2 * df.df + 1)) * 1000000) AS BIGINT)
-         |      * tf.tf * ${K1Centi + 100L} * 100 * st.avgdl)
-         |    // (tf.tf * 10000 * st.avgdl + $K1Centi * ${100L - BCenti} * st.avgdl
-         |        + $K1Centi * $BCenti * dl.dl) AS c
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st)
-         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
-         |  CAST(count(*) AS BIGINT) AS n_terms
-         |FROM sc GROUP BY doc_id
+      s"""WITH $duckBm25Ctes
+         |SELECT doc_id, score_micro, n_terms FROM bms
          |ORDER BY score_micro DESC, doc_id LIMIT $TopK""".stripMargin,
+    // both arms cut to their top-RrfPool by rank, full-outer fused with
+    // integer reciprocal ranks — absent arms contribute 0
+    "q_retrieval_rrf" ->
+      s"""WITH $duckBm25Ctes,
+         |lex AS (SELECT doc_id, r_lex FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_lex
+         |  FROM bms) WHERE r_lex <= $RrfPool),
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qv AS (SELECT q FROM e WHERE vec_id = $DenseQueryVec),
+         |dd AS (SELECT e.vec_id AS doc_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> e.q[i] * qv.q[i])) AS BIGINT) AS dot
+         |  FROM e, qv WHERE e.vec_id <> $DenseQueryVec),
+         |den AS (SELECT doc_id, r_den FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS r_den
+         |  FROM dd) WHERE r_den <= $RrfPool),
+         |f AS (SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+         |    COALESCE(1000000 // ($RrfK + r_lex), 0)
+         |      + COALESCE(1000000 // ($RrfK + r_den), 0) AS rrf_micro,
+         |    COALESCE(r_lex, 0) AS r_lex, COALESCE(r_den, 0) AS r_den
+         |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+         |SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         |  CAST(r_lex AS BIGINT) AS r_lex, CAST(r_den AS BIGINT) AS r_den
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTop""".stripMargin,
     // exact top-k and the full LSH multiprobe plan re-derived in SQL (the
     // bit_count pair join is oracle-scale-only, per Similarity's Scaladoc),
     // then recall = |ann ∩ exact| per query

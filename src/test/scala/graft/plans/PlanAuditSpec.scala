@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row global corpus-stats aggregates (count/avgdl, token totals,
     // weight totals): the final step of a partial+final global agg
     "q_text_bm25", "q_text_tfidf", "q_text_perplexity", "q_sample_weighted",
+    "q_retrieval_rrf", // the bm25 arm's 1-row (n, avgdl) corpus-stats agg
     "q_mixture_temperature", // 1-row Σw_micro normalizer over the rate table
     "q_sample_dsir",    // 1-row (tt, rt) token-total aggregate over 64 buckets
     "q_profile_drift",  // 1-row corpus token total over the 64-bucket table
@@ -63,6 +64,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-stats / normalizer tables crossJoined into the plan
     "q_text_bm25", "q_text_perplexity", "q_sample_weighted",
     "q_mixture_temperature", "q_text_tfidf", // 1-row doc-count for the idf
+    "q_retrieval_rrf", // bm25 stats + the 1-row dense-arm query vector
     "q_sample_dsir",    // 1-row totals into the 64-row ratio table
     "q_profile_drift",  // 64-row bucket table × 1-row total into the grid
     "q_text_collocations", // 1-row T × 1-row B crossJoined into the score

@@ -114,4 +114,51 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ewma folds the ordered series with exact integer floor steps") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 in deliberate shuffled order; sorted: 8.00, 4.00, 6.00
+      //   s1 = 8e8; s2 = (4e8 + 3*8e8)/4 = 7e8; s3 = (6e8+21e8)/4 = 675e6
+      (3L, 1L, ts("2024-01-01 12:00:00"), "purchase", 6.00),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 8.00),
+      (2L, 1L, ts("2024-01-01 11:00:00"), "purchase", 4.00),
+      // equal ts: event_id breaks the tie (5 before 6)
+      //   s1 = 100e6 (id 5); s2 = (200e6 + 300e6)/4 = 125e6
+      (5L, 2L, ts("2024-01-02 09:00:00"), "purchase", 1.00),
+      (6L, 2L, ts("2024-01-02 09:00:00"), "purchase", 2.00),
+      // floor at every STEP, not at the end: 1c then 0c then 0c
+      //   s1 = 1e6; s2 = 750000; s3 = 562500   (a final-floor fold differs)
+      (7L, 3L, ts("2024-01-03 00:00:00"), "purchase", 0.01),
+      (8L, 3L, ts("2024-01-03 01:00:00"), "purchase", 0.00),
+      (9L, 3L, ts("2024-01-03 02:00:00"), "purchase", 0.00),
+      // non-purchase rows never enter
+      (4L, 1L, ts("2024-01-01 13:00:00"), "view", 999.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = TimeSeries.ewmaOf(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 675000000L, 600L),
+      (2L, 2L, 125000000L, 200L),
+      (3L, 3L, 562500L, 0L)), got.toString)
+  }
+
+  test("ewma on the driver corpus == an in-memory fold of the sorted events") {
+    import spark.implicits._
+    val got = TimeSeries.ewma(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val raw = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSeq
+    val expect = raw.groupBy(_._1).toSeq.map { case (u, es) =>
+      val xs = es.sortBy(e => (e._2.getTime, e._3))
+        .map(e => math.floor(e._4 * 100).toLong * TimeSeries.EwmaScale)
+      val s = xs.tail.foldLeft(xs.head)((acc, x) =>
+        Math.floorDiv(x + (TimeSeries.EwmaDen - 1L) * acc, TimeSeries.EwmaDen))
+      (u, xs.size.toLong, s, xs.last / TimeSeries.EwmaScale)
+    }.sortBy(_._1)
+    assert(got == expect)
+  }
 }
