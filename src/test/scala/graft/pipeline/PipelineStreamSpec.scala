@@ -163,6 +163,12 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_videohash", Multimodal.videoHashOf) == bv)
   }
 
+  test("scene cuts: streaming == batch") {
+    val b = batch(Multimodal.sceneCutsOf)
+    assert(b.nonEmpty) // the synthetic frames cycle bytes, so cuts exist
+    assert(streamed("pipe_scenecut", Multimodal.sceneCutsOf) == b)
+  }
+
   test("BPE encode with a static merge model: streaming == batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
