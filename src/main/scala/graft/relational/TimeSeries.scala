@@ -153,10 +153,72 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** CUSUM calibration window: the user's first [[CusumTrainN]] purchases
+    * set the in-control level μ (integer floor mean). */
+  val CusumTrainN = 5
+  /** Allowance κ = μ div [[CusumKDiv]] — the slack per step (half the
+    * smallest shift worth detecting, in units of the user's own level). */
+  val CusumKDiv = 4L
+  /** Decision threshold h = [[CusumHMult]]·μ — self-scaling per user, so
+    * no absolute cent constant anywhere. */
+  val CusumHMult = 3L
+
+  /** Per-user CUSUM change-point detection (Page 1954) — the sequential
+    * drift test monitoring pipelines run per key: after calibrating μ on
+    * the first [[CusumTrainN]] purchases, the one-sided cumulative sum
+    * `S_i = max(0, S_{i−1} + x_i − μ − κ)` accumulates upward deviations;
+    * the user is flagged at the first i where S_i > h. Unlike the
+    * trailing-window spike test ([[anomaly]]) this detects SUSTAINED level
+    * shifts — many small exceedances that no single window flags.
+    * All arithmetic is exact integers (μ floor-mean, κ = μ div 4,
+    * h = 3μ — self-scaling, no absolute threshold constant), so the fold
+    * is bit-identical to the oracle's `list_reduce`. Output per user with
+    * > TrainN purchases: n_obs, μ, max CUSUM statistic, and the 1-based
+    * post-calibration index of the first breach (0 = in control).
+    *
+    * Shape at scale: the [[ewma]] sequential-fold shape — one (user)
+    * shuffle into a per-row sorted array, the 4-field struct fold runs
+    * entirely inside codegen'd array lambdas; no window exchange, no
+    * corpus sort. */
+  def cusum(s: SparkSession, dir: String): DataFrame =
+    cusumOf(Tables.events(s, dir))
+
+  /** [[cusum]] over any `(user_id, ts, event_type, value, event_id)`
+    * events table — fixture entry point. */
+  def cusumOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", struct($"ts", $"event_id",
+        floor($"value" * 100).cast("long").as("x")).as("e"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list($"e")).as("es"), count(lit(1)).as("n_obs"))
+      .filter($"n_obs" > CusumTrainN)
+      .withColumn("mu_cents", expr(
+        s"aggregate(slice(es.x, 1, $CusumTrainN), 0L, (a, x) -> a + x) div $CusumTrainN"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(es.x, ${CusumTrainN + 1}, size(es) - $CusumTrainN),
+           |  named_struct('s', 0L, 'm', 0L, 'i', 0L, 'b', 0L),
+           |  (acc, x) -> named_struct(
+           |    's', greatest(0L, acc.s + x - mu_cents - (mu_cents div $CusumKDiv)),
+           |    'm', greatest(acc.m,
+           |      greatest(0L, acc.s + x - mu_cents - (mu_cents div $CusumKDiv))),
+           |    'i', acc.i + 1L,
+           |    'b', CASE WHEN acc.b > 0L THEN acc.b
+           |      WHEN greatest(0L, acc.s + x - mu_cents - (mu_cents div $CusumKDiv))
+           |        > $CusumHMult * mu_cents THEN acc.i + 1L
+           |      ELSE 0L END))""".stripMargin.replace("\n", " ")))
+      .select($"user_id", $"n_obs", $"mu_cents",
+        $"st.m".as("s_max"), $"st.b".as("breach_at"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_gapfill" -> gapfill _,
     "q_ts_anomaly" -> anomaly _,
     "q_ts_ewma" -> ewma _,
+    "q_ts_cusum" -> cusum _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +279,35 @@ object TimeSeries {
          |    (x + ${EwmaDen - 1L} * acc) // $EwmaDen) AS BIGINT) AS ewma_micro,
          |  CAST(xs[len(xs)] // $EwmaScale AS BIGINT) AS last_cents
          |FROM l ORDER BY user_id""".stripMargin,
+    // an INDEPENDENT formulation of the same statistic, not a replay of
+    // the fold: the recursion S_i = max(0, S_{i−1} + d_i) has the closed
+    // form S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of
+    // d = x − μ − κ, so the oracle computes it with window functions —
+    // equality proves the Spark fold AND the closed form agree.
+    // (A struct-accumulator list_reduce replay mis-evaluates on DuckDB
+    // 1.0.0 — multi-field lambda accumulators return wrong field values.)
+    "q_ts_cusum" ->
+      s"""WITH s AS (SELECT user_id, ts, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS x
+         |  FROM events WHERE event_type = 'purchase'),
+         |l AS (SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+         |    count(*) AS n FROM s GROUP BY 1),
+         |m AS (SELECT user_id, n,
+         |    CAST(list_sum(xs[1:$CusumTrainN]) AS BIGINT) // $CusumTrainN AS mu,
+         |    xs[${CusumTrainN + 1}:] AS rest
+         |  FROM l WHERE n > $CusumTrainN),
+         |u AS (SELECT user_id, n, mu, generate_subscripts(rest, 1) AS i,
+         |    unnest(rest) AS x FROM m),
+         |p AS (SELECT user_id, n, mu, i,
+         |    sum(x - mu - mu // $CusumKDiv)
+         |      OVER (PARTITION BY user_id ORDER BY i) AS ps FROM u),
+         |c AS (SELECT user_id, n, mu, i,
+         |    ps - LEAST(0, min(ps) OVER (PARTITION BY user_id ORDER BY i)) AS sc
+         |  FROM p)
+         |SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_obs,
+         |  any_value(mu) AS mu_cents, CAST(max(sc) AS BIGINT) AS s_max,
+         |  CAST(COALESCE(min(CASE WHEN sc > $CusumHMult * mu THEN i END), 0)
+         |    AS BIGINT) AS breach_at
+         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

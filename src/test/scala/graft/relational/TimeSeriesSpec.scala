@@ -143,6 +143,30 @@ class TimeSeriesSpec extends AnyFunSuite {
       (3L, 3L, 562500L, 0L)), got.toString)
   }
 
+  test("cusum flags a sustained shift the spike test misses, not a stable series") {
+    import spark.implicits._
+    def series(uid: Long, vals: Seq[Double], id0: Long) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (id0 + i, uid, ts(f"2024-01-01 ${i}%02d:00:00"), "purchase", v) }
+    val events = (
+      // user 1: calibrates at 10.00, then a sustained +60% shift — each
+      // step exceeds μ+κ by 350c, so S grows 350,700,…; h = 3000c is
+      // crossed at post-calibration index 9
+      series(1L, Seq.fill(5)(10.00) ++ Seq.fill(10)(16.00), 100L) ++
+      // user 2: stable around μ — never flags
+      series(2L, Seq.fill(5)(10.00) ++ Seq(10.50, 9.50, 10.00, 11.00, 9.00), 200L) ++
+      // user 3: too short for calibration — excluded
+      series(3L, Seq.fill(5)(10.00), 300L)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = TimeSeries.cusumOf(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // user 1: μ=1000, κ=250, step +350 → S_i = 350·i, h=3000 first
+    // exceeded at i=9 (S=3150); s_max = 3500 at i=10
+    assert(got == Seq(
+      (1L, 15L, 1000L, 3500L, 9L),
+      (2L, 10L, 1000L, 0L, 0L)), got.toString)
+  }
+
   test("ewma on the driver corpus == an in-memory fold of the sorted events") {
     import spark.implicits._
     val got = TimeSeries.ewma(spark, "/root/testdata/sf0.001")
