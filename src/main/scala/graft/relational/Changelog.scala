@@ -53,8 +53,66 @@ object Changelog {
       .orderBy($"user_id")
   }
 
+  /** The open-interval sentinel for the current version's `valid_to` —
+    * a NULL would sort/hash differently across engines, and the
+    * conventional 9999-12-31 overflows int64-NANOSECOND timestamp
+    * readers (pandas/Arrow cap at 2262-04-11), so the sentinel stays
+    * inside the ns-safe range. */
+  val Scd2Open = "2200-01-01 00:00:00"
+
+  /** SCD TYPE-2 dimension build — the interval-history twin of
+    * [[cdcState]]'s current-state materialization (Kimball's slowly
+    * changing dimension type 2, the standard warehouse history table):
+    * from the same change log, emit one row PER VERSION of each key with
+    * `[valid_from, valid_to)` effectivity, a version number, and an
+    * is_current flag — after CHANGE COMPRESSION (a log entry repeating
+    * the previous value opens no new version; real CDC feeds are full of
+    * no-op updates).
+    *
+    * Instance over the events stream: purchase events carry the cents
+    * value, change order is the (ts_sec, event_id) LSN. Output: every
+    * compressed version with its interval; the open version carries the
+    * [[Scd2Open]] sentinel (not NULL — cross-engine sort/hash safety).
+    *
+    * Shape at scale: ONE shuffle on the key; the compression lag window,
+    * the intervalizing lead window, and the version row_number all ride
+    * the SAME (user, ts, id) partition sort — Catalyst plans one Exchange
+    * + one Sort for all three (no per-window re-exchange), then a narrow
+    * filter. History size is versions-bounded, never log-bounded. */
+  def scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.events(s, dir))
+
+  /** [[scd2]] over any `(user_id, ts, event_type, value, event_id)`
+    * events table — fixture entry point. */
+  def scd2Of(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val log = events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("second", $"ts").as("ts_sec"),
+        $"event_id", floor($"value" * 100).cast("long").as("cents"))
+    val ord = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val changed = log
+      .withColumn("prev", lag($"cents", 1).over(ord))
+      // first version, or the value actually changed (no-op updates
+      // compress away)
+      .filter($"prev".isNull || $"prev" =!= $"cents")
+    val vord = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    changed
+      .withColumn("version", row_number().over(vord))
+      .withColumn("valid_from", $"ts_sec")
+      .withColumn("valid_to",
+        coalesce(lead($"ts_sec", 1).over(vord), lit(Scd2Open).cast("timestamp")))
+      .withColumn("is_current",
+        (lead($"ts_sec", 1).over(vord).isNull).cast("long"))
+      .select($"user_id", $"version".cast("long").as("version"), $"cents",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_state" -> cdcState _,
+    "q_scd2" -> scd2 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,5 +130,25 @@ object Changelog {
         |SELECT user_id, cents, ts_sec AS last_ts, CAST(n_ops AS BIGINT) AS n_ops
         |FROM r WHERE rn = 1 AND op = 'upsert'
         |ORDER BY user_id""".stripMargin,
+    // same compression + intervalization in window functions; the open
+    // version carries the engine-neutral sentinel, never NULL
+    "q_scd2" ->
+      s"""WITH log AS (SELECT user_id, date_trunc('second', ts) AS ts_sec,
+         |    event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |ch AS (SELECT * FROM (SELECT *,
+         |    lag(cents) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) AS prev
+         |  FROM log) WHERE prev IS NULL OR prev <> cents),
+         |v AS (SELECT user_id, cents, ts_sec AS valid_from,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) AS version,
+         |    lead(ts_sec) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) AS nxt
+         |  FROM ch)
+         |SELECT user_id, CAST(version AS BIGINT) AS version, cents,
+         |  valid_from, COALESCE(nxt, TIMESTAMP '$Scd2Open') AS valid_to,
+         |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM v ORDER BY user_id, version""".stripMargin,
   )
 }

@@ -39,4 +39,35 @@ class ChangelogSpec extends AnyFunSuite {
       (3L, 450L, ts("2024-01-01 13:00:00"), 2L),
       (4L, 600L, ts("2024-01-01 10:00:00"), 2L)), got.toString)
   }
+
+  test("scd2: change compression, intervals abut, open version sentinel") {
+    import spark.implicits._
+    val log = Seq(
+      // user 1: 3 log entries but the middle repeats → 2 versions
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 5.00),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "purchase", 5.00), // no-op update
+      (1L, ts("2024-01-01 12:00:00"), 3L, "purchase", 7.50),
+      // user 2: single version, current from the start
+      (2L, ts("2024-01-02 09:00:00"), 4L, "purchase", 1.00),
+      // user 3: non-purchase rows never enter the dimension
+      (3L, ts("2024-01-03 09:00:00"), 5L, "view", 9.99)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Changelog.scd2Of(log)
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSeq
+    val open = ts(Changelog.Scd2Open)
+    assert(got == Seq(
+      (1L, 1L, 500L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), 0L),
+      (1L, 2L, 750L, ts("2024-01-01 12:00:00"), open, 1L),
+      (2L, 1L, 100L, ts("2024-01-02 09:00:00"), open, 1L)), got.toString)
+    // interval contract: versions tile the key's history — each valid_to
+    // equals the next version's valid_from, exactly one current per key
+    got.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4)
+        case _ =>
+      }
+      assert(vs.count(_._6 == 1L) == 1)
+      assert(vs.last._5 == open)
+    }
+  }
 }
