@@ -214,11 +214,51 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** TIME-WEIGHTED average — the correct mean for an IRREGULAR series
+    * (the financial TWAP / monitoring "average level" convention): each
+    * purchase's cents value HOLDS from its event second until the next
+    * purchase, so the average weights each value by its holding duration,
+    * `twa = Σ(cents·dur_s) div Σ(dur_s)` — a plain count-mean would let
+    * burst samples dominate a level held for days. The last observation
+    * closes the integral (contributes no interval); users need ≥ 2
+    * purchases. Exact integers throughout (epoch seconds × cents stay
+    * far below 2^63 at any realistic span).
+    *
+    * Shape at scale: one (user) exchange; the lead window and the final
+    * per-user aggregate ride the SAME partitioning (no second exchange
+    * before the agg — the groupBy key equals the window partition key). */
+  def twa(s: SparkSession, dir: String): DataFrame =
+    twaOf(Tables.events(s, dir))
+
+  /** [[twa]] over any `(user_id, ts, event_type, value, event_id)` events
+    * table — fixture entry point. */
+  def twaOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    events
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_sec"),
+        $"event_id", floor($"value" * 100).cast("long").as("cents"))
+      .withColumn("dur_s", lead($"ts_sec", 1).over(ord) - $"ts_sec")
+      .filter($"dur_s".isNotNull)
+      .groupBy($"user_id")
+      .agg((count(lit(1)) + 1L).as("n_obs"),
+        sum($"dur_s").as("span_s"),
+        expr("sum(cents * dur_s) div sum(dur_s)").as("twa_cents"))
+      // all-in-one-second users have a zero-length integral — no level
+      // to average (also guards the division)
+      .filter($"span_s" > 0L)
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_gapfill" -> gapfill _,
     "q_ts_anomaly" -> anomaly _,
     "q_ts_ewma" -> ewma _,
     "q_ts_cusum" -> cusum _,
+    "q_ts_twa" -> twa _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -309,5 +349,24 @@ object TimeSeries {
          |  CAST(COALESCE(min(CASE WHEN sc > $CusumHMult * mu THEN i END), 0)
          |    AS BIGINT) AS breach_at
          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same holding-interval integral: value holds until the next purchase
+    // second, floor-divided duration-weighted mean. epoch() returns
+    // DOUBLE in DuckDB — cast to BIGINT immediately or the
+    // duration-weighted sum picks up float error and floors wrong
+    "q_ts_twa" ->
+      s"""WITH s AS (SELECT user_id,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |d AS (SELECT user_id, cents,
+         |    lead(ts_sec) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) - ts_sec AS dur_s
+         |  FROM s)
+         |SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_obs,
+         |  CAST(sum(dur_s) AS BIGINT) AS span_s,
+         |  CAST(sum(cents * dur_s) // sum(dur_s) AS BIGINT) AS twa_cents
+         |FROM d WHERE dur_s IS NOT NULL
+         |GROUP BY user_id HAVING sum(dur_s) > 0
+         |ORDER BY user_id""".stripMargin,
   )
 }

@@ -167,6 +167,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, 10L, 1000L, 0L, 0L)), got.toString)
   }
 
+  test("twa weights by holding duration, not observation count") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: 100c held 10s, then a 1s burst to 900c, then close —
+      // count-mean would say 633c; duration-weighted: (100·10 + 900·1)/11 = 172
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 1.00),
+      (2L, 1L, ts("2024-01-01 10:00:10"), "purchase", 9.00),
+      (3L, 1L, ts("2024-01-01 10:00:11"), "purchase", 9.00),
+      // user 2: single purchase — no interval, excluded
+      (4L, 2L, ts("2024-01-01 10:00:00"), "purchase", 5.00),
+      // user 3: two purchases in the same second — zero-length integral
+      (5L, 3L, ts("2024-01-01 10:00:00"), "purchase", 1.00),
+      (6L, 3L, ts("2024-01-01 10:00:00.400"), "purchase", 2.00),
+      // non-purchase rows never enter
+      (7L, 1L, ts("2024-01-01 10:00:05"), "view", 999.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = TimeSeries.twaOf(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 11L, 172L)), got.toString)
+  }
+
   test("ewma on the driver corpus == an in-memory fold of the sorted events") {
     import spark.implicits._
     val got = TimeSeries.ewma(spark, "/root/testdata/sf0.001")
