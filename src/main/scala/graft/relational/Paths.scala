@@ -98,9 +98,50 @@ object Paths {
       .orderBy($"channel")
   }
 
+  /** SESSIONIZATION — the explicit session-table build every
+    * event-analytics pipeline runs first (funnel, retention, and
+    * attribution all consume it): per user, activity splits into sessions
+    * at inactivity gaps > [[TransitionGapMin]] minutes, and each session
+    * materializes as ONE numbered row with its span and composition
+    * (event count, purchase count, duration). Unlike `q_window_session`
+    * (Spark's session_window AGGREGATION) this emits the session DIMENSION
+    * — stable per-user session ids downstream joins key on.
+    *
+    * Shape at scale: gap-flag lag window and the running session-number
+    * sum ride ONE (user) exchange + sort; the per-session rollup then
+    * re-keys to (user, session) — a second exchange, but of
+    * events-sized data reduced map-side (the same two-exchange plan
+    * Spark's own session_window lowers to). No corpus sort, no window
+    * re-exchange between the two window passes. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(s, dir))
+
+  /** [[sessionize]] over any `(user_id, ts, event_type, event_id)` events
+    * table — fixture entry point. */
+  def sessionizeOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    events
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_sec"))
+      .withColumn("new_sess",
+        when($"ts_sec" - lag($"ts_sec", 1).over(w) > TransitionGapMin * 60L
+          || lag($"ts_sec", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts_sec").as("start_sec"), max($"ts_sec").as("end_sec"),
+        count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .withColumn("duration_s", $"end_sec" - $"start_sec")
+      .orderBy($"user_id", $"session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_path_transitions" -> transitions _,
     "q_attribution" -> attribution _,
+    "q_sessionize" -> sessionize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +177,26 @@ object Paths {
          |  count(*) AS cnt
          |FROM pur p LEFT JOIN best b ON b.pid = p.pid
          |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // same gap-flag + running-sum session numbering + rollup; epoch()
+    // cast to BIGINT immediately (it returns DOUBLE)
+    "q_sessionize" ->
+      s"""WITH s AS (SELECT user_id, event_id, event_type,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events),
+         |g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+         |      OR ts_sec - lag(ts_sec) OVER w > ${TransitionGapMin * 60L}
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+         |n AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM g)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_purchases,
+         |  max(ts_sec) - min(ts_sec) AS duration_s
+         |FROM n GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
   )
 }

@@ -54,4 +54,26 @@ class PathsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("(direct)", 2L), ("click", 1L)), got.toString)
   }
+
+  test("sessionize: gap splits, numbering, composition, single-event session") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: three events inside 30-min gaps, then a 2h jump → 2 sessions
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 10:20:00")),
+      (1L, 3L, "purchase", ts("2024-01-01 10:40:00")),
+      (1L, 4L, "view", ts("2024-01-01 12:40:00")),
+      // user 2: exactly-30-min gap does NOT split (strict >)
+      (2L, 5L, "view", ts("2024-01-01 09:00:00")),
+      (2L, 6L, "purchase", ts("2024-01-01 09:30:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Paths.sessionizeOf(events)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def sec(s: String) = ts(s).getTime / 1000L
+    assert(got == Seq(
+      (1L, 1L, sec("2024-01-01 10:00:00"), sec("2024-01-01 10:40:00"), 3L, 1L, 2400L),
+      (1L, 2L, sec("2024-01-01 12:40:00"), sec("2024-01-01 12:40:00"), 1L, 0L, 0L),
+      (2L, 1L, sec("2024-01-01 09:00:00"), sec("2024-01-01 09:30:00"), 2L, 1L, 1800L)),
+      got.toString)
+  }
 }
