@@ -110,9 +110,45 @@ object Changelog {
       .orderBy($"user_id", $"version")
   }
 
+  /** TEMPORAL (point-in-time) join — the query [[scd2]] exists to serve:
+    * every non-purchase activity event joins the dimension VERSION that
+    * was valid at its instant (`valid_from ≤ ts < valid_to`), the
+    * as-of-correct enrichment that prevents the classic leakage bug of
+    * joining history to TODAY's attribute value. Output is the compact
+    * per-version activity rollup (events landing inside each version's
+    * interval); activity before a user's first version drops (inner).
+    *
+    * Shape at scale: the dimension side is versions-sized (compressed,
+    * ≪ log); the join is a USER-key equi-join with the interval predicate
+    * as a residual filter — one shuffle each side, no range-join BNLJ,
+    * no per-event sort. (The custom as-of SortMerge plan would also fit;
+    * the equi+residual spelling is chosen because the version count per
+    * user is small, making the residual cheap and the plan fully
+    * Catalyst-native.) */
+  def temporalJoin(s: SparkSession, dir: String): DataFrame =
+    temporalJoinOf(Tables.events(s, dir))
+
+  /** [[temporalJoin]] over any `(user_id, ts, event_type, value,
+    * event_id)` events table — fixture entry point. */
+  def temporalJoinOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dim = scd2Of(events)
+      .select($"user_id", $"version", $"cents", $"valid_from", $"valid_to")
+    val act = events
+      .filter($"event_type" =!= "purchase")
+      .select($"user_id", date_trunc("second", $"ts").as("ats"))
+    act.join(dim, Seq("user_id"))
+      .filter($"ats" >= $"valid_from" && $"ats" < $"valid_to")
+      .groupBy($"user_id", $"version", $"cents")
+      .agg(count(lit(1)).as("n_activity"))
+      .orderBy($"user_id", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_state" -> cdcState _,
     "q_scd2" -> scd2 _,
+    "q_join_temporal" -> temporalJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,5 +186,28 @@ object Changelog {
          |  valid_from, COALESCE(nxt, TIMESTAMP '$Scd2Open') AS valid_to,
          |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM v ORDER BY user_id, version""".stripMargin,
+    // the scd2 CTEs replayed, then the interval join + rollup
+    "q_join_temporal" ->
+      s"""WITH log AS (SELECT user_id, date_trunc('second', ts) AS ts_sec,
+         |    event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |ch AS (SELECT * FROM (SELECT *,
+         |    lag(cents) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) AS prev
+         |  FROM log) WHERE prev IS NULL OR prev <> cents),
+         |v AS (SELECT user_id, cents, ts_sec AS valid_from,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) AS version,
+         |    COALESCE(lead(ts_sec) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id), TIMESTAMP '$Scd2Open') AS valid_to
+         |  FROM ch),
+         |act AS (SELECT user_id, date_trunc('second', ts) AS ats
+         |  FROM events WHERE event_type <> 'purchase')
+         |SELECT a.user_id, CAST(v.version AS BIGINT) AS version, v.cents,
+         |  CAST(count(*) AS BIGINT) AS n_activity
+         |FROM act a JOIN v ON a.user_id = v.user_id
+         |  AND a.ats >= v.valid_from AND a.ats < v.valid_to
+         |GROUP BY a.user_id, v.version, v.cents
+         |ORDER BY a.user_id, version""".stripMargin,
   )
 }

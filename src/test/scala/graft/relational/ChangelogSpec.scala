@@ -70,4 +70,26 @@ class ChangelogSpec extends AnyFunSuite {
       assert(vs.last._5 == open)
     }
   }
+
+  test("temporal join enriches activity with the version valid AT ITS TIME") {
+    import spark.implicits._
+    val log = Seq(
+      // user 1 versions: 500c from 10:00, 750c from 12:00 (open)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 5.00),
+      (1L, ts("2024-01-01 12:00:00"), 2L, "purchase", 7.50),
+      // activity: before any version (drops), inside v1, AT the v2
+      // boundary (belongs to v2 — intervals are [from, to)), after
+      (1L, ts("2024-01-01 09:00:00"), 3L, "view", 0.0),
+      (1L, ts("2024-01-01 11:00:00"), 4L, "view", 0.0),
+      (1L, ts("2024-01-01 12:00:00"), 5L, "click", 0.0),
+      (1L, ts("2024-01-01 13:00:00"), 6L, "view", 0.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Changelog.temporalJoinOf(log)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the leakage check: the 11:00 view joins the 500c version even
+    // though the user's CURRENT value is 750c
+    assert(got == Seq(
+      (1L, 1L, 500L, 1L),
+      (1L, 2L, 750L, 2L)), got.toString)
+  }
 }
