@@ -316,6 +316,39 @@ object ScaleProbe {
     assert(prStats._4 == prStats._2, s"hub ${prStats._4} is not max ${prStats._2}")
     println(f"""{"probe":"pagerank","edges":$nEdges,"nodes":${prStats._1},"iters":5,"hub_rank_micro":${prStats._4},"secs":$prSecs%.1f,"edges_per_sec":${(5 * nEdges / prSecs).toLong}}""")
 
+    // ---- Anti-entropy diff: 10M-row snapshot vs a replica with ~300 ----
+    // drifted keys (1 in ~33k). The point of the two-phase shape: the
+    // full-outer KEY join only ever sees mismatched buckets' rows —
+    // drift-sized, not table-sized — while the corpus-wide work is two
+    // map-side-combinable summary passes. The probe plants exact drift
+    // (drops / cent-flips / phantoms on fixed residues) and asserts the
+    // diff names precisely those keys.
+    val nRows = 10000000L
+    val src = spark.range(nRows).select(
+      $"id".as("k"),
+      (($"id" * 37L) % 100000L).as("cents"),
+      ($"id" % 1000L).as("custkey"),
+      when($"id" % 3 === 0, "O").when($"id" % 3 === 1, "F")
+        .otherwise("P").as("status"))
+    val replica = src
+      .filter($"k" % 100000L =!= 7L)                       // 100 drops
+      .withColumn("cents",
+        when($"k" % 99991L === 3L, $"cents" + 1L).otherwise($"cents")) // ~100 flips
+      .unionByName(src.filter($"k" % 100000L === 1L)
+        .withColumn("k", $"k" + 1000000000L))              // 100 phantoms
+    val (diffStats, diffSecs) = time {
+      val d = graft.relational.Reconcile.tableDiff(src, replica).cache()
+      val byV = d.groupBy($"verdict").agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+      (byV.getOrElse("missing", 0L), byV.getOrElse("changed", 0L),
+        byV.getOrElse("extra", 0L))
+    }
+    spark.catalog.clearCache()
+    assert(diffStats._1 == nRows / 100000L, s"missing ${diffStats._1}")
+    assert(diffStats._2 == (nRows - 1L - 3L) / 99991L + 1L, s"changed ${diffStats._2}")
+    assert(diffStats._3 == nRows / 100000L, s"extra ${diffStats._3}")
+    println(f"""{"probe":"table_diff","rows":$nRows,"drifted":${diffStats._1 + diffStats._2 + diffStats._3},"secs":$diffSecs%.1f,"rows_per_sec":${(2 * nRows / diffSecs).toLong}}""")
+
     spark.stop()
   }
 }
