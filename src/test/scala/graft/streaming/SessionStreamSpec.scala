@@ -77,6 +77,69 @@ class SessionStreamSpec extends AnyFunSuite {
     assert(run(Seq(a, b)) == batchExpected)
   }
 
+  test("query restart from checkpoint preserves open sessions, ids, and timers") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[SessRow]())
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def start() = SessionStream.sessions(
+        mem.toDF().toDF("event_id", "user_id", "ts", "event_type"), "0 seconds")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SessRow], _: Long) =>
+        b.collect().foreach(got.add)
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val ordered = events.sortBy(e => (e._3.getTime, e._1))
+    // run 1: user 1's first session stays OPEN (nothing seals yet)
+    val q1 = start()
+    try {
+      mem.addData(ordered.take(3): _*)
+      q1.processAllAvailable()
+      assert(got.isEmpty, got.toString)
+    } finally q1.stop()
+
+    // run 2 (fresh query, same checkpoint): the rest + flush can only
+    // reproduce the batch rollup — with session id 1 for the session
+    // opened before the restart — if the open list and id counter survived
+    val q2 = start()
+    try {
+      mem.addData(ordered.drop(3): _*)
+      q2.processAllAvailable()
+      flush.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+      assert(got.asScala.filter(_.user_id != 99L).toSet == batchExpected,
+        got.toString)
+    } finally q2.stop()
+  }
+
+  test("randomized event sets: sealed sessions == batch rollup (property)") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 6).foreach { trial =>
+      val evs = (1 to (20 + rnd.nextInt(60))).map { i =>
+        val uid = 1L + rnd.nextInt(4)
+        // minute-resolution arrivals over ~6 h: plenty of >30-min gaps
+        val t = new Timestamp(
+          ts("2024-01-01 00:00:00").getTime + rnd.nextInt(360) * 60000L)
+        val kind = if (rnd.nextInt(4) == 0) "purchase" else "view"
+        (i.toLong, uid, t, kind)
+      }
+      import spark.implicits._
+      val expect = graft.relational.Paths.sessionizeOf(
+          evs.toDF("event_id", "user_id", "ts", "event_type"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => SessRow(r._1, r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+      // event-time-ordered ingest in random-sized chunks
+      val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+      val chunks = ordered.grouped(1 + rnd.nextInt(7)).toSeq
+      assert(run(chunks) == expect, s"trial $trial")
+    }
+  }
+
   test("an out-of-order bridge event merges two open sessions") {
     // 10:00 and 10:50 are two sessions (50-min gap) until 10:25 arrives
     // late and bridges them into one
