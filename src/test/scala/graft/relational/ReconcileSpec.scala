@@ -58,4 +58,22 @@ class ReconcileSpec extends AnyFunSuite {
     assert(got.size ==
       byVerdict("missing").size + byVerdict("changed").size + byVerdict("extra").size)
   }
+
+  test("repair closure: applying the diff as a fix-up converges the replica") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = Reconcile.ordersPayload(
+      graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "orders"))
+    val replica = Reconcile.replicaOf(src)
+    val diff = Reconcile.tableDiff(src, replica).cache()
+    val extras = diff.filter($"verdict" === "extra").select($"k")
+    val stale = diff.filter($"verdict".isin("missing", "changed")).select($"k")
+    // the diff IS the repair feed: drop extras, then take missing/changed
+    // rows from the source of truth
+    val repaired = replica
+      .join(broadcast(extras), Seq("k"), "left_anti")
+      .join(broadcast(stale), Seq("k"), "left_anti")
+      .unionByName(src.join(broadcast(stale), Seq("k"), "left_semi"))
+    assert(Reconcile.tableDiff(src, repaired).count() == 0L)
+  }
 }
