@@ -329,8 +329,12 @@ object Components {
     val s = pairs.sparkSession
     import s.implicits._
     val p = pairs.toDF("a", "b")
+    // cached: deg, ed, AND the rank seed all derive from it — without
+    // this the upstream pair pipeline (LSH candidates→verify for the
+    // dedup graph) replays once per consumer
     val edges = p.select($"a".as("u"), $"b".as("v"))
       .union(p.select($"b".as("u"), $"a".as("v")))
+      .cache()
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
     val ed = edges.join(deg, "u").cache() // iterated `iters` times
     var ranks = deg.select($"u".as("node"), lit(1000000L).as("rank"))

@@ -376,8 +376,10 @@ object Dedup {
     * bit-identical to the oracle's unrolled CTEs. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached: the LSH candidates→verify pipeline is the dominant cost and
+    // the power iteration's seed and edge list both consume it
     val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
-      .select($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b").cache()
     Components.pageRank(pairs, PageRankIters)
       .select($"node".as("doc_id"), $"rank_micro")
       .orderBy($"doc_id")
@@ -391,8 +393,10 @@ object Dedup {
     * safely. */
   def hops(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached: both the BFS edge list and the components pass replay the
+    // LSH pair pipeline otherwise
     val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
-      .select($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b").cache()
     Components.hopsFromRoots(pairs)
       .select($"node".as("doc_id"), $"root".as("cluster_id"), $"hops")
       .orderBy($"doc_id")
@@ -485,7 +489,10 @@ object Dedup {
     val all = base.select($"doc_id", explode($"sh").as("g"))
     val hot = all.groupBy($"g").agg(count(lit(1)).as("c"))
       .filter($"c" > MaxShingleBucket).select($"g")
-    val inv = all.join(broadcast(hot), Seq("g"), "left_anti")
+    // cached: the kept-postings index feeds BOTH self-join sides and the
+    // denominator sizes — uncached, the shingle pipeline replays 3×
+    // (MEMORY_AND_DISK, so at scale it spills rather than recomputes)
+    val inv = all.join(broadcast(hot), Seq("g"), "left_anti").cache()
     val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("n_a"))
     inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
