@@ -715,6 +715,58 @@ object Multimodal {
       .toDF()
   }
 
+  final case class Keyframe(doc_id: Long, shot_no: Long, start_frame: Int,
+      n_frames: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** KEYFRAME extraction — the video-summarization output the scene cuts
+    * exist for: one representative frame per shot (the shot's FIRST
+    * frame, the standard choice), with the shot's span. This is what
+    * makes corpus-scale video indexing affordable: the ANN / near-dup
+    * index holds one hash per SHOT instead of one per frame — on real
+    * footage one to two orders of magnitude fewer vectors at equivalent
+    * retrieval quality.
+    *
+    * Shape: same as [[sceneCutsOf]] — the whole shot assignment runs
+    * inside the per-row decode flatMap (frames of one video never leave
+    * the row), no window, no exchange, stream-safe. */
+  def keyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    keyframesOf(Tables.table(s, dir, "documents")).orderBy($"doc_id", $"shot_no")
+  }
+
+  /** [[keyframes]] over any `(doc_id, text)` table — fixture/stream entry
+    * point. */
+  def keyframesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val fs = ahashAvi(MediaRow(id, "video/avi", encodeAvi(p))).toVector
+        if (fs.isEmpty) Iterator.empty
+        else {
+          // shot id per frame: increments where the adjacent hamming
+          // crosses the cut threshold
+          val shotOf = fs.indices.map { i =>
+            if (i == 0) 0
+            else {
+              val (a, b) = (fs(i - 1), fs(i))
+              val ham = java.lang.Long.bitCount(a.ahash_hi ^ b.ahash_hi) +
+                java.lang.Long.bitCount(a.ahash_lo ^ b.ahash_lo)
+              if (ham >= SceneCutHamming) 1 else 0
+            }
+          }.scanLeft(0)(_ + _).tail
+          fs.indices.groupBy(shotOf).toSeq.sortBy(_._1).iterator.map {
+            case (shot, idxs) =>
+              val first = fs(idxs.min)
+              Keyframe(id, shot + 1L, first.frame_no, idxs.size.toLong,
+                first.ahash_hi, first.ahash_lo)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Declared query: the aHash fingerprint of every image — the index-build
     * half of image near-dup (the pair join is corpus-dependent; this corpus
     * has no duplicate images, so the declared contract is the fingerprint
@@ -836,6 +888,7 @@ object Multimodal {
     "q_multimodal_audiohash" -> audioHash _,
     "q_multimodal_videohash" -> videoHash _,
     "q_multimodal_scenecut" -> sceneCuts _,
+    "q_multimodal_keyframes" -> keyframes _,
     "q_multimodal_neardup" -> neardupImage _,
     "q_multimodal_neardup_audio" -> neardupAudio _,
     "q_multimodal_neardup_video" -> neardupVideo _,
@@ -1011,6 +1064,25 @@ object Multimodal {
          |SELECT doc_id, frame_no, CAST(hamming AS BIGINT) AS hamming
          |FROM d WHERE hamming >= $SceneCutHamming
          |ORDER BY doc_id, frame_no""".stripMargin,
+    // same per-frame hashes → cut flags → running-sum shot ids → first
+    // frame per shot (arg_min) with the shot span
+    "q_multimodal_keyframes" ->
+      s"""$duckVideoHashCtes,
+         |d AS (SELECT doc_id, frame_no, ahash_hi, ahash_lo,
+         |    CASE WHEN lag(ahash_hi) OVER w IS NULL THEN 0
+         |      WHEN bit_count(CAST(xor(ahash_hi, lag(ahash_hi) OVER w) AS BIGINT))
+         |         + bit_count(CAST(xor(ahash_lo, lag(ahash_lo) OVER w) AS BIGINT))
+         |         >= $SceneCutHamming THEN 1 ELSE 0 END AS cut
+         |  FROM vh WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+         |sh AS (SELECT *, 1 + sum(cut) OVER (PARTITION BY doc_id
+         |    ORDER BY frame_no ROWS UNBOUNDED PRECEDING) AS shot_no FROM d)
+         |SELECT doc_id, CAST(shot_no AS BIGINT) AS shot_no,
+         |  CAST(min(frame_no) AS INT) AS start_frame,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(arg_min(ahash_hi, frame_no) AS BIGINT) AS ahash_hi,
+         |  CAST(arg_min(ahash_lo, frame_no) AS BIGINT) AS ahash_lo
+         |FROM sh GROUP BY doc_id, shot_no
+         |ORDER BY doc_id, shot_no""".stripMargin,
     // What a correct PCM parse→33-window energy→difference-bit chain must
     // yield from the text bytes: sample i = (byte_i − 128)·256, window k =
     // samples [k·n/33, (k+1)·n/33), bit k iff e_{k+1} > e_k.

@@ -316,4 +316,34 @@ class MultimodalSpec extends AnyFunSuite {
     // hamming is a 0..64 bit count and every cut clears the threshold
     assert(got.forall(c => c._3 >= Multimodal.SceneCutHamming && c._3 <= 64L))
   }
+
+  test("keyframes tile the frame range; one per shot; hash = the start frame's") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val kf = Multimodal.keyframesOf(docs)
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(k => (k._1, k._2))
+    assert(kf.nonEmpty)
+    val cuts = Multimodal.sceneCutsOf(docs)
+      .as[(Long, Int, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val frames = Multimodal.videoHashOf(docs)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val nFrames = frames.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val hashAt = frames.map(f => (f._1, f._2) -> ((f._3, f._4))).toMap
+    kf.groupBy(_._1).foreach { case (doc, shots) =>
+      // shots = cuts + 1, numbered 1..n, spans tile [0, nFrames)
+      assert(shots.map(_._2) == (1L to (cuts.getOrElse(doc, Nil).size + 1L)))
+      assert(shots.map(_._4).sum == nFrames(doc))
+      assert(shots.head._3 == 0)
+      shots.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 == b._3) // abutting spans
+        case _ =>
+      }
+      // each shot after the first starts AT a cut frame, and the keyframe
+      // hash is exactly the start frame's hash
+      shots.drop(1).foreach(s => assert(cuts(doc).contains(s._3)))
+      shots.foreach(s => assert(hashAt((doc, s._3)) == ((s._5, s._6))))
+    }
+  }
 }

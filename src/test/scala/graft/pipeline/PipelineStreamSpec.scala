@@ -169,6 +169,12 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_scenecut", Multimodal.sceneCutsOf) == b)
   }
 
+  test("keyframes: streaming == batch") {
+    val b = batch(Multimodal.keyframesOf)
+    assert(b.nonEmpty)
+    assert(streamed("pipe_keyframes", Multimodal.keyframesOf) == b)
+  }
+
   test("BPE encode with a static merge model: streaming == batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
