@@ -197,12 +197,58 @@ object Retrieval {
   def annRecallPq(s: SparkSession, dir: String): DataFrame =
     recallAgainst(s, dir, Embeddings.annPq(s, dir))
 
+  /** Recall@[[RecallK]] of the GUARDED all-N kNN similarity join
+    * ([[Similarity.knnJoin]] — the plan a 100 TB curation run leans on
+    * hardest) against exact brute force, per query vector: the fourth
+    * audited index family, measuring what nprobe=[[Similarity.IvfNprobe]]
+    * cell probing costs when EVERY vector is a query.
+    *
+    * AUDIT-SCALE-ONLY by design: the exact baseline is the full N×N dot
+    * table (one broadcast of the corpus against itself — sound only while
+    * the corpus side fits a broadcast), because an indexed "truth" would
+    * beg the question the audit asks. At 100 TB, run it on a uniform
+    * vector sample ([[Sampling]]) — recall is a mean over queries, so a
+    * sample estimates it with standard-error guarantees a full run can't
+    * beat for the cost. The input-size require makes the contract
+    * explicit instead of a silent foot-gun. */
+  def annRecallKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+      .cache() // three branches: query universe, both brute-force sides
+    require(e.count() <= MaxRecallVecs,
+      s"annRecallKnn's exact baseline is N² — audit-scale only " +
+        s"(≤ $MaxRecallVecs vectors); run it on a sample at corpus scale")
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    val exact = e
+      .crossJoin(broadcast(e.select($"vec_id".as("query_id"), $"q".as("qv"))))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= RecallK)
+      .select($"query_id", $"vec_id")
+    val ann = Similarity.knnJoin(s, dir).select($"query_id", $"vec_id")
+    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("h"))
+    e.select($"vec_id".as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"h", lit(0L)).as("n_hit"),
+        expr(s"(coalesce(h, 0L) * 10000) div $RecallK").as("recall_bp"))
+      .orderBy($"query_id")
+  }
+
+  /** Hard cap on [[annRecallKnn]]'s input (the N² baseline at this N is
+    * ~10^8 dot products — minutes, not hours; beyond it the require
+    * fires instead of the job silently running quadratic). */
+  val MaxRecallVecs = 10000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> bm25 _,
     "q_retrieval_rrf" -> rrf _,
     "q_ann_recall" -> annRecall _,
     "q_ann_recall_ivf" -> annRecallIvf _,
     "q_ann_recall_pq" -> annRecallPq _,
+    "q_ann_recall_knn" -> annRecallKnn _,
   )
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -375,5 +421,35 @@ object Retrieval {
          |WHERE eq.vec_id < ${Similarity.QueryVecs}
          |ORDER BY query_id""".stripMargin
     },
+    // the guarded knn-join plan re-derived over the same k-means + MaxKnnCell
+    // CTE chain as the q_similarity_knn_join oracle, scored per query against
+    // the all-pairs exact top-k (N² — oracle scale only, per the Scaladoc)
+    "q_ann_recall_knn" ->
+      s"""WITH ${Similarity.duckCellCtes},
+         |${Similarity.duckKnnCandCte},
+         |annc AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+         |  FROM knnprobes p
+         |  JOIN knncand a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |ann AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM annc) WHERE rnk <= $RecallK),
+         |exc AS (SELECT qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
+         |  FROM e qr JOIN e c ON qr.vec_id <> c.vec_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM exc) WHERE rnk <= $RecallK),
+         |h AS (SELECT ex.query_id, count(*) AS h
+         |  FROM ex JOIN ann USING (query_id, vec_id) GROUP BY ex.query_id)
+         |SELECT e.vec_id AS query_id,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+         |  CAST((COALESCE(h.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
+         |FROM e LEFT JOIN h ON h.query_id = e.vec_id
+         |ORDER BY query_id""".stripMargin,
   )
 }

@@ -183,6 +183,19 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Hot-cell guard for [[knnJoin]] — the [[Dedup.MaxCell]] analog on the
+    * all-N candidate equi-join: the join fans out ~Σ(probe hits × |cell|),
+    * so ONE degenerate k-means cell (e.g. a near-zero-vector cluster that
+    * swallows a constant fraction of the corpus) puts a quadratic blowup
+    * on the handful of tasks owning that cell. Cells larger than this are
+    * dropped from the CANDIDATE side via broadcast anti-join (their members
+    * still act as queries and still search their other probed cells — the
+    * same recall-for-survival trade every banded guard here makes, and the
+    * production signal to re-train with larger K). Generous vs the test
+    * corpus (max observed cell 143 at sf0.1); mirrored in the oracle so the
+    * compare proves the guard answer-invisible at audit scale. */
+  val MaxKnnCell = 1000
+
   /** kNN similarity JOIN — EVERY vector is a query: each vector's top-3
     * dot-product neighbors among its [[IvfNprobe]] nearest IVF cells (the
     * all-pairs version of [[annIvfProbe]]; the "scaled similarity join" of
@@ -193,16 +206,33 @@ object Similarity {
     * [[Sampling.dsirModel]] pattern) and probe selection happens row-locally
     * inside codegen: transform → array_sort by (dist, cid) → slice(nprobe),
     * ZERO probe-stage shuffle at any N. Candidates then come from the one
-    * cell equi-join; the only per-query shuffle is the final top-3 window,
-    * partitioned by query — the unavoidable ranking, never all-pairs. */
+    * cell equi-join — hot cells dropped per [[MaxKnnCell]]; the only
+    * per-query shuffle is the final top-3 window, partitioned by query —
+    * the unavoidable ranking, never all-pairs. */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val (centsDf, cellsRaw) = ivfModel(s, dir)
+    knnJoinOf(s, centsDf, cellsRaw, MaxKnnCell)
+  }
+
+  /** [[knnJoin]] over any `(cid, cq, cn2)` centroid table + `(vec_id, q,
+    * n2, cell)` assignment with an explicit cell cap — the adversarial-
+    * fixture and [[graft.ScaleProbe]] entry point (`SimilaritySpec` plants
+    * a degenerate cell over the cap; the probe grows it to 10^6 vectors). */
+  private[graft] def knnJoinOf(
+      s: SparkSession, centsDf: DataFrame, cellsRaw: DataFrame,
+      maxCell: Int): DataFrame = {
+    import s.implicits._
     val centArr: Seq[(Long, Seq[Long], Long)] = centsDf
       .select($"cid", $"cq", $"cn2").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
     val cl = typedLit(centArr)
     val cells = cellsRaw.cache() // two branches: probe side + candidate side
+    // over-cap cells reduce to a tiny (cell) list via map-side-combinable
+    // count, broadcast, and anti-join — the corpus side never shuffles for
+    // it (the [[Dedup.semanticOf]] guard shape)
+    val hot = cells.groupBy($"cell").agg(count(lit(1)).as("csz"))
+      .filter($"csz" > maxCell).select($"cell")
+    val cand = cells.join(broadcast(hot), Seq("cell"), "left_anti")
     val probes = cells
       .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
       .withColumn("pc", explode(slice(array_sort(transform(cl, c =>
@@ -210,7 +240,7 @@ object Similarity {
           .as("d"), c.getField("_1").as("cid")))), 1, IvfNprobe)))
       .select($"query_id", $"qv", $"pc.cid".as("cell"))
     val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
-    probes.join(cells, Seq("cell"))
+    probes.join(cand, Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
       .withColumn("rnk", row_number().over(w))
@@ -383,20 +413,16 @@ object Similarity {
          |ORDER BY query_id, rnk""".stripMargin,
     // The probe oracle with the query filter removed: every vector ranks
     // all K centroids (fine at oracle scale; the Spark plan makes the same
-    // selection row-locally against the literal centroid array).
+    // selection row-locally against the literal centroid array). The
+    // MaxKnnCell hot-cell drop is mirrored on the candidate side only.
     "q_similarity_knn_join" ->
       s"""WITH $duckCellCtes,
-         |probes AS (SELECT query_id, q, cell FROM (
-         |  SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_sum(list_transform(generate_series(1, 64),
-         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
-         |  FROM e CROSS JOIN c2 c)
-         |  WHERE rn <= $IvfNprobe),
+         |$duckKnnCandCte,
          |cand AS (SELECT p.query_id, a.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
          |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
-         |  FROM probes p JOIN a3 a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+         |  FROM knnprobes p
+         |  JOIN knncand a ON a.cell = p.cell AND a.vec_id <> p.query_id)
          |SELECT query_id, rnk, vec_id FROM (
          |  SELECT query_id, vec_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
@@ -418,6 +444,22 @@ object Similarity {
        |${duckAssign("a2", "c1")},
        |${duckUpdate("u2", "a2", "c1", "c2")},
        |${duckAssign("a3", "c2")}""".stripMargin
+
+  /** DuckDB CTEs for the [[knnJoin]] plan (appended after [[duckCellCtes]]):
+    * `knnprobes` = every vector's [[IvfNprobe]] nearest cells, `knnhot` =
+    * cells over [[MaxKnnCell]], `knncand` = the guarded candidate
+    * assignment — shared by the knn-join and knn-recall oracles. */
+  private[pipeline] def duckKnnCandCte: String =
+    s"""knnprobes AS (SELECT query_id, q, cell FROM (
+       |  SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+       |  FROM e CROSS JOIN c2 c)
+       |  WHERE rn <= $IvfNprobe),
+       |knnhot AS (SELECT cell FROM a3 GROUP BY cell HAVING count(*) > $MaxKnnCell),
+       |knncand AS (SELECT * FROM a3
+       |  WHERE cell NOT IN (SELECT cell FROM knnhot))""".stripMargin
 
   /** DuckDB CTE: assign every vector of `e` to its nearest centroid in
     * `cents` (columns cid, q) — argmin by squared-L2 then cid. */

@@ -75,4 +75,44 @@ class SimilaritySpec extends AnyFunSuite {
     val r2 = recall(annResult(planes = Similarity.Planes, radius = 2), exact)
     assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0 / $r1 / $r2")
   }
+
+  test("knnJoin MaxKnnCell guard drops a degenerate cell's candidates only") {
+    import spark.implicits._
+    // 4 well-separated 2-d centroids; every query probes all 4 (nprobe = 4)
+    val cents = Seq(
+      (0L, Seq(1000L, 0L), 1000000L), (1L, Seq(0L, 1000L), 1000000L),
+      (2L, Seq(-1000L, 0L), 1000000L), (3L, Seq(0L, -1000L), 1000000L))
+      .toDF("cid", "cq", "cn2")
+    // cell 0 is DEGENERATE: 6 members (over the cap of 4) — the k-means
+    // collapse scenario; cells 1-3 hold 2 members each
+    val rows =
+      (0L until 6L).map(i => (100L + i, Seq(1000L, i), 1000000L + i * i, 0L)) ++
+        Seq((200L, Seq(1L, 1000L), 1000001L, 1L), (201L, Seq(2L, 1000L), 1000004L, 1L),
+          (300L, Seq(-1000L, 1L), 1000001L, 2L), (301L, Seq(-1000L, 2L), 1000004L, 2L),
+          (400L, Seq(1L, -1000L), 1000001L, 3L), (401L, Seq(2L, -1000L), 1000004L, 3L))
+    val cells = rows.toDF("vec_id", "q", "n2", "cell")
+    val hotIds = (100L until 106L).toSet
+
+    val guarded = Similarity.knnJoinOf(spark, cents, cells, maxCell = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // no hot-cell member ever appears as a CANDIDATE...
+    assert(guarded.forall { case (_, _, cand) => !hotIds.contains(cand) },
+      s"hot-cell candidates leaked: ${guarded.mkString(", ")}")
+    // ...but hot-cell members still act as QUERIES (served from cold cells)
+    assert(hotIds.subsetOf(guarded.map(_._1).toSet))
+    // and cold-cell results are intact: 200's best neighbors lead with 201
+    val q200 = guarded.filter(_._1 == 200L).sortBy(_._2).map(_._3).toSeq
+    assert(q200.head == 201L, s"cold-cell top neighbor wrong: $q200")
+
+    // control: a generous cap restores the hot cell — its members' top
+    // neighbors are each other (identical directions, max dot)
+    val open = Similarity.knnJoinOf(spark, cents, cells, maxCell = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val q100 = open.filter(_._1 == 100L).map(_._3).toSet
+    assert(q100.subsetOf(hotIds), s"ungated top-3 of a hot member: $q100")
+    // determinism: the guarded result is stable across runs
+    assert(Similarity.knnJoinOf(spark, cents, cells, maxCell = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq == guarded.toSeq)
+  }
 }

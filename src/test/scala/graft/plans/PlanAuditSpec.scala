@@ -74,8 +74,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // query-set-sized exact-baseline sides of the recall audits
     "q_similarity_ivf", "q_similarity_ivf_probe", "q_dedup_semantic",
     "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_pq",
-    "q_similarity_knn_join" // K-row centroid broadcast inside k-means training
-
+    "q_similarity_knn_join", // K-row centroid broadcast inside k-means training
+    // corpus-broadcast exact baseline (audit-scale only, input-size-required
+    // in annRecallKnn) + the knn plan's training broadcasts
+    "q_ann_recall_knn"
   )
 
   private def plansOf(name: String): String = {
