@@ -85,7 +85,11 @@ object Winnowing {
       .select($"doc_id", $"fp").distinct()
     val hot = uf.groupBy($"fp").agg(count(lit(1)).as("c"))
       .filter($"c" > MaxFpBucket).select($"fp")
-    val cl = uf.join(broadcast(hot), Seq("fp"), "left_anti")
+    // cached: the kept-postings index feeds BOTH sides of the fp self-join
+    // — uncached, the tokenize→gram-hash→winnow→distinct pipeline replays
+    // per side (the Dedup.containment precedent; MEMORY_AND_DISK, so at
+    // scale it spills rather than recomputes)
+    val cl = uf.join(broadcast(hot), Seq("fp"), "left_anti").cache()
     cl.as("a").join(cl.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
