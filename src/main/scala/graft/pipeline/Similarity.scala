@@ -283,6 +283,38 @@ object Similarity {
       s.read.parquet(s"$indexPath/centroids"),
       s.read.parquet(s"$indexPath/cells"))
 
+  /** Collect a `(cid, cq, cn2)` centroid table (inline model or persisted
+    * index) into the frozen literal-array form [[ivfAssignerOf]] and
+    * [[knnJoinOf]] consume — K rows, it IS the model. */
+  def centroidArrayOf(cents: DataFrame): Seq[(Long, Seq[Long], Long)] =
+    cents.select(col("cid"), col("cq"), col("cn2")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+
+  /** FROZEN-CENTROID IVF cell assignment as a stateless transform — the
+    * serving half of the index for live ingest: fit offline ([[ivfModel]] /
+    * [[writeIvfIndex]]), freeze the K-row centroid table into a literal
+    * array (the [[Sampling.dsirScorerOf]] fit-offline/score-online
+    * pattern), and assign each arriving `embedding` row its cell entirely
+    * row-locally inside codegen — transform → array_sort by (dist, cid) →
+    * head, the same deterministic argmin the batch assignment's
+    * `min(struct)` computes. No join, no shuffle, no state, so the SAME
+    * transform runs on batch frames and append-mode streams unchanged
+    * (`PipelineStreamSpec` pins streaming ≡ batch [[ivfCells]]); at 100 TB
+    * the stream side never touches the corpus — only the broadcast-sized
+    * frozen model rides in the plan. Appends `(q, n2, cell)`. */
+  def ivfAssignerOf(cents: Seq[(Long, Seq[Long], Long)]): DataFrame => DataFrame = { vecs =>
+    val s = vecs.sparkSession
+    import s.implicits._
+    val cl = typedLit(cents)
+    vecs
+      .withColumn("q", quantize($"embedding"))
+      .withColumn("n2", qdot($"q", $"q"))
+      .withColumn("cell",
+        element_at(array_sort(transform(cl, c =>
+          struct(($"n2" + c.getField("_3") - lit(2L) * qdot($"q", c.getField("_2")))
+            .as("d"), c.getField("_1").as("cid")))), 1).getField("cid"))
+  }
+
   /** Exact integer squared-L2 via |a−b|² = |a|² + |b|² − 2·a·b — the dot
     * runs through the native fused-loop QDot expression instead of an
     * interpreted zip_with, and the squared norms are precomputed once per

@@ -207,6 +207,43 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_dsir", score) == b)
   }
 
+  test("IVF cell assignment with frozen centroids: streaming == trained batch") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // batch truth: the trained model's own (vec_id -> (cell, n2)) assignment
+    val (cents, cells) = Similarity.ivfModel(spark, sf)
+    val expected = cells.select($"vec_id", $"cell", $"n2").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(expected.valuesIterator.map(_._1).toSet.size > 1,
+      "fixture needs >1 populated cell")
+    // frozen serving model — what a live ingest path loads from the index
+    val assign = Similarity.ivfAssignerOf(Similarity.centroidArrayOf(cents))
+    val rows = graft.sources.Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+
+    // batch side of the SAME transform
+    val batchGot = assign(rows.toSeq.toDF("vec_id", "embedding"))
+      .select($"vec_id", $"cell", $"n2").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(batchGot == expected)
+
+    // streaming side, two micro-batches
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = assign(input.toDF().toDF("vec_id", "embedding"))
+      .select($"vec_id", $"cell", $"n2")
+      .writeStream.format("memory").queryName("pipe_ivf_assign")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("pipe_ivf_assign").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("mixture sampling: stream-static rate join == batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
