@@ -409,17 +409,33 @@ object Dedup {
     * so the index join enumerates a superset of the truth), and the audit
     * measures how many of those the production banded-LSH criterion
     * (signature agreement ≥ 4/8, [[minhashPairs]]) recovers. One row:
-    * truth size, LSH pair count, hits, recall in basis points. At 100 TB
-    * the truth side runs on a sample (the inverted-index join is exact,
-    * not all-pairs, but a viral shingle still fans out) — at audit SFs it
-    * runs whole-corpus, which is the point of auditing small first. */
-  def recallAudit(s: SparkSession, dir: String): DataFrame = {
+    * truth size, LSH pair count, hits, recall in basis points.
+    *
+    * SAMPLE-SCALE-ONLY by design: the truth side's shingle self-join is
+    * deliberately UNGUARDED — dropping hot shingles there would bias the
+    * very ground truth the audit exists to trust — so a viral boilerplate
+    * shingle fans its posting list out quadratically. That is the correct
+    * trade for an audit (exactness over scalability) and the wrong one
+    * for a corpus run: at 100 TB, audit a uniform document sample
+    * ([[Sampling]]) — recall is a pair-level rate, estimable from a
+    * sample with standard-error guarantees. The input-size require makes
+    * the contract explicit instead of a silent 100× foot-gun; the
+    * guarded production pendant of this index shape is [[containment]]. */
+  def recallAudit(s: SparkSession, dir: String): DataFrame =
+    recallAuditOf(s, Tables.table(s, dir, "documents"))
+
+  /** [[recallAudit]] over any `(doc_id, text)` table — fixture entry
+    * point (the empty-truth and over-cap contracts are pinned there). */
+  private[graft] def recallAuditOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     // distinct md5 shingle KEYS (fixed-width, the source_overlap precedent)
     // — the inverted-index join shuffles 32-char hashes, never gram text
-    val base = Tables.table(s, dir, "documents")
+    val base = docs
       .select($"doc_id", array_distinct(shingleMd5(tokens($"text"))).as("sh"))
       .cache()
+    require(base.count() <= MaxRecallAuditDocs,
+      s"recallAudit's exact truth join is unguarded — audit-scale only " +
+        s"(≤ $MaxRecallAuditDocs docs); run it on a sample at corpus scale")
     val sizes = base.select($"doc_id", size($"sh").as("n"))
     val inv = base.select($"doc_id", explode($"sh").as("g"))
     // ONE aggregate gives |A ∩ B| directly (sh is distinct per doc: the
@@ -434,15 +450,21 @@ object Dedup {
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("lb")), "doc_b")
       .filter($"inter" * 100L >= ($"la" + $"lb" - $"inter") * 30L)
       .select($"doc_a", $"doc_b")
-    val lsh = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val lsh = minhashPairs(s, docs)
       .select($"doc_a", $"doc_b")
     val hit = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true")).crossJoin(
         lsh.agg(count(lit(1)).as("n_lsh")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       .select($"n_true", $"n_lsh", $"n_hit",
-        expr("(n_hit * 10000L) div n_true").as("recall_bp"))
+        // empty truth = vacuous audit: report 0 explicitly instead of a
+        // NULL (Spark) / division error (DuckDB) divergence
+        when($"n_true" === 0L, lit(0L))
+          .otherwise(expr("(n_hit * 10000L) div n_true")).as("recall_bp"))
   }
+
+  /** Hard cap on [[recallAudit]]'s input (see its scale contract). */
+  val MaxRecallAuditDocs = 100000L
 
   /** [[containment]] thresholds: flag A-in-B when ≥ 80% of A's shingles
     * appear in B, for docs with at least 10 distinct shingles (below that
@@ -695,8 +717,9 @@ object Dedup {
          |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
          |  CAST((SELECT count(*) FROM prs) AS BIGINT) AS n_lsh,
          |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
-         |  CAST(((SELECT count(*) FROM hit) * 10000)
-         |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_bp""".stripMargin,
+         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+         |    ELSE ((SELECT count(*) FROM hit) * 10000)
+         |      // (SELECT count(*) FROM truth) END AS BIGINT) AS recall_bp""".stripMargin,
     // Triangles by id-ordered enumeration over the verified pair table
     // (doc_a < doc_b by construction) — fine at oracle scale; the Spark
     // side's degree orientation is the shape that survives skewed graphs.

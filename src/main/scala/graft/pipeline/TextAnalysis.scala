@@ -572,8 +572,9 @@ object TextAnalysis {
     * map-side-combinable shuffle off the same tokenized scan; scoring is
     * two vocab-keyed joins (AQE-sized) plus two broadcast 1-row totals,
     * and the cutoff is a TakeOrderedAndProject — no global sort
-    * materialized. At corpus scales where c12·T²·1e6 approaches 38
-    * digits, pre-divide T once (the ranking only needs relative lift). */
+    * materialized. The decimal product is pre-scaled by a per-corpus
+    * power of ten once T passes 10^9 tokens (see the inline comment), so
+    * it never hits the 38-digit cap at any corpus size. */
   def collocations(s: SparkSession, dir: String): DataFrame =
     collocationsOf(Tables.table(s, dir, "documents"))
 
@@ -596,9 +597,21 @@ object TextAnalysis {
       .join(u.select($"t".as("w1"), $"c".as("c1")), "w1")
       .join(u.select($"t".as("w2"), $"c".as("c2")), "w2")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      // Decimal(38) headroom: the binding term was T² (corpus token total,
+      // SQUARED — silent non-ANSI NULL once the product passed 38 digits).
+      // Pre-scale by the per-corpus constant S = 10^max(0, digits(T)−9):
+      // T→T div S in the numerator, B→B div S in the denominator, so the
+      // statistic becomes lift/S — a corpus-wide rescale, ranking
+      // unchanged. At audit scale S = 1 (T < 10^9) and values are
+      // bit-identical to the unscaled formula; at any S both engines
+      // compute the same exact integer ops. Headroom: c12·(T div S)²·10^6
+      // stays under 38 digits while the hottest bigram < 10^13
+      // occurrences — a 100 TB corpus (~10^13 tokens) with margin.
+      .withColumn("S", expr(
+        "cast(power(10, greatest(0, length(cast(T as string)) - 9)) as bigint)"))
       .withColumn("lift_micro", expr(
-        "CAST((CAST(c12 AS DECIMAL(38,0)) * T * T * 1000000) div " +
-          "(CAST(B AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)"))
+        "CAST((CAST(c12 AS DECIMAL(38,0)) * (T div S) * (T div S) * 1000000) div " +
+          "(CAST(B div S AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)"))
       .select($"w1", $"w2", $"c12", $"c1", $"c2", $"lift_micro")
       .orderBy($"lift_micro".desc, $"w1", $"w2")
       .limit(CollocTopK)
@@ -761,11 +774,14 @@ object TextAnalysis {
          |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
          |        FROM d WHERE len(w) >= 2)),
          |b AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         |btot AS (SELECT count(*) AS bcnt FROM bg)
+         |btot AS (SELECT count(*) AS bcnt,
+         |  CAST(power(10, greatest(0,
+         |    length(CAST((SELECT tcnt FROM tot) AS VARCHAR)) - 9)) AS BIGINT) AS sc
+         |  FROM bg)
          |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
          |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
-         |  CAST((CAST(c12 AS HUGEINT) * tcnt * tcnt * 1000000)
-         |    // (CAST(bcnt AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS lift_micro
+         |  CAST((CAST(c12 AS HUGEINT) * (tcnt // sc) * (tcnt // sc) * 1000000)
+         |    // (CAST(bcnt // sc AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS lift_micro
          |FROM b, tot, btot
          |JOIN u u1 ON u1.t = b.w1 JOIN u u2 ON u2.t = b.w2
          |WHERE c12 >= $CollocMinCount

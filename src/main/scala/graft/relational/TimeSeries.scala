@@ -140,7 +140,12 @@ object TimeSeries {
     import s.implicits._
     events
       .filter($"event_type" === "purchase")
-      .select($"user_id", struct($"ts", $"event_id",
+      // second-truncated fold order — the ONE ordering contract shared
+      // with the streaming twin (EwmaStream folds at second resolution):
+      // raw-ts ordering would diverge on sub-second ties where ms order
+      // contradicts event_id order
+      .select($"user_id", struct(date_trunc("second", $"ts").as("ts"),
+        $"event_id",
         (floor($"value" * 100).cast("long") * EwmaScale).as("x")).as("e"))
       .groupBy($"user_id")
       .agg(array_sort(collect_list($"e")).as("es"), count(lit(1)).as("n_obs"))
@@ -190,8 +195,9 @@ object TimeSeries {
     import s.implicits._
     events
       .filter($"event_type" === "purchase")
-      .select($"user_id", struct($"ts", $"event_id",
-        floor($"value" * 100).cast("long").as("x")).as("e"))
+      // second-truncated fold order (shared with CusumStream — see ewmaOf)
+      .select($"user_id", struct(date_trunc("second", $"ts").as("ts"),
+        $"event_id", floor($"value" * 100).cast("long").as("x")).as("e"))
       .groupBy($"user_id")
       .agg(array_sort(collect_list($"e")).as("es"), count(lit(1)).as("n_obs"))
       .filter($"n_obs" > CusumTrainN)
@@ -308,7 +314,7 @@ object TimeSeries {
     // element (already scaled), each step floor-divides — bit-identical
     // to the Spark aggregate() lambda
     "q_ts_ewma" ->
-      s"""WITH s AS (SELECT user_id, ts, event_id,
+      s"""WITH s AS (SELECT user_id, date_trunc('second', ts) AS ts, event_id,
          |    CAST(floor(value * 100) AS BIGINT) * $EwmaScale AS x
          |  FROM events WHERE event_type = 'purchase'),
          |l AS (SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
@@ -327,7 +333,7 @@ object TimeSeries {
     // (A struct-accumulator list_reduce replay mis-evaluates on DuckDB
     // 1.0.0 — multi-field lambda accumulators return wrong field values.)
     "q_ts_cusum" ->
-      s"""WITH s AS (SELECT user_id, ts, event_id,
+      s"""WITH s AS (SELECT user_id, date_trunc('second', ts) AS ts, event_id,
          |    CAST(floor(value * 100) AS BIGINT) AS x
          |  FROM events WHERE event_type = 'purchase'),
          |l AS (SELECT user_id, list(x ORDER BY ts, event_id) AS xs,

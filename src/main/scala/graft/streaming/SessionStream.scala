@@ -113,15 +113,18 @@ final class SessionProcessor
 
   override def handleInputRows(key: Long, rows: Iterator[SEvent],
       timerValues: TimerValues): Iterator[SessRow] = {
-    val c0 = readCtrl()
-    var opens = c0.opens.toVector
+    // ctrl is THREADED through the loop (not captured once): the frontier
+    // check always reads the latest state, so a future refactor that
+    // interleaves sealing with insertion cannot re-admit a behind-frontier
+    // event into an already-sealed range
+    var c = readCtrl()
     rows.toVector.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
       // behind the sealed frontier = the session it belonged to already
       // emitted: dropped (late-data contract)
-      if (c0.frontier == NoVal || e.ts_sec > c0.frontier + GapS)
-        opens = insert(opens, e)
+      if (c.frontier == NoVal || e.ts_sec > c.frontier + GapS)
+        c = c.copy(opens = insert(c.opens.toVector, e))
     }
-    drain(key, timerValues.getCurrentWatermarkInMs(), c0.copy(opens = opens))
+    drain(key, timerValues.getCurrentWatermarkInMs(), c)
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,

@@ -57,4 +57,27 @@ class ContainmentSpec extends AnyFunSuite {
     // dropped); the planted containment pair is unaffected
     assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L)), got.toString)
   }
+
+  test("recallAudit: empty truth set reports recall 0, not NULL") {
+    import spark.implicits._
+    // three docs sharing no shingle at all: n_true = 0, the division guard
+    // must report 0 instead of a NULL / divide-by-zero divergence
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 10).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.recallAuditOf(spark, docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 0L, 0L, 0L)), r.toString)
+  }
+
+  test("recallAudit: over-cap input trips the audit-scale require") {
+    import spark.implicits._
+    val docs = spark.range(Dedup.MaxRecallAuditDocs + 1)
+      .selectExpr("id AS doc_id", "'w1 w2 w3 w4 w5' AS text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.recallAuditOf(spark, docs)
+    }
+    assert(e.getMessage.contains("audit-scale only"), e.getMessage)
+  }
 }
