@@ -74,12 +74,25 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.writeString(detailPath, detail + "\n")
-    // ALSO a stable repo-root copy the driver can read without scraping the
+    // ALSO stable repo-root copies the driver can read without scraping the
     // sbt tail (r6: the stdout headline survived but "parsed" came back
-    // null once — a committed file path can't be truncated or reformatted)
-    val stable = sys.env.get("SPARK_GRAFT_ROUND")
-      .map(r => s"BENCH_detail_r$r.json").getOrElse("BENCH_detail_latest.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(stable), detail + "\n")
+    // null once — a committed file path can't be truncated or reformatted).
+    // TWO files: `latest` (mutable convenience pointer) and a ROUND-STAMPED
+    // immutable one — r7's driver re-run overwrote the builder's committed
+    // clean-run detail in the working tree, losing the clean-vs-contended
+    // forensics; a per-round name can't be clobbered by the next round.
+    // Round = SPARK_GRAFT_ROUND if set, else inferred from the committed
+    // BENCH_r{N}.json artifacts (max N + 1 = the round in progress).
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
+      val re = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .sorted.lastOption.map(n => f"${n + 1}%02d")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_detail_latest.json"), detail + "\n")
+    round.foreach(r => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"BENCH_detail_r$r.json"), detail + "\n"))
     println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }

@@ -226,6 +226,47 @@ object ScaleProbe {
     assert(semStats._1 == nVecs / 100, s"planted semantic dups ${semStats._1}")
     println(f"""{"probe":"dedup_semantic","vecs":$nVecs,"cells":$ivfK,"planted_found":${semStats._1},"flagged":${semStats._2},"secs":$semSecs%.1f,"vecs_per_sec":${(nVecs / semSecs).toLong}}""")
 
+    // ---- Guarded kNN similarity join at 1M vectors with a DEGENERATE ----
+    // hot cell: 975k of 1M vectors are near-zero (the k-means collapse the
+    // verdict's MaxKnnCell guard exists for — they all assign to the single
+    // min-norm cell), 25k diverse vectors spread across K=256 cells
+    // (~98/cell). UNGUARDED, the hot cell alone would fan out ≈ 975k² ≈
+    // 9.5e11 candidate pairs onto the tasks owning that cell — days of
+    // work; guarded, the candidate volume is ~1M queries × nprobe × ~98 ≈
+    // 4e8 bounded pairs and the join completes in minutes. Hot members
+    // still act as queries (served from their 3 other probed cells).
+    val nKnn = 1000000L
+    val knnCold = 25000L
+    val knnDims = 16
+    val knnEmb = spark.range(nKnn).select(
+      $"id".as("vec_id"),
+      when($"id" < knnCold,
+        transform(sequence(lit(0), lit(knnDims - 1)),
+          d => pmod(xxhash64($"id" * 67 + d.cast("long") * 13 + 3),
+            lit(2000001L)) - 1000000L))
+        .otherwise(
+          transform(sequence(lit(0), lit(knnDims - 1)),
+            d => pmod(xxhash64($"id" * 71 + d.cast("long") * 17 + 7), lit(3L)) - 1L))
+        .as("q"))
+    val (knnStats, knnSecs) = time {
+      val (cents, cells) = graft.pipeline.Similarity.ivfModelOf(spark, knnEmb, 256)
+      val hotCell = cells.groupBy($"cell").count()
+        .agg(max($"count")).head().getLong(0)
+      val out = graft.pipeline.Similarity
+        .knnJoinOf(spark, cents, cells, maxCell = 1000).cache()
+      val r = out.agg(count(lit(1)), countDistinct($"query_id"),
+        max($"vec_id")).head()
+      (hotCell, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    spark.catalog.clearCache()
+    assert(knnStats._1 >= nKnn - knnCold,
+      s"degenerate cell did not form: max cell ${knnStats._1}")
+    assert(knnStats._4 < knnCold,
+      s"hot-cell member leaked into candidates: max neighbor ${knnStats._4}")
+    assert(knnStats._3 == nKnn,
+      s"queries missing from the guarded join: ${knnStats._3} of $nKnn")
+    println(f"""{"probe":"knn_join_hot_cell","vecs":$nKnn,"hot_cell":${knnStats._1},"cells":256,"out_rows":${knnStats._2},"queries_served":${knnStats._3},"secs":$knnSecs%.1f,"vecs_per_sec":${(nKnn / knnSecs).toLong}}""")
+
     // ---- Connected components: 1.55M edges over ~2M nodes, adversarial ----
     // shapes for cluster resolution: 1000 chains of length 1000 (worst-case
     // diameter — label propagation would need 1000 rounds; the star

@@ -84,6 +84,80 @@ object StreamProbe {
     }
     median3("cep_stream", uniform)
     median3("cep_stream_skew", skewed)
+
+    // ---- SessionStream at 10M events: heavy out-of-orderness, one hot ----
+    // key (~30%), 100k keys. The §7.4.7-style contract under test: state is
+    // per-key OPEN sessions + 3 scalars — bounded by keys and the
+    // out-of-orderness horizon, never by event volume (the hot key's ~3M
+    // events accrete into ONE open session struct of 4 longs) — and sealed
+    // output must EQUAL the batch q_sessionize rollup row-for-row. Events
+    // arrive by a jittered arrival clock (ts + up to 20 min) in 16
+    // micro-batches, so backward extension and session bridging fire
+    // constantly while staying inside the 30-min watermark delay.
+    val nSess = args.lift(1).map(_.toLong).getOrElse(10000000L)
+    val baseSec = 1700000000L
+    val spanSec = 30L * 86400
+    val sessEvents = spark.range(nSess).select(
+        when(pmod(xxhash64($"id" * 19 + 3), lit(10L)) < 3, lit(0L))
+          .otherwise(pmod(xxhash64($"id" * 7 + 1), lit(users))).as("user_id"),
+        (lit(baseSec) + pmod(xxhash64($"id" * 13 + 5), lit(spanSec))).as("ts_sec"),
+        $"id".as("event_id"),
+        when(pmod(xxhash64($"id" * 31 + 11), lit(10L)) === 7, lit("purchase"))
+          .otherwise(lit("view")).as("event_type"),
+        (lit(baseSec) + pmod(xxhash64($"id" * 13 + 5), lit(spanSec))
+          + pmod(xxhash64($"id" * 23 + 9), lit(1200L))).as("arr_sec"))
+      .cache()
+    val sessMem = MemoryStream[(Long, java.sql.Timestamp, String, Long)]
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess-probe-").toString
+    val sessQ = graft.streaming.SessionStream.sessions(
+        sessMem.toDF().toDF("user_id", "ts", "event_type", "event_id"),
+        delay = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/out").option("checkpointLocation", s"$outDir/cp")
+      .outputMode("append").start()
+    val nBatches = 16
+    val sliceW = (spanSec + 1200L) / nBatches + 1L
+    var maxStateRows = 0L
+    val sessT0 = System.nanoTime()
+    (0 until nBatches).foreach { i =>
+      val rows = sessEvents
+        .filter($"arr_sec" >= baseSec + i * sliceW &&
+          $"arr_sec" < baseSec + (i + 1) * sliceW)
+        .select($"user_id", timestamp_seconds($"ts_sec").as("ts"),
+          $"event_type", $"event_id")
+        .as[(Long, java.sql.Timestamp, String, Long)].collect()
+      if (rows.nonEmpty) { sessMem.addData(rows.toIndexedSeq); sessQ.processAllAvailable() }
+      Option(sessQ.lastProgress).foreach(p =>
+        p.stateOperators.foreach(so => maxStateRows = maxStateRows.max(so.numRowsTotal)))
+    }
+    // far-future sentinel: advance the global watermark past every gap
+    // horizon so all open sessions seal (two, so the timer batch runs)
+    sessMem.addData(Seq((999999L, java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(baseSec + spanSec * 10)), "view", -1L)))
+    sessQ.processAllAvailable()
+    sessMem.addData(Seq((999999L, java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(baseSec + spanSec * 20)), "view", -2L)))
+    sessQ.processAllAvailable()
+    val sessSecs = (System.nanoTime() - sessT0) / 1e9
+    sessQ.stop()
+    // parity: sealed streaming sessions ≡ the batch rollup, row-for-row
+    val expected = graft.relational.Paths.sessionizeOf(
+      sessEvents.select($"user_id", timestamp_seconds($"ts_sec").as("ts"),
+        $"event_type", $"event_id"))
+    val got = spark.read.parquet(s"$outDir/out").filter($"user_id" =!= 999999L)
+    val nGot = got.count()
+    val nExp = expected.count()
+    val joinCols = Seq("user_id", "session_id", "start_sec", "end_sec",
+      "n_events", "n_purchases", "duration_s")
+    val nMatch = got.join(expected, joinCols).count()
+    assert(nGot == nExp && nMatch == nExp,
+      s"session parity broken: streaming $nGot, batch $nExp, matched $nMatch")
+    // state bounded by KEYS (1 ctrl row per key + timer rows), not events
+    assert(maxStateRows == 0L || maxStateRows <= (users + 2) * 3,
+      s"state rows $maxStateRows exceed the per-key bound (${(users + 2) * 3})")
+    sessEvents.unpersist()
+    println(f"""{"probe":"session_stream","rows":$nSess,"keys":$users,"batches":$nBatches,"sessions":$nGot,"matched":$nMatch,"max_state_rows":$maxStateRows,"secs":$sessSecs%.1f,"rows_per_sec":${(nSess / sessSecs).toLong}}""")
+
     spark.stop()
   }
 }
