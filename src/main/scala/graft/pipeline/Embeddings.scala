@@ -175,10 +175,62 @@ object Embeddings {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Pairwise per-source CENTROID COSINE — the embedding-space drift
+    * matrix, the dense companion of `q_profile_drift`'s lexical χ²: two
+    * sources whose centroids decorrelate have diverging content even when
+    * their token histograms still look alike (and vice versa — paraphrase
+    * mills keep embeddings close while the vocabulary churns). Emitted as
+    * the exact integer `sign(dot)·(dot²·10^4 div (|a|²·|b|²))` — signed
+    * squared cosine in basis points (Decimal(38) cross-multiplication, no
+    * sqrt and no float division, the [[Dedup.semanticOf]] trick), which is
+    * monotone in |cos| and keeps the sign, all any drift threshold needs.
+    *
+    * Shape at scale: per-(source, dim) combinable aggregate (the
+    * [[centroids]] plan), collapsed to ONE row per source; the pair join
+    * is sources² over a catalog-bounded table — broadcast-trivial at any
+    * corpus size. Zero-vector centroids are excluded (cosine undefined). */
+  def drift(s: SparkSession, dir: String): DataFrame =
+    driftOf(centroids(s, dir))
+
+  /** [[drift]] over any `(source, dim, n_vecs, mean_micro)` centroid
+    * table — fixture entry point. */
+  private[graft] def driftOf(centroidTable: DataFrame): DataFrame = {
+    val s = centroidTable.sparkSession
+    import s.implicits._
+    // tiny (one row per source) but its lineage replays the corpus-wide
+    // centroid aggregate — cache before feeding both sides of the pair join
+    val cents = centroidTable
+      .groupBy($"source")
+      .agg(max($"n_vecs").as("n_vecs"),
+        sort_array(collect_list(struct($"dim", $"mean_micro"))).as("dm"))
+      .select($"source", $"n_vecs",
+        transform($"dm", x => x.getField("mean_micro")).as("m"))
+      .withColumn("n2", qdot($"m", $"m"))
+      .filter($"n2" > 0)
+      .cache()
+    val a = cents.select($"source".as("src_a"), $"m".as("ma"),
+      $"n2".as("na2"), $"n_vecs".as("n_a"))
+    val b = cents.select($"source".as("src_b"), $"m".as("mb"),
+      $"n2".as("nb2"), $"n_vecs".as("n_b"))
+    // explicit broadcast: the source-catalog table is row-count-bounded but
+    // statless to the planner, which would otherwise fall back to a
+    // CartesianProduct for the non-equi pair condition
+    a.join(broadcast(b), $"src_a" < $"src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b",
+        qdot($"ma", $"mb").as("dot"), $"na2", $"nb2")
+      .withColumn("c2", expr(
+        "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 10000) div " +
+          "(CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"dot",
+        when($"dot" < 0, -$"c2").otherwise($"c2").as("cos2_bp_signed"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_centroids" -> centroids _,
     "q_embedding_quantize" -> quantizeAudit _,
     "q_embedding_pq" -> pqAudit _,
+    "q_embedding_drift" -> drift _,
   )
 
   /** DuckDB: subspace-`m` codebook chain — slice, seeds, two assign/update
@@ -255,6 +307,38 @@ object Embeddings {
         |  CAST(sum(comp) AS BIGINT) AS sum_micro,
         |  CAST(sum(comp) // count(*) AS BIGINT) AS mean_micro
         |FROM j GROUP BY source, dim ORDER BY source, dim""".stripMargin,
+    // same per-source centroid chain, pair cosine² via HUGEINT
+    // cross-multiplication (sign applied outside the positive division)
+    "q_embedding_drift" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |j AS (SELECT d.source,
+        |    unnest(q.qv) AS comp,
+        |    unnest(range(len(q.qv))) AS dim
+        |  FROM documents d JOIN q ON d.doc_id = q.vec_id),
+        |c AS (SELECT source, dim, count(*) AS n_vecs,
+        |    CAST(sum(comp) // count(*) AS BIGINT) AS mean
+        |  FROM j GROUP BY source, dim),
+        |v AS (SELECT source, max(n_vecs) AS n_vecs,
+        |    list(mean ORDER BY dim) AS m FROM c GROUP BY source),
+        |w AS (SELECT source, n_vecs, m,
+        |    CAST(list_sum(list_transform(generate_series(1, len(m)),
+        |      i -> m[i] * m[i])) AS BIGINT) AS n2
+        |  FROM v),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(a.n_vecs AS BIGINT) AS n_a, CAST(b.n_vecs AS BIGINT) AS n_b,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.m)),
+        |      i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
+        |    a.n2 AS na2, b.n2 AS nb2
+        |  FROM w a JOIN w b ON a.source < b.source
+        |  WHERE a.n2 > 0 AND b.n2 > 0)
+        |SELECT src_a, src_b, n_a, n_b, dot,
+        |  CAST(CASE WHEN dot < 0
+        |    THEN -((CAST(dot AS HUGEINT) * dot * 10000) // (CAST(na2 AS HUGEINT) * nb2))
+        |    ELSE (CAST(dot AS HUGEINT) * dot * 10000) // (CAST(na2 AS HUGEINT) * nb2)
+        |    END AS BIGINT) AS cos2_bp_signed
+        |FROM p ORDER BY src_a, src_b""".stripMargin,
     // `//` and Spark's `div` both truncate toward zero (see above), and
     // comp may be negative, so qi/recon agree sign-exactly across engines.
     "q_embedding_quantize" ->

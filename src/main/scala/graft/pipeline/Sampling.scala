@@ -220,11 +220,61 @@ object Sampling {
           lit(0L), (acc, x) => acc + x))
   }
 
+  /** [[priority]] sample size (fixed k — the budget, unlike [[weighted]]'s
+    * fixed RATE). */
+  val PriorityK = 100
+
+  /** PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007) — the
+    * fixed-SIZE weighted sample with near-optimal variance: each doc draws
+    * a deterministic uniform u ∈ (0, 1] from its salted hash, gets
+    * priority w/u (w = n_chars), and the top-[[PriorityK]] priorities win.
+    * The (k+1)-th priority τ is the estimation threshold: every sampled
+    * doc carries `est_chars = max(w, τ)`, and Σ est_chars over the sample
+    * is an unbiased estimator of the corpus total — the
+    * Horvitz–Thompson-style guarantee that makes the sample USABLE for
+    * downstream token accounting, which a plain top-k-by-weight sample
+    * (deterministic, biased) cannot give. [[weighted]] is the fixed-rate
+    * Poisson cousin; this is the fixed-budget one.
+    *
+    * Exact integers: u_micro ∈ [1, 10^6], priority = (w·10^12) div
+    * u_micro (≤ 10^16 at any realistic doc length), τ back to weight
+    * units by div 10^6. Shape at scale: one narrow projection, the
+    * global top-(k+1) collapses to TakeOrderedAndProject via
+    * LimitPushdownThroughWindow (no corpus sort), τ is a 1-row aggregate
+    * of a (k+1)-row table, and the sample joins it broadcast. */
+  def priority(s: SparkSession, dir: String): DataFrame =
+    priorityOf(Tables.table(s, dir, "documents"), PriorityK)
+
+  /** [[priority]] over any `(doc_id, source, n_chars)` table with an
+    * explicit k — fixture entry point (the k ≥ n case pins the
+    * exact-total property: τ = 0 ⇒ est ≡ w ⇒ Σ est = Σ w). */
+  private[graft] def priorityOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .withColumn("u",
+        charFoldHash(concat(lit("prio:"), $"doc_id".cast("string")))
+          % 1000000L + 1L)
+      .select($"doc_id", $"source", $"n_chars",
+        expr("(n_chars * 1000000000000L) div u").as("prio"))
+    val w = Window.orderBy($"prio".desc, $"doc_id")
+    val ranked = base.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k + 1)
+    val tau = ranked.filter($"rnk" === k + 1)
+      .agg(coalesce(max($"prio"), lit(0L)).as("tau"))
+    ranked.filter($"rnk" <= k)
+      .crossJoin(broadcast(tau))
+      .select($"doc_id", $"source", $"n_chars", $"prio",
+        greatest($"n_chars", expr("tau div 1000000L")).as("est_chars"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> bernoulli _,
     "q_sample_stratified" -> stratified _,
     "q_sample_weighted" -> weighted _,
     "q_sample_dsir" -> dsir _,
+    "q_sample_priority" -> priority _,
   )
 
   private def saltHash(salt: String) =
@@ -278,5 +328,19 @@ object Sampling {
          |WHERE source <> '$DsirTarget'
          |GROUP BY doc_id
          |ORDER BY logw_micro DESC, doc_id LIMIT $DsirTopK""".stripMargin,
+    // priority = (w·1e12) div u with the same salted-hash u; τ = the
+    // (k+1)-th priority; est = max(w, τ div 1e6) — the DLT estimator
+    "q_sample_priority" ->
+      s"""WITH b AS (SELECT doc_id, source, n_chars,
+         |    (n_chars * 1000000000000) //
+         |      (${saltHash("prio")} % 1000000 + 1) AS prio
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, n_chars, prio,
+         |    row_number() OVER (ORDER BY prio DESC, doc_id) AS rnk FROM b),
+         |t AS (SELECT COALESCE(max(CASE WHEN rnk = ${PriorityK + 1} THEN prio END), 0)
+         |    AS tau FROM r WHERE rnk <= ${PriorityK + 1})
+         |SELECT doc_id, source, n_chars, CAST(prio AS BIGINT) AS prio,
+         |  CAST(greatest(n_chars, tau // 1000000) AS BIGINT) AS est_chars
+         |FROM r, t WHERE rnk <= $PriorityK ORDER BY doc_id""".stripMargin,
   )
 }

@@ -618,7 +618,111 @@ object TextAnalysis {
       .orderBy($"lift_micro".desc, $"w1", $"w2")
   }
 
+  /** Character-level Shannon entropy per document, in micro-nats — the
+    * symbol-diversity quality signal (the Gopher/C4 family's cheap spam
+    * screen): repeated-character junk scores near 0, natural prose lands
+    * around ln(alphabet-in-use); gibberish with a flat symbol histogram
+    * maxes out. H = ln n − (1/n)·Σ c·ln c over per-doc char counts,
+    * computed as exact integers after the one floor-quantized ln per
+    * distinct count (the [[perplexity]]/bm25 idf discipline), so the
+    * oracle comparison is bit-exact: `ent_micro = (n·L(n) − Σ c·L(c))
+    * div n` with `L(x) = floor(ln(x)·10^6)`.
+    *
+    * Shape at scale: ENTIRELY per-row — chars, distinct chars, and counts
+    * all live in array lambdas (alphabet × length work per doc), zero
+    * joins, zero shuffle, so the same transform runs on append streams
+    * unchanged (`PipelineStreamSpec`); the oracle computes it RELATIONALLY
+    * (unnest → group-by), so the hash match is also a cross-implementation
+    * check of the in-row fold. */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    entropyOf(Tables.table(s, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** [[entropy]] over any `(doc_id, text)` frame — unsorted, stream-safe. */
+  def entropyOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    corpus
+      .filter(length($"text") > 0)
+      .withColumn("cs", expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+      .withColumn("cnts", expr(
+        "transform(array_distinct(cs), d -> CAST(size(filter(cs, c -> c = d)) AS BIGINT))"))
+      .select($"doc_id",
+        size($"cs").cast("long").as("n_chars_counted"),
+        size($"cnts").cast("long").as("n_distinct"),
+        expr("""(CAST(size(cs) AS BIGINT)
+               |   * CAST(floor(ln(CAST(size(cs) AS DOUBLE)) * 1000000) AS BIGINT)
+               | - aggregate(cnts, 0L, (acc, c) ->
+               |     acc + c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)))
+               |div CAST(size(cs) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("ent_micro"))
+  }
+
+  /** [[tfidfPairs]] emission threshold: cos² ≥ 25% ⇔ |cos| ≥ 0.5. */
+  val SparseMinCosBp = 2500L
+
+  /** TF-IDF SPARSE COSINE pair scoring — lexical near-dup detection in
+    * vector space without embeddings: candidate pairs come from the
+    * PRODUCTION MinHash-LSH index ([[Dedup.minhashPairs]] — banded,
+    * `MaxBucket`-guarded, recall measured by `q_dedup_recall`), and each
+    * candidate is re-scored by the EXACT tf·idf cosine of the two full
+    * sparse term vectors, emitted when cos² ≥ [[SparseMinCosBp]]. The
+    * weighting is the point: Jaccard counts shared shingles, containment
+    * counts coverage, this weighs shared TERMS by rarity — the classic
+    * near-duplicate-news scorer where boilerplate overlap must not
+    * outvote a shared rare vocabulary. Cosine² compared in basis points
+    * by Decimal(38)/HUGEINT cross-multiplication (no sqrt, no float).
+    *
+    * An inverted-index ALL-pair spelling (join every posting list) is
+    * deliberately NOT used: on a dense shared vocabulary (this corpus: 31
+    * terms, df ≈ n) it degenerates to Σ df² ≈ all-pairs — the guarded
+    * LSH candidate set is the scale path, and its recall is the audited
+    * `q_dedup_recall` number. Exactness/headroom: idf floor-quantized to
+    * CENTI-nats (one ln per distinct df); int64 weights/norms safe while
+    * a doc's Σtf² < 1.2×10^12. Shape at 100 TB: the guarded LSH
+    * pipeline + two combinable count shuffles + candidate-bounded scoring
+    * joins on (doc, term). */
+  def tfidfPairs(s: SparkSession, dir: String): DataFrame =
+    tfidfPairsOf(Tables.table(s, dir, "documents"))
+
+  /** [[tfidfPairs]] over any `(doc_id, text)` table — fixture entry point. */
+  def tfidfPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    // cached: the weighted postings feed the norms AND both scoring joins
+    val wts = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf" * floor(log($"n".cast("double") / $"df") * 1e2).cast("long"))
+          .as("wt"))
+      .cache()
+    val norms = wts.groupBy($"doc_id").agg(sum($"wt" * $"wt").as("n2"))
+    val cand = Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b")
+    cand
+      .join(wts.select($"doc_id".as("doc_a"), $"term", $"wt".as("wa")), "doc_a")
+      .join(wts.select($"doc_id".as("doc_b"), $"term", $"wt".as("wb")),
+        Seq("doc_b", "term"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"wa" * $"wb").as("dot"))
+      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na2")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("nb2")), "doc_b")
+      .withColumn("cos2_bp", expr(
+        "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 10000) div " +
+          "(CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"))
+      .filter($"dot" > 0 && $"cos2_bp" >= SparseMinCosBp)
+      .select($"doc_a", $"doc_b", $"dot", $"cos2_bp")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_entropy" -> entropy _,
+    "q_text_tfidf_pairs" -> tfidfPairs _,
     "q_text_collocations" -> collocations _,
     "q_text_freqitems" -> freqItems _,
     "q_text_langid" -> langId _,
@@ -765,6 +869,52 @@ object TextAnalysis {
          |  CAST(sum(c) AS BIGINT) AS n_total,
          |  CAST((count(*) * 10000) // sum(c) AS BIGINT) AS distinct_bp
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // the production MinHash-LSH candidate chain (Dedup's sig/cand/prs
+    // CTEs), each pair re-scored by the exact tf-idf cosine in HUGEINT
+    // basis points
+    "q_text_tfidf_pairs" ->
+      s"""${Dedup.sigCte},
+         |${Dedup.candCtes},
+         |${Dedup.prsCte},
+         |t AS (SELECT doc_id, unnest(${duckTokens("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf * CAST(floor(ln(CAST(nn.n AS DOUBLE) / tdf.df) * 100)
+         |      AS BIGINT) AS BIGINT) AS wt
+         |  FROM tf JOIN tdf USING (term), nn),
+         |nr AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+         |  FROM w GROUP BY 1),
+         |dts AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+         |  FROM prs p JOIN w a ON a.doc_id = p.doc_a
+         |  JOIN w b ON b.doc_id = p.doc_b AND b.term = a.term
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b, dot,
+         |    CAST((CAST(dot AS HUGEINT) * dot * 10000)
+         |      // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_bp
+         |  FROM dts JOIN nr na ON na.doc_id = dts.doc_a
+         |  JOIN nr nb ON nb.doc_id = dts.doc_b)
+         |SELECT doc_a, doc_b, dot, cos2_bp FROM sc
+         |WHERE dot > 0 AND cos2_bp >= $SparseMinCosBp
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // relational spelling (unnest → group-by) of the Spark side's in-row
+    // fold — hash equality doubles as the cross-implementation check
+    "q_text_entropy" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, length(text)),
+         |      i -> substring(text, i, 1))) AS ch
+         |  FROM documents WHERE length(text) > 0),
+         |g AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS ndist,
+         |    CAST(sum(c * CAST(floor(ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS hsum
+         |  FROM g GROUP BY 1)
+         |SELECT doc_id, n AS n_chars_counted, ndist AS n_distinct,
+         |  CAST((n * CAST(floor(ln(n) * 1000000) AS BIGINT) - hsum) // n
+         |    AS BIGINT) AS ent_micro
+         |FROM a ORDER BY doc_id""".stripMargin,
     "q_text_collocations" ->
       s"""WITH d AS (SELECT ${duckTokens("lower(text)")} AS w FROM documents),
          |uni AS (SELECT unnest(w) AS t FROM d),

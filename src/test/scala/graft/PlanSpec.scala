@@ -92,17 +92,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF centroid assignment: broadcast join, no cartesian, no K-wide expression") {
+  test("IVF: declared plan serves from the shared index; training broadcasts") {
     val df = SparkEntry.queries("q_similarity_ivf")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the K-row centroid table broadcasts against the fact table — the
-    // vectors never shuffle for the assignment join
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // r8: the declared plan SERVES from the per-process persisted index —
+    // parquet scans + one cell equi-join; no k-means lineage, no broadcast
+    // nested loop, and never a cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // assignment reduces via min(struct(dist, cid, …)), not K inline
-    // least(...) branches — the plan must not blow up with K
+    // and no K inline least(...) branches — the plan must not blow up with K
     assert(!p.contains("least("), p)
+    // the TRAINING plan (runs once per process when the index materializes)
+    // still broadcasts the K-row centroid table against the fact table —
+    // the vectors never shuffle for the assignment join
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.pipeline.Hashing.quantize(col("embedding")).as("q"))
+    val (_, cells) = graft.pipeline.Similarity.ivfModelOf(spark, e, 8)
+    val tp = cells.queryExecution.executedPlan.toString
+    assert(tp.contains("BroadcastNestedLoopJoin"), tp)
+    assert(!tp.contains("CartesianProduct"), tp)
+    assert(!tp.contains("least("), tp)
     spark.catalog.clearCache()
   }
 

@@ -72,6 +72,13 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_clf", TextAnalysis.classifierOf) == b)
   }
 
+  test("character entropy: streaming == batch") {
+    val b = batch(TextAnalysis.entropyOf)
+    assert(b.size == docs.size)
+    // doc 42 ("dup dup ...") must score below the mixed-word docs
+    assert(streamed("pipe_entropy", TextAnalysis.entropyOf) == b)
+  }
+
   test("chunking: streaming == batch") {
     val b = batch(TextAnalysis.chunkOf)
     assert(b.size > docs.size) // the long doc must split into several chunks

@@ -49,10 +49,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_incremental", // BloomFilterAggregate over the batch spans
     "q_text_heavyhitters", // count_min_sketch over the token stream
     // Spark's own InjectRuntimeFilter: a 1-row bloom_filter_agg it builds
-    // from the query-set join side
-    "q_ann_recall_ivf", "q_ann_recall_pq"
+    // from the query-set join side (q_ann_recall_ivf lost its entry in r8:
+    // the shared IVF model serves cells from parquet, no filterable join)
+    "q_ann_recall_pq",
+    "q_text_tfidf_pairs" // 1-row doc-count aggregate for the idf
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
-    // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject)
+    // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject;
+    // q_sample_priority's global top-(k+1) collapses the same way)
   )
 
   /** Queries allowed a BroadcastNestedLoopJoin — legitimate ONLY when the
@@ -70,14 +73,22 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_text_collocations", // 1-row T × 1-row B crossJoined into the score
     "q_dedup_recall",   // 1-row count × 1-row count × 1-row count
     "q_funnel_steps",   // 1-row stage counts crossJoined
-    // K-row centroid tables (IVF k-means assignment / probe ranking) and
-    // query-set-sized exact-baseline sides of the recall audits
-    "q_similarity_ivf", "q_similarity_ivf_probe", "q_dedup_semantic",
+    // K-row centroid tables (IVF probe ranking) and query-set-sized
+    // exact-baseline sides of the recall audits. (q_similarity_ivf,
+    // q_similarity_knn_join, and q_dedup_semantic lost their entries in
+    // r8: the k-means-training BNLJ now runs ONCE per process when the
+    // shared IVF index materializes, so the declared plans are parquet
+    // scans + equi-joins.)
+    "q_similarity_ivf_probe",
     "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_pq",
-    "q_similarity_knn_join", // K-row centroid broadcast inside k-means training
     // corpus-broadcast exact baseline (audit-scale only, input-size-required
-    // in annRecallKnn) + the knn plan's training broadcasts
-    "q_ann_recall_knn"
+    // in annRecallKnn)
+    "q_ann_recall_knn",
+    // 1-row broadcast tables: the τ threshold / the idf doc count
+    "q_sample_priority", "q_text_tfidf_pairs",
+    // source-catalog-bounded centroid pair join (explicit broadcast — the
+    // planner would otherwise cartesian the non-equi condition)
+    "q_embedding_drift"
   )
 
   private def plansOf(name: String): String = {
