@@ -466,6 +466,24 @@ object Dedup {
   /** Hard cap on [[recallAudit]]'s input (see its scale contract). */
   val MaxRecallAuditDocs = 100000L
 
+  /** [[recallAuditSampled]] inclusion rate (percent). */
+  val RecallSamplePct = 50
+
+  /** [[recallAudit]] on a deterministic uniform DOCUMENT SAMPLE — the
+    * executable form of the audit's sample-scale contract: at corpus
+    * scale the exact truth join can only run on a sample, so the sampled
+    * audit is what production actually executes (dial the rate down as
+    * the corpus grows; recall is a pair-level rate, so a uniform doc
+    * sample estimates it with standard-error guarantees). Same salted-
+    * hash Bernoulli filter as every sampler here — deterministic, so the
+    * audit is reproducible and oracle-gated like the full one. */
+  def recallAuditSampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    recallAuditOf(s, Tables.table(s, dir, "documents")
+      .filter(charFoldHash(concat(lit("rsamp:"), $"doc_id".cast("string")))
+        % 100 < RecallSamplePct))
+  }
+
   /** [[containment]] thresholds: flag A-in-B when ≥ 80% of A's shingles
     * appear in B, for docs with at least 10 distinct shingles (below that
     * the percentage is noise). */
@@ -536,6 +554,7 @@ object Dedup {
     "q_dedup_pagerank" -> pagerank _,
     "q_dedup_hops" -> hops _,
     "q_dedup_recall" -> recallAudit _,
+    "q_dedup_recall_sampled" -> recallAuditSampled _,
     "q_dedup_minhash" -> minhash _,
     "q_dedup_ngram" -> ngram _,
     "q_dedup_simhash" -> simhashNN _,
@@ -566,6 +585,30 @@ object Dedup {
     * [[candCtes]] upstream and `WITH RECURSIVE`); shared by the cluster and
     * leakage-free-split oracles. `walk` closes the edge relation so
     * `min(reach) GROUP BY node` is each node's component minimum. */
+  /** The recall-audit oracle body (requires [[sigCte]] + [[candCtes]] +
+    * [[prsCte]] upstream): inverted-index truth, hits, and the guarded
+    * recall division — shared by the full and sampled audits. */
+  private val recallOracleBody =
+    s"""ds AS (SELECT doc_id, list_distinct(bh) AS sh FROM bh),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM ds),
+       |inv AS (SELECT doc_id, unnest(sh) AS g FROM ds),
+       |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS inter
+       |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT doc_a, doc_b
+       |  FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
+       |  JOIN sz sb ON sb.doc_id = ix.doc_b
+       |  WHERE inter * 100 >= (sa.n + sb.n - inter) * 30),
+       |hit AS (SELECT t.doc_a FROM truth t JOIN prs p
+       |  ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+       |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       |  CAST((SELECT count(*) FROM prs) AS BIGINT) AS n_lsh,
+       |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+       |    ELSE ((SELECT count(*) FROM hit) * 10000)
+       |      // (SELECT count(*) FROM truth) END AS BIGINT) AS recall_bp""".stripMargin
+
   /** Verified MinHash pair CTE (requires [[sigCte]] + [[candCtes]]
     * upstream) — the oracle's `minhashPairs`. */
   private[pipeline] val prsCte =
@@ -701,25 +744,20 @@ object Dedup {
       s"""$sigCte,
          |$candCtes,
          |$prsCte,
-         |ds AS (SELECT doc_id, list_distinct(bh) AS sh FROM bh),
-         |sz AS (SELECT doc_id, len(sh) AS n FROM ds),
-         |inv AS (SELECT doc_id, unnest(sh) AS g FROM ds),
-         |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    count(*) AS inter
-         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |truth AS (SELECT doc_a, doc_b
-         |  FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
-         |  JOIN sz sb ON sb.doc_id = ix.doc_b
-         |  WHERE inter * 100 >= (sa.n + sb.n - inter) * 30),
-         |hit AS (SELECT t.doc_a FROM truth t JOIN prs p
-         |  ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
-         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
-         |  CAST((SELECT count(*) FROM prs) AS BIGINT) AS n_lsh,
-         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
-         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
-         |    ELSE ((SELECT count(*) FROM hit) * 10000)
-         |      // (SELECT count(*) FROM truth) END AS BIGINT) AS recall_bp""".stripMargin,
+         |$recallOracleBody""".stripMargin,
+    // the same audit rebased onto the deterministic document sample —
+    // the executable sample-scale contract (recallAuditSampled)
+    "q_dedup_recall_sampled" -> {
+      val sigOnSample = sigCte.stripPrefix("WITH ")
+        .replace("FROM documents", "FROM docs_r")
+      s"""WITH docs_r AS (SELECT * FROM documents
+         |  WHERE ${duckCharFold("'rsamp:' || CAST(doc_id AS VARCHAR)")}
+         |    % 100 < $RecallSamplePct),
+         |$sigOnSample,
+         |$candCtes,
+         |$prsCte,
+         |$recallOracleBody""".stripMargin
+    },
     // Triangles by id-ordered enumeration over the verified pair table
     // (doc_a < doc_b by construction) — fine at oracle scale; the Spark
     // side's degree orientation is the shape that survives skewed graphs.

@@ -44,6 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_profile_drift",  // 1-row corpus token total over the 64-bucket table
     "q_text_collocations", // 1-row unigram/bigram totals for the lift denominator
     "q_dedup_recall",   // three 1-row count aggregates crossJoined to one row
+    "q_dedup_recall_sampled", // the same audit on the document sample
     "q_funnel_steps",   // three 1-row stage counts crossJoined to one row
     // 1-row sketch aggregates probed via scalar subquery
     "q_dedup_incremental", // BloomFilterAggregate over the batch spans
@@ -72,6 +73,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_profile_drift",  // 64-row bucket table × 1-row total into the grid
     "q_text_collocations", // 1-row T × 1-row B crossJoined into the score
     "q_dedup_recall",   // 1-row count × 1-row count × 1-row count
+    "q_dedup_recall_sampled", // the same audit on the document sample
     "q_funnel_steps",   // 1-row stage counts crossJoined
     // K-row centroid tables (IVF probe ranking) and query-set-sized
     // exact-baseline sides of the recall audits. (q_similarity_ivf,

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import TopKStream._
+
+/** SpaceSaving guarantees pinned against exact batch counts: heavy items
+  * always present, estimates bracket the truth from above, exact when the
+  * shard's distinct items fit the slot budget — across micro-batch
+  * slicings (SpaceSaving is order-sensitive only below the guarantee
+  * threshold, so the spec asserts guarantees, not slot-for-slot equality).
+  */
+class TopKStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Skewed fixture: token t0 is heavy (40%), t1 medium (20%), the rest
+    * a long tail of 60 singletons-to-few — far more distinct items than
+    * the 16 slots, so eviction churn is exercised. One shard. */
+  private val items: Vector[TItem] = {
+    val toks =
+      Vector.fill(80)("t0") ++ Vector.fill(40)("t1") ++ Vector.fill(20)("t2") ++
+        (0 until 60).flatMap(i => Vector.fill(1 + i % 2)(s"z$i"))
+    toks.zipWithIndex.map { case (t, i) => TItem(0L, i.toLong, t) }.toVector
+  }
+  private lazy val exact: Map[String, Long] =
+    items.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+  private lazy val nTotal = items.size.toLong
+
+  /** Final (latest-emission) estimate per item after streaming `chunks`. */
+  private def run(name: String, chunks: Seq[Seq[TItem]]): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val mem = MemoryStream[TItem]
+    val q = TopKStream.topk(mem.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      spark.table(name).as[TEst].collect()
+        .zipWithIndex
+        .groupBy(_._1.item)
+        .map { case (it, rs) =>
+          val last = rs.maxBy(_._2)._1 // latest emission wins
+          it -> (last.est, last.err)
+        }
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
+  private def checkGuarantees(got: Map[String, (Long, Long)]): Unit = {
+    val threshold = nTotal / Slots
+    // every item with true count > n/m is in the summary
+    exact.filter(_._2 > threshold).keys.foreach(it =>
+      assert(got.contains(it), s"heavy item $it missing (threshold $threshold)"))
+    // overestimate-only, bracketed by the tracked error
+    got.foreach { case (it, (est, err)) =>
+      val truth = exact.getOrElse(it, 0L)
+      assert(est >= truth, s"$it est $est < true $truth")
+      assert(est - err <= truth, s"$it est-err ${est - err} > true $truth")
+    }
+  }
+
+  test("guarantees hold, one batch") {
+    checkGuarantees(run("topk_one", Seq(items)))
+  }
+
+  test("guarantees hold across micro-batch slicings") {
+    checkGuarantees(run("topk_four", items.grouped(items.size / 4 + 1).toSeq))
+    checkGuarantees(run("topk_each", items.grouped(7).toSeq))
+  }
+
+  test("exact when distinct items fit the slot budget") {
+    val small = items.filter(r => Set("t0", "t1", "t2")(r.item))
+      .zipWithIndex.map { case (r, i) => r.copy(seq = i.toLong) }
+    val got = run("topk_small", small.grouped(30).toSeq)
+    val truth = small.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == truth, got.toString)
+    assert(got.values.forall(_._2 == 0L), got.toString)
+  }
+
+  test("shards are independent: same items on two shards, same summaries") {
+    val two = items ++ items.map(r => r.copy(shard = 1L, seq = r.seq + 100000L))
+    import spark.implicits._
+    val mem = MemoryStream[TItem]
+    val q = TopKStream.topk(mem.toDS())
+      .writeStream.format("memory").queryName("topk_shards").outputMode("append").start()
+    try {
+      mem.addData(two)
+      q.processAllAvailable()
+      val rows = spark.table("topk_shards").as[TEst].collect()
+      val s0 = rows.filter(_.shard == 0L).map(r => (r.item, r.est, r.err)).toSet
+      val s1 = rows.filter(_.shard == 1L).map(r => (r.item, r.est, r.err)).toSet
+      assert(s0 == s1)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS topk_shards")
+    }
+  }
+}
