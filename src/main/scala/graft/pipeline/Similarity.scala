@@ -302,6 +302,34 @@ object Similarity {
     * (`PipelineStreamSpec` pins streaming ≡ batch [[ivfCells]]); at 100 TB
     * the stream side never touches the corpus — only the broadcast-sized
     * frozen model rides in the plan. Appends `(q, n2, cell)`. */
+  /** [[ivfAssignNew]] snapshot boundary: vectors below it are
+    * "yesterday's corpus" (the index is trained on them), vectors at or
+    * above it are "today's arrivals" (assigned with centroids FROZEN). */
+  val IvfSnapshotFloor = 250L
+
+  /** Frozen-index assignment as a DECLARED, ORACLE-GATED query — the
+    * batch twin of the streaming [[ivfAssignerOf]] path and the
+    * production index-refresh contract: k-means retrains per corpus
+    * SNAPSHOT ([[writeIvfIndex]]), and everything arriving between
+    * retrains is assigned to the frozen centroids. Trains on vectors
+    * below [[IvfSnapshotFloor]], then assigns the REST through the same
+    * literal-array row-local argmin the stream uses — so the DuckDB hash
+    * match gates the exact transform live ingest runs. */
+  def ivfAssignNew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, _) = ivfModelOf(s,
+      Tables.table(s, dir, "embeddings")
+        .filter($"vec_id" < IvfSnapshotFloor)
+        .select($"vec_id", quantize($"embedding").as("q")),
+      IvfK)
+    ivfAssignerOf(centroidArrayOf(cents))(
+        Tables.table(s, dir, "embeddings")
+          .filter($"vec_id" >= IvfSnapshotFloor)
+          .select($"vec_id", $"embedding"))
+      .select($"vec_id", $"cell", $"n2")
+      .orderBy($"vec_id")
+  }
+
   def ivfAssignerOf(cents: Seq[(Long, Seq[Long], Long)]): DataFrame => DataFrame = { vecs =>
     val s = vecs.sparkSession
     import s.implicits._
@@ -403,6 +431,7 @@ object Similarity {
     "q_similarity_ivf" -> annIvf _,
     "q_similarity_ivf_probe" -> annIvfProbe _,
     "q_similarity_knn_join" -> knnJoin _,
+    "q_similarity_ivf_assign" -> ivfAssignNew _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -484,7 +513,29 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
          |  FROM cand) WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
+    "q_similarity_ivf_assign" -> duckIvfAssignOracle,
   )
+
+  /** See [[ivfAssignNew]]: the training chain rebased onto the snapshot
+    * prefix, then the frozen-centroid argmin over the arrivals. */
+  private def duckIvfAssignOracle: String = {
+    val trainCtes = duckCellCtes.replace("FROM embeddings",
+      s"FROM embeddings WHERE vec_id < $IvfSnapshotFloor")
+    s"""WITH $trainCtes,
+       |ehi AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id >= $IvfSnapshotFloor),
+       |asg AS (SELECT vec_id, q, cell FROM (
+       |  SELECT e.vec_id, e.q, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+       |  FROM ehi e CROSS JOIN c2 c) WHERE rn = 1)
+       |SELECT vec_id, cell,
+       |  CAST(list_sum(list_transform(generate_series(1, 64),
+       |    i -> q[i] * q[i])) AS BIGINT) AS n2
+       |FROM asg ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB CTE chain mirroring [[ivfCells]]: quantized vectors `e`, seeded
     * k-means unrolled ([[IvfIters]] = 2 refinements), ending in `a3` = the
