@@ -58,6 +58,31 @@ class QuantileStreamSpec extends AnyFunSuite {
     assert(run("qs_four", docs.grouped(docs.size / 4 + 1).toSeq) == exp)
   }
 
+  test("restart from checkpoint preserves the histogram exactly") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("qs_ckpt").toString
+    val mem = MemoryStream[QIn]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[QOut]())
+    def start() = QuantileStream.quantiles(mem.toDS())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[QOut], _: Long) =>
+        b.collect().foreach(got.add)
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val (h1, h2) = docs.splitAt(docs.size / 2)
+    val q1 = start()
+    try { mem.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(h2); q2.processAllAvailable() } finally q2.stop()
+    val fin = got.asScala.zipWithIndex.groupBy(_._1.key)
+      .map { case (k, rs) => k -> rs.maxBy(r => (r._1.n, r._2.toLong))._1 }
+    assert(fin == expected)
+  }
+
   test("reported bucket brackets the exact rank quantile") {
     val got = run("qs_br", docs.grouped(97).toSeq)
     docs.groupBy(_.key).foreach { case (k, vs) =>

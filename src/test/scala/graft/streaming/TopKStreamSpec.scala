@@ -81,6 +81,37 @@ class TopKStreamSpec extends AnyFunSuite {
     assert(got.values.forall(_._2 == 0L), got.toString)
   }
 
+  test("restart from checkpoint preserves counters and slot assignments") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("topk_ckpt").toString
+    val mem = MemoryStream[TItem]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[TEst]())
+    def start() = TopKStream.topk(mem.toDS())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TEst], _: Long) =>
+        b.collect().foreach(got.add)
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val (h1, h2) = items.splitAt(items.size / 2)
+    val q1 = start()
+    try { mem.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(h2); q2.processAllAvailable() } finally q2.stop()
+    // final estimate per item across both runs must satisfy the same
+    // whole-stream guarantees — only possible if (n, slots) survived
+    val fin = got.asScala.zipWithIndex.groupBy(_._1.item)
+      .map { case (it, rs) => val l = rs.maxBy(_._2)._1; it -> (l.est, l.err) }
+    checkGuarantees(fin)
+    // and the heavy item's count is exact across the restart (t0 is never
+    // evicted: its estimate only grows; exactness requires continuity)
+    assert(fin("t0")._1 == exact("t0"), fin("t0").toString)
+  }
+
   test("shards are independent: same items on two shards, same summaries") {
     val two = items ++ items.map(r => r.copy(shard = 1L, seq = r.seq + 100000L))
     import spark.implicits._
