@@ -232,6 +232,66 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** THE WHOLE PIPELINE as one declared plan — the run a pretraining data
+    * job actually executes, end to end: quality gate → eval-source
+    * EXCLUSION + shingle decontamination (the eval set never trains AND
+    * nothing overlapping it does) → MinHash-LSH near-dedup with
+    * transitive closure, keeping cluster canonicals → deterministic
+    * salted sample → hierarchical-prefix-sum sequence PACKING of the
+    * survivors. Output is the training manifest: (doc_id, source,
+    * pack_id, n_tok). Every stage is individually oracled elsewhere; this
+    * pins that the COMPOSITION survives Catalyst whole-plan optimization
+    * and stays correct — and its plan inherits each stage's scale story
+    * (broadcast eval probe, guarded banded LSH, one-shuffle-per-round
+    * closure, no corpus-sized single-partition stage in the packing). */
+  /** [[pipelineFull]] contamination-gram length (tokens). */
+  val FullDeconK = 8
+
+  def pipelineFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gated = Tables.table(s, dir, "documents")
+      .filter(size(tokens($"text")) >= MinTokens)
+    val corpus = gated.filter($"source" =!= EvalSource)
+    // contamination grams are LONG ([[FullDeconK]] tokens, the
+    // production-13-gram convention scaled to this corpus): the reporting
+    // query q_decontaminate uses 3-grams to SCORE overlap, but a DROP
+    // filter at 3 grams saturates on a dense shared vocabulary (at sf0.1
+    // literally every doc shares some 3-gram with the eval source and the
+    // corpus empties); K=8 drops only verbatim-run overlap
+    val evalSh = gated.filter($"source" === EvalSource)
+      .select(explode(array_distinct(
+        shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
+      .distinct()
+    val dirty = corpus
+      .select($"doc_id", explode(array_distinct(
+        shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .select($"doc_id").distinct()
+    val clean = corpus.join(dirty, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.minhashPairs(s, clean).select($"doc_a", $"doc_b")
+    val clusters = Components.connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"root".as("cluster_id"))
+    // no broadcast hint on the cluster map (see curateNear: 30-50% near-dup
+    // corpora make it corpus-scale; AQE broadcasts when it actually fits)
+    val kept = clean.join(clusters, Seq("doc_id"), "left")
+      .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+      .filter(
+        charFoldHash(concat(lit("full:"), $"doc_id".cast("string"))) % 100
+          < CuratePct)
+      .select($"doc_id", $"source",
+        size(tokens($"text")).cast("long").as("n_tok"))
+    val toks = kept.withColumn("g", expr(s"doc_id div $PackGroup"))
+    val inGroup = Window.partitionBy($"g").orderBy($"doc_id")
+    val withIn = toks.withColumn("cum_in", sum($"n_tok").over(inGroup))
+    val totals = toks.groupBy($"g").agg(sum($"n_tok").as("tot"))
+    val offsets = prefixOffsets(totals, levels = 2)
+    withIn.join(offsets, "g")
+      .select($"doc_id", $"source",
+        expr(s"(off + cum_in - n_tok) div $PackBudget").as("pack_id"),
+        $"n_tok")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_winnow" -> decontaminateWinnow _,
@@ -239,6 +299,7 @@ object Curation {
     "q_text_pack_bpe" -> packBpe _,
     "q_pipeline_curate" -> curate _,
     "q_pipeline_curate_near" -> curateNear _,
+    "q_pipeline_full" -> pipelineFull _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +405,53 @@ object Curation {
          |WHERE (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id)
          |  AND ${duckCharFold("'near:' || CAST(d.doc_id AS VARCHAR)")} % 100 < $CuratePct
          |ORDER BY doc_id""".stripMargin
+    },
+    // the full chain: gate → eval exclusion + shingle decontamination →
+    // LSH closure keep-canonicals → salted sample → serial prefix-sum
+    // packing (the oracle states packing serially; the Spark side's
+    // hierarchical prefix sum must agree bit-exactly)
+    "q_pipeline_full" -> {
+      val sigOnClean = Dedup.sigCte
+        .stripPrefix("WITH ")
+        .replace("FROM documents", "FROM docs_f")
+      // K-token contamination gram hashes, byte-identical to ShingleMd5
+      // (md5 of '|' + space-joined gram) — the SpanDedup oracle pattern
+      val kParts = (0 until FullDeconK).map(j => s"w[i+$j]").mkString(", ")
+      val kGrams = s"CASE WHEN len(w) >= $FullDeconK THEN " +
+        s"list_transform(generate_series(1, len(w) - ${FullDeconK - 1}), " +
+        s"i -> md5('|' || concat_ws(' ', $kParts))) ELSE [] END"
+      s"""WITH RECURSIVE gated AS (
+         |  SELECT *, ${duckTokens("text")} AS w FROM documents
+         |  WHERE len(${duckTokens("text")}) >= $MinTokens),
+         |corpus AS (SELECT * FROM gated WHERE source <> '$EvalSource'),
+         |evsh AS (SELECT DISTINCT unnest(list_distinct($kGrams)) AS sh
+         |  FROM gated WHERE source = '$EvalSource'),
+         |csh AS (SELECT doc_id, unnest(list_distinct($kGrams)) AS sh
+         |  FROM corpus),
+         |dirty AS (SELECT DISTINCT c.doc_id FROM csh c JOIN evsh e USING (sh)),
+         |docs_f AS (SELECT * FROM corpus
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |$sigOnClean,
+         |${Dedup.candCtes},
+         |${Dedup.prsCte},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+         |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |kept AS (SELECT d.doc_id, d.source,
+         |    CAST(len(${duckTokens("d.text")}) AS BIGINT) AS n_tok
+         |  FROM docs_f d LEFT JOIN cl USING (doc_id)
+         |  WHERE (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id)
+         |    AND ${duckCharFold("'full:' || CAST(d.doc_id AS VARCHAR)")} % 100 < $CuratePct),
+         |p AS (SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM kept)
+         |SELECT doc_id, source,
+         |  CAST((cum - n_tok) // $PackBudget AS BIGINT) AS pack_id, n_tok
+         |FROM p ORDER BY doc_id""".stripMargin
     },
   )
 
