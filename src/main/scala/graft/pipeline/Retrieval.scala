@@ -242,6 +242,27 @@ object Retrieval {
     * fires instead of the job silently running quadratic). */
   val MaxRecallVecs = 10000L
 
+  /** HARD-NEGATIVE MINING for contrastive training — the standard
+    * embedding-training data step (DPR, Karpukhin et al. 2020): for each
+    * vector, its nearest neighbors from a DIFFERENT source are the hard
+    * negatives (similar enough to confuse the model, labeled different).
+    * Built directly on the guarded all-N kNN join ([[Similarity.knnJoin]]
+    * — the index a 100 TB run maintains anyway) plus two narrow doc_id
+    * joins for the source labels; emits (query, negative, both sources).
+    * Scale story = the knn join's; the label joins are AQE-sized. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.table(s, dir, "documents").select($"doc_id", $"source")
+    Similarity.knnJoin(s, dir)
+      .join(src.select($"doc_id".as("query_id"), $"source".as("q_src")),
+        "query_id")
+      .join(src.select($"doc_id".as("vec_id"), $"source".as("n_src")),
+        "vec_id")
+      .filter($"q_src" =!= $"n_src")
+      .select($"query_id", $"vec_id", $"q_src", $"n_src")
+      .orderBy($"query_id", $"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> bm25 _,
     "q_retrieval_rrf" -> rrf _,
@@ -249,6 +270,7 @@ object Retrieval {
     "q_ann_recall_ivf" -> annRecallIvf _,
     "q_ann_recall_pq" -> annRecallPq _,
     "q_ann_recall_knn" -> annRecallKnn _,
+    "q_retrieval_hard_negatives" -> hardNegatives _,
   )
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -451,5 +473,24 @@ object Retrieval {
          |  CAST((COALESCE(h.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
          |FROM e LEFT JOIN h ON h.query_id = e.vec_id
          |ORDER BY query_id""".stripMargin,
+    // the guarded knn-join top-3, cross-source members only
+    "q_retrieval_hard_negatives" ->
+      s"""WITH ${Similarity.duckCellCtes},
+         |${Similarity.duckKnnCandCte},
+         |cand AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+         |  FROM knnprobes p
+         |  JOIN knncand a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |knn AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= 3)
+         |SELECT k.query_id, k.vec_id, dq.source AS q_src, dn.source AS n_src
+         |FROM knn k
+         |JOIN documents dq ON dq.doc_id = k.query_id
+         |JOIN documents dn ON dn.doc_id = k.vec_id
+         |WHERE dq.source <> dn.source
+         |ORDER BY query_id, vec_id""".stripMargin,
   )
 }
