@@ -111,7 +111,10 @@ object Dedup {
     * feeds these straight into a shuffle, where a sort would be dead work. */
   private[pipeline] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val sg = sigsOf(docs)
+    // cached: the tokenize→shingle→minhash signature pass feeds the band
+    // candidate generation AND both verify-join sides — uncached it
+    // replays 3× (the r8 cache-placement sweep; MEMORY_AND_DISK)
+    val sg = sigsOf(docs).cache()
     bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
@@ -526,13 +529,15 @@ object Dedup {
     import s.implicits._
     val base = docs
       .select($"doc_id", array_distinct(shingleMd5(tokens($"text"))).as("sh"))
-    val all = base.select($"doc_id", explode($"sh").as("g"))
+    // cached at the POSTINGS tier: the tokenize→md5-shingle pipeline is the
+    // expensive narrow pass, and it feeds the hot-bucket count AND (via
+    // inv) the sizes and both self-join sides — caching only `inv` (the r7
+    // placement) still replayed the shingle pass once for `hot`
+    // (MEMORY_AND_DISK, so at scale it spills rather than recomputes)
+    val all = base.select($"doc_id", explode($"sh").as("g")).cache()
     val hot = all.groupBy($"g").agg(count(lit(1)).as("c"))
       .filter($"c" > MaxShingleBucket).select($"g")
-    // cached: the kept-postings index feeds BOTH self-join sides and the
-    // denominator sizes — uncached, the shingle pipeline replays 3×
-    // (MEMORY_AND_DISK, so at scale it spills rather than recomputes)
-    val inv = all.join(broadcast(hot), Seq("g"), "left_anti").cache()
+    val inv = all.join(broadcast(hot), Seq("g"), "left_anti")
     val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("n_a"))
     inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))

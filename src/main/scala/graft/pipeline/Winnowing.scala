@@ -81,15 +81,17 @@ object Winnowing {
     * shape as MinHash, at winnowing's ~2/(W+1) index size. */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached at the FINGERPRINT tier: the tokenize→gram-hash→winnow→
+    // distinct pipeline is the expensive pass and it feeds the hot-bucket
+    // count AND (via cl) both self-join sides — caching only `cl` still
+    // replayed the pipeline once for `hot` (the Dedup.containment r8
+    // cache-placement fix; MEMORY_AND_DISK, so at scale it spills rather
+    // than recomputes)
     val uf = fingerprints(Tables.table(s, dir, "documents"))
-      .select($"doc_id", $"fp").distinct()
+      .select($"doc_id", $"fp").distinct().cache()
     val hot = uf.groupBy($"fp").agg(count(lit(1)).as("c"))
       .filter($"c" > MaxFpBucket).select($"fp")
-    // cached: the kept-postings index feeds BOTH sides of the fp self-join
-    // — uncached, the tokenize→gram-hash→winnow→distinct pipeline replays
-    // per side (the Dedup.containment precedent; MEMORY_AND_DISK, so at
-    // scale it spills rather than recomputes)
-    val cl = uf.join(broadcast(hot), Seq("fp"), "left_anti").cache()
+    val cl = uf.join(broadcast(hot), Seq("fp"), "left_anti")
     cl.as("a").join(cl.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

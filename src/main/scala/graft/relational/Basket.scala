@@ -32,9 +32,13 @@ object Basket {
   def basketPairsOf(lineitem: DataFrame): DataFrame = {
     val s = lineitem.sparkSession
     import s.implicits._
+    // cached: the distinct (order, part) incidence feeds the frequency
+    // count, the support prefilter, and (via hot) both self-join sides —
+    // uncached the lineitem scan + distinct shuffle replays 4×
     val li = lineitem
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .distinct()
+      .cache()
     val freq = li.groupBy($"p").agg(count(lit(1)).as("c"))
     // Apriori pruning: pair support ≤ min(c1, c2), so parts in fewer than
     // MinSupport orders can never reach the gate — drop their postings
