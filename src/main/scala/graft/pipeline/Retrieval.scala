@@ -242,6 +242,76 @@ object Retrieval {
     * fires instead of the job silently running quadratic). */
   val MaxRecallVecs = 10000L
 
+  /** Probed-cell counts swept by [[annRecallFrontier]] — brackets the
+    * shipped [[Similarity.KnnNprobe]] operating point on both sides, ends
+    * at K (= full scan modulo the hot-cell guard: the 100%-recall anchor
+    * that proves the sweep's top end). */
+  val KnnSweep: Seq[Long] = Seq(2L, 4L, 6L, 8L, 12L, 16L)
+
+  /** The RECALL/COST FRONTIER of the guarded kNN similarity join — one row
+    * per [[KnnSweep]] probe count: mean recall@[[RecallK]] (basis points,
+    * exact integer) and the candidate-pair count actually scored. This is
+    * the measurement that PICKS [[Similarity.KnnNprobe]] (r9: nprobe=8 is
+    * the cheapest swept point ≥ 80% recall@3 at both audit SFs — on this
+    * near-uniform synthetic corpus recall tracks the scan fraction, IVF's
+    * worst case; a clustered corpus bends the curve up and the same sweep
+    * finds the knee). Declared and oracle-gated so the frontier is a
+    * durable artifact, re-measured per corpus snapshot.
+    *
+    * Scale shape: ONE probe ranking pass (the knnJoin literal-array argmin,
+    * extended to rank all K cells via posexplode), ONE cell equi-join, the
+    * 6-row sweep table broadcast onto the pair stream (`rn <= nprobe` —
+    * bounded BNLJ), one (nprobe, query) window for top-k, one exact-baseline
+    * pass shared across sweep points. AUDIT-SCALE-ONLY like [[annRecallKnn]]
+    * (the baseline is N² — same [[MaxRecallVecs]] require; sample at 100 TB). */
+  def annRecallFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, cells) = Similarity.ivfModel(s, dir)
+    val n = cells.count()
+    require(n <= MaxRecallVecs,
+      s"annRecallFrontier's exact baseline is N² — audit-scale only " +
+        s"(≤ $MaxRecallVecs vectors); run it on a sample at corpus scale")
+    val cl = typedLit(Similarity.centroidArrayOf(cents))
+    val hot = cells.groupBy($"cell").agg(count(lit(1)).as("csz"))
+      .filter($"csz" > Similarity.MaxKnnCell).select($"cell")
+    val cand = cells.join(broadcast(hot), Seq("cell"), "left_anti")
+    val probes = cells
+      .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
+      .select($"query_id", $"qv",
+        posexplode(slice(array_sort(transform(cl, c =>
+          struct(($"qn2" + c.getField("_3") - lit(2L) * qdot($"qv", c.getField("_2")))
+            .as("d"), c.getField("_1").as("cid")))), 1, KnnSweep.max.toInt)))
+      .select($"query_id", $"qv", ($"pos" + 1).cast("long").as("rn"),
+        $"col.cid".as("cell"))
+    // pairs feed two sweep-side branches (top-k ranking + cost counting):
+    // materialize above the fan-out, per the cache-placement discipline
+    val pairs = probes.join(cand, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"rn", qdot($"qv", $"q").as("dot"))
+      .cache()
+    val sweep = KnnSweep.toDF("nprobe")
+    val sp = pairs.join(broadcast(sweep), $"rn" <= $"nprobe")
+    val w = Window.partitionBy($"nprobe", $"query_id").orderBy($"dot".desc, $"vec_id")
+    val ann = sp.withColumn("rnk", row_number().over(w)).filter($"rnk" <= RecallK)
+      .select($"nprobe", $"query_id", $"vec_id")
+    val e = cells.select($"vec_id", $"q")
+    val wx = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    val exact = e
+      .crossJoin(broadcast(e.select($"vec_id".as("query_id"), $"q".as("qv"))))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"qv", $"q").as("dot"))
+      .withColumn("rnk", row_number().over(wx)).filter($"rnk" <= RecallK)
+      .select($"query_id", $"vec_id")
+    val hits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy($"nprobe").agg(count(lit(1)).as("h"))
+    val cost = sp.groupBy($"nprobe").agg(count(lit(1)).as("cand_pairs"))
+    sweep.join(hits, Seq("nprobe"), "left").join(cost, Seq("nprobe"), "left")
+      .select($"nprobe",
+        expr(s"(coalesce(h, 0L) * 10000) div ($RecallK * $n)").as("mean_recall_bp"),
+        coalesce($"cand_pairs", lit(0L)).as("cand_pairs"))
+      .orderBy($"nprobe")
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training — the standard
     * embedding-training data step (DPR, Karpukhin et al. 2020): for each
     * vector, its nearest neighbors from a DIFFERENT source are the hard
@@ -270,6 +340,7 @@ object Retrieval {
     "q_ann_recall_ivf" -> annRecallIvf _,
     "q_ann_recall_pq" -> annRecallPq _,
     "q_ann_recall_knn" -> annRecallKnn _,
+    "q_ann_recall_frontier" -> annRecallFrontier _,
     "q_retrieval_hard_negatives" -> hardNegatives _,
   )
 
@@ -473,6 +544,45 @@ object Retrieval {
          |  CAST((COALESCE(h.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
          |FROM e LEFT JOIN h ON h.query_id = e.vec_id
          |ORDER BY query_id""".stripMargin,
+    // the full sweep re-derived once: probe ranks over ALL K cells, the
+    // guarded candidate join, then per-nprobe top-3 vs the exact baseline
+    "q_ann_recall_frontier" ->
+      s"""WITH ${Similarity.duckCellCtes},
+         |sw AS (SELECT CAST(unnest([${KnnSweep.mkString(", ")}]) AS BIGINT) AS nprobe),
+         |fhot AS (SELECT cell FROM a3 GROUP BY cell
+         |  HAVING count(*) > ${Similarity.MaxKnnCell}),
+         |fcand AS (SELECT * FROM a3 WHERE cell NOT IN (SELECT cell FROM fhot)),
+         |pr AS (SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
+         |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS BIGINT) AS rn
+         |  FROM e CROSS JOIN c2 c),
+         |pairs AS (SELECT p.query_id, a.vec_id, p.rn,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+         |  FROM pr p JOIN fcand a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |sp AS (SELECT s.nprobe, pairs.* FROM pairs JOIN sw s ON pairs.rn <= s.nprobe),
+         |ann AS (SELECT nprobe, query_id, vec_id FROM (
+         |  SELECT nprobe, query_id, vec_id,
+         |    row_number() OVER (PARTITION BY nprobe, query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM sp) WHERE rnk <= $RecallK),
+         |exc AS (SELECT qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
+         |  FROM e qr JOIN e c ON qr.vec_id <> c.vec_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM exc) WHERE rnk <= $RecallK),
+         |h AS (SELECT nprobe, count(*) AS h
+         |  FROM ann JOIN ex USING (query_id, vec_id) GROUP BY nprobe),
+         |cp AS (SELECT nprobe, count(*) AS cand_pairs FROM sp GROUP BY nprobe),
+         |n AS (SELECT count(*) AS nv FROM e)
+         |SELECT sw.nprobe,
+         |  CAST((COALESCE(h.h, 0) * 10000) // ($RecallK * n.nv) AS BIGINT) AS mean_recall_bp,
+         |  CAST(COALESCE(cp.cand_pairs, 0) AS BIGINT) AS cand_pairs
+         |FROM sw LEFT JOIN h USING (nprobe) LEFT JOIN cp USING (nprobe), n
+         |ORDER BY nprobe""".stripMargin,
     // the guarded knn-join top-3, cross-source members only
     "q_retrieval_hard_negatives" ->
       s"""WITH ${Similarity.duckCellCtes},

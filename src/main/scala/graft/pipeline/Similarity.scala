@@ -196,8 +196,23 @@ object Similarity {
     * compare proves the guard answer-invisible at audit scale. */
   val MaxKnnCell = 1000
 
+  /** Probed cells per query in [[knnJoin]] — the knn join's OWN operating
+    * point, measured off the [[graft.pipeline.Retrieval.annRecallFrontier]]
+    * recall/cost sweep (r9): at K=[[IvfK]] cells, recall@3 on this corpus
+    * tracks the scan fraction almost linearly (the synthetic embeddings are
+    * near-uniform — k-means finds only weak cluster structure, the
+    * worst case for IVF), so nprobe=4 bought 59%/56% recall (sf0.01/sf0.1)
+    * for a quarter-scan while nprobe=8 buys 83%/81% for a half-scan — the
+    * cheapest point on the measured frontier at or above the 80% recall@3
+    * target every downstream consumer (hard negatives, semantic-dedup
+    * review) inherits. [[annIvfProbe]] keeps its separate [[IvfNprobe]]=4:
+    * its 5-query serving path is latency-priced, the all-N join is
+    * recall-priced. On a REAL clustered corpus the same frontier sweep picks
+    * the point — rerun it per corpus snapshot, the audit is the contract. */
+  val KnnNprobe = 8
+
   /** kNN similarity JOIN — EVERY vector is a query: each vector's top-3
-    * dot-product neighbors among its [[IvfNprobe]] nearest IVF cells (the
+    * dot-product neighbors among its [[KnnNprobe]] nearest IVF cells (the
     * all-pairs version of [[annIvfProbe]]; the "scaled similarity join" of
     * SURVEY §7.3 M6). The all-N query side changes the scale math: the
     * crossJoin + window probe ranking [[annIvfProbe]] uses would put
@@ -220,13 +235,19 @@ object Similarity {
     * a degenerate cell over the cap; the probe grows it to 10^6 vectors). */
   private[graft] def knnJoinOf(
       s: SparkSession, centsDf: DataFrame, cellsRaw: DataFrame,
-      maxCell: Int): DataFrame = {
+      maxCell: Int, nprobe: Int = KnnNprobe): DataFrame = {
     import s.implicits._
     val centArr: Seq[(Long, Seq[Long], Long)] = centsDf
       .select($"cid", $"cq", $"cn2").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
     val cl = typedLit(centArr)
-    val cells = cellsRaw.cache() // two branches: probe side + candidate side
+    // No .cache() here (r9): both branches below usually read a persisted-
+    // index parquet ([[ivfModel]]) — re-scanning it twice is cheaper than a
+    // MEMORY_AND_DISK copy a library caller in a long-lived session would
+    // have to remember to clearCache (the r8 "already cached" warnings).
+    // Callers feeding a COMPUTED assignment (fixtures, [[graft.ScaleProbe]])
+    // own its materialization.
+    val cells = cellsRaw
     // over-cap cells reduce to a tiny (cell) list via map-side-combinable
     // count, broadcast, and anti-join — the corpus side never shuffles for
     // it (the [[Dedup.semanticOf]] guard shape)
@@ -237,7 +258,7 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
       .withColumn("pc", explode(slice(array_sort(transform(cl, c =>
         struct(($"qn2" + c.getField("_3") - lit(2L) * qdot($"qv", c.getField("_2")))
-          .as("d"), c.getField("_1").as("cid")))), 1, IvfNprobe)))
+          .as("d"), c.getField("_1").as("cid")))), 1, nprobe)))
       .select($"query_id", $"qv", $"pc.cid".as("cell"))
     val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
     probes.join(cand, Seq("cell"))
@@ -274,7 +295,38 @@ object Similarity {
     * localCheckpoint lineage but cannot touch files. `IvfIndexSpec` pins
     * that index-served results are bit-identical to inline training. */
   private val trainedIndexes =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  /** Staleness key for [[trainedIndexes]]: name+length+mtime of every file
+    * under `dir/embeddings.parquet` — if the table is regenerated or mutated
+    * within the process lifetime the key changes and the next access
+    * retrains instead of silently serving the old snapshot's index (r8
+    * ADVICE). Cheap (one directory listing, no data read) so it runs on
+    * every access. */
+  private def embeddingsFingerprint(dir: String): String = {
+    def stamp(f: java.io.File): String =
+      s"${f.getName}:${f.length}:${f.lastModified}"
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    if (root.isDirectory)
+      Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
+        .map(stamp).mkString(",")
+    else stamp(root)
+  }
+
+  /** Temp index dirs live for the process; delete them on exit (r8 ADVICE —
+    * they leaked). One hook, recursive delete of whatever was registered. */
+  private val tempIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit =
+    sys.addShutdownHook {
+      tempIndexDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(d))
+      }
+    }: Unit
 
   /** [[annIvfProbe]] served from a PERSISTED index — no k-means replay;
     * the only lineage is two parquet scans. */
@@ -363,8 +415,10 @@ object Similarity {
     * the persisted index thereafter (see [[trainedIndexes]]). */
   private[pipeline] def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val path = trainedIndexes.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
+      (s.sparkContext.applicationId, dir, embeddingsFingerprint(dir)), {
+        cleanupHook
         val out = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+        tempIndexDirs.add(out)
         val (cents, cells) = ivfModelOf(s,
           Tables.table(s, dir, "embeddings")
             .select(col("vec_id"), quantize(col("embedding")).as("q")),
@@ -553,7 +607,7 @@ object Similarity {
        |${duckAssign("a3", "c2")}""".stripMargin
 
   /** DuckDB CTEs for the [[knnJoin]] plan (appended after [[duckCellCtes]]):
-    * `knnprobes` = every vector's [[IvfNprobe]] nearest cells, `knnhot` =
+    * `knnprobes` = every vector's [[KnnNprobe]] nearest cells, `knnhot` =
     * cells over [[MaxKnnCell]], `knncand` = the guarded candidate
     * assignment — shared by the knn-join and knn-recall oracles. */
   private[pipeline] def duckKnnCandCte: String =
@@ -563,7 +617,7 @@ object Similarity {
        |      list_sum(list_transform(generate_series(1, 64),
        |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
        |  FROM e CROSS JOIN c2 c)
-       |  WHERE rn <= $IvfNprobe),
+       |  WHERE rn <= $KnnNprobe),
        |knnhot AS (SELECT cell FROM a3 GROUP BY cell HAVING count(*) > $MaxKnnCell),
        |knncand AS (SELECT * FROM a3
        |  WHERE cell NOT IN (SELECT cell FROM knnhot))""".stripMargin

@@ -87,6 +87,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-broadcast exact baseline (audit-scale only, input-size-required
     // in annRecallKnn)
     "q_ann_recall_knn",
+    // the frontier sweep: the 6-row nprobe table joined on rn <= nprobe,
+    // plus the same audit-scale exact baseline as q_ann_recall_knn
+    "q_ann_recall_frontier",
     // 1-row broadcast tables: the τ threshold / the idf doc count
     "q_sample_priority", "q_text_tfidf_pairs",
     // source-catalog-bounded centroid pair join (explicit broadcast — the
