@@ -7,6 +7,17 @@ import org.apache.spark.sql.SparkSession
   * `FlinkCEPExample.scala:46-47`) get event-time semantics, the
   * MATCH_RECOGNIZE parser, and the state-store provider the streaming CEP
   * operator requires, without hunting for flags.
+  *
+  * Cache ownership convention: operators that consume an expensive pass
+  * from more than one plan branch mark it `.cache()` (MEMORY_AND_DISK) —
+  * the blocks materialize at the query's first action and make every reuse
+  * branch-local. The SESSION OWNER owns their lifetime: a long-lived
+  * session running many such queries should `spark.catalog.clearCache()`
+  * (plus `getPersistentRDDs.values.foreach(_.unpersist(false))` for
+  * checkpoint blocks) between logical jobs, exactly as `graft.Bench` and
+  * `graft.Verify` do between queries. The operators cannot unpersist for
+  * you: their results are lazy DataFrames, and dropping the blocks before
+  * the caller's terminal action would just recompute the pass per branch.
   */
 object GraftSession {
 
@@ -23,6 +34,32 @@ object GraftSession {
       // transformWithState (streaming CEP) needs multi-column-family state
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Per-batch checkpoint = the CHANGELOG delta, not a full RocksDB
+      // snapshot per store per batch (snapshots still happen, on the
+      // background maintenance cadence). With many stateful partitions the
+      // per-batch fixed cost is the streaming floor — r9 StreamProbe: the
+      // CEP probe's per-batch commit path dominated at 100k keys.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      // numRows tracking makes every put pay a hidden get (Spark docs call
+      // this out as the put-path tax on write-heavy stateful queries).
+      // Cost: `numRowsTotal` reads 0 in streaming progress — a state-size
+      // probe that needs the metric re-enables it per query (StreamProbe's
+      // SessionStream section does). Correctness loses nothing.
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       // MATCH_RECOGNIZE in spark.sql(...)
       .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+
+  /** Mute WindowExec's "No Partition Defined … single partition" WARN.
+    * Every unpartitioned-window site in the declared queries is a BOUNDED
+    * table by construction and pinned as an exact allowlist in
+    * `PlanAuditSpec` (a new single-partition exchange FAILS the suite), so
+    * the hundreds of WARN lines per sweep are noise burying real signals
+    * (r8 verdict #6). Scoped to that one logger — real WindowExec errors
+    * still surface. */
+  def quietAuditedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

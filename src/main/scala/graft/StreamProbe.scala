@@ -107,6 +107,11 @@ object StreamProbe {
         (lit(baseSec) + pmod(xxhash64($"id" * 13 + 5), lit(spanSec))
           + pmod(xxhash64($"id" * 23 + 9), lit(1200L))).as("arr_sec"))
       .cache()
+    // this section ASSERTS on numRowsTotal (state bounded by keys), so turn
+    // per-store row tracking back on — GraftSession disables it for put-path
+    // throughput, which blanks the metric (applied at query start)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "true")
     val sessMem = MemoryStream[(Long, java.sql.Timestamp, String, Long)]
     val outDir = java.nio.file.Files.createTempDirectory("graft-sess-probe-").toString
     val sessQ = graft.streaming.SessionStream.sessions(
@@ -152,9 +157,10 @@ object StreamProbe {
     val nMatch = got.join(expected, joinCols).count()
     assert(nGot == nExp && nMatch == nExp,
       s"session parity broken: streaming $nGot, batch $nExp, matched $nMatch")
-    // state bounded by KEYS (1 ctrl row per key + timer rows), not events
-    assert(maxStateRows == 0L || maxStateRows <= (users + 2) * 3,
-      s"state rows $maxStateRows exceed the per-key bound (${(users + 2) * 3})")
+    // state bounded by KEYS (1 ctrl row per key + timer rows), not events;
+    // > 0 also proves the re-enabled row tracking actually took effect
+    assert(maxStateRows > 0L && maxStateRows <= (users + 2) * 3,
+      s"state rows $maxStateRows outside (0, ${(users + 2) * 3}]")
     sessEvents.unpersist()
     println(f"""{"probe":"session_stream","rows":$nSess,"keys":$users,"batches":$nBatches,"sessions":$nGot,"matched":$nMatch,"max_state_rows":$maxStateRows,"secs":$sessSecs%.1f,"rows_per_sec":${(nSess / sessSecs).toLong}}""")
 

@@ -34,10 +34,16 @@ import graft.pattern.{NFA, NfaRunner, Pattern}
   */
 object CepStream {
 
-  /** Config pairs for the RocksDB state store provider (production path). */
+  /** Config pairs for the RocksDB state store provider (production path).
+    * Changelog checkpointing: commit the per-batch DELTA instead of a full
+    * store snapshot per partition per batch — at large key counts the
+    * per-batch snapshot upload is the throughput floor, not the per-key
+    * get/put work (r9 StreamProbe measurement). */
   val rocksConf: Seq[(String, String)] = Seq(
     "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 
   /** Run `pattern` per key over a streaming Dataset. `tsFn` must return the
     * same event-time (epoch ms) that the watermark column carries.
@@ -138,13 +144,31 @@ final class CepProcessor[K, T, O](
     matchSeq = getHandle.getValueState[Long]("matchSeq", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  /** Feed all buffered events at or before the watermark to the NFA (sorted),
-    * advance the watermark, re-buffer the rest, re-arm the timer, and write
-    * the packed state back in one put.
+  /** Feed every watermark-ready event (buffered and/or newly arrived) to the
+    * NFA in timestamp order, advance the watermark, and write back ONLY what
+    * changed (r9 — the per-key state-store round-trips were the measured
+    * streaming-throughput floor):
+    *  - the buffered-event list is READ (and rewritten) only when the packed
+    *    header says something buffered is ready (`minBuf <= watermark`); a
+    *    drain triggered by a timer or by ready input alone never touches it;
+    *  - `readyIn` (new events already at or before the watermark) feed the
+    *    NFA directly and never pay the list put/get at all;
+    *  - the timer re-arms LAZILY: an armed timer EARLIER than the new
+    *    deadline is kept — its spurious fire is one cheap drain that re-arms
+    *    precisely — instead of paying delete+register on every drain as
+    *    deadlines drift later. Invariant: the armed timer is always at or
+    *    before the true next deadline, so nothing ever fires late;
+    *  - the packed ctrl blob is rewritten only when its bytes changed.
     */
-  private def drain(key: K, watermarkMs: Long, c0: Ctrl): Iterator[O] = {
-    val all = buf.get().toVector
-    val (ready, later) = all.partition(e => tsFn(e) <= watermarkMs)
+  private def drain(key: K, watermarkMs: Long, c0: Ctrl,
+      readyIn: Seq[T], laterIn: Seq[T]): Iterator[O] = {
+    val readBuf = c0.minBuf != NoVal && c0.minBuf <= watermarkMs
+    val (bufReady, bufLater) =
+      if (readBuf) buf.get().toVector.partition(e => tsFn(e) <= watermarkMs)
+      else (Vector.empty[T], Vector.empty[T])
+    // stable sort + buffered-before-new keeps equal-ts arrival order
+    // identical to the old append-then-partition spelling
+    val ready = if (readyIn.isEmpty) bufReady else bufReady ++ readyIn
     val runner = new NfaRunner[T](pattern, tsFn)
     if (c0.nfa.nonEmpty) runner.restore(codec.decode(c0.nfa))
     val out = Vector.newBuilder[O]
@@ -167,49 +191,74 @@ final class CepProcessor[K, T, O](
     wmTimeouts.foreach(t => out ++= emitTimeout(key, t))
     if (seq >= 0) matchSeq.update(seq)
 
-    buf.clear()
-    if (later.nonEmpty) buf.appendList(later.toArray)
+    // buffered remnant: one rewrite if the list was read; append-only if not
+    val newMinBuf =
+      if (readBuf) {
+        buf.clear()
+        val keep = bufLater ++ laterIn
+        if (keep.nonEmpty) buf.appendList(keep.toArray)
+        if (keep.nonEmpty) keep.iterator.map(tsFn).min else NoVal
+      } else {
+        if (laterIn.nonEmpty) buf.appendList(laterIn.toArray)
+        val mIn = if (laterIn.nonEmpty) laterIn.iterator.map(tsFn).min else NoVal
+        if (c0.minBuf == NoVal) mIn
+        else if (mIn == NoVal) c0.minBuf
+        else math.min(c0.minBuf, mIn)
+      }
     // keep the snapshot while buffered events remain even with no live
     // partials: the runner's event-index counter must stay continuous
     val nfaBytes =
-      if (runner.hasLiveState || later.nonEmpty) codec.encode(runner.snapshot())
+      if (runner.hasLiveState || newMinBuf != NoVal) codec.encode(runner.snapshot())
       else Empty
 
-    // One armed timer per key: the earliest instant anything can happen next.
-    val nextAt = (later.map(tsFn) ++ runner.earliestDeadline).minOption
-    val newTimer = nextAt.getOrElse(NoVal)
-    if (newTimer != c0.timer) {
-      if (c0.timer != NoVal) getHandle.deleteTimer(c0.timer)
-      if (newTimer != NoVal) getHandle.registerTimer(newTimer)
+    // One armed timer per key: at or before the earliest instant anything
+    // can happen next (lazy re-arm — see the method Scaladoc).
+    val nextAt =
+      ((if (newMinBuf != NoVal) Some(newMinBuf) else None) ++
+        runner.earliestDeadline).minOption
+    val armed = (c0.timer, nextAt) match {
+      case (NoVal, None)    => NoVal
+      case (NoVal, Some(n)) => getHandle.registerTimer(n); n
+      case (t, None)        => getHandle.deleteTimer(t); NoVal
+      case (t, Some(n)) if n < t =>
+        getHandle.deleteTimer(t); getHandle.registerTimer(n); n
+      case (t, Some(_)) => t // earlier armed timer already covers the deadline
     }
-    writeCtrl(Ctrl(newTimer,
-      if (later.nonEmpty) later.map(tsFn).min else NoVal, nfaBytes))
+    val c1 = Ctrl(armed, newMinBuf, nfaBytes)
+    if (c1.timer != c0.timer || c1.minBuf != c0.minBuf ||
+        !java.util.Arrays.equals(c1.nfa, c0.nfa)) writeCtrl(c1)
     out.result().iterator
   }
 
   override def handleInputRows(
       key: K, rows: Iterator[T], timerValues: TimerValues): Iterator[O] = {
     val c0 = readCtrl()
-    val arr = rows.toArray
-    if (arr.isEmpty) return drain(key, timerValues.getCurrentWatermarkInMs(), c0)
-    buf.appendList(arr)
-    val newMin = arr.iterator.map(tsFn).min
-    val curMin = if (c0.minBuf != NoVal) math.min(c0.minBuf, newMin) else newMin
     val wm = timerValues.getCurrentWatermarkInMs()
-    if (curMin <= wm) drain(key, wm, c0)
+    val arr = rows.toArray
+    if (arr.isEmpty) return drain(key, wm, c0, Nil, Nil)
+    val (readyIn, laterIn) = arr.partition(e => tsFn(e) <= wm)
+    if (readyIn.nonEmpty || (c0.minBuf != NoVal && c0.minBuf <= wm))
+      drain(key, wm, c0, scala.collection.immutable.ArraySeq.unsafeWrapArray(readyIn),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(laterIn))
     else {
-      // Nothing is ready: skip the NFA decode entirely (the header read is
-      // enough) and only make sure the timer covers the newly buffered
-      // events. An already-armed earlier timer still reflects the earliest
-      // NFA deadline.
-      val newTimer =
-        if (c0.timer != NoVal && c0.timer <= curMin) c0.timer
+      // Nothing is ready: append-only buffer write, no NFA decode (the
+      // header read is enough); extend the timer only if the new earliest
+      // buffered event precedes the armed one (which, by the lazy-re-arm
+      // invariant, is already at or before every NFA deadline).
+      buf.appendList(laterIn)
+      val newMin = {
+        val m = laterIn.iterator.map(tsFn).min
+        if (c0.minBuf != NoVal) math.min(c0.minBuf, m) else m
+      }
+      val armed =
+        if (c0.timer != NoVal && c0.timer <= newMin) c0.timer
         else {
           if (c0.timer != NoVal) getHandle.deleteTimer(c0.timer)
-          getHandle.registerTimer(curMin)
-          curMin
+          getHandle.registerTimer(newMin)
+          newMin
         }
-      writeCtrl(Ctrl(newTimer, curMin, c0.nfa))
+      if (armed != c0.timer || newMin != c0.minBuf)
+        writeCtrl(Ctrl(armed, newMin, c0.nfa))
       Iterator.empty
     }
   }
@@ -219,6 +268,6 @@ final class CepProcessor[K, T, O](
     val c0 = readCtrl()
     val c1 =
       if (c0.timer == expired.getExpiryTimeInMs()) c0.copy(timer = NoVal) else c0
-    drain(key, timerValues.getCurrentWatermarkInMs(), c1)
+    drain(key, timerValues.getCurrentWatermarkInMs(), c1, Nil, Nil)
   }
 }
