@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietAuditedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Per-query health (rows written or the error), INCLUDING the non-oracle
     // queries (CEP/MR/approx) that have no DuckDB compare — so a regression

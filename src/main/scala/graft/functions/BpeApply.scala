@@ -106,7 +106,11 @@ object BpeApply {
 
   import org.apache.spark.sql.graft.ColumnBridge
 
-  /** Column form. */
-  def apply(word: Column, merges: Seq[(String, String)]): Column =
+  /** Column form. The merge list is a frozen model embedded in the plan —
+    * budget-checked so a grown vocab fails loudly at the freeze point
+    * instead of taxing every task (see [[graft.plans.ModelBudget]]). */
+  def apply(word: Column, merges: Seq[(String, String)]): Column = {
+    graft.plans.ModelBudget.assertWithinBudget("bpe merge list", merges)
     ColumnBridge.column(BpeApply(ColumnBridge.expression(word), merges))
+  }
 }

@@ -113,7 +113,9 @@ object Dedup {
     import s.implicits._
     // cached: the tokenize→shingle→minhash signature pass feeds the band
     // candidate generation AND both verify-join sides — uncached it
-    // replays 3× (the r8 cache-placement sweep; MEMORY_AND_DISK)
+    // replays 3× (the r8 cache-placement sweep; MEMORY_AND_DISK). Block
+    // lifetime belongs to the session owner — clearCache between jobs,
+    // see the [[graft.GraftSession]] cache-ownership convention.
     val sg = sigsOf(docs).cache()
     bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")

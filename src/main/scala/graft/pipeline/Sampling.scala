@@ -209,6 +209,7 @@ object Sampling {
   def dsirScorerOf(model: Array[Long]): DataFrame => DataFrame = { docs =>
     val s = docs.sparkSession
     import s.implicits._
+    graft.plans.ModelBudget.assertWithinBudget("dsir log-ratio model", model)
     val lrs = typedLit(model.toSeq)
     docs.withColumn("n_tok", size(tokens($"text")).cast("int"))
       .withColumn("logw_micro",
