@@ -237,9 +237,7 @@ object Similarity {
       s: SparkSession, centsDf: DataFrame, cellsRaw: DataFrame,
       maxCell: Int, nprobe: Int = KnnNprobe): DataFrame = {
     import s.implicits._
-    val centArr: Seq[(Long, Seq[Long], Long)] = centsDf
-      .select($"cid", $"cq", $"cn2").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    val centArr: Seq[(Long, Seq[Long], Long)] = centroidArrayOf(centsDf)
     val cl = typedLit(centArr)
     // No .cache() here (r9): both branches below usually read a persisted-
     // index parquet ([[ivfModel]]) — re-scanning it twice is cheaper than a
@@ -338,9 +336,12 @@ object Similarity {
   /** Collect a `(cid, cq, cn2)` centroid table (inline model or persisted
     * index) into the frozen literal-array form [[ivfAssignerOf]] and
     * [[knnJoinOf]] consume — K rows, it IS the model. */
-  def centroidArrayOf(cents: DataFrame): Seq[(Long, Seq[Long], Long)] =
-    cents.select(col("cid"), col("cq"), col("cn2")).collect()
+  def centroidArrayOf(cents: DataFrame): Seq[(Long, Seq[Long], Long)] = {
+    val arr = cents.select(col("cid"), col("cq"), col("cn2")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    graft.plans.ModelBudget.assertWithinBudget("ivf centroid array", arr)
+    arr
+  }
 
   /** FROZEN-CENTROID IVF cell assignment as a stateless transform — the
     * serving half of the index for live ingest: fit offline ([[ivfModel]] /
@@ -353,7 +354,10 @@ object Similarity {
     * transform runs on batch frames and append-mode streams unchanged
     * (`PipelineStreamSpec` pins streaming ≡ batch [[ivfCells]]); at 100 TB
     * the stream side never touches the corpus — only the broadcast-sized
-    * frozen model rides in the plan. Appends `(q, n2, cell)`. */
+    * frozen model rides in the plan. Appends `(q, n2, cell, cell_d)` —
+    * `cell_d` is the exact integer squared-L2 to the winning centroid, the
+    * per-row quantization error [[indexRefresh]] aggregates into its
+    * retrain signal. */
   /** [[ivfAssignNew]] snapshot boundary: vectors below it are
     * "yesterday's corpus" (the index is trained on them), vectors at or
     * above it are "today's arrivals" (assigned with centroids FROZEN). */
@@ -385,14 +389,92 @@ object Similarity {
   def ivfAssignerOf(cents: Seq[(Long, Seq[Long], Long)]): DataFrame => DataFrame = { vecs =>
     val s = vecs.sparkSession
     import s.implicits._
+    graft.plans.ModelBudget.assertWithinBudget("frozen ivf assigner centroids", cents)
     val cl = typedLit(cents)
     vecs
       .withColumn("q", quantize($"embedding"))
       .withColumn("n2", qdot($"q", $"q"))
-      .withColumn("cell",
+      .withColumn("best",
         element_at(array_sort(transform(cl, c =>
           struct(($"n2" + c.getField("_3") - lit(2L) * qdot($"q", c.getField("_2")))
-            .as("d"), c.getField("_1").as("cid")))), 1).getField("cid"))
+            .as("d"), c.getField("_1").as("cid")))), 1))
+      .withColumn("cell", $"best".getField("cid"))
+      .withColumn("cell_d", $"best".getField("d"))
+      .drop("best")
+  }
+
+  /** Retrain verdict threshold for [[indexRefresh]], in basis points of the
+    * snapshot's own training error: a source whose arrivals quantize at
+    * more than 1.5× the baseline mean squared-L2 no longer fits the frozen
+    * centroids. On the synthetic near-uniform corpus every source sits just
+    * above 10000 bp (the honest generalization gap of serving vectors the
+    * k-means never saw); `SimilaritySpec` plants a shifted-arrival fixture
+    * that pushes one source past the threshold and flips its verdict. */
+  val DriftRetrainBp = 15000L
+
+  /** Drift-triggered INDEX-REFRESH decision — the loop-closer between the
+    * two halves of the index-maintenance contract: [[ivfAssignNew]] freezes
+    * a snapshot model and assigns arrivals to it; [[Embeddings.drift]]
+    * measures distribution drift; this query CONNECTS them into the
+    * operational verdict (the dynamic-table refresh semantics of the
+    * reference's O9/O11, `FlinkSqlMatchRecognizeExample.scala:48`, applied
+    * to the index artifact). Per source: mean exact-integer quantization
+    * error of the arrivals under the FROZEN snapshot centroids, as basis
+    * points of the snapshot's own training error, thresholded at
+    * [[DriftRetrainBp]] into retrain/keep.
+    *
+    * Shape at scale: the snapshot baseline is one broadcast K-row join +
+    * one combinable global aggregate over the index's cell table (already
+    * persisted — [[ivfModel]]); arrivals assign ROW-LOCALLY against the
+    * frozen literal model (zero shuffle — the [[ivfAssignerOf]] serving
+    * path itself, so the signal measures exactly what production serving
+    * experiences) and reduce map-side to one row per source. Nothing
+    * touches the snapshot corpus vectors a second time. */
+  def indexRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, snapCells) = ivfModelOf(s,
+      Tables.table(s, dir, "embeddings")
+        .filter($"vec_id" < IvfSnapshotFloor)
+        .select($"vec_id", quantize($"embedding").as("q")),
+      IvfK)
+    indexRefreshOf(cents, snapCells,
+      Tables.table(s, dir, "embeddings")
+        .filter($"vec_id" >= IvfSnapshotFloor)
+        .select($"vec_id", $"embedding"),
+      Tables.table(s, dir, "documents").select($"doc_id", $"source"))
+  }
+
+  /** [[indexRefresh]] over any frozen model + arrival/catalog tables — the
+    * fixture entry point (`SimilaritySpec` plants drifted arrivals that
+    * flip the verdict). `snapCells` = the snapshot's own `(vec_id, q, n2,
+    * cell)` assignment; `arrivals` = `(vec_id, embedding)` rows to judge;
+    * `docs` = `(doc_id, source)` catalog (inner join: only documented
+    * vectors carry a source to report on). */
+  private[graft] def indexRefreshOf(
+      cents: DataFrame, snapCells: DataFrame,
+      arrivals: DataFrame, docs: DataFrame): DataFrame = {
+    val s = cents.sparkSession
+    import s.implicits._
+    // snapshot baseline: each training vector's exact squared-L2 to its own
+    // centroid, reduced to ONE integer mean (floor; sums < 2^53 per the
+    // quantization bound, and the 10^4 scaling below happens on the MEANS,
+    // never the sums, so nothing approaches int64)
+    val base = snapCells.join(broadcast(cents), $"cell" === $"cid")
+      .select(($"n2" + $"cn2" - lit(2L) * qdot($"q", $"cq")).as("d"))
+      .agg(expr("sum(d) div count(1)").as("base_mean_d"))
+    val asg = ivfAssignerOf(centroidArrayOf(cents))(arrivals)
+    asg.join(docs, $"doc_id" === $"vec_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_arrivals"),
+        expr("sum(cell_d) div count(1)").as("arr_mean_d"))
+      .crossJoin(broadcast(base)) // 1-row baseline
+      .withColumn("drift_bp",
+        expr("(arr_mean_d * 10000) div greatest(base_mean_d, 1)"))
+      .withColumn("verdict",
+        when($"drift_bp" > DriftRetrainBp, lit("retrain")).otherwise(lit("keep")))
+      .select($"source", $"n_arrivals", $"arr_mean_d", $"base_mean_d",
+        $"drift_bp", $"verdict")
+      .orderBy($"source")
   }
 
   /** Exact integer squared-L2 via |a−b|² = |a|² + |b|² − 2·a·b — the dot
@@ -486,6 +568,7 @@ object Similarity {
     "q_similarity_ivf_probe" -> annIvfProbe _,
     "q_similarity_knn_join" -> knnJoin _,
     "q_similarity_ivf_assign" -> ivfAssignNew _,
+    "q_index_refresh" -> indexRefresh _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,7 +651,43 @@ object Similarity {
          |  FROM cand) WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
     "q_similarity_ivf_assign" -> duckIvfAssignOracle,
+    "q_index_refresh" -> duckIndexRefreshOracle,
   )
+
+  /** See [[indexRefresh]]: snapshot training replayed as CTEs, per-vector
+    * baseline error from the final assignment, frozen-centroid argmin +
+    * error over the arrivals, one mean per source in basis points of the
+    * baseline. Integer div on the MEANS (both engines floor on positives);
+    * BIGINT casts around DuckDB's HUGEINT sums. */
+  private def duckIndexRefreshOracle: String = {
+    val trainCtes = duckCellCtes.replace("FROM embeddings",
+      s"FROM embeddings WHERE vec_id < $IvfSnapshotFloor")
+    s"""WITH $trainCtes,
+       |base AS (SELECT CAST(sum(d) AS BIGINT) // count(*) AS base_mean_d FROM (
+       |  SELECT list_sum(list_transform(generate_series(1, 64),
+       |      i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS d
+       |  FROM a3 a JOIN c2 c ON a.cell = c.cid)),
+       |ehi AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id >= $IvfSnapshotFloor),
+       |asg AS (SELECT vec_id, dmin FROM (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) AS dmin,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+       |  FROM ehi e CROSS JOIN c2 c) WHERE rn = 1)
+       |SELECT g.source, g.n_arrivals, g.arr_mean_d, b.base_mean_d,
+       |  (g.arr_mean_d * 10000) // greatest(b.base_mean_d, 1) AS drift_bp,
+       |  CASE WHEN (g.arr_mean_d * 10000) // greatest(b.base_mean_d, 1)
+       |      > $DriftRetrainBp THEN 'retrain' ELSE 'keep' END AS verdict
+       |FROM (SELECT d.source, CAST(count(*) AS BIGINT) AS n_arrivals,
+       |    CAST(sum(a.dmin) AS BIGINT) // count(*) AS arr_mean_d
+       |  FROM asg a JOIN documents d ON d.doc_id = a.vec_id
+       |  GROUP BY d.source) g CROSS JOIN base b
+       |ORDER BY g.source""".stripMargin
+  }
 
   /** See [[ivfAssignNew]]: the training chain rebased onto the snapshot
     * prefix, then the frozen-centroid argmin over the arrivals. */

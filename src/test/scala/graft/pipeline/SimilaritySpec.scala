@@ -115,4 +115,51 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .toSeq == guarded.toSeq)
   }
+
+  test("indexRefresh: planted drift flips the per-source verdict") {
+    import spark.implicits._
+    // frozen model: two well-separated 2-d centroids
+    val cents = Seq(
+      (0L, Seq(500000L, 0L), 250000000000L),
+      (1L, Seq(0L, 500000L), 250000000000L)).toDF("cid", "cq", "cn2")
+    // snapshot training assignment: every vector sits d=100 off its
+    // centroid, so the baseline mean error is exactly 100
+    val snap = Seq(
+      (0L, Seq(500000L, 10L), 250000000100L, 0L),
+      (1L, Seq(500000L, -10L), 250000000100L, 0L),
+      (2L, Seq(10L, 500000L), 250000000100L, 1L),
+      (3L, Seq(-10L, 500000L), 250000000100L, 1L))
+      .toDF("vec_id", "q", "n2", "cell")
+    // arrivals (binary-exact floats — 11/2^20 floors to micro 10; a
+    // decimal literal like 1e-5f sits just BELOW 1e-5 and floors to 9):
+    // the stable source quantizes at the baseline error, the drifted one
+    // lands BETWEEN the centroids at ~10^9× it
+    val eps = 11.0f / 1048576.0f // exact; 1e6 * eps = 10.49 -> micro 10
+    val arrivals = Seq(
+      (100L, Seq(0.5f, eps)),    // -> (500000, 10), cell 0, d = 100
+      (101L, Seq(eps, 0.5f)),    // -> (10, 500000), cell 1, d = 100
+      (102L, Seq(0.25f, 0.25f)), // -> equidistant, d = 1.25e11
+      (103L, Seq(0.25f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq((100L, "stable"), (101L, "stable"),
+      (102L, "drifted"), (103L, "drifted")).toDF("doc_id", "source")
+
+    val out = Similarity.indexRefreshOf(cents, snap, arrivals, docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    val bySrc = out.map(r => r._1 -> r).toMap
+    // stable: arrivals quantize exactly at the baseline -> 10000 bp, keep
+    assert(bySrc("stable") == ("stable", 2L, 100L, 100L, 10000L, "keep"), out)
+    // drifted: both arrivals sit 1.25e11 off the frozen centroids -> retrain
+    val d = bySrc("drifted")
+    assert(d._3 == 125000000000L && d._4 == 100L && d._6 == "retrain", out)
+    assert(d._5 == 125000000000L * 10000L / 100L, out) // exact bp arithmetic
+
+    // the real corpus: every source within threshold (the declared query's
+    // natural state — the fixture above is what a drift event looks like)
+    val real = Similarity.indexRefresh(spark, sf).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(_.getString(5) == "keep"),
+      real.map(r => (r.getString(0), r.getLong(4))).mkString(", "))
+  }
 }

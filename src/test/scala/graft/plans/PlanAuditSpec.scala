@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // from the query-set join side (q_ann_recall_ivf lost its entry in r8:
     // the shared IVF model serves cells from parquet, no filterable join)
     "q_ann_recall_pq",
-    "q_text_tfidf_pairs" // 1-row doc-count aggregate for the idf
+    "q_text_tfidf_pairs", // 1-row doc-count aggregate for the idf
+    "q_index_refresh" // 1-row snapshot-baseline mean-error aggregate
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject;
     // q_sample_priority's global top-(k+1) collapses the same way)
@@ -94,7 +95,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_priority", "q_text_tfidf_pairs",
     // source-catalog-bounded centroid pair join (explicit broadcast — the
     // planner would otherwise cartesian the non-equi condition)
-    "q_embedding_drift"
+    "q_embedding_drift",
+    // K-row centroid broadcast in the snapshot assignment's lineage (the
+    // ivf_probe shape) + the 1-row baseline crossJoined onto the per-
+    // source aggregate
+    "q_index_refresh"
   )
 
   private def plansOf(name: String): String = {
