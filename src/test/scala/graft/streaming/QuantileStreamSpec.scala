@@ -83,6 +83,34 @@ class QuantileStreamSpec extends AnyFunSuite {
     assert(fin == expected)
   }
 
+  test("sharded histograms merge to the unsharded answer exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // each source's values processed on 4 parallel shards (key carries the
+    // shard suffix), in several micro-batches so the emission log is deep
+    val sharded = docs.zipWithIndex.map { case (r, i) =>
+      QIn(s"${r.key}|${i % 4}", r.v)
+    }
+    val mem = MemoryStream[QIn]
+    val q = QuantileStream.histograms(mem.toDS())
+      .writeStream.format("memory").queryName("qh_merge").outputMode("append").start()
+    try {
+      sharded.grouped(sharded.size / 3 + 1).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+      val log = spark.table("qh_merge")
+        .select(split($"key", "[|]").getItem(0).as("gkey"),
+          $"key".as("skey"), $"n", $"counts")
+      val merged = QuantileStream.mergeQuantiles(log)
+        .as[QOut].collect().map(o => o.key -> o).toMap
+      // histogram merge is EXACT: the per-group answer equals the driver
+      // fold of the unsharded stream, field for field
+      assert(merged == expected, merged.toString)
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS qh_merge")
+    }
+  }
+
   test("reported bucket brackets the exact rank quantile") {
     val got = run("qs_br", docs.grouped(97).toSeq)
     docs.groupBy(_.key).foreach { case (k, vs) =>

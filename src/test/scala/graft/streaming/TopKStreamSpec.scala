@@ -112,6 +112,43 @@ class TopKStreamSpec extends AnyFunSuite {
     assert(fin("t0")._1 == exact("t0"), fin("t0").toString)
   }
 
+  test("mergeTopK folds shard emission logs into a bounded global top-k") {
+    import spark.implicits._
+    // honest sharding: every occurrence of one item lands on hash-chosen
+    // shard (3 shards), seq preserves arrival order within each shard
+    val sharded = items.zipWithIndex.map { case (r, i) =>
+      r.copy(shard = (math.abs(r.item.hashCode) % 3).toLong, seq = i.toLong)
+    }
+    val mem = MemoryStream[TItem]
+    val q = TopKStream.topk(mem.toDS())
+      .writeStream.format("memory").queryName("topk_merge").outputMode("append").start()
+    try {
+      // multiple micro-batches so the emission log holds STALE rows per
+      // item — exactly what the max-(est, err) fold must see through
+      sharded.grouped(sharded.size / 3 + 1).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+      val merged = TopKStream.mergeTopK(spark.table("topk_merge").as[TEst], 10)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(merged.length == 10)
+      assert(merged.map(_._1).toSeq == (1 to 10), merged.mkString(", "))
+      // bounds bracket the exact global counts on every merged row, and
+      // guaranteed_min is exactly est - err
+      merged.foreach { case (_, it, est, err, gmin) =>
+        val truth = exact.getOrElse(it, 0L)
+        assert(est >= truth && est - err <= truth, s"$it: ($est, $err) vs $truth")
+        assert(gmin == est - err)
+      }
+      // the true heavy head appears in order at the top (each is heavy
+      // within its own shard, so presence + overestimate-only rank them)
+      assert(merged.take(3).map(_._2).toSeq == Seq("t0", "t1", "t2"),
+        merged.take(3).mkString(", "))
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS topk_merge")
+    }
+  }
+
   test("shards are independent: same items on two shards, same summaries") {
     val two = items ++ items.map(r => r.copy(shard = 1L, seq = r.seq + 100000L))
     import spark.implicits._
