@@ -242,6 +242,40 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Sharded-histogram QUANTILE MERGE as a declared, oracle-gated query —
+    * the batch twin of the [[graft.streaming.QuantileStream]] dashboard
+    * read path, proving the merge algebra against DuckDB rather than only
+    * spec fixtures: each source's document lengths are histogrammed on 4
+    * hash shards independently (bucket = floor(log₂ v), spelled exactly as
+    * the integer `length(bin(v)) − 1` so both engines agree at power-of-two
+    * boundaries where float log2 ties break wrong), the per-shard
+    * summaries take the [[graft.streaming.QuantileStream.QHist]] shape (n
+    * + a dense 64-bucket count array), and
+    * [[graft.streaming.QuantileStream.mergeQuantiles]] folds them into the
+    * per-source global p50/p90/max buckets. Histogram counts are exact, so
+    * the sharded merge must equal the unsharded answer — the contract the
+    * oracle checks by computing the quantiles WITHOUT shards.
+    *
+    * Shape at scale: one (source, shard, bucket) map-side-combinable
+    * count, one (source, shard) fold to the dense array, then the merge's
+    * own bounded per-group window — the corpus is never sorted. */
+  def quantileMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hists = Tables.table(s, dir, "documents")
+      .select($"source", pmod($"doc_id", lit(4L)).as("shard"),
+        (length(bin($"n_chars")) - 1).as("bucket"))
+      .groupBy($"source", $"shard", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source", $"shard")
+      .agg(sum($"c").as("n"),
+        map_from_entries(collect_list(struct($"bucket", $"c"))).as("m"))
+      .select($"source".as("gkey"),
+        concat($"source", lit("|"), $"shard").as("skey"), $"n",
+        expr("transform(sequence(0, 63), i -> " +
+          "coalesce(element_at(m, i), CAST(0 AS BIGINT)))").as("counts"))
+    graft.streaming.QuantileStream.mergeQuantiles(hists)
+  }
+
   /** Word n-grams (space-joined), empty below n tokens. */
   private def grams(w: Column, n: Int): Column =
     when(size(w) >= n,
@@ -734,6 +768,7 @@ object TextAnalysis {
     "q_text_tfidf" -> tfidf _,
     "q_text_length_stats" -> lengthStats _,
     "q_text_length_stats_approx" -> lengthStatsApprox _,
+    "q_quantile_merge" -> quantileMerge _,
     "q_text_repetition" -> repetition _,
     "q_text_diversity" -> diversity _,
     "q_source_overlap" -> sourceOverlap _,
@@ -749,6 +784,26 @@ object TextAnalysis {
     s"len(list_filter($w, t -> t IN (${words.map(x => s"'$x'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    // UNSHARDED per-source histogram quantiles — the Spark side shards per
+    // source 4 ways and merges, so the hash match proves shard-merge
+    // invariance, not just the bucket arithmetic. Same integer bucket
+    // spelling (length(bin(v)) - 1 = floor(log2 v)) in both engines.
+    "q_quantile_merge" ->
+      """WITH b AS (SELECT source, length(bin(n_chars)) - 1 AS bucket FROM documents),
+        |h AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT source AS key, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2
+        |    THEN (CAST(1 AS BIGINT) << bucket) END) AS BIGINT) AS p50_lo,
+        |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+        |    THEN (CAST(1 AS BIGINT) << bucket) END) AS BIGINT) AS p90_lo,
+        |  CAST(max(CASE WHEN c > 0
+        |    THEN (CAST(1 AS BIGINT) << bucket) END) AS BIGINT) AS max_lo
+        |FROM t GROUP BY source ORDER BY key""".stripMargin,
     "q_text_freqitems" ->
       s"""WITH t AS (SELECT source,
          |    unnest(string_split_regex(lower(text), '\\s+')) AS word
