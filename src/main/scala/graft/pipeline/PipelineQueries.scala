@@ -11,12 +11,14 @@ object PipelineQueries {
       TextAnalysis.queries ++ Multimodal.queries ++ Sampling.queries ++
       Curation.queries ++ Embeddings.queries ++ Mixture.queries ++
       HeavyHitters.queries ++ Profiling.queries ++ Layout.queries ++
-      Retrieval.queries ++ Tokenizer.queries ++ Winnowing.queries
+      Retrieval.queries ++ Tokenizer.queries ++ Winnowing.queries ++
+      EntityResolution.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ SpanDedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Curation.oracles ++ Embeddings.oracles ++ Mixture.oracles ++
       HeavyHitters.oracles ++ Profiling.oracles ++ Layout.oracles ++
-      Retrieval.oracles ++ Tokenizer.oracles ++ Winnowing.oracles
+      Retrieval.oracles ++ Tokenizer.oracles ++ Winnowing.oracles ++
+      EntityResolution.oracles
 }

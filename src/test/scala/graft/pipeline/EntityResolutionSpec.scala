@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Fixture tests for the entity-resolution suite: a handcrafted dirty
+  * registry with known match pairs, a transitive cluster whose weak pair
+  * must be recovered by closure, an over-cap hot block the guard must
+  * drop, and shuffled-input invariance.
+  */
+class EntityResolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** (rec_id, name, nation, bal, seg) */
+  private def reg(rows: Seq[(Long, String, Int, Double, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("rec_id", "name", "nation", "bal", "seg").repartition(4)
+  }
+
+  // Base registry: entity X as three records (two strong links to the base,
+  // the A↔B pair scoring below threshold), entity Y as two records, plus an
+  // unrelated record sharing Y's block that must NOT match.
+  private val baseRows = Seq(
+    (1L, "Acme Corp 0001", 7, 100.0, "BUILDING"),   // X base
+    (2L, "Acme Xorp 0001", 7, 100.0, "BUILDING"),   // X: 1 sub, all agree = 56
+    (3L, "Acme Cp 0001", 7, 100.0, "UNKNOWN"),      // X: dist 2 to base → 24+10+0+8 = 42 <50… see test
+    (4L, "Beta LLC 0009", 3, 55.5, "MACHINERY"),    // Y base
+    (5L, "Beta LLX 0009", 3, 55.5, "MACHINERY"),    // Y: 1 sub = 56
+    (6L, "Zeta Inc 0009", 3, 900.0, "MACHINERY"),   // shares Y's blocks, dist > 2 → -15
+  )
+
+  test("pairwise scoring: strong pairs match, weak and unrelated do not") {
+    val m = EntityResolution.matchPairsOf(reg(baseRows), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) == 56)
+    assert(m.contains((4L, 5L)) && m((4L, 5L)) == 56)
+    // dist(base, "Acme Cp 0001") = 2 (delete 'o','r'): 24+10+0+8 = 42 < 50
+    assert(!m.contains((1L, 3L)))
+    assert(!m.contains((2L, 3L)))
+    // Zeta vs Beta: name distance > 2 → -15 dominates
+    assert(!m.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("closure recovers the weak pair via a bridging record") {
+    // Add a bridge record C at distance 1 from BOTH base (1) and the weak
+    // record (3): 1↔7 and 3↔7 match, 1↔3 does not — the canonical table
+    // must still place 1, 3, 7 in one entity.
+    val rows = baseRows :+ (7L, "Acme Crp 0001", 7, 100.0, "BUILDING")
+    val canon = EntityResolution.canonicalOf(reg(rows), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val x = canon.find(_._1 == 1L).get
+    assert(x._2 == 4, s"entity 1 should have 4 members (1,2,3,7): $x")
+    // survivorship: longest name ("Acme Corp 0001"/"Acme Xorp 0001"/"Acme
+    // Crp 0001" are 14, 14, 13 chars; "Acme Cp 0001" is 12) → tie between
+    // rec 1 and rec 2 broken by smallest rec_id → rec 1's name
+    assert(x._3 == "Acme Corp 0001")
+    assert(canon.exists(c => c._1 == 4L && c._2 == 2))
+  }
+
+  test("hot-block guard drops oversized blocks from pairing") {
+    // 30 records all sharing both blocking keys (same nation, same seg,
+    // same name suffix), each within distance 1 of a common stem — an
+    // unguarded block yields C(30,2) pairs; cap 10 must yield zero.
+    val hot = (100L until 130L).map(i =>
+      (i, s"Stem ${('a' + (i % 26)).toChar} 7777", 5, 1.0, "BUILDING"))
+    val guarded = EntityResolution.matchPairsOf(reg(hot), 10)
+    assert(guarded.count() == 0)
+    val unguarded = EntityResolution.matchPairsOf(reg(hot), 1000)
+    assert(unguarded.count() > 0)
+  }
+
+  test("max_bal_cents quantizes exactly (612.40 → 61240, not 61239)") {
+    // 612.40 * 100 = 61239.999… in binary; the +0.5-floor quantization must
+    // land on 61240. Balance agreement is part of the score, so the pair
+    // shares the value (differing balances score 42 < threshold by design —
+    // the pairwise-scoring test pins that).
+    val rows = Seq(
+      (1L, "Acme Corp 0001", 7, 612.40, "BUILDING"),
+      (2L, "Acme Xorp 0001", 7, 612.40, "BUILDING"))
+    val c = EntityResolution.canonicalOf(reg(rows), 1000).collect()
+    assert(c.length == 1)
+    assert(c(0).getLong(3) == 61240L)
+  }
+
+  test("shuffled input produces identical matches") {
+    val shuffled = new scala.util.Random(7).shuffle(baseRows)
+    val a = EntityResolution.matchPairsOf(reg(baseRows), 1000)
+      .orderBy("rec_a", "rec_b").collect().toSeq
+    val b = EntityResolution.matchPairsOf(reg(shuffled), 1000)
+      .orderBy("rec_a", "rec_b").collect().toSeq
+    assert(a == b)
+  }
+
+  test("declared queries run on sf0.001 with plausible shape") {
+    val dir = "/root/testdata/sf0.001"
+    val m = EntityResolution.matches(spark, dir).collect()
+    assert(m.nonEmpty)
+    assert(m.forall(_.getInt(2) >= EntityResolution.MatchThreshold))
+    val c = EntityResolution.canonical(spark, dir).collect()
+    assert(c.nonEmpty)
+    // every cluster has ≥ 2 members and a canonical name from the registry
+    assert(c.forall(_.getLong(1) >= 2))
+  }
+}
