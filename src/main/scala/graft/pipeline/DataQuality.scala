@@ -1,0 +1,226 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Declarative data-quality validation (the Deequ-on-Spark pattern): a
+  * constraint suite over a table evaluated in ONE scan, emitting per-column
+  * profile metrics and per-constraint PASS/FAIL verdicts. The reference
+  * validates its input only implicitly (a malformed CSV row would throw in
+  * the positional parser, `BillingEvent.scala:11-19` cited at
+  * `FlinkCEPExample.scala:50-53`); a 100 TB ingest cannot afford
+  * throw-on-first-bad-row semantics — it needs MEASURED violation rates and
+  * thresholded gate decisions, which is exactly what every production
+  * curation pipeline bolts on in front of training-data jobs.
+  *
+  * Spark-first shape, and the reason this scales:
+  *
+  *   - Every metric (completeness, uniqueness, range conformance, accepted
+  *     values, freshness) is a map-side-combinable aggregate; the whole
+  *     metric family is computed by ONE `agg(...)` over ONE pass of the
+  *     table (the multi-`countDistinct` plans via Catalyst's Expand — the
+  *     one deliberate ×columns blow-up, paid once, instead of one scan per
+  *     metric the naive checker runs).
+  *   - Referential integrity is the only non-scalar constraint: a broadcast
+  *     LEFT join against the dimension's key column folded into the SAME
+  *     single aggregate pass (`count(c_custkey)` = matched rows) — the fact
+  *     table is never shuffled.
+  *   - The verdict table is constraint-count-sized: the single aggregate row
+  *     explodes into one row per constraint with integer basis-point
+  *     measures against pinned thresholds. Nothing downstream of the scan
+  *     is corpus-sized.
+  *
+  * The validated table is a DERIVED dirty registry (the
+  * [[EntityResolution.registryOf]] discipline): deterministic corruption
+  * classes planted into `orders` — dropped priorities, negated prices,
+  * out-of-domain statuses, dangling customer keys, duplicated rows — so the
+  * DuckDB oracle replays corruption → metrics → verdicts end-to-end from
+  * the same parquet, and both FAIL and PASS arms are exercised at every SF
+  * (both engines compute the identical rates, so verdicts can never split).
+  */
+object DataQuality {
+
+  /** Per-constraint basis-point thresholds. Chosen ≥ 50 bp away from the
+    * planted violation rates (completeness ~1/97 missing → ~9897 bp,
+    * RI ~1/127 dangling → ~9921 bp, status ~1/113 out-of-domain → ~9912 bp,
+    * price ~1/131 negated → ~9924 bp, dup 1/500 → uniqueness ~9980 bp) so
+    * the suite demonstrably FAILS the completeness + referential gates and
+    * PASSES the rest; both engines compute identical rates, so the verdict
+    * can never disagree between Spark and the oracle. */
+  val Thresholds: Seq[(String, Long)] = Seq(
+    "accepted_values_status" -> 9800L,
+    "completeness_priority" -> 9950L,
+    "freshness_orderdate" -> 9990L,
+    "non_negative_price" -> 9800L,
+    "referential_custkey" -> 9950L,
+    "uniqueness_orderkey" -> 9900L,
+  )
+
+  /** The dirty validation target: `orders` with five deterministic
+    * corruption classes (NULLed priority at key%97, out-of-domain status at
+    * key%113, dangling custkey at key%127, negated price at key%131, full
+    * duplicate rows at key%500). Derivation is narrow (no shuffle). */
+  private[pipeline] def dirtyOrdersOf(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    val c = orders.select(
+      $"o_orderkey".as("okey"),
+      when($"o_orderkey" % 127 === 0, $"o_custkey" + 1000000000L)
+        .otherwise($"o_custkey").as("ckey"),
+      when($"o_orderkey" % 113 === 0, lit("X"))
+        .otherwise($"o_orderstatus").as("status"),
+      when($"o_orderkey" % 131 === 0, -$"o_totalprice")
+        .otherwise($"o_totalprice").as("price"),
+      $"o_orderdate".as("odate"),
+      when($"o_orderkey" % 97 === 0, lit(null).cast("string"))
+        .otherwise($"o_orderpriority").as("priority"))
+    c.unionAll(c.filter($"okey" % 500 === 0))
+  }
+
+  /** Integer cents (the repo-wide no-raw-doubles determinism contract). */
+  private def cents(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.5)).cast("long")
+
+  /** Declared query: per-column profile metrics — row count, null count,
+    * exact distinct count, min/max (numerics compared numerically, THEN
+    * rendered as strings for the mixed-type output column) — for all five
+    * registry columns, in one aggregate pass. */
+  def metrics(s: SparkSession, dir: String): DataFrame =
+    metricsOf(dirtyOrdersOf(Tables.table(s, dir, "orders")))
+
+  private[graft] def metricsOf(dirty: DataFrame): DataFrame = {
+    val s = dirty.sparkSession
+    import s.implicits._
+    // (column, value-expression-for-ordering) — price ordered in cents so
+    // min/max strings are integer renderings on both engines.
+    val cols: Seq[(String, Column)] = Seq(
+      ("ckey", $"ckey"), ("okey", $"okey"),
+      ("price_cents", cents($"price")), ("priority", $"priority"),
+      ("status", $"status"))
+    val aggs = cols.zipWithIndex.flatMap { case ((_, v), i) =>
+      Seq(count(v).as(s"nn$i"), countDistinct(v).as(s"nd$i"),
+        min(v).cast("string").as(s"mn$i"), max(v).cast("string").as(s"mx$i"))
+    }
+    val one = dirty.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = cols.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("col_name"), $"n".as("n_rows"),
+        ($"n" - col(s"nn$i")).as("n_nulls"), col(s"nd$i").as("n_distinct"),
+        col(s"mn$i").as("min_v"), col(s"mx$i").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select($"r.*")
+      .orderBy($"col_name")
+  }
+
+  /** Declared query: the thresholded constraint verdicts — six constraints
+    * measured in basis points from ONE aggregate over the dirty registry
+    * (RI via a broadcast left join folded into the same pass), each row
+    * carrying (measured_bp, threshold_bp, verdict). */
+  def verdict(s: SparkSession, dir: String): DataFrame =
+    verdictOf(dirtyOrdersOf(Tables.table(s, dir, "orders")),
+      Tables.table(s, dir, "customer").select(col("c_custkey")))
+
+  private[graft] def verdictOf(dirty: DataFrame, custKeys: DataFrame): DataFrame = {
+    val s = dirty.sparkSession
+    import s.implicits._
+    val j = dirty.join(broadcast(custKeys),
+      dirty("ckey") === custKeys("c_custkey"), "left")
+    val one = j.agg(
+      count(lit(1)).as("n"),
+      sum(when($"status".isin("O", "F", "P"), 1L).otherwise(0L)).as("m_st"),
+      count($"priority").as("m_pri"),
+      sum(when($"odate".between(lit("1992-01-01").cast("timestamp"),
+        lit("2005-12-31").cast("timestamp")), 1L).otherwise(0L)).as("m_dt"),
+      sum(when($"price" >= 0, 1L).otherwise(0L)).as("m_pos"),
+      count($"c_custkey").as("m_ri"),
+      countDistinct($"okey").as("m_uk"))
+    val measures = Seq("m_st", "m_pri", "m_dt", "m_pos", "m_ri", "m_uk")
+    val rows = Thresholds.zip(measures).map { case ((cname, thr), m) =>
+      val bp = expr(s"$m * 10000L div n")
+      struct(lit(cname).as("check_name"), bp.as("measured_bp"),
+        lit(thr).as("threshold_bp"),
+        when(bp >= thr, "PASS").otherwise("FAIL").as("verdict"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select($"r.*")
+      .orderBy($"check_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_metrics" -> metrics _,
+    "q_dq_verdict" -> verdict _,
+  )
+
+  /** Corruption replay shared by both oracles. */
+  private val dirtyCte =
+    """dirty AS (
+      |  SELECT o_orderkey AS okey,
+      |    CASE WHEN o_orderkey % 127 = 0 THEN o_custkey + 1000000000
+      |         ELSE o_custkey END AS ckey,
+      |    CASE WHEN o_orderkey % 113 = 0 THEN 'X'
+      |         ELSE o_orderstatus END AS status,
+      |    CASE WHEN o_orderkey % 131 = 0 THEN -o_totalprice
+      |         ELSE o_totalprice END AS price,
+      |    o_orderdate AS odate,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS priority
+      |  FROM orders),
+      |d2 AS (SELECT * FROM dirty
+      |       UNION ALL SELECT * FROM dirty WHERE okey % 500 = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dq_metrics" ->
+      s"""WITH $dirtyCte,
+         |m AS (SELECT count(*) AS n,
+         |  count(ckey) AS nn0, count(DISTINCT ckey) AS nd0,
+         |    CAST(min(ckey) AS VARCHAR) AS mn0, CAST(max(ckey) AS VARCHAR) AS mx0,
+         |  count(okey) AS nn1, count(DISTINCT okey) AS nd1,
+         |    CAST(min(okey) AS VARCHAR) AS mn1, CAST(max(okey) AS VARCHAR) AS mx1,
+         |  count(price) AS nn2,
+         |    count(DISTINCT CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS nd2,
+         |    CAST(min(CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS VARCHAR) AS mn2,
+         |    CAST(max(CAST(floor(price * 100.0 + 0.5) AS BIGINT)) AS VARCHAR) AS mx2,
+         |  count(priority) AS nn3, count(DISTINCT priority) AS nd3,
+         |    min(priority) AS mn3, max(priority) AS mx3,
+         |  count(status) AS nn4, count(DISTINCT status) AS nd4,
+         |    min(status) AS mn4, max(status) AS mx4
+         |  FROM d2)
+         |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v FROM (
+         |  SELECT 'ckey' AS col_name, n AS n_rows, n - nn0 AS n_nulls,
+         |         nd0 AS n_distinct, mn0 AS min_v, mx0 AS max_v FROM m
+         |  UNION ALL SELECT 'okey', n, n - nn1, nd1, mn1, mx1 FROM m
+         |  UNION ALL SELECT 'price_cents', n, n - nn2, nd2, mn2, mx2 FROM m
+         |  UNION ALL SELECT 'priority', n, n - nn3, nd3, mn3, mx3 FROM m
+         |  UNION ALL SELECT 'status', n, n - nn4, nd4, mn4, mx4 FROM m)
+         |ORDER BY col_name""".stripMargin,
+    "q_dq_verdict" ->
+      s"""WITH $dirtyCte,
+         |m AS (SELECT count(*) AS n,
+         |  sum(CASE WHEN status IN ('O','F','P') THEN 1 ELSE 0 END) AS m_st,
+         |  count(priority) AS m_pri,
+         |  sum(CASE WHEN odate BETWEEN TIMESTAMP '1992-01-01'
+         |        AND TIMESTAMP '2005-12-31' THEN 1 ELSE 0 END) AS m_dt,
+         |  sum(CASE WHEN price >= 0 THEN 1 ELSE 0 END) AS m_pos,
+         |  count(c.c_custkey) AS m_ri,
+         |  count(DISTINCT okey) AS m_uk
+         |  FROM d2 LEFT JOIN customer c ON c.c_custkey = d2.ckey)
+         |SELECT check_name, measured_bp, threshold_bp,
+         |  CASE WHEN measured_bp >= threshold_bp THEN 'PASS' ELSE 'FAIL' END
+         |    AS verdict
+         |FROM (
+         |  SELECT 'accepted_values_status' AS check_name,
+         |         CAST(m_st * 10000 // n AS BIGINT) AS measured_bp,
+         |         CAST(9800 AS BIGINT) AS threshold_bp FROM m
+         |  UNION ALL SELECT 'completeness_priority',
+         |         CAST(m_pri * 10000 // n AS BIGINT), 9950 FROM m
+         |  UNION ALL SELECT 'freshness_orderdate',
+         |         CAST(m_dt * 10000 // n AS BIGINT), 9990 FROM m
+         |  UNION ALL SELECT 'non_negative_price',
+         |         CAST(m_pos * 10000 // n AS BIGINT), 9800 FROM m
+         |  UNION ALL SELECT 'referential_custkey',
+         |         CAST(m_ri * 10000 // n AS BIGINT), 9950 FROM m
+         |  UNION ALL SELECT 'uniqueness_orderkey',
+         |         CAST(m_uk * 10000 // n AS BIGINT), 9900 FROM m)
+         |ORDER BY check_name""".stripMargin,
+  )
+}

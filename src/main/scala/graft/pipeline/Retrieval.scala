@@ -333,8 +333,65 @@ object Retrieval {
       .orderBy($"query_id", $"vec_id")
   }
 
+  /** Fixed phrase workload for [[phrase]]: multi-token exact phrases over
+    * the space-delimited corpus (lengths 2 and 3, one with a repeated
+    * token — the case adjacency-by-LIKE spellings get wrong). */
+  val Phrases: Seq[(Int, String)] =
+    Seq((1, "table scan"), (2, "hash join"), (3, "sort merge join"),
+      (4, "batch batch"))
+
+  /** EXACT PHRASE SEARCH via a positional inverted index — the lexical
+    * retrieval primitive BM25's bag-of-words scoring cannot express
+    * ("sort merge join" as consecutive tokens, not three terms anywhere).
+    *
+    * Shape at scale (the classic distributed positional-postings plan):
+    * tokenize with positions (narrow posexplode), FILTER the postings to
+    * the query vocabulary before anything wide — the only postings that
+    * ever shuffle are for tokens some phrase mentions — then broadcast-join
+    * the (word, offset) phrase table and group by (phrase, doc, pos−offset):
+    * a start position where the number of DISTINCT matched offsets equals
+    * the phrase length is an occurrence (distinct, not plain count, so a
+    * repeated token like "batch batch" can't double-count one position).
+    * Both the candidate-start aggregate and the per-doc hit count are
+    * map-side combinable; nothing corpus-sized is ever sorted. Counting
+    * positions (not LIKE) also makes overlapping occurrences exact:
+    * "batch batch batch" contains "batch batch" TWICE — `replace`-based
+    * counting sees one. */
+  def phrase(s: SparkSession, dir: String): DataFrame =
+    phraseOf(Tables.table(s, dir, "documents"), Phrases)
+
+  /** [[phrase]] over any `(doc_id, text)` table and phrase set — fixture
+    * entry point. */
+  private[graft] def phraseOf(docs: DataFrame, phrases: Seq[(Int, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ph = phrases.toDF("phrase_id", "phrase")
+    val pw = ph.select($"phrase_id", $"phrase",
+        posexplode(split($"phrase", " ")).as(Seq("off", "w")))
+    val plen = phrases.map { case (id, p) => (id, p.split(' ').length) }
+      .toDF("phrase_id", "plen")
+    val vocab = phrases.flatMap(_._2.split(' ')).distinct
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter($"w".isin(vocab: _*))
+    val starts = toks.join(broadcast(pw), "w")
+      .select($"phrase_id", $"phrase", $"doc_id", ($"pos" - $"off").as("start"), $"off")
+    // distinct-offset coverage as a BITMASK aggregate: bit_or combines
+    // map-side without the distinct-expansion exchange countDistinct
+    // plans (offsets are < 64 by the phrase-length contract), so the
+    // candidate-start aggregate stays a plain two-phase combinable agg
+    starts.groupBy($"phrase_id", $"phrase", $"doc_id", $"start")
+      .agg(expr("bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), off)))").as("noff"))
+      .join(broadcast(plen), "phrase_id")
+      .filter($"noff" === $"plen")
+      .groupBy($"phrase", $"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"phrase", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> bm25 _,
+    "q_retrieval_phrase" -> phrase _,
     "q_retrieval_rrf" -> rrf _,
     "q_ann_recall" -> annRecall _,
     "q_ann_recall_ivf" -> annRecallIvf _,
@@ -366,7 +423,35 @@ object Retrieval {
        |    CAST(count(*) AS BIGINT) AS n_terms
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  private val phraseValues =
+    Phrases.map { case (id, p) => s"($id, '$p')" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    // the positional index replayed in SQL: zipped unnest(token, position),
+    // phrase words with offsets, start = pos − off, an occurrence where the
+    // distinct matched offsets cover the phrase length
+    "q_retrieval_phrase" ->
+      s"""WITH ph(phrase_id, phrase) AS (VALUES $phraseValues),
+         |pw AS (SELECT phrase_id, phrase,
+         |    unnest(string_split(phrase, ' ')) AS w,
+         |    unnest(generate_series(1, len(string_split(phrase, ' ')))) AS off
+         |  FROM ph),
+         |plen AS (SELECT phrase_id, count(*) AS plen FROM pw GROUP BY 1),
+         |toks AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS w,
+         |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         |  FROM documents),
+         |starts AS (SELECT pw.phrase_id, pw.phrase, t.doc_id,
+         |    t.pos - pw.off AS start, pw.off
+         |  FROM toks t JOIN pw ON pw.w = t.w),
+         |occ AS (SELECT phrase_id, phrase, doc_id, start,
+         |    count(DISTINCT off) AS noff
+         |  FROM starts GROUP BY 1, 2, 3, 4),
+         |hits AS (SELECT o.phrase, o.doc_id, count(*) AS n_hits
+         |  FROM occ o JOIN plen l USING (phrase_id)
+         |  WHERE o.noff = l.plen GROUP BY 1, 2)
+         |SELECT phrase, doc_id, CAST(n_hits AS BIGINT) AS n_hits
+         |FROM hits ORDER BY phrase, doc_id""".stripMargin,
     "q_text_bm25" ->
       s"""WITH $duckBm25Ctes
          |SELECT doc_id, score_micro, n_terms FROM bms

@@ -138,13 +138,74 @@ object Paths {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** SEQUENTIAL-PATTERN SUPPORT (the GSP/PrefixSpan support primitive over
+    * the type alphabet): for every ordered event-type pair ⟨A → B⟩, the
+    * number of users whose history contains A strictly before B — the
+    * SUBSEQUENCE relation, not [[transitions]]' adjacency (A → B counts
+    * here even with a thousand events between them). The per-user existence
+    * test `∃ tA < tB` collapses to `min(ts | A) < max(ts | B)`, so the
+    * whole mining pass needs only first/last occurrence per (user, type).
+    *
+    * Shape at scale: ONE map-side-combinable (user, type) aggregate reduces
+    * the corpus to ≤ |alphabet| rows per user; the pair step is a self
+    * equi-join ON USER of that reduced table (per-user fan-out bounded by
+    * |alphabet|² — 25 here — never by event count); the support count
+    * re-aggregates into the alphabet²-bounded matrix, map-side combinable
+    * again. Support shares are exact integer basis points over the
+    * distinct-user count (one scalar crossed onto the 25-row result).
+    * Timestamps are second-truncated on both engines (the ns-parquet
+    * caveat), and "before" is strict at second granularity — the declared
+    * semantic, identical in the oracle. */
+  def seqSupport(s: SparkSession, dir: String): DataFrame =
+    seqSupportOf(Tables.events(s, dir))
+
+  /** [[seqSupport]] over any `(user_id, ts, event_type)` events table —
+    * fixture entry point. */
+  def seqSupportOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ut = events
+      .select($"user_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_sec"))
+      .groupBy($"user_id", $"event_type")
+      .agg(min($"ts_sec").as("first_sec"), max($"ts_sec").as("last_sec"))
+    val a = ut.select($"user_id", $"event_type".as("type_a"),
+      $"first_sec")
+    val b = ut.select($"user_id", $"event_type".as("type_b"),
+      $"last_sec")
+    val nu = ut.agg(countDistinct($"user_id").as("n_total")) // 1 row
+    a.join(b, "user_id")
+      .filter($"first_sec" < $"last_sec")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(nu))
+      .select($"type_a", $"type_b", $"n_users",
+        expr("n_users * 10000L div n_total").as("support_bp"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_path_transitions" -> transitions _,
     "q_attribution" -> attribution _,
     "q_sessionize" -> sessionize _,
+    "q_seq_support" -> seqSupport _,
   )
 
   val oracles: Map[String, String] = Map(
+    // per-(user, type) first/last occurrence, subsequence = min(A) < max(B)
+    "q_seq_support" ->
+      """WITH ut AS (SELECT user_id, event_type,
+        |    min(date_trunc('second', ts)) AS f,
+        |    max(date_trunc('second', ts)) AS l
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_total FROM events),
+        |sup AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_users
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.f < b.l
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_users * 10000 // n_total AS BIGINT) AS support_bp
+        |FROM sup, tot ORDER BY type_a, type_b""".stripMargin,
     "q_path_transitions" ->
       s"""WITH s AS (SELECT user_id, event_id, event_type,
          |    date_trunc('second', ts) AS ts FROM events),

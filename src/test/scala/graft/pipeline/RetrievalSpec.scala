@@ -7,6 +7,36 @@ import graft.TestSpark
 class RetrievalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("phrase: positional adjacency, overlaps, repeated-token phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the table scan runs a table scan now"), // 2 hits, non-adjacent
+      (2L, "table junk scan"),                      // words present, no hit
+      (3L, "scan table"),                           // reversed order, no hit
+      (4L, "batch batch batch"),                    // OVERLAPPING: 2 hits
+      (5L, "sort merge join sort merge"),           // 1 three-token hit
+      (6L, "sort join merge")                       // permuted, no hit
+    ).toDF("doc_id", "text")
+    val phrases = Seq((1, "table scan"), (2, "batch batch"),
+      (3, "sort merge join"))
+    val got = Retrieval.phraseOf(docs, phrases)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("batch batch", 4L, 2L),
+      ("sort merge join", 5L, 1L),
+      ("table scan", 1L, 2L)), got.toString)
+  }
+
+  test("phrase: a repeated-token phrase cannot double-count one position") {
+    import spark.implicits._
+    // "x batch x": 'batch' matches offset 0 AND offset 1 of "batch batch",
+    // producing two start candidates each with ONE distinct offset — the
+    // countDistinct(off) == len gate must reject both
+    val docs = Seq((1L, "x batch x")).toDF("doc_id", "text")
+    val got = Retrieval.phraseOf(docs, Seq((1, "batch batch"))).collect()
+    assert(got.isEmpty)
+  }
+
   test("bm25: rare discriminative term dominates common terms") {
     val rows = Retrieval.bm25(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === Retrieval.TopK)

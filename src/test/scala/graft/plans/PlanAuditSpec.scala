@@ -55,7 +55,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the shared IVF model serves cells from parquet, no filterable join)
     "q_ann_recall_pq",
     "q_text_tfidf_pairs", // 1-row doc-count aggregate for the idf
-    "q_index_refresh" // 1-row snapshot-baseline mean-error aggregate
+    "q_index_refresh", // 1-row snapshot-baseline mean-error aggregate
+    // the ONE-PASS metric/constraint aggregate: the whole suite reduces to
+    // a single row (partial+final global agg), then explodes into the
+    // constraint-count-sized output — bounded by construction
+    "q_dq_metrics", "q_dq_verdict",
+    // 1-row distinct-user total for the support_bp denominator
+    "q_seq_support"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject;
     // q_sample_priority's global top-(k+1) collapses the same way)
@@ -93,6 +99,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ann_recall_frontier",
     // 1-row broadcast tables: the τ threshold / the idf doc count
     "q_sample_priority", "q_text_tfidf_pairs",
+    // 1-row distinct-user total crossed onto the alphabet²-bounded matrix
+    "q_seq_support",
     // source-catalog-bounded centroid pair join (explicit broadcast — the
     // planner would otherwise cartesian the non-equi condition)
     "q_embedding_drift",

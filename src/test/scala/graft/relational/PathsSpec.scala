@@ -76,4 +76,48 @@ class PathsSpec extends AnyFunSuite {
       (2L, 1L, sec("2024-01-01 09:00:00"), sec("2024-01-01 09:30:00"), 2L, 1L, 1800L)),
       got.toString)
   }
+
+  test("seq support: subsequence (not adjacency), strict order, self pairs") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view … click … view — view→click, click→view, view→view all
+      // supported (subsequence ignores the intervening click)
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 11:00:00")),
+      (1L, 3L, "view", ts("2024-01-01 12:00:00")),
+      // user 2: click strictly before view — supports click→view only
+      // (one view occurrence → no view→view; same-second purchase pair is
+      // NOT strictly ordered at second granularity)
+      (2L, 4L, "click", ts("2024-01-01 09:00:00")),
+      (2L, 5L, "view", ts("2024-01-01 09:30:00")),
+      (2L, 6L, "purchase", ts("2024-01-01 09:45:00")),
+      (2L, 7L, "purchase", ts("2024-01-01 09:45:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Paths.seqSupportOf(events)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", "purchase", 1L, 5000L), // user 2 only
+      ("click", "view", 2L, 10000L),    // both users
+      ("view", "click", 1L, 5000L),     // user 1 only (user 2's view is after)
+      ("view", "purchase", 1L, 5000L),  // user 2
+      ("view", "view", 1L, 5000L)),     // user 1's repeat
+      got.toString)
+  }
+
+  test("seq support: transitions adjacency is strictly narrower") {
+    import spark.implicits._
+    // A then B with a C between and a >30min gap: adjacency (transitions)
+    // sees nothing ≤ gap, subsequence support still counts A→B
+    val events = Seq(
+      (1L, 1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "error", ts("2024-01-01 11:00:00")),
+      (1L, 3L, "purchase", ts("2024-01-01 13:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val sup = Paths.seqSupportOf(events)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(sup.map(r => (r._1, r._2)).toSet ==
+      Set(("signup", "error"), ("signup", "purchase"), ("error", "purchase")))
+    val adj = Paths.transitionsOf(events).collect()
+    assert(adj.isEmpty) // every adjacent gap > 30 min
+  }
 }
