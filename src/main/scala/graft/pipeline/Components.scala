@@ -348,6 +348,54 @@ object Components {
     ranks.select($"node", $"rank".cast("long").as("rank_micro"))
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007, made
+    * deterministic): community detection INSIDE components — the
+    * diagnostic [[connectedComponents]] cannot give. A bridge of
+    * borderline matches welds two dense clusters into ONE component; LPA
+    * re-separates them (each side's majority vote keeps its own label,
+    * the bridge can't outvote a triangle), which is exactly the
+    * review-the-bridge signal a dedup curator needs before collapsing a
+    * giant component to one canonical doc.
+    *
+    * Determinism (the published algorithm is run-order random): fully
+    * synchronous rounds, labels seeded with the node id, each node adopts
+    * the most frequent NEIGHBOR label with ties to the SMALLEST label, a
+    * FIXED round count (no convergence test — sync LPA can 2-cycle on
+    * bipartite structures, a fixed horizon makes the output a pure
+    * function of the graph on any engine, so the oracle unrolls the same
+    * rounds as CTEs and matches bit-for-bit).
+    *
+    * 100 TB shape: Pregel-standard — per round ONE shuffle to join labels
+    * onto the cached symmetric edge list, a map-side-combinable
+    * (node, label) count, and ONE combinable argmax `max(struct(cnt,
+    * −label))` per node (no per-node window, no sort); a hub's million
+    * neighbors collapse in partial aggregation. Round count bounds total
+    * work at `rounds` shuffles of the edge list.
+    *
+    * @param pairs two long columns `(src, dst)`, one row per undirected
+    *              edge, self-loops/duplicates assumed pre-filtered.
+    * @return `(node, label)` after `rounds` synchronous updates — nodes
+    *         sharing a label are one community.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val p = pairs.toDF("a", "b")
+    val edges = p.select($"a".as("u"), $"b".as("v"))
+      .union(p.select($"b".as("u"), $"a".as("v")))
+      .cache() // iterated `rounds` times
+    var labels = edges.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy($"v", $"label").agg(count(lit(1)).as("cnt"))
+        .groupBy($"v")
+        .agg(max(struct($"cnt", (-$"label").as("nl"))).as("pick"))
+        .select($"v".as("node"), (-$"pick.nl").as("label"))
+    }
+    labels
+  }
+
   /** Multi-source BFS hop distances from each component's ROOT (the min-id
     * exemplar [[connectedComponents]] elects): per node, the fewest edges
     * between it and its cluster canonical — the CHAIN-DEPTH diagnostic

@@ -407,6 +407,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Synchronous-LPA rounds for [[communities]] (fixed horizon — the
+    * determinism contract of [[Components.labelPropagation]]). */
+  val LpaRounds = 4
+
+  /** COMMUNITY DETECTION inside the near-dup graph
+    * ([[Components.labelPropagation]] over the verified MinHash pairs):
+    * the complement of [[cluster]] — components say what is REACHABLE,
+    * communities say what is DENSE. A chain of borderline matches bridging
+    * two dense clusters produces one component but two communities; a
+    * member whose community differs from its component majority is the
+    * review-before-collapse queue (the same borderline-bridge signal
+    * [[hops]] approximates by distance, detected structurally). */
+  def communities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cached: the LSH candidates→verify pipeline would otherwise replay
+    // once per LPA round's lineage
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b").cache()
+    Components.labelPropagation(pairs, LpaRounds)
+      .select($"node".as("doc_id"), $"label".as("community"))
+      .orderBy($"doc_id")
+  }
+
   /** RECALL AUDIT of the MinHash-LSH dedup index — [[Similarity]]'s
     * `q_ann_recall` discipline applied to dedup: ground truth is every pair
     * with exact Jaccard ≥ 30% (computed via the shingle INVERTED INDEX —
@@ -560,6 +583,7 @@ object Dedup {
     "q_dedup_triangles" -> triangles _,
     "q_dedup_pagerank" -> pagerank _,
     "q_dedup_hops" -> hops _,
+    "q_dedup_communities" -> communities _,
     "q_dedup_recall" -> recallAudit _,
     "q_dedup_recall_sampled" -> recallAuditSampled _,
     "q_dedup_minhash" -> minhash _,
@@ -845,5 +869,27 @@ object Dedup {
          |$ccCtes
          |SELECT node AS doc_id, min(reach) AS cluster_id
          |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    // Synchronous LPA unrolled round-by-round: per round, each node adopts
+    // its most frequent neighbor label (ties → smallest label) — the same
+    // fixed-horizon deterministic contract as the Spark side's argmax.
+    "q_dedup_communities" -> {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""l$i AS (SELECT v AS node, label FROM (
+           |  SELECT e.v, l.label, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY e.v
+           |      ORDER BY count(*) DESC, l.label) AS rk
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.u
+           |  GROUP BY e.v, l.label) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$sigCte,
+         |$candCtes,
+         |$prsCte,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+         |$rounds
+         |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
+         |FROM l$LpaRounds ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -246,6 +246,37 @@ object Joins {
       .orderBy($"event_id")
   }
 
+  /** Pre-join SKEW DIAGNOSTIC — the measurement that decides when
+    * [[skewSalted]]'s treatment is warranted, run BEFORE committing a
+    * 100 TB shuffle join: per join-key load share vs the fair share, with
+    * a SALT/OK verdict per key (share > 2× fair). AQE only sees skew after
+    * the shuffle has materialized the skewed map outputs; this is the
+    * planning-time read that avoids paying for the first bad run.
+    *
+    * Shape at scale: ONE map-side-combinable key count (the corpus never
+    * moves — partial counts do), a 1-row (total, key-count) aggregate
+    * crossJoined back onto the key-cardinality-bounded result. Exact
+    * integer basis points; verdict threshold identical in the oracle. */
+  def skewDiagnose(s: SparkSession, dir: String): DataFrame =
+    skewDiagnoseOf(Tables.events(s, dir))
+
+  /** [[skewDiagnose]] over any `(event_type)` keyed table — fixture entry
+    * point. */
+  private[graft] def skewDiagnoseOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val perKey = events.groupBy($"event_type").agg(count(lit(1)).as("n_rows"))
+    val tot = perKey.agg(sum($"n_rows").as("n_total"),
+      count(lit(1)).as("n_keys")) // 1 row
+    perKey.crossJoin(broadcast(tot))
+      .select($"event_type", $"n_rows",
+        expr("n_rows * 10000L div n_total").as("share_bp"),
+        expr("10000L div n_keys").as("fair_bp"))
+      .withColumn("action",
+        when($"share_bp" > $"fair_bp" * 2, "SALT").otherwise("OK"))
+      .orderBy($"event_type")
+  }
+
   /** Bounded cross join (dims only). */
   def cross(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -267,6 +298,7 @@ object Joins {
     "q_join_full" -> full _,
     "q_join_cross" -> cross _,
     "q_join_skew_salted" -> skewSalted _,
+    "q_join_skew_diagnose" -> skewDiagnose _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -347,5 +379,17 @@ object Joins {
         |  CAST(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) * d.type_n - d.type_cents AS BIGINT) AS dev_scaled
         |FROM events e JOIN d USING (event_type)
         |ORDER BY event_id""".stripMargin,
+    // per-key load share vs fair share, verdict threshold share > 2× fair
+    "q_join_skew_diagnose" ->
+      """WITH pk AS (SELECT event_type, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |  count(*) AS n_keys FROM pk)
+        |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_rows * 10000 // n_total AS BIGINT) AS share_bp,
+        |  CAST(10000 // n_keys AS BIGINT) AS fair_bp,
+        |  CASE WHEN n_rows * 10000 // n_total > (10000 // n_keys) * 2
+        |    THEN 'SALT' ELSE 'OK' END AS action
+        |FROM pk, tot ORDER BY event_type""".stripMargin,
   )
 }

@@ -278,4 +278,54 @@ class ComponentsSpec extends AnyFunSuite {
     val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
     assert(runPageRank(tri, 4).values.toSet == Set(1000000L))
   }
+
+  /** In-memory reference of the deterministic sync-LPA recurrence: every
+    * node adopts its most frequent neighbor label, ties to the smallest. */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val cnt = nbrs.groupBy(labels).view.mapValues(_.size).toSeq
+        n -> cnt.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("u", "v").repartition(4)
+    Components.labelPropagation(df, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation matches the sync recurrence on random graphs") {
+    val rnd = new Random(271)
+    for (trial <- 1 to 6) {
+      val n = 15 + rnd.nextInt(40)
+      val m = n + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      if (edges.nonEmpty)
+        assert(runLpa(edges, 3) == lpaRef(edges, 3), s"trial $trial n=$n m=$m")
+    }
+  }
+
+  test("labelPropagation separates bridged dense clusters components weld") {
+    // barbell: triangles {0,1,2} and {10,11,12} joined by the bridge 2–10 —
+    // one COMPONENT, but each triangle's majority vote keeps its own label
+    val barbell = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+    val cc = run(barbell)
+    assert(cc.values.toSet.size == 1) // components: welded
+    val lpa = runLpa(barbell, 4)
+    val left = Set(0L, 1L, 2L).map(lpa)
+    val right = Set(10L, 11L, 12L).map(lpa)
+    assert(left.size == 1 && right.size == 1 && left != right,
+      s"communities not separated: $lpa")
+  }
 }

@@ -61,7 +61,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // constraint-count-sized output — bounded by construction
     "q_dq_metrics", "q_dq_verdict",
     // 1-row distinct-user total for the support_bp denominator
-    "q_seq_support"
+    "q_seq_support",
+    // 1-row (total, key-count) aggregate over the key-bounded count table
+    "q_join_skew_diagnose"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject;
     // q_sample_priority's global top-(k+1) collapses the same way)
@@ -101,6 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_priority", "q_text_tfidf_pairs",
     // 1-row distinct-user total crossed onto the alphabet²-bounded matrix
     "q_seq_support",
+    // 1-row (total, key-count) crossed onto the key-cardinality table
+    "q_join_skew_diagnose",
     // source-catalog-bounded centroid pair join (explicit broadcast — the
     // planner would otherwise cartesian the non-equi condition)
     "q_embedding_drift",

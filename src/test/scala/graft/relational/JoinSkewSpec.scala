@@ -56,4 +56,30 @@ class JoinSkewSpec extends AnyFunSuite {
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAqe)
     }
   }
+
+  test("skew diagnose: hot key flagged SALT, uniform keys OK") {
+    import spark.implicits._
+    // 90 rows over 4 keys: 'hot' carries 60 (share 6666 bp vs fair 2500 —
+    // over the 2× line), the rest 10 each (1111 bp)
+    val rows = (1 to 60).map(i => (i.toLong, "hot")) ++
+      (for (k <- Seq("a", "b", "c"); i <- 1 to 10)
+        yield ((1000 + i).toLong, k))
+    val got = Joins.skewDiagnoseOf(rows.toDF("event_id", "event_type"))
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 10L, 1111L, 2500L, "OK"),
+      ("b", 10L, 1111L, 2500L, "OK"),
+      ("c", 10L, 1111L, 2500L, "OK"),
+      ("hot", 60L, 6666L, 2500L, "SALT")), got.toString)
+  }
+
+  test("skew diagnose: a uniform key table raises no SALT verdict") {
+    import spark.implicits._
+    val rows = for (k <- Seq("a", "b", "c", "d"); i <- 1 to 25)
+      yield (i.toLong, k)
+    val got = Joins.skewDiagnoseOf(rows.toDF("event_id", "event_type"))
+      .collect()
+    assert(got.forall(_.getString(4) == "OK"))
+    assert(got.forall(_.getLong(2) == 2500L))
+  }
 }
