@@ -62,7 +62,7 @@ object DataQuality {
     * corruption classes (NULLed priority at key%97, out-of-domain status at
     * key%113, dangling custkey at key%127, negated price at key%131, full
     * duplicate rows at key%500). Derivation is narrow (no shuffle). */
-  private[pipeline] def dirtyOrdersOf(orders: DataFrame): DataFrame = {
+  private[graft] def dirtyOrdersOf(orders: DataFrame): DataFrame = {
     val s = orders.sparkSession
     import s.implicits._
     val c = orders.select(

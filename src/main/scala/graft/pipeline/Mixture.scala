@@ -71,6 +71,48 @@ object Mixture {
       .orderBy($"doc_id")
   }
 
+  /** Cutoff for [[splitTemporal]] (the events table spans Jan 2024). */
+  val TemporalCutoff = "2024-01-20 00:00:00"
+  /** Embargo width: rows within this many hours AFTER the cutoff belong
+    * to neither side. */
+  val EmbargoHours = 24L
+
+  /** TEMPORAL train/test split with an EMBARGO gap — backtest hygiene for
+    * time-ordered data: the hash splits above are i.i.d. assignments, but
+    * a model evaluated on events ADJACENT in time to its training rows
+    * leaks through autocorrelation (the same session, the same trend).
+    * Train = strictly before the cutoff; test = at/after cutoff +
+    * [[EmbargoHours]]; the gap rows are QUARANTINED (kept, labeled
+    * `embargo`, never silently dropped — the rates are audit output).
+    * Output is the per-(split, type) composition with min/max epoch
+    * seconds, which makes the non-overlap contract VISIBLE: every train
+    * max_sec < cutoff ≤ every test min_sec − embargo.
+    *
+    * Shape at scale: one narrow three-way CASE on the second-truncated
+    * event time (partition-prunable when the table is date-partitioned —
+    * the cutoff predicate reaches the scan), then ONE map-side-combinable
+    * (split, type) aggregate. The corpus is never shuffled beyond the
+    * type²-bounded summary. */
+  def splitTemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit(TemporalCutoff).cast("timestamp")
+    val testFrom = lit(unix(TemporalCutoff) + EmbargoHours * 3600L)
+    val ev = Tables.events(s, dir)
+      .select($"event_type", unix_timestamp(date_trunc("second", $"ts")).as("sec"))
+      .withColumn("split",
+        when($"sec" < unix_timestamp(cut), "train")
+          .when($"sec" >= testFrom, "test")
+          .otherwise("embargo"))
+    ev.groupBy($"split", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"sec").as("min_sec"), max($"sec").as("max_sec"))
+      .orderBy($"split", $"event_type")
+  }
+
+  private def unix(t: String): Long =
+    java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+
   /** Token-budget mixture sampling: pick a deterministic subset of each
     * source whose expected size hits a per-source character budget —
     * the "mix N billion tokens of web with M billion of code" step of a
@@ -264,6 +306,7 @@ object Mixture {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split" -> split _,
     "q_split_leakfree" -> splitLeakfree _,
+    "q_split_temporal" -> splitTemporal _,
     "q_mixture" -> mixture _,
     "q_mixture_bpe" -> mixtureBpe _,
     "q_mixture_temperature" -> mixtureTemperature _,
@@ -296,6 +339,24 @@ object Mixture {
        |  WHERE d.n_chars >= t.threshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // three-way CASE on second-truncated epoch seconds, then the
+    // (split, type) composition with visible min/max bounds
+    "q_split_temporal" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+         |  FROM events),
+         |a AS (SELECT event_type, sec,
+         |    CASE WHEN sec < epoch(TIMESTAMP '$TemporalCutoff')
+         |           THEN 'train'
+         |         WHEN sec >= epoch(TIMESTAMP '$TemporalCutoff')
+         |             + ${EmbargoHours * 3600L} THEN 'test'
+         |         ELSE 'embargo' END AS split
+         |  FROM e)
+         |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(sec) AS BIGINT) AS min_sec,
+         |  CAST(max(sec) AS BIGINT) AS max_sec
+         |FROM a GROUP BY split, event_type
+         |ORDER BY split, event_type""".stripMargin,
     "q_split" ->
       s"""WITH a AS (SELECT source, n_chars, ${duckSplit("doc_id")} AS split
          |  FROM documents)

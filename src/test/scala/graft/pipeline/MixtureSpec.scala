@@ -112,6 +112,26 @@ class MixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal split: strict boundaries, embargo quarantine, no overlap") {
+    val rows = Mixture.splitTemporal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cutSec = java.time.LocalDateTime
+      .parse(Mixture.TemporalCutoff.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val testFrom = cutSec + Mixture.EmbargoHours * 3600L
+    val bySplit = rows.groupBy(_._1)
+    // all three buckets populated on the real table (events span Jan 2024)
+    assert(bySplit.keySet == Set("train", "embargo", "test"), bySplit.keySet)
+    // the non-overlap contract: train strictly below cutoff, embargo
+    // inside [cutoff, cutoff+gap), test at/after cutoff+gap
+    assert(bySplit("train").forall(_._5 < cutSec))
+    assert(bySplit("embargo").forall(r => r._4 >= cutSec && r._5 < testFrom))
+    assert(bySplit("test").forall(_._4 >= testFrom))
+    // nothing silently dropped: bucket counts cover the table
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == n)
+  }
+
   test("quantization error is bounded by one quantization step") {
     val rows = Embeddings.quantizeAudit(spark, sf).collect()
     assert(rows.nonEmpty)
