@@ -146,9 +146,35 @@ object DataQuality {
       .orderBy($"check_name")
   }
 
+  /** Per-PARTITION quality trend — the month-bucketed view of the same
+    * constraints, which is how an operator localizes WHEN a violation
+    * class entered the pipe (a bad upstream deploy shows as a cliff in
+    * one month's bp, invisible in the corpus-wide verdict average). On a
+    * date-partitioned 100 TB table this is the per-partition audit that
+    * runs incrementally on only the partitions an ingest touched. ONE
+    * map-side-combinable aggregate keyed by the calendar-bounded month
+    * key. */
+  def byPartition(s: SparkSession, dir: String): DataFrame =
+    byPartitionOf(dirtyOrdersOf(Tables.table(s, dir, "orders")))
+
+  private[graft] def byPartitionOf(dirty: DataFrame): DataFrame = {
+    val s = dirty.sparkSession
+    import s.implicits._
+    dirty
+      .groupBy((year($"odate") * 100 + month($"odate")).as("ym"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(CASE WHEN status IN ('O','F','P') THEN 1 ELSE 0 END)" +
+          " * 10000L div count(1)").as("status_bp"),
+        expr("count(priority) * 10000L div count(1)").as("pri_bp"),
+        expr("sum(CASE WHEN price >= 0 THEN 1 ELSE 0 END)" +
+          " * 10000L div count(1)").as("price_bp"))
+      .orderBy($"ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_metrics" -> metrics _,
     "q_dq_verdict" -> verdict _,
+    "q_dq_by_partition" -> byPartition _,
   )
 
   /** Corruption replay shared by both oracles. */
@@ -169,6 +195,16 @@ object DataQuality {
       |       UNION ALL SELECT * FROM dirty WHERE okey % 500 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dq_by_partition" ->
+      s"""WITH $dirtyCte
+         |SELECT CAST(year(odate) * 100 + month(odate) AS INT) AS ym,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN status IN ('O','F','P') THEN 1 ELSE 0 END)
+         |    * 10000 // count(*) AS BIGINT) AS status_bp,
+         |  CAST(count(priority) * 10000 // count(*) AS BIGINT) AS pri_bp,
+         |  CAST(sum(CASE WHEN price >= 0 THEN 1 ELSE 0 END)
+         |    * 10000 // count(*) AS BIGINT) AS price_bp
+         |FROM d2 GROUP BY 1 ORDER BY ym""".stripMargin,
     "q_dq_metrics" ->
       s"""WITH $dirtyCte,
          |m AS (SELECT count(*) AS n,

@@ -407,6 +407,53 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** THRESHOLD-SENSITIVITY FRONTIER of the MinHash match criterion — the
+    * `q_ann_recall_frontier` measure-first discipline applied to dedup:
+    * for every threshold t ∈ 1..[[MinhashK]], the number of candidate
+    * pairs with signature agreement ≥ t and the number of documents any
+    * such pair touches. The shipped `matches ≥ 4` operating point
+    * ([[minhashPairs]]) stops being folklore: the frontier shows what a
+    * one-notch move costs (pairs explode below, recall starves above)
+    * BEFORE a 100 TB run commits to it.
+    *
+    * Shape at scale: the signature/candidate pipeline is the production
+    * one unchanged; the sweep adds ONE aggregate to the K+1-row
+    * (matches → pair count) table and one per-doc max-agreement
+    * aggregate (map-side combinable), each then non-equi-joined onto the
+    * broadcast [[MinhashK]]-row threshold table — all post-aggregation
+    * work is K-bounded, nothing corpus-sized is re-scanned per
+    * threshold. */
+  def thresholdFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    // cached: feeds candidates + both verify sides (minhashPairs rationale)
+    val sg = sigsOf(docs).cache()
+    val scored = bandCandidates(sg)
+      .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .withColumn("matches",
+        aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .select($"doc_a", $"doc_b", $"matches")
+      .cache() // consumed by the pair histogram AND the doc-coverage pass
+    val thr = (1 to MinhashK).toDF("threshold")
+    val pairHist = scored.groupBy($"matches").agg(count(lit(1)).as("np"))
+    val nPairs = pairHist.join(broadcast(thr), $"matches" >= $"threshold")
+      .groupBy($"threshold").agg(sum($"np").as("n_pairs"))
+    val docMax = scored
+      .select(explode(array($"doc_a", $"doc_b")).as("doc"), $"matches")
+      .groupBy($"doc").agg(max($"matches").as("mm"))
+      .groupBy($"mm").agg(count(lit(1)).as("nd"))
+    val nDocs = docMax.join(broadcast(thr), $"mm" >= $"threshold")
+      .groupBy($"threshold").agg(sum($"nd").as("n_docs"))
+    thr.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select($"threshold",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs", lit(0L)).as("n_docs"))
+      .orderBy($"threshold")
+  }
+
   /** Synchronous-LPA rounds for [[communities]] (fixed horizon — the
     * determinism contract of [[Components.labelPropagation]]). */
   val LpaRounds = 4
@@ -584,6 +631,7 @@ object Dedup {
     "q_dedup_pagerank" -> pagerank _,
     "q_dedup_hops" -> hops _,
     "q_dedup_communities" -> communities _,
+    "q_dedup_threshold_frontier" -> thresholdFrontier _,
     "q_dedup_recall" -> recallAudit _,
     "q_dedup_recall_sampled" -> recallAuditSampled _,
     "q_dedup_minhash" -> minhash _,
@@ -891,5 +939,35 @@ object Dedup {
          |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
          |FROM l$LpaRounds ORDER BY doc_id""".stripMargin
     },
+    // unthresholded candidate agreement histogram + per-doc max agreement,
+    // each swept over the 1..K threshold table
+    "q_dedup_threshold_frontier" ->
+      s"""$sigCte,
+         |$candCtes,
+         |sc AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_filter(generate_series(1, $MinhashK),
+         |      i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS matches
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b),
+         |thr AS (SELECT unnest(generate_series(1, $MinhashK)) AS threshold),
+         |ph AS (SELECT matches, count(*) AS np FROM sc GROUP BY matches),
+         |np AS (SELECT t.threshold, sum(p.np) AS n_pairs
+         |  FROM ph p JOIN thr t ON p.matches >= t.threshold
+         |  GROUP BY t.threshold),
+         |dm AS (SELECT doc, max(matches) AS mm FROM (
+         |    SELECT doc_a AS doc, matches FROM sc
+         |    UNION ALL SELECT doc_b, matches FROM sc)
+         |  GROUP BY doc),
+         |dh AS (SELECT mm, count(*) AS nd FROM dm GROUP BY mm),
+         |nd AS (SELECT t.threshold, sum(h.nd) AS n_docs
+         |  FROM dh h JOIN thr t ON h.mm >= t.threshold
+         |  GROUP BY t.threshold)
+         |SELECT CAST(t.threshold AS INT) AS threshold,
+         |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+         |FROM thr t LEFT JOIN np ON np.threshold = t.threshold
+         |LEFT JOIN nd ON nd.threshold = t.threshold
+         |ORDER BY threshold""".stripMargin,
   )
 }

@@ -226,11 +226,39 @@ object Embeddings {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** EMBEDDING-NORM PROFILE per label — the vector-space twin of the
+    * text-quality signals: an encoder fault (zeroed batch, fp16 overflow,
+    * un-normalized checkpoint mix) shows up as per-label norm outliers
+    * long before it shows up as bad retrieval. Exact integer throughout:
+    * squared L2 norms of the micro-quantized vectors (64 · (1e6)² ≈
+    * 6.4·10¹³ — safely in long), min/max/mean per label plus a
+    * degenerate-vector count (squared norm below [[MinNormSq]], the
+    * all-zeros/underflow signature). ONE map-side-combinable aggregate
+    * over one narrow pass; label cardinality bounds the output. */
+  def normProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"label",
+        aggregate(transform(quantize($"embedding"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("sq"))
+    e.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"sq").as("min_sq"), max($"sq").as("max_sq"),
+        expr("sum(sq) div count(1)").as("mean_sq"),
+        sum(when($"sq" < MinNormSq, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy($"label")
+  }
+
+  /** Degenerate-vector gate for [[normProfile]]: squared micro-norm below
+    * this (‖v‖ < 0.01) means an effectively zero vector. */
+  val MinNormSq = 100000000L // (0.01 · 1e6)²
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_centroids" -> centroids _,
     "q_embedding_quantize" -> quantizeAudit _,
     "q_embedding_pq" -> pqAudit _,
     "q_embedding_drift" -> drift _,
+    "q_embedding_norms" -> normProfile _,
   )
 
   /** DuckDB: subspace-`m` codebook chain — slice, seeds, two assign/update
@@ -278,6 +306,22 @@ object Embeddings {
        |${(0 until PqSub).map(pqChain).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // squared micro-norms per label, same quantization as every other
+    // embedding oracle
+    "q_embedding_norms" ->
+      s"""WITH e AS (SELECT label,
+         |    CAST(list_sum(list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+         |           * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+         |      AS BIGINT) AS sq
+         |  FROM embeddings)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(min(sq) AS BIGINT) AS min_sq,
+         |  CAST(max(sq) AS BIGINT) AS max_sq,
+         |  CAST(sum(sq) // count(*) AS BIGINT) AS mean_sq,
+         |  CAST(sum(CASE WHEN sq < $MinNormSq THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_degenerate
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "q_embedding_pq" -> {
       val joins = (1 until PqSub)
         .map(m => s"JOIN m${m}err e$m USING (vec_id)").mkString("\n")

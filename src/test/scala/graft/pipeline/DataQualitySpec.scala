@@ -97,6 +97,23 @@ class DataQualitySpec extends AnyFunSuite {
     assert(v("freshness_orderdate") == "PASS")
   }
 
+  test("per-partition trend: month buckets isolate a localized violation") {
+    // 6 rows over two months; the bad status and the negative price both
+    // sit in Feb — Jan must read clean 10000s, Feb 5000/10000/5000
+    val rows = Seq(
+      (1L, 10L, "O", 5.0, ts("1995-01-05"), "1-URGENT"),
+      (2L, 10L, "F", 6.0, ts("1995-01-20"), "5-LOW"),
+      (3L, 10L, "P", 7.0, ts("1995-01-25"), "3-MEDIUM"),
+      (4L, 10L, "X", 5.0, ts("1995-02-01"), "1-URGENT"),
+      (5L, 10L, "O", -5.0, ts("1995-02-10"), null),
+      (6L, 10L, "O", 5.0, ts("1995-02-20"), "1-URGENT"))
+    val got = DataQuality.byPartitionOf(tbl(rows)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(199501) == ((3L, 10000L, 10000L, 10000L)))
+    assert(got(199502) == ((3L, 6666L, 6666L, 6666L)))
+  }
+
   test("shuffled input: metrics and verdicts are partition-order invariant") {
     val base = DataQuality.dirtyOrdersOf(
       graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "orders"))

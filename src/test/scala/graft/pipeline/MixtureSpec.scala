@@ -132,6 +132,28 @@ class MixtureSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == n)
   }
 
+  test("norm profile matches a driver-side exact recount") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.table(spark, sf, "embeddings")
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    val sq = vecs.map { case (l, e) =>
+      (l, e.map(x => math.floor(x.toDouble * 1000000L).toLong)
+        .map(q => q * q).sum)
+    }
+    val exp = sq.groupBy(_._1).map { case (l, vs) =>
+      val ns = vs.map(_._2)
+      l -> (vs.size.toLong, ns.min, ns.max, ns.sum / vs.size,
+        ns.count(_ < Embeddings.MinNormSq).toLong)
+    }
+    val got = Embeddings.normProfile(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == exp)
+    // the random test vectors are healthy: no degenerate flags
+    assert(got.values.forall(_._5 == 0L))
+  }
+
   test("quantization error is bounded by one quantization step") {
     val rows = Embeddings.quantizeAudit(spark, sf).collect()
     assert(rows.nonEmpty)

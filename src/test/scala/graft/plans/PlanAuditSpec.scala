@@ -105,6 +105,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_seq_support",
     // 1-row (total, key-count) crossed onto the key-cardinality table
     "q_join_skew_diagnose",
+    // the MinhashK-row threshold table non-equi-joined (matches >= t) onto
+    // the K-bounded agreement histograms
+    "q_dedup_threshold_frontier",
     // source-catalog-bounded centroid pair join (explicit broadcast — the
     // planner would otherwise cartesian the non-equi condition)
     "q_embedding_drift",
