@@ -357,6 +357,55 @@ object ScaleProbe {
     assert(prStats._4 == prStats._2, s"hub ${prStats._4} is not max ${prStats._2}")
     println(f"""{"probe":"pagerank","edges":$nEdges,"nodes":${prStats._1},"iters":5,"hub_rank_micro":${prStats._4},"secs":$prSecs%.1f,"edges_per_sec":${(5 * nEdges / prSecs).toLong}}""")
 
+    // ---- Label propagation: 4 sync rounds over the same adversarial ----
+    // graph. The hub is the partial-aggregation test again: in even
+    // rounds ALL 100k leaves carry one label, so the (hub, label) count
+    // is a single 100k-row group that must collapse map-side. Exact
+    // fixed-horizon invariants (sync LPA 2-cycles on bipartite shapes —
+    // the documented determinism contract, not a bug):
+    //  - every disjoint-pair node sits at its OWN label after any even
+    //    round (pairs are 2-cycles: swap, swap back);
+    //  - the hub's leaves all share ONE label (the min leaf id) and the
+    //    center holds its own.
+    val (lpaStats, lpaSecs) = time {
+      val lp = graft.pipeline.Components.labelPropagation(edges, 4).cache()
+      val pairOwn = lp
+        .filter($"node" >= 20000000L && $"label" === $"node").count()
+      val leafLabels = lp
+        .filter($"node" >= 10000001L && $"node" <= 10100000L)
+        .select($"label").distinct().collect().map(_.getLong(0)).toSeq
+      val hubLabel = lp.filter($"node" === 10000000L).head().getLong(1)
+      (pairOwn, leafLabels, hubLabel)
+    }
+    spark.catalog.clearCache()
+    assert(lpaStats._1 == 900000L, s"pair-node even-round labels ${lpaStats._1}")
+    assert(lpaStats._2 == Seq(10000001L), s"leaf labels ${lpaStats._2}")
+    assert(lpaStats._3 == 10000000L, s"hub label ${lpaStats._3}")
+    println(f"""{"probe":"lpa","edges":$nEdges,"rounds":4,"pair_fixpoints":${lpaStats._1},"secs":$lpaSecs%.1f,"edges_per_sec":${(4 * nEdges / lpaSecs).toLong}}""")
+
+    // ---- LPA community separation at scale: two 1000-cliques (499.5k ----
+    // edges each) bridged by ONE edge — a single connected component
+    // that must resolve to exactly TWO uniform communities (each clique's
+    // majority outvotes the bridge; the converged labels are the clique
+    // minima 0 and 1000000). The review-the-bridge contract of
+    // q_dedup_communities demonstrated on dense structures, not toys.
+    val bbCliqueN = 1000L
+    def clique(off: Long) = spark.range(bbCliqueN).as[Long]
+      .flatMap(i => (i + 1 until bbCliqueN).map(j => (i + off, j + off)))
+      .toDF("u", "v")
+    val barbell = clique(0L).union(clique(1000000L))
+      .union(Seq((0L, 1000000L)).toDF("u", "v"))
+    val (bbStats, bbSecs) = time {
+      graft.pipeline.Components.labelPropagation(barbell, 4)
+        .groupBy($"label").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    spark.catalog.clearCache()
+    assert(bbStats == Map(0L -> 1000L, 1000000L -> 1000L),
+      s"barbell communities $bbStats")
+    val bbEdges = bbCliqueN * (bbCliqueN - 1) + 1
+    println(f"""{"probe":"lpa_barbell","edges":$bbEdges,"communities":${bbStats.size},"secs":$bbSecs%.1f,"edges_per_sec":${(4 * bbEdges / bbSecs).toLong}}""")
+
     // ---- Anti-entropy diff: 10M-row snapshot vs a replica with ~300 ----
     // drifted keys (1 in ~33k). The point of the two-phase shape: the
     // full-outer KEY join only ever sees mismatched buckets' rows —
