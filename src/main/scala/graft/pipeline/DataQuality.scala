@@ -171,10 +171,81 @@ object DataQuality {
       .orderBy($"ym")
   }
 
+  /** CROSS-TABLE consistency audit — the constraint class the single-table
+    * suite cannot see: fact-to-fact agreement between `orders` and
+    * `lineitem` (every lineitem resolves to an order; every order has
+    * lines; ships never precede their order; the stored order total agrees
+    * with the recomputed line sum within 1%). On this driver corpus the
+    * measured rates are BRUTALLY honest — ~49% of lineitems ship before
+    * their order date and stored totals are unrelated to line sums — which
+    * is exactly the point: the audit reports what holds, the thresholds
+    * decide what's acceptable, and both engines compute identical rates so
+    * verdicts cannot split.
+    *
+    * Shape at scale (the minimal-shuffle spelling): ONE co-partitioned
+    * shuffle join on the order key (SMJ of two fact tables — the join
+    * every warehouse already pays), with the per-order aggregate riding
+    * the join's key partitioning (group key = join key → no re-exchange);
+    * per-row line cents are floored BEFORE summation so the order-total
+    * comparison is an order-independent integer sum; the lineitem
+    * denominator comes from a scan-only count (no join needed to count a
+    * table); two 1-row aggregates cross onto the 4-row verdict output.
+    * Orphan lineitems are counted as `n_lineitems − matched` — no second
+    * join, no null-key hot group. */
+  def crossAudit(s: SparkSession, dir: String): DataFrame =
+    crossAuditOf(Tables.table(s, dir, "orders"), Tables.table(s, dir, "lineitem"))
+
+  /** Thresholds for [[crossAudit]]: RI passes on this corpus; the other
+    * three demonstrably fail (childless orders ~170 bp, ship-date
+    * inversions ~4860 bp, total mismatches ~9930 bp). */
+  val CrossThresholds: Seq[(String, Long)] = Seq(
+    "order_has_lineitem" -> 9950L,
+    "ri_lineitem_order" -> 9950L,
+    "ship_after_order" -> 9900L,
+    "total_matches_sum_1pct" -> 9000L,
+  )
+
+  private[graft] def crossAuditOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    val o = orders.select($"o_orderkey", $"o_orderdate".as("odate"),
+      cents($"o_totalprice").as("tp"))
+    val l = lineitem.select($"l_orderkey", $"l_shipdate".as("ship"),
+      floor($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        * (lit(1.0) + $"l_tax") * lit(100.0) + lit(0.5)).cast("long").as("lc"))
+    val per = l.join(o, l("l_orderkey") === o("o_orderkey"), "right_outer")
+      .groupBy($"o_orderkey", $"tp")
+      .agg(count($"l_orderkey").as("n_li"),
+        sum(when($"ship" >= $"odate", 1L).otherwise(0L)).as("n_d"),
+        sum($"lc").as("cp"))
+    val g = per.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when($"n_li" > 0, 1L).otherwise(0L)).as("n_wl"),
+      sum($"n_li").as("n_lm"),
+      sum($"n_d").as("n_do"),
+      sum(when($"n_li" > 0 && abs($"tp" - $"cp") * 100 <= $"tp", 1L)
+        .otherwise(0L)).as("n_to"))
+    val tot = l.agg(count(lit(1)).as("n_l")) // scan-only lineitem count
+    val one = g.crossJoin(broadcast(tot))
+    val bps = Seq(
+      expr("n_wl * 10000L div n_orders"), // order_has_lineitem
+      expr("n_lm * 10000L div n_l"),      // ri_lineitem_order
+      expr("n_do * 10000L div n_lm"),     // ship_after_order (matched denom)
+      expr("n_to * 10000L div n_orders")) // total_matches_sum_1pct
+    val rows = CrossThresholds.zip(bps).map { case ((cname, thr), bp) =>
+      struct(lit(cname).as("check_name"), bp.as("measured_bp"),
+        lit(thr).as("threshold_bp"),
+        when(bp >= thr, "PASS").otherwise("FAIL").as("verdict"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select($"r.*")
+      .orderBy($"check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_metrics" -> metrics _,
     "q_dq_verdict" -> verdict _,
     "q_dq_by_partition" -> byPartition _,
+    "q_dq_cross" -> crossAudit _,
   )
 
   /** Corruption replay shared by both oracles. */
@@ -195,6 +266,44 @@ object DataQuality {
       |       UNION ALL SELECT * FROM dirty WHERE okey % 500 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same join-and-aggregate replay: per-row cents floored before the
+    // order sum, thresholds identical
+    "q_dq_cross" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate AS odate,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS tp
+        |  FROM orders),
+        |l AS (SELECT l_orderkey, l_shipdate AS ship,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT) AS lc
+        |  FROM lineitem),
+        |per AS (SELECT o.o_orderkey, o.tp,
+        |    count(l.l_orderkey) AS n_li,
+        |    sum(CASE WHEN l.ship >= o.odate THEN 1 ELSE 0 END) AS n_d,
+        |    sum(l.lc) AS cp
+        |  FROM l RIGHT JOIN o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT count(*) AS n_orders,
+        |    sum(CASE WHEN n_li > 0 THEN 1 ELSE 0 END) AS n_wl,
+        |    CAST(sum(n_li) AS BIGINT) AS n_lm,
+        |    CAST(sum(n_d) AS BIGINT) AS n_do,
+        |    sum(CASE WHEN n_li > 0 AND abs(tp - cp) * 100 <= tp
+        |        THEN 1 ELSE 0 END) AS n_to
+        |  FROM per),
+        |tot AS (SELECT count(*) AS n_l FROM l)
+        |SELECT check_name, measured_bp, threshold_bp,
+        |  CASE WHEN measured_bp >= threshold_bp THEN 'PASS' ELSE 'FAIL' END
+        |    AS verdict
+        |FROM (
+        |  SELECT 'order_has_lineitem' AS check_name,
+        |    CAST(n_wl * 10000 // n_orders AS BIGINT) AS measured_bp,
+        |    CAST(9950 AS BIGINT) AS threshold_bp FROM g, tot
+        |  UNION ALL SELECT 'ri_lineitem_order',
+        |    CAST(n_lm * 10000 // n_l AS BIGINT), 9950 FROM g, tot
+        |  UNION ALL SELECT 'ship_after_order',
+        |    CAST(n_do * 10000 // n_lm AS BIGINT), 9900 FROM g, tot
+        |  UNION ALL SELECT 'total_matches_sum_1pct',
+        |    CAST(n_to * 10000 // n_orders AS BIGINT), 9000 FROM g, tot)
+        |ORDER BY check_name""".stripMargin,
     "q_dq_by_partition" ->
       s"""WITH $dirtyCte
          |SELECT CAST(year(odate) * 100 + month(odate) AS INT) AS ym,

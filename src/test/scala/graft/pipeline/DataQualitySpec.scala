@@ -114,6 +114,44 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got(199502) == ((3L, 6666L, 6666L, 6666L)))
   }
 
+  test("cross-table audit: each violation class moves exactly its own rate") {
+    import spark.implicits._
+    // 4 orders: #1 consistent (2 lines summing to the stored total, both
+    // shipping after), #2 has a ship-date inversion, #3's stored total is
+    // off by >1%, #4 is childless; plus one ORPHAN lineitem (key 99)
+    val orders = Seq(
+      (1L, ts("1995-01-01"), 30.0),
+      (2L, ts("1995-02-01"), 10.0),
+      (3L, ts("1995-03-01"), 100.0),
+      (4L, ts("1995-04-01"), 5.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val li = Seq(
+      (1L, ts("1995-01-10"), 10.0, 0.0, 0.0),
+      (1L, ts("1995-01-20"), 20.0, 0.0, 0.0),
+      (2L, ts("1995-01-15"), 10.0, 0.0, 0.0),  // ships BEFORE order 2
+      (3L, ts("1995-03-10"), 50.0, 0.0, 0.0),  // half the stored total
+      (99L, ts("1995-05-01"), 1.0, 0.0, 0.0)   // orphan
+    ).toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_tax")
+    val got = DataQuality.crossAuditOf(orders, li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("order_has_lineitem") == 7500L)   // 3 of 4
+    assert(got("ri_lineitem_order") == 8000L)    // 4 of 5 (orphan)
+    assert(got("ship_after_order") == 7500L)     // 3 of 4 matched
+    // orders 1 AND 2 are sum-consistent (2's violation is the date, not
+    // the total — one violation class per order)
+    assert(got("total_matches_sum_1pct") == 5000L)
+  }
+
+  test("cross-table audit on the real tables: honest rates, RI passes") {
+    val v = DataQuality.crossAudit(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(v("ri_lineitem_order") == ((10000L, "PASS")))
+    // the driver corpus is TPC-H-ish, not TPC-H: these measured rates are
+    // the audit's value — the feed is broken and the audit says so
+    assert(v("ship_after_order")._2 == "FAIL")
+    assert(v("total_matches_sum_1pct")._2 == "FAIL")
+  }
+
   test("shuffled input: metrics and verdicts are partition-order invariant") {
     val base = DataQuality.dirtyOrdersOf(
       graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "orders"))

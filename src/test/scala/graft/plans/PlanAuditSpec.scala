@@ -60,6 +60,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // a single row (partial+final global agg), then explodes into the
     // constraint-count-sized output — bounded by construction
     "q_dq_metrics", "q_dq_verdict",
+    // two 1-row aggregates (per-order rollup + scan-only lineitem count)
+    "q_dq_cross",
     // 1-row distinct-user total for the support_bp denominator
     "q_seq_support",
     // 1-row (total, key-count) aggregate over the key-bounded count table
@@ -105,6 +107,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_seq_support",
     // 1-row (total, key-count) crossed onto the key-cardinality table
     "q_join_skew_diagnose",
+    // 1-row scan-only lineitem count crossed onto the 1-row audit row
+    "q_dq_cross",
     // the MinhashK-row threshold table non-equi-joined (matches >= t) onto
     // the K-bounded agreement histograms
     "q_dedup_threshold_frontier",
