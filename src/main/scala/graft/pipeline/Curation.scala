@@ -292,7 +292,61 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** PIPELINE ATTRITION WATERFALL — the per-stage drop attribution report
+    * for [[pipelineFull]]: every document is attributed to the FIRST stage
+    * that drops it (short → eval-excluded → contaminated → near-dup
+    * non-canonical → not-sampled → kept), and the output is the
+    * stage-count-sized (stage, n_docs, n_tokens) table a pipeline owner
+    * reads before believing the final corpus ("where did my tokens go?").
+    * The flags come from the SAME populations pipelineFull computes —
+    * dirty set from the gated corpus, clusters from the decontaminated
+    * survivors — so `6_kept` here is BY CONSTRUCTION the pipelineFull
+    * document set (pinned in `CurationSpec`).
+    *
+    * Shape at scale: the attribution pass is the pipelineFull plan minus
+    * packing, with the corpus-sized joins replaced by LEFT joins against
+    * the (small) dirty and cluster maps and one CASE projection; the
+    * output aggregate is stage-bounded and map-side combinable. */
+  def pipelineWaterfall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+      .select($"doc_id", $"source", $"text",
+        size(tokens($"text")).cast("long").as("n_tok"))
+    val gated = docs.filter($"n_tok" >= MinTokens)
+    val corpus = gated.filter($"source" =!= EvalSource)
+    val evalSh = gated.filter($"source" === EvalSource)
+      .select(explode(array_distinct(
+        shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
+      .distinct()
+    val dirty = corpus
+      .select($"doc_id", explode(array_distinct(
+        shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .select($"doc_id").distinct()
+      .withColumn("is_dirty", lit(true))
+    val clean = corpus.join(dirty.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val clusters = Components.connectedComponents(
+        Dedup.minhashPairs(s, clean).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"root".as("cluster_id"))
+    docs
+      .join(dirty, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when($"n_tok" < MinTokens, "1_gate_short")
+          .when($"source" === EvalSource, "2_eval_excluded")
+          .when($"is_dirty", "3_contaminated")
+          .when($"cluster_id".isNotNull && $"cluster_id" =!= $"doc_id",
+            "4_near_dup")
+          .when(charFoldHash(concat(lit("full:"), $"doc_id".cast("string")))
+            % 100 >= CuratePct, "5_not_sampled")
+          .otherwise("6_kept"))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_waterfall" -> pipelineWaterfall _,
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_winnow" -> decontaminateWinnow _,
     "q_text_pack" -> pack _,
@@ -303,6 +357,54 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // the pipeline_full CTE chain with an unfiltered `base`, then one CASE
+    // attributing every document to its first dropping stage
+    "q_pipeline_waterfall" -> {
+      val sigOnClean = Dedup.sigCte
+        .stripPrefix("WITH ")
+        .replace("FROM documents", "FROM docs_f")
+      val kParts = (0 until FullDeconK).map(j => s"w[i+$j]").mkString(", ")
+      val kGrams = s"CASE WHEN len(w) >= $FullDeconK THEN " +
+        s"list_transform(generate_series(1, len(w) - ${FullDeconK - 1}), " +
+        s"i -> md5('|' || concat_ws(' ', $kParts))) ELSE [] END"
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, source, text, ${duckTokens("text")} AS w
+         |  FROM documents),
+         |gated AS (SELECT * FROM base WHERE len(w) >= $MinTokens),
+         |corpus AS (SELECT * FROM gated WHERE source <> '$EvalSource'),
+         |evsh AS (SELECT DISTINCT unnest(list_distinct($kGrams)) AS sh
+         |  FROM gated WHERE source = '$EvalSource'),
+         |csh AS (SELECT doc_id, unnest(list_distinct($kGrams)) AS sh
+         |  FROM corpus),
+         |dirty AS (SELECT DISTINCT c.doc_id FROM csh c JOIN evsh e USING (sh)),
+         |docs_f AS (SELECT * FROM corpus
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |$sigOnClean,
+         |${Dedup.candCtes},
+         |${Dedup.prsCte},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+         |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |att AS (SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_tok,
+         |    CASE WHEN len(b.w) < $MinTokens THEN '1_gate_short'
+         |         WHEN b.source = '$EvalSource' THEN '2_eval_excluded'
+         |         WHEN b.doc_id IN (SELECT doc_id FROM dirty)
+         |           THEN '3_contaminated'
+         |         WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> b.doc_id
+         |           THEN '4_near_dup'
+         |         WHEN ${duckCharFold("'full:' || CAST(b.doc_id AS VARCHAR)")} % 100
+         |             >= $CuratePct THEN '5_not_sampled'
+         |         ELSE '6_kept' END AS stage
+         |  FROM base b LEFT JOIN cl ON cl.doc_id = b.doc_id)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM att GROUP BY stage ORDER BY stage""".stripMargin
+    },
     "q_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, source, ${duckTokens("text")} AS w
          |  FROM documents),
