@@ -163,9 +163,81 @@ object EntityResolution {
       .orderBy($"entity_id")
   }
 
+  /** INCREMENTAL ASSIGNMENT against a MASTER registry — the master-data
+    * operation the batch linkage ([[matches]]/[[canonical]]) implies but
+    * doesn't expose: given an already-resolved master (one record per
+    * entity) and a batch of NEW records, resolve each newcomer to its
+    * master entity (best block-candidate scoring ≥ [[MatchThreshold]],
+    * ties to the smallest master id) or declare it NEW. This is how a
+    * resolved registry is MAINTAINED: the full quadratic-ish linkage runs
+    * once, arrivals then assign incrementally — the entity twin of the
+    * frozen-IVF `ivfAssignerOf` refresh contract, and the producer of the
+    * reference's keyed scope (`FlinkCEPExample.scala:55`) for streams
+    * whose raw key is dirty. Live ingest runs the same plan per
+    * micro-batch via foreachBatch (stream-static joins against the
+    * master snapshot; the scoring is row-local).
+    *
+    * Shape at scale: blocking keys on both sides, hot blocks dropped on
+    * the MASTER side by the same broadcast-anti-join guard, ONE block-key
+    * equi-join (never incoming × master), integer scoring, and a
+    * combinable per-record `max(struct(score, −master_id))` argmax — no
+    * per-record window. Unmatched records keep their own id as the new
+    * entity. */
+  def assign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.table(s, dir, "customer")
+    val full = registryOf(cust)
+    // master = the clean base records; incoming = the corrupted arrivals
+    assignOf(full.filter($"rec_id" >= 10000000L),
+      full.filter($"rec_id" < 10000000L), MaxBlock)
+  }
+
+  private[graft] def assignOf(incoming: DataFrame, master: DataFrame,
+      maxBlock: Int): DataFrame = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    def keysOf(reg: DataFrame): DataFrame = {
+      val last4 = expr("substring(name, length(name) - 3, 4)")
+      reg.select($"rec_id", explode(array(
+        concat_ws("|", lit("n"), $"nation".cast("string"), last4),
+        concat_ws("|", lit("s"), $"seg", last4))).as("bk"))
+    }
+    val mKeys = keysOf(master)
+    val big = mKeys.groupBy($"bk").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > maxBlock).select($"bk")
+    val mkG = mKeys.join(broadcast(big), Seq("bk"), "left_anti")
+    val cand = keysOf(incoming).join(mkG.select($"bk", $"rec_id".as("m_id")), "bk")
+      .select($"rec_id", $"m_id").distinct()
+    val x = incoming.select($"rec_id", $"name".as("name_a"),
+      $"nation".as("nation_a"), $"bal".as("bal_a"), $"seg".as("seg_a"))
+    val y = master.select($"rec_id".as("m_id"), $"name".as("name_b"),
+      $"nation".as("nation_b"), $"bal".as("bal_b"), $"seg".as("seg_b"))
+    val scored = cand.join(x, "rec_id").join(y, "m_id")
+      .withColumn("nd", levenshtein($"name_a", $"name_b"))
+      .withColumn("score", (
+        when($"nd" === 0, 40).when($"nd" === 1, 32)
+          .when($"nd" === 2, 24).otherwise(-15)
+        + when($"nation_a" === $"nation_b", 10).otherwise(-5)
+        + when($"seg_a" === "UNKNOWN" || $"seg_b" === "UNKNOWN", 0)
+            .when($"seg_a" === $"seg_b", 6).otherwise(-8)
+        + when($"bal_a" === $"bal_b", 8).otherwise(-6)).cast("int"))
+      .filter($"score" >= MatchThreshold)
+    val best = scored.groupBy($"rec_id")
+      .agg(max(struct($"score", (-$"m_id").as("nm"))).as("pick"))
+      .select($"rec_id", (-$"pick.nm").as("best_m"),
+        $"pick.score".as("best_score"))
+    incoming.select($"rec_id").join(best, Seq("rec_id"), "left")
+      .select($"rec_id",
+        coalesce($"best_m", $"rec_id").as("entity_id"),
+        coalesce($"best_score", lit(0)).as("score"),
+        when($"best_m".isNotNull, "MATCHED").otherwise("NEW").as("status"))
+      .orderBy($"rec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_entity_matches" -> matches _,
     "q_entity_canonical" -> canonical _,
+    "q_entity_assign" -> assign _,
   )
 
   /** Shared oracle CTEs: registry → blocking → guard → scoring → matches,
@@ -210,6 +282,51 @@ object EntityResolution {
        |         WHERE score >= $MatchThreshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // bipartite blocking → guarded master keys → scoring → per-record
+    // argmax (score desc, master id asc) with the NEW fallback
+    "q_entity_assign" ->
+      s"""WITH $matchCtes,
+         |inc AS (SELECT * FROM reg WHERE rec_id >= 10000000),
+         |mst AS (SELECT * FROM reg WHERE rec_id < 10000000),
+         |mk AS (
+         |  SELECT rec_id, concat('n|', CAST(nation AS VARCHAR), '|',
+         |    substring(name, length(name) - 3, 4)) AS bk FROM mst
+         |  UNION ALL
+         |  SELECT rec_id, concat('s|', seg, '|',
+         |    substring(name, length(name) - 3, 4)) FROM mst),
+         |mbig AS (SELECT bk FROM mk GROUP BY bk HAVING count(*) > $MaxBlock),
+         |mkg AS (SELECT k.rec_id, k.bk FROM mk k
+         |        LEFT JOIN mbig b ON b.bk = k.bk WHERE b.bk IS NULL),
+         |ik AS (
+         |  SELECT rec_id, concat('n|', CAST(nation AS VARCHAR), '|',
+         |    substring(name, length(name) - 3, 4)) AS bk FROM inc
+         |  UNION ALL
+         |  SELECT rec_id, concat('s|', seg, '|',
+         |    substring(name, length(name) - 3, 4)) FROM inc),
+         |acand AS (SELECT DISTINCT i.rec_id, m.rec_id AS m_id
+         |          FROM ik i JOIN mkg m ON m.bk = i.bk),
+         |ascored AS (
+         |  SELECT c.rec_id, c.m_id,
+         |    CAST(CASE levenshtein(x.name, y.name)
+         |           WHEN 0 THEN 40 WHEN 1 THEN 32 WHEN 2 THEN 24
+         |           ELSE -15 END
+         |       + CASE WHEN x.nation = y.nation THEN 10 ELSE -5 END
+         |       + CASE WHEN x.seg = 'UNKNOWN' OR y.seg = 'UNKNOWN' THEN 0
+         |              WHEN x.seg = y.seg THEN 6 ELSE -8 END
+         |       + CASE WHEN x.bal = y.bal THEN 8 ELSE -6 END AS INT) AS score
+         |  FROM acand c JOIN inc x ON x.rec_id = c.rec_id
+         |               JOIN mst y ON y.rec_id = c.m_id),
+         |abest AS (SELECT rec_id, m_id, score FROM (
+         |  SELECT rec_id, m_id, score, row_number() OVER (
+         |    PARTITION BY rec_id ORDER BY score DESC, m_id) AS rk
+         |  FROM ascored WHERE score >= $MatchThreshold) WHERE rk = 1)
+         |SELECT i.rec_id,
+         |  CAST(COALESCE(b.m_id, i.rec_id) AS BIGINT) AS entity_id,
+         |  CAST(COALESCE(b.score, 0) AS INT) AS score,
+         |  CASE WHEN b.m_id IS NOT NULL THEN 'MATCHED' ELSE 'NEW' END
+         |    AS status
+         |FROM inc i LEFT JOIN abest b ON b.rec_id = i.rec_id
+         |ORDER BY i.rec_id""".stripMargin,
     "q_entity_matches" ->
       s"""WITH $matchCtes
          |SELECT rec_a, rec_b, score FROM mtch ORDER BY rec_a, rec_b""".stripMargin,

@@ -31,6 +31,35 @@ class EntityResolutionSpec extends AnyFunSuite {
     (6L, "Zeta Inc 0009", 3, 900.0, "MACHINERY"),   // shares Y's blocks, dist > 2 → -15
   )
 
+  test("assign: best master wins, ties to smallest id, no-match is NEW") {
+    // master: entity 1 and its near-twin 2 (both distance 1 from the
+    // incoming record 100 → tie on score → smaller id wins), plus an
+    // unrelated 3; incoming 200 matches nothing (distance > 2)
+    val master = reg(Seq(
+      (1L, "Acme Corp 0001", 7, 100.0, "BUILDING"),
+      (2L, "Acme Cori 0001", 7, 100.0, "BUILDING"),
+      (3L, "Beta LLC 0009", 3, 55.5, "MACHINERY")))
+    val incoming = reg(Seq(
+      (100L, "Acme Corj 0001", 7, 100.0, "BUILDING"), // dist 1 to BOTH 1 & 2
+      (200L, "Zzzz Xxxx 0009", 3, 900.0, "MACHINERY")))
+    val got = EntityResolution.assignOf(incoming, master, 1000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(100L) == ((1L, 56, "MATCHED")), got.toString)
+    assert(got(200L) == ((200L, 0, "NEW")), got.toString)
+  }
+
+  test("assign on the real registry: every corrupted arrival finds its base") {
+    val got = EntityResolution.assign(spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rec, ent, status) = (r.getLong(0), r.getLong(1), r.getString(3))
+      assert(status == "MATCHED", s"arrival $rec unmatched")
+      // varA = base + 10^7, varB = base + 2*10^7 — each resolves to its base
+      assert(ent == rec % 10000000L, s"arrival $rec → $ent")
+    }
+  }
+
   test("pairwise scoring: strong pairs match, weak and unrelated do not") {
     val m = EntityResolution.matchPairsOf(reg(baseRows), 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
