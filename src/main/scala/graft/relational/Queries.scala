@@ -87,6 +87,7 @@ object Queries {
     SetOps.queries ++ Funcs.queries ++ Funcs2.queries ++
     Subqueries.queries ++ TimeWindows.queries ++ TimeSeries.queries ++
     Skyline.queries ++ Changelog.queries ++ Basket.queries ++ Paths.queries ++
+    Stats.queries ++
     TextSim.queries ++ Reconcile.queries
 
   val oracles: Map[String, String] = Map(
@@ -114,5 +115,6 @@ object Queries {
     SetOps.oracles ++ Funcs.oracles ++ Funcs2.oracles ++
     Subqueries.oracles ++ TimeWindows.oracles ++ TimeSeries.oracles ++
     Skyline.oracles ++ Changelog.oracles ++ Basket.oracles ++ Paths.oracles ++
+    Stats.oracles ++
     TextSim.oracles ++ Reconcile.oracles
 }

@@ -1,0 +1,51 @@
+package graft.relational
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Integer moment statistics: the whole pipeline re-derived driver-side in
+  * BigInt (no precision cap at all) must reproduce every emitted value,
+  * and Cauchy–Schwarz bounds the corr² output structurally.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("moments match an exact BigInt recount; corr2 within [0, 10000]") {
+    import spark.implicits._
+    val rows = graft.sources.Tables.table(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice")
+      .as[(Long, Double)].collect()
+    val per = rows.groupBy(_._1).map { case (_, vs) =>
+      val hd = vs.map(v => math.floor(v._2).toLong / 100)
+      (BigInt(vs.size), BigInt(hd.sum), BigInt(hd.max))
+    }.toVector
+    val n = BigInt(per.size)
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt) = per.map(f).sum
+    val (s1, q1) = (s(_._1), s(t => t._1 * t._1))
+    val (s2, q2) = (s(_._2), s(t => t._2 * t._2))
+    val (s3, q3) = (s(_._3), s(t => t._3 * t._3))
+    val x12 = s(t => t._1 * t._2)
+    val x13 = s(t => t._1 * t._3)
+    val x23 = s(t => t._2 * t._3)
+    def pair(xy: BigInt, sx: BigInt, qx: BigInt, sy: BigInt, qy: BigInt) = {
+      val cov = n * xy - sx * sy
+      val c2 = (cov.abs * cov.abs / (n * qx - sx * sx)) * 10000 /
+        (n * qy - sy * sy)
+      (cov.toLong, c2.toLong, if (cov < 0) -1 else 1)
+    }
+    val exp = Map(
+      ("max_item_husd", "total_husd") -> pair(x23, s3, q3, s2, q2),
+      ("n_items", "max_item_husd") -> pair(x13, s1, q1, s3, q3),
+      ("n_items", "total_husd") -> pair(x12, s1, q1, s2, q2))
+    val got = Stats.corrMoments(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // Cauchy–Schwarz: corr² can never exceed 1
+    assert(got.values.forall(v => v._2 >= 0 && v._2 <= 10000))
+    // the derived metrics are genuinely correlated on this corpus
+    assert(got(("n_items", "total_husd"))._2 > 3000)
+  }
+}
