@@ -389,6 +389,36 @@ object Retrieval {
       .orderBy($"phrase", $"doc_id")
   }
 
+  /** STREAM-SAFE PHRASE DETECTOR — the live half of [[phrase]]: per-row
+    * adjacency check of every watch phrase, entirely in codegen'd array
+    * lambdas (no index, no shuffle, no state), emitting one (doc_id,
+    * phrase) row per matched phrase as documents ARRIVE. The batch index
+    * ([[phraseOf]]) answers "where and how often" over the corpus; this
+    * answers "does the arriving document contain a watched phrase" — the
+    * decontamination/alerting spelling (the winnow-decontamination
+    * discipline applied to literal phrases). Streaming ≡ batch existence
+    * pinned in `RetrievalSpec`. */
+  private[graft] def phraseFlagsOf(docs: DataFrame,
+      phrases: Seq[(Int, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cols = phrases.map { case (_, p) =>
+      val ws = p.split(' ')
+      val len = ws.length
+      val hit = when(size($"toks") >= len,
+        exists(sequence(lit(0), size($"toks") - len), i =>
+          ws.zipWithIndex.map { case (w, j) =>
+            element_at($"toks", i + j + 1) === w
+          }.reduce(_ && _)))
+        .otherwise(lit(false))
+      struct(lit(p).as("phrase"), hit.as("hit"))
+    }
+    docs.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        explode(filter(array(cols: _*), c => c("hit"))).as("m"))
+      .select($"doc_id", $"m.phrase".as("phrase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> bm25 _,
     "q_retrieval_phrase" -> phrase _,

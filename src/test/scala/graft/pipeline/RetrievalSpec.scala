@@ -37,6 +37,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("phrase flags: streaming detector == batch index existence") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val phrases = Retrieval.Phrases
+    // batch truth: existence from the positional index
+    val exp = Retrieval.phraseOf(docs, phrases)
+      .select($"doc_id", $"phrase").as[(Long, String)].collect().toSet
+    // batch flags agree
+    val flagsBatch = Retrieval.phraseFlagsOf(docs, phrases)
+      .as[(Long, String)].collect().toSet
+    assert(flagsBatch == exp)
+    // streaming: same rows out of a MemoryStream, any slicing
+    val rows = docs.as[(Long, String)].collect().toVector
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Retrieval.phraseFlagsOf(
+        mem.toDS().toDF("doc_id", "text"), phrases)
+      .writeStream.format("memory").queryName("ph_flags")
+      .outputMode("append").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("ph_flags").as[(Long, String)].collect().toSet
+      assert(got == exp)
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS ph_flags")
+    }
+  }
+
   test("bm25: rare discriminative term dominates common terms") {
     val rows = Retrieval.bm25(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === Retrieval.TopK)

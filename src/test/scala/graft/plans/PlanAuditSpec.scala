@@ -63,7 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // two 1-row aggregates (per-order rollup + scan-only lineitem count)
     "q_dq_cross",
     // the 1-row global moment aggregate over the per-order rollup
-    "q_stats_corr",
+    "q_stats_corr", "q_stats_regress",
     // 1-row distinct-user total for the support_bp denominator
     "q_seq_support",
     // 1-row (total, key-count) aggregate over the key-bounded count table

@@ -47,5 +47,23 @@ class StatsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 >= 0 && v._2 <= 10000))
     // the derived metrics are genuinely correlated on this corpus
     assert(got(("n_items", "total_husd"))._2 > 3000)
+
+    // regression from the same moments: slope recount + intercept algebra
+    def slope(xy: BigInt, sx: BigInt, qx: BigInt, sy: BigInt) = {
+      val cov = n * xy - sx * sy
+      (cov.abs * 1000000 / (n * qx - sx * sx)).toLong
+    }
+    val reg = Stats.regress(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getInt(4), r.getLong(5), r.getLong(6))).toMap
+    assert(reg(("n_items", "total_husd"))._1 == slope(x12, s1, q1, s2))
+    assert(reg(("max_item_husd", "total_husd"))._1 == slope(x23, s3, q3, s2))
+    // micro means reproduce exactly
+    assert(reg(("n_items", "total_husd"))._3 == (s1 * 1000000 / n).toLong)
+    assert(reg(("n_items", "total_husd"))._4 == (s2 * 1000000 / n).toLong)
+    // slope(total on items) ≈ the mean item value: predictions through the
+    // means are consistent (intercept = mean_y − slope·mean_x is finite
+    // and the fitted line passes near the mass center by construction)
+    assert(reg.values.forall(_._2 == 1)) // all-positive covariances here
   }
 }
