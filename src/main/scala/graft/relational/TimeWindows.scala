@@ -104,7 +104,10 @@ object TimeWindows {
     * broadcast-free equi-joins on user_id (stage tables shrink user-wise at
     * every step) — no window function, no self-join fan-out; the 100 TB
     * cost is three map-side-combinable mins on the same user key. */
-  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+  /** The three chained funnel stage tables (shared by [[funnelSteps]] and
+    * [[funnelLatency]]): per user, earliest error t1, earliest in-window
+    * view t2 after it, earliest in-window purchase t3 after that. */
+  private def funnelStages(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val e = ev(s, dir).select($"user_id", $"event_type", $"ts_sec")
     val s1 = e.filter($"event_type" === "error")
@@ -116,7 +119,13 @@ object TimeWindows {
     val s3 = e.filter($"event_type" === "purchase")
       .join(s2, "user_id")
       .filter($"ts_sec" > $"t2" && $"ts_sec" <= $"t1" + expr("INTERVAL 1 HOUR"))
-      .groupBy($"user_id").agg(min($"ts_sec").as("t3"))
+      .groupBy($"user_id").agg(min($"t1").as("t1"), min($"ts_sec").as("t3"))
+    (s1, s2, s3)
+  }
+
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (s1, s2, s3) = funnelStages(s, dir)
     s1.agg(count(lit(1)).as("n_error")).crossJoin(
         s2.agg(count(lit(1)).as("n_view")))
       .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
@@ -127,6 +136,40 @@ object TimeWindows {
           .otherwise(expr("(n_view * 10000L) div n_error")).as("conv12_bp"),
         when($"n_view" === 0L, 0L)
           .otherwise(expr("(n_purchase * 10000L) div n_view")).as("conv23_bp"))
+  }
+
+  /** CONVERSION LATENCY distribution — the "how fast" companion of
+    * [[funnelSteps]]' "how many": per activating user, the signup→first-
+    * purchase delay in seconds at two window tiers (1 h and 24 h — the
+    * sensitivity pair a growth dashboard plots), bucketed into exact
+    * power-of-two bins (`length(bin(sec)) − 1` — the integer floor-log₂
+    * spelling both engines compute identically, the `q_quantile_merge`
+    * convention) and counted per (window, bucket). Conversion RATES alone
+    * hide a funnel whose survivors take an hour; the latency histogram is
+    * where the time-to-convert regression shows. Shape: two chained
+    * per-user min aggregates (the [[funnelSteps]] stage shape), one
+    * narrow projection, one map-side-combinable (window, bucket)-bounded
+    * count — delays are strictly ≥ 1 s (stage ordering is strict), so
+    * the bucket expression is total. */
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select($"user_id", $"event_type", $"ts_sec")
+    val su = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_sec").as("t1"))
+    def tier(name: String, hours: Int) =
+      e.filter($"event_type" === "purchase")
+        .join(su, "user_id")
+        .filter($"ts_sec" > $"t1" &&
+          $"ts_sec" <= $"t1" + expr(s"INTERVAL $hours HOUR"))
+        .groupBy($"user_id").agg(min($"t1").as("t1"), min($"ts_sec").as("t2"))
+        .select(lit(name).as("win"),
+          (unix_timestamp($"t2") - unix_timestamp($"t1")).as("sec"))
+    tier("01h", 1).unionAll(tier("24h", 24))
+      .withColumn("bucket_lo", expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(sec)) - 1 AS INT))"))
+      .groupBy($"win", $"bucket_lo")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"win", $"bucket_lo")
   }
 
   /** Retention COHORTS: users grouped by first-activity day, counted by
@@ -152,6 +195,7 @@ object TimeWindows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> retention _,
     "q_funnel_steps" -> funnelSteps _,
+    "q_funnel_latency" -> funnelLatency _,
     "q_window_count" -> countWindow _,
     "q_window_tumbling" -> tumbling _,
     "q_window_sliding" -> sliding _,
@@ -172,6 +216,31 @@ object TimeWindows {
         |SELECT cohort, CAST(day_off AS INT) AS day_off,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM o GROUP BY cohort, day_off ORDER BY cohort, day_off""".stripMargin,
+    // signup→purchase activation delays at two window tiers, bucketed by
+    // length(bin(sec))−1
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts
+        |  FROM events),
+        |su AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |lat AS (
+        |  SELECT '01h' AS win,
+        |    CAST(epoch(min(e.ts)) - epoch(min(su.t1)) AS BIGINT) AS sec
+        |  FROM e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > su.t1 AND e.ts <= su.t1 + INTERVAL '1 hour'
+        |  GROUP BY e.user_id
+        |  UNION ALL
+        |  SELECT '24h',
+        |    CAST(epoch(min(e.ts)) - epoch(min(su.t1)) AS BIGINT)
+        |  FROM e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > su.t1 AND e.ts <= su.t1 + INTERVAL '24 hour'
+        |  GROUP BY e.user_id)
+        |SELECT win,
+        |  CAST(1 AS BIGINT) << CAST(length(bin(sec)) - 1 AS INT) AS bucket_lo,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM lat GROUP BY win, bucket_lo ORDER BY win, bucket_lo""".stripMargin,
     "q_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts
         |  FROM events),
