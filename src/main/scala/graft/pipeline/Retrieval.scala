@@ -361,10 +361,14 @@ object Retrieval {
     phraseOf(Tables.table(s, dir, "documents"), Phrases)
 
   /** [[phrase]] over any `(doc_id, text)` table and phrase set — fixture
-    * entry point. */
-  private[graft] def phraseOf(docs: DataFrame, phrases: Seq[(Int, String)]): DataFrame = {
+    * entry point. The watch list is a SET of phrase texts: duplicate
+    * texts (under distinct ids) are collapsed before indexing, because
+    * the output keys on the text and a duplicated entry would otherwise
+    * double every count (caught by the randomized property test). */
+  private[graft] def phraseOf(docs: DataFrame, phrasesRaw: Seq[(Int, String)]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val phrases = phrasesRaw.groupBy(_._2).map(_._2.head).toSeq.sortBy(_._1)
     val ph = phrases.toDF("phrase_id", "phrase")
     val pw = ph.select($"phrase_id", $"phrase",
         posexplode(split($"phrase", " ")).as(Seq("off", "w")))
@@ -399,9 +403,11 @@ object Retrieval {
     * discipline applied to literal phrases). Streaming ≡ batch existence
     * pinned in `RetrievalSpec`. */
   private[graft] def phraseFlagsOf(docs: DataFrame,
-      phrases: Seq[(Int, String)]): DataFrame = {
+      phrasesRaw: Seq[(Int, String)]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // same set-of-texts contract as [[phraseOf]]
+    val phrases = phrasesRaw.groupBy(_._2).map(_._2.head).toSeq.sortBy(_._1)
     val cols = phrases.map { case (_, p) =>
       val ws = p.split(' ')
       val len = ws.length

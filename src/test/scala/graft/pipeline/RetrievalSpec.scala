@@ -37,6 +37,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("phrase: randomized property — positional index == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1789)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 5) {
+      val docs = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(12))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val phrases = (1 to 4).map { pid =>
+        (pid, Seq.fill(1 + rnd.nextInt(3))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // brute force: count sliding-window matches (overlaps included)
+      val exp = (for {
+        (pid, p) <- phrases
+        pw = p.split(' ').toSeq
+        (id, text) <- docs
+        tw = text.split(' ').toSeq
+        n = tw.indices.count(i => tw.slice(i, i + pw.size) == pw)
+        if n > 0
+      } yield (p, id, n.toLong)).toSet
+      val got = Retrieval.phraseOf(docs.toDF("doc_id", "text"), phrases)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == exp, s"trial $trial: ${got -- exp} / ${exp -- got}")
+    }
+  }
+
   test("phrase flags: streaming detector == batch index existence") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

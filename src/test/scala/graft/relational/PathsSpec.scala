@@ -104,6 +104,34 @@ class PathsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("seq support: randomized property — min/max trick == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4181)
+    val types = Vector("view", "click", "purchase")
+    for (trial <- 1 to 5) {
+      val events = (0 until 60).map { i =>
+        (rnd.nextInt(6).toLong, i.toLong, types(rnd.nextInt(types.size)),
+          ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+      }
+      // brute force: a user supports A→B iff some A event is STRICTLY
+      // before some B event at second granularity
+      val byUser = events.groupBy(_._1)
+      val exp = (for {
+        a <- types; b <- types
+        users = byUser.count { case (_, es) =>
+          es.exists(x => x._3 == a &&
+            es.exists(y => y._3 == b && x._4.getTime < y._4.getTime))
+        }
+        if users > 0
+      } yield (a, b, users.toLong)).toSet
+      val got = Paths.seqSupportOf(
+          events.toDF("user_id", "event_id", "event_type", "ts"))
+        .select($"type_a", $"type_b", $"n_users")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == exp, s"trial $trial: ${got -- exp} / ${exp -- got}")
+    }
+  }
+
   test("seq support: transitions adjacency is strictly narrower") {
     import spark.implicits._
     // A then B with a C between and a >30min gap: adjacency (transitions)
