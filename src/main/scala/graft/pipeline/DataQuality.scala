@@ -241,11 +241,53 @@ object DataQuality {
       .orderBy($"check_name")
   }
 
+  /** Example rows per violation class for [[verdict]]. */
+  val ExamplesPerCheck = 10
+
+  /** TRIAGE EXAMPLES — the step after a FAIL verdict: the first
+    * [[ExamplesPerCheck]] violating rows (smallest key — deterministic)
+    * per constraint class, with the offending value rendered. A rate
+    * says the feed is broken; examples say HOW, and a pager ticket with
+    * ten concrete rows beats one with a percentage.
+    *
+    * Shape at scale: one filter + `ORDER BY okey LIMIT k` per constraint
+    * over the shared registry — each arm collapses to
+    * TakeOrderedAndProject (no corpus sort, no single hot partition; the
+    * per-check window spelling would put ALL violations of one check
+    * into one window partition, which is exactly the skew this avoids),
+    * unioned into the ≤ checks·k output. */
+  def examples(s: SparkSession, dir: String): DataFrame =
+    examplesOf(dirtyOrdersOf(Tables.table(s, dir, "orders")),
+      Tables.table(s, dir, "customer").select(col("c_custkey")))
+
+  private[graft] def examplesOf(dirty: DataFrame, custKeys: DataFrame): DataFrame = {
+    val s = dirty.sparkSession
+    import s.implicits._
+    def arm(name: String, flt: org.apache.spark.sql.Column,
+        value: org.apache.spark.sql.Column): DataFrame =
+      dirty.filter(flt)
+        .select(lit(name).as("check_name"), $"okey",
+          value.cast("string").as("bad_value"))
+        .orderBy($"okey").limit(ExamplesPerCheck)
+    val ri = dirty.join(broadcast(custKeys),
+        dirty("ckey") === custKeys("c_custkey"), "left")
+      .filter($"c_custkey".isNull)
+      .select(lit("referential_custkey").as("check_name"), $"okey",
+        $"ckey".cast("string").as("bad_value"))
+      .orderBy($"okey").limit(ExamplesPerCheck)
+    arm("accepted_values_status", !$"status".isin("O", "F", "P"), $"status")
+      .unionAll(arm("completeness_priority", $"priority".isNull, $"priority"))
+      .unionAll(arm("non_negative_price", $"price" < 0, cents($"price")))
+      .unionAll(ri)
+      .orderBy($"check_name", $"okey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_metrics" -> metrics _,
     "q_dq_verdict" -> verdict _,
     "q_dq_by_partition" -> byPartition _,
     "q_dq_cross" -> crossAudit _,
+    "q_dq_examples" -> examples _,
   )
 
   /** Corruption replay shared by both oracles. */
@@ -266,6 +308,25 @@ object DataQuality {
       |       UNION ALL SELECT * FROM dirty WHERE okey % 500 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-check ORDER BY okey LIMIT k arms over the same dirty registry
+    "q_dq_examples" ->
+      s"""WITH $dirtyCte,
+         |a1 AS (SELECT 'accepted_values_status' AS check_name, okey,
+         |    status AS bad_value FROM d2
+         |  WHERE status NOT IN ('O','F','P') ORDER BY okey LIMIT $ExamplesPerCheck),
+         |a2 AS (SELECT 'completeness_priority', okey, priority FROM d2
+         |  WHERE priority IS NULL ORDER BY okey LIMIT $ExamplesPerCheck),
+         |a3 AS (SELECT 'non_negative_price', okey,
+         |    CAST(CAST(floor(price * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+         |  FROM d2 WHERE price < 0 ORDER BY okey LIMIT $ExamplesPerCheck),
+         |a4 AS (SELECT 'referential_custkey', d2.okey,
+         |    CAST(d2.ckey AS VARCHAR)
+         |  FROM d2 LEFT JOIN customer c ON c.c_custkey = d2.ckey
+         |  WHERE c.c_custkey IS NULL ORDER BY d2.okey LIMIT $ExamplesPerCheck)
+         |SELECT check_name, okey, bad_value FROM (
+         |  SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         |  UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+         |ORDER BY check_name, okey""".stripMargin,
     // the same join-and-aggregate replay: per-row cents floored before the
     // order sum, thresholds identical
     "q_dq_cross" ->

@@ -114,6 +114,29 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got(199502) == ((3L, 6666L, 6666L, 6666L)))
   }
 
+  test("triage examples: one row per planted violation, named and bounded") {
+    val rows = Seq(
+      (1L, 10L, "X", 5.0, d0, "1-URGENT"),
+      (2L, 10L, "O", -5.0, d0, "1-URGENT"),
+      (3L, 99L, "O", 5.0, d0, "1-URGENT"),
+      (4L, 10L, "O", 5.0, d0, null),
+      (5L, 10L, "O", 5.0, d0, "1-URGENT"))
+    val got = DataQuality.examplesOf(tbl(rows), custKeys(10L)).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      ("accepted_values_status", 1L, Some("X")),
+      ("completeness_priority", 4L, None),
+      ("non_negative_price", 2L, Some("-500")),
+      ("referential_custkey", 3L, Some("99"))), got.toSeq.toString)
+  }
+
+  test("triage examples: caps at ExamplesPerCheck, smallest keys win") {
+    val rows = (1L to 40L).map(i => (i, 10L, "X", 5.0, d0, "1-URGENT"))
+    val got = DataQuality.examplesOf(tbl(rows), custKeys(10L)).collect()
+    assert(got.length == DataQuality.ExamplesPerCheck)
+    assert(got.map(_.getLong(1)).toSeq == (1L to 10L))
+  }
+
   test("cross-table audit: each violation class moves exactly its own rate") {
     import spark.implicits._
     // 4 orders: #1 consistent (2 lines summing to the stored total, both
