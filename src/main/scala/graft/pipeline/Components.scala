@@ -295,6 +295,35 @@ object Components {
       .groupBy($"node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node — cc(v) = 2·tri(v) /
+    * (d(v)·(d(v)−1)) in exact basis points: the normalized form of
+    * [[triangleCounts]] that makes nodes of different degree comparable
+    * (a hub with 50 triangles over 1000 neighbors is LOOSE, a 4-node
+    * clique member with 3 is TIGHT — raw counts invert that reading).
+    * Together with components/PageRank/hops this completes the per-node
+    * graph diagnostic set. Only nodes with d ≥ 2 appear (the coefficient
+    * is undefined below — and the division can't hit zero).
+    *
+    * 100 TB shape: the degree table is one map-side-combinable count,
+    * the triangle side is [[triangleCounts]]' degree-oriented machinery
+    * unchanged, and the combine is a (node)-keyed left join + one narrow
+    * integer projection. */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val e0 = pairs.toDF("u", "v").filter($"u" =!= $"v")
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct()
+    val deg = e0.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    deg.filter($"degree" >= 2)
+      .join(triangleCounts(pairs), Seq("node"), "left")
+      .select($"node", $"degree",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        expr("coalesce(n_tri, 0) * 20000L div (degree * (degree - 1))")
+          .as("cc_bp"))
+  }
+
   /** Damping factor in percent (0.85) and teleport base in micro-rank
     * (0.15 × 1e6) for [[pageRank]] — integer so every contribution and sum
     * is exact on any engine. */

@@ -454,6 +454,21 @@ object Dedup {
       .orderBy($"threshold")
   }
 
+  /** Per-doc CLUSTERING COEFFICIENT over the near-dup graph
+    * ([[Components.clusteringCoefficients]]): the normalized tightness
+    * read of [[triangles]] — cc_bp ≈ 10000 marks clique members that
+    * collapse safely, low cc at high degree marks the template hubs and
+    * chain bridges that deserve review first. */
+  def clustering(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cached: degree, triangle, and join branches share the LSH pipeline
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b").cache()
+    Components.clusteringCoefficients(pairs)
+      .select($"node".as("doc_id"), $"degree", $"n_tri", $"cc_bp")
+      .orderBy($"doc_id")
+  }
+
   /** Synchronous-LPA rounds for [[communities]] (fixed horizon — the
     * determinism contract of [[Components.labelPropagation]]). */
   val LpaRounds = 4
@@ -632,6 +647,7 @@ object Dedup {
     "q_dedup_hops" -> hops _,
     "q_dedup_communities" -> communities _,
     "q_dedup_threshold_frontier" -> thresholdFrontier _,
+    "q_dedup_clustering" -> clustering _,
     "q_dedup_recall" -> recallAudit _,
     "q_dedup_recall_sampled" -> recallAuditSampled _,
     "q_dedup_minhash" -> minhash _,
@@ -850,6 +866,25 @@ object Dedup {
          |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
          |GROUP BY node ORDER BY doc_id""".stripMargin,
+    // triangle CTE + per-node degree, cc = 2·tri·10⁴ div d(d−1), d ≥ 2
+    "q_dedup_clustering" ->
+      s"""$sigCte,
+         |$candCtes,
+         |$prsCte,
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM prs e1 JOIN prs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |tc AS (SELECT node, count(*) AS n_tri
+         |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+         |degc AS (SELECT node, count(*) AS d FROM (
+         |    SELECT doc_a AS node FROM prs
+         |    UNION ALL SELECT doc_b FROM prs) GROUP BY node)
+         |SELECT g.node AS doc_id, CAST(g.d AS BIGINT) AS degree,
+         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(COALESCE(t.n_tri, 0) * 20000 // (g.d * (g.d - 1)) AS BIGINT)
+         |    AS cc_bp
+         |FROM degc g LEFT JOIN tc t ON t.node = g.node
+         |WHERE g.d >= 2 ORDER BY doc_id""".stripMargin,
     // Unrolled 5-round integer power iteration over the verified pair
     // graph — identical per-edge floor division, so bit-exact vs the Spark
     // side's loop ([[Components.pageRank]]).

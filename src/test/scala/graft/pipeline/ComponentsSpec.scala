@@ -279,6 +279,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(runPageRank(tri, 4).values.toSet == Set(1000000L))
   }
 
+  test("clustering coefficients: clique 10000, path 0, star center 0") {
+    import spark.implicits._
+    // K4 on {0..3} + path 10–11–12 + star 20→{21,22,23}
+    val edges = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)) ++
+      Seq((10L, 11L), (11L, 12L)) ++ (21L to 23L).map(v => (20L, v))
+    val got = Components.clusteringCoefficients(edges.toDF("u", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    (0L to 3L).foreach(v => assert(got(v) == ((3L, 3L, 10000L)), s"clique $v"))
+    assert(got(11L) == ((2L, 0L, 0L)))       // path middle: open wedge
+    assert(got(20L) == ((3L, 0L, 0L)))       // star center: no closures
+    // degree-1 nodes (10, 12, leaves) are excluded by the d >= 2 contract
+    assert(!got.contains(10L) && !got.contains(21L))
+  }
+
   /** In-memory reference of the deterministic sync-LPA recurrence: every
     * node adopts its most frequent neighbor label, ties to the smallest. */
   private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
