@@ -106,9 +106,71 @@ object Stats {
       .orderBy($"var_x", $"var_y")
   }
 
+  /** A/B EXPERIMENT ANALYSIS — the two-sample comparison the
+    * deterministic split machinery exists to feed: users assigned to
+    * variants by the salted hash (USER-level, the correct randomization
+    * unit — event-level assignment double-counts heavy users), per-user
+    * conversion = any purchase, and the 2×2 independence test as an
+    * EXACT INTEGER Pearson χ²:
+    *
+    *   χ²·10⁶ = n·(a·d − b·c)²·10⁶ div ((a+b)(c+d)(a+c)(b+d))
+    *
+    * — the squared numerator is non-negative (the one div regime both
+    * engines agree on), everything stays inside Decimal(38)/HUGEINT at
+    * any realistic user count, and there is no float anywhere, so the
+    * test statistic itself is oracle-hash-exact (χ²_micro ≥ 3 841 459 ⇔
+    * p < 0.05 at 1 dof — the threshold is the reader's constant, not a
+    * baked verdict).
+    *
+    * Shape at scale: one map-side-combinable per-user aggregate
+    * (variant is a pure hash projection, conversion a max), one 1-row
+    * 2×2 count, one narrow projection. */
+  /** Heavy-buyer outcome threshold for [[abChi2]] (≥ this many purchase
+    * events): splits users near the median at every SF — an
+    * every-user-converts outcome zeroes a margin and the test is
+    * undefined (the guard below returns 0 then). */
+  val AbConvMin = 14L
+
+  def abChi2(s: SparkSession, dir: String): DataFrame =
+    abChi2Of(Tables.events(s, dir))
+
+  /** [[abChi2]] over any `(user_id, event_type)` events table — fixture
+    * entry point. */
+  private[graft] def abChi2Of(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val users = events
+      .select($"user_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(when(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        >= AbConvMin, 1L).otherwise(0L).as("conv"))
+      .withColumn("variant", graft.pipeline.Hashing.charFoldHash(
+        concat(lit("ab:"), $"user_id".cast("string"))) % 2)
+    val g = users.agg(
+      sum(when($"variant" === 0 && $"conv" === 1, 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("a"),
+      sum(when($"variant" === 0 && $"conv" === 0, 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("b"),
+      sum(when($"variant" === 1 && $"conv" === 1, 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("c"),
+      sum(when($"variant" === 1 && $"conv" === 0, 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("d"))
+    g.select(
+      expr("CAST(a + b AS BIGINT)").as("n_a"),
+      expr("CAST(c + d AS BIGINT)").as("n_b"),
+      expr("CAST(a AS BIGINT)").as("conv_a"),
+      expr("CAST(c AS BIGINT)").as("conv_b"),
+      expr("a * 10000 div (a + b)").as("rate_a_bp"),
+      expr("c * 10000 div (c + d)").as("rate_b_bp"),
+      expr("CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0" +
+        " ELSE (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000" +
+        " div ((a + b) * (c + d) * (a + c) * (b + d)) END").as("chi2_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_corr" -> corrMoments _,
     "q_stats_regress" -> regress _,
+    "q_stats_ab_chi2" -> abChi2 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +199,30 @@ object Stats {
          |SELECT var_x, var_y, n, cov_num, corr2_bp, corr_sign FROM (
          |$pairRows)
          |ORDER BY var_x, var_y""".stripMargin
+    },
+    // per-user conversion, polynomial-hash variant assignment, HUGEINT χ²
+    "q_stats_ab_chi2" -> {
+      val vh = graft.pipeline.Hashing.duckCharFold("'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT user_id,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      >= $AbConvMin THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1),
+         |v AS (SELECT conv, $vh % 2 AS variant FROM u),
+         |g AS (SELECT
+         |    sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+         |    sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+         |    sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+         |    sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS d
+         |  FROM v)
+         |SELECT CAST(a + b AS BIGINT) AS n_a, CAST(c + d AS BIGINT) AS n_b,
+         |  CAST(a AS BIGINT) AS conv_a, CAST(c AS BIGINT) AS conv_b,
+         |  CAST(a * 10000 // (a + b) AS BIGINT) AS rate_a_bp,
+         |  CAST(c * 10000 // (c + d) AS BIGINT) AS rate_b_bp,
+         |  CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+         |    ELSE (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000
+         |      // ((a + b) * (c + d) * (a + c) * (b + d)) END AS BIGINT)
+         |    AS chi2_micro
+         |FROM g""".stripMargin
     },
     "q_stats_regress" -> {
       val pairRows = Pairs.map { case (vx, vy, xy, sx, qx, sy, _) =>

@@ -64,6 +64,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dq_cross",
     // the 1-row global moment aggregate over the per-order rollup
     "q_stats_corr", "q_stats_regress",
+    // the 1-row 2×2 contingency aggregate over the per-user rollup
+    "q_stats_ab_chi2",
     // 1-row distinct-user total for the support_bp denominator
     "q_seq_support",
     // 1-row (total, key-count) aggregate over the key-bounded count table

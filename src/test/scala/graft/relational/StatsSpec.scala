@@ -66,4 +66,36 @@ class StatsSpec extends AnyFunSuite {
     // and the fitted line passes near the mass center by construction)
     assert(reg.values.forall(_._2 == 1)) // all-positive covariances here
   }
+
+  /** χ²_micro at the p=0.05 line for 1 dof. */
+  private val Sig05Micro = 3841459L
+
+  test("A/B chi2: hash split of one population is an A/A null") {
+    val r = Stats.abChi2(spark, sf).collect().head
+    // both variants populated, conversions present on both sides
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    // a deterministic hash split of identical users must NOT read as a
+    // treatment effect
+    assert(r.getLong(6) < Sig05Micro, s"A/A chi2 ${r.getLong(6)}")
+  }
+
+  test("A/B chi2: a planted real effect crosses the significance line") {
+    import spark.implicits._
+    // 400 users; variant = charFold('ab:'||id) % 2 (the production
+    // assignment); conversion = >= AbConvMin purchases. Plant the effect
+    // THROUGH the outcome: users in variant 1 get the purchases.
+    val hashes = Stats.abChi2Of _ // touch to keep import tidy
+    val rows = (0L until 400L).flatMap { uid =>
+      // recompute the assignment the operator will derive
+      val h = ("ab:" + uid).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 9007199254740881L)
+      val conv = (h % 2 == 1) ^ (uid % 10 == 0) // variant 1 converts, 10% noise
+      val n = if (conv) Stats.AbConvMin else 1L
+      (1L to n).map(i => (uid, "purchase"))
+    }
+    val r = Stats.abChi2Of(rows.toDF("user_id", "event_type")).collect().head
+    assert(r.getLong(6) > Sig05Micro, s"planted effect chi2 ${r.getLong(6)}")
+    // rates differ in the planted direction
+    assert(math.abs(r.getLong(4) - r.getLong(5)) > 5000)
+  }
 }
