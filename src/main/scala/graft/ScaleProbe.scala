@@ -154,6 +154,29 @@ object ScaleProbe {
     spark.catalog.clearCache()
     println(f"""{"probe":"dedup_minhash","docs":$nDocs,"pairs":$nPairs,"secs":$dedupSecs%.1f,"docs_per_sec":${(nDocs / dedupSecs).toLong}}""")
 
+    // ---- Phrase search over the same 10× corpus: every 50th doc gets ----
+    // the planted phrase "px py pz" APPENDED (tokens outside the w-vocab,
+    // so the query vocabulary filter leaves 3 postings per planted doc
+    // and ZERO for the other 49/50 — the narrow-before-wide contract
+    // measured, not argued). Exact invariant: hit count == plants; plus a
+    // common-token phrase whose postings are corpus-wide (the worst-case
+    // vocabulary filter) must still answer.
+    val phDocs = docs.withColumn("text",
+      when(pmod($"doc_id", lit(50L)) === 0,
+        concat($"text", lit(" px py pz"))).otherwise($"text"))
+    val (phStats, phSecs) = time {
+      val hits = graft.pipeline.Retrieval.phraseOf(phDocs,
+        Seq((1, "px py pz"), (2, "w0 w1"))).cache()
+      val planted = hits.filter($"phrase" === "px py pz")
+        .agg(count(lit(1)), sum($"n_hits")).head()
+      val common = hits.filter($"phrase" === "w0 w1").count()
+      (planted.getLong(0), planted.getLong(1), common)
+    }
+    spark.catalog.clearCache()
+    assert(phStats._1 == nDocs / 50 && phStats._2 == nDocs / 50,
+      s"planted phrase hits ${phStats._1}/${phStats._2} != ${nDocs / 50}")
+    println(f"""{"probe":"phrase","docs":$nDocs,"planted_hits":${phStats._1},"common_docs":${phStats._3},"secs":$phSecs%.1f,"docs_per_sec":${(nDocs / phSecs).toLong}}""")
+
     // ---- span-level dedup + bloom-incremental over the same 10× corpus ----
     // The planted near-copies differ only in word 1, so each copy pair
     // shares EXACTLY the 45 5-token spans that start at positions 2..46 of

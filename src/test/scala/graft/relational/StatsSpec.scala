@@ -85,7 +85,6 @@ class StatsSpec extends AnyFunSuite {
     // 400 users; variant = charFold('ab:'||id) % 2 (the production
     // assignment); conversion = >= AbConvMin purchases. Plant the effect
     // THROUGH the outcome: users in variant 1 get the purchases.
-    val hashes = Stats.abChi2Of _ // touch to keep import tidy
     val rows = (0L until 400L).flatMap { uid =>
       // recompute the assignment the operator will derive
       val h = ("ab:" + uid).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 9007199254740881L)
