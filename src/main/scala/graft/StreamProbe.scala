@@ -164,6 +164,45 @@ object StreamProbe {
     sessEvents.unpersist()
     println(f"""{"probe":"session_stream","rows":$nSess,"keys":$users,"batches":$nBatches,"sessions":$nGot,"matched":$nMatch,"max_state_rows":$maxStateRows,"secs":$sessSecs%.1f,"rows_per_sec":${(nSess / sessSecs).toLong}}""")
 
+    // ---- DqStream: 4M flagged rows / 20 sources through the live ----
+    // constraint monitor in 4 micro-batches. Per-source state is SEVEN
+    // LONGS, so the throughput ceiling is the micro-batch machinery, not
+    // the operator; the final per-source basis points must equal a
+    // driver-computed exact recount (counters add exactly — any slicing).
+    import graft.streaming.DqStream
+    val nDq = args.lift(2).map(_.toLong).getOrElse(4000000L)
+    val dqRows = spark.range(nDq).select(
+        concat(lit("src"), pmod($"id", lit(20L)).cast("string")).as("src"),
+        (pmod(xxhash64($"id" * 7 + 1), lit(100L)) < 99L).as("statusOk"),
+        (pmod(xxhash64($"id" * 11 + 3), lit(100L)) < 98L).as("priOk"),
+        lit(true).as("dateOk"),
+        (pmod(xxhash64($"id" * 13 + 5), lit(100L)) < 97L).as("priceOk"),
+        (pmod(xxhash64($"id" * 17 + 7), lit(100L)) < 96L).as("riOk"))
+      .as[DqStream.DqIn].collect()
+    val dqMem = MemoryStream[DqStream.DqIn]
+    val dqQ = DqStream.monitor(dqMem.toDS())
+      .writeStream.format("memory").queryName("dq_probe")
+      .outputMode("append").start()
+    val (dqN, dqSecs) = {
+      val t0 = System.nanoTime()
+      dqRows.grouped(dqRows.length / 4 + 1)
+        .foreach { b => dqMem.addData(b.toIndexedSeq); dqQ.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (spark.table("dq_probe").count(), secs)
+    }
+    val dqFin = spark.table("dq_probe").as[DqStream.DqOut].collect()
+      .groupBy(_.src).map { case (k, rs) => k -> rs.maxBy(_.n) }
+    dqQ.stop()
+    // exact driver recount per source
+    dqRows.groupBy(_.src).foreach { case (src, rs) =>
+      val f = dqFin(src)
+      val n = rs.length.toLong
+      assert(f.n == n, s"$src n ${f.n} != $n")
+      assert(f.status_bp == rs.count(_.statusOk) * 10000L / n, src)
+      assert(f.ri_bp == rs.count(_.riOk) * 10000L / n, src)
+    }
+    println(f"""{"probe":"dq_stream","rows":$nDq,"sources":20,"batches":4,"emissions":$dqN,"secs":$dqSecs%.1f,"rows_per_sec":${(nDq / dqSecs).toLong}}""")
+
     spark.stop()
   }
 }
