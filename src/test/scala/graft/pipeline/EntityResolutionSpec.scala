@@ -60,6 +60,42 @@ class EntityResolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("assign: live micro-batched arrivals == one batch assignment") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the scaladoc contract: live ingest runs the SAME plan per
+    // micro-batch via foreachBatch against the master snapshot
+    val master = reg(Seq(
+      (1L, "Acme Corp 0001", 7, 100.0, "BUILDING"),
+      (2L, "Beta LLC 0009", 3, 55.5, "MACHINERY"),
+      (3L, "Gamma AG 0007", 5, 12.0, "AUTOMOBILE")))
+    val arrivals = Seq(
+      (100L, "Acme Xorp 0001", 7, 100.0, "BUILDING"),
+      (101L, "Beta LLX 0009", 3, 55.5, "MACHINERY"),
+      (102L, "Zzzz Qqqq 0005", 9, 1.0, "FURNITURE"),
+      (103L, "Gamma AG 0007", 5, 12.0, "AUTOMOBILE"))
+    val expect = EntityResolution.assignOf(
+        reg(arrivals), master, 1000).collect().map(_.toString).toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Int, Double, String)]
+    val got = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[String]())
+    val q = mem.toDF()
+      .toDF("rec_id", "name", "nation", "bal", "seg")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        EntityResolution.assignOf(b, master, 1000)
+          .collect().foreach(r => got.add(r.toString))
+        (): Unit
+      }
+      .outputMode("append").start()
+    try {
+      arrivals.grouped(2).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == expect, s"${got.asScala} vs $expect")
+  }
+
   test("pairwise scoring: strong pairs match, weak and unrelated do not") {
     val m = EntityResolution.matchPairsOf(reg(baseRows), 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
