@@ -184,14 +184,79 @@ object Paths {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** THREE-STEP sequential-pattern support ⟨A → B → C⟩: users whose
+    * history contains A, then B, then C in strict time order (any
+    * distances). Pairs collapse to min/max per type ([[seqSupport]]);
+    * triples genuinely cannot — ∃ tA<tB<tC needs a B occurrence strictly
+    * INSIDE the (first A, last C) interval, and min/max of B can both lie
+    * outside it while an inner occurrence exists is the wrong direction:
+    * min/max of B can't witness interior membership. So the middle step
+    * joins the B EVENTS against the per-user interval table:
+    *
+    *   - [[seqSupport]]'s (user, type) min/max aggregate gives ≤ T² open
+    *     intervals (first_A, last_C) per user;
+    *   - one equi-join ON USER fans each event onto ≤ T² intervals (a
+    *     CONSTANT fan-out — T=5 here — never event×event), with the
+    *     strict-interior test as the residual predicate;
+    *   - a combinable exists-aggregate per (user, A, B, C) then the
+    *     alphabet³-bounded support count.
+    *
+    * Second-truncated strictness, identical in the oracle — the same
+    * declared semantic as the pair support. */
+  def seqSupport3(s: SparkSession, dir: String): DataFrame =
+    seqSupport3Of(Tables.events(s, dir))
+
+  /** [[seqSupport3]] over any `(user_id, ts, event_type)` events table —
+    * fixture entry point. */
+  def seqSupport3Of(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ev = events.select($"user_id", $"event_type",
+      unix_timestamp(date_trunc("second", $"ts")).as("ts_sec"))
+    val ut = ev.groupBy($"user_id", $"event_type")
+      .agg(min($"ts_sec").as("first_sec"), max($"ts_sec").as("last_sec"))
+    val intervals = ut.select($"user_id", $"event_type".as("type_a"),
+        $"first_sec")
+      .join(ut.select($"user_id", $"event_type".as("type_c"),
+        $"last_sec"), "user_id")
+      .filter($"first_sec" < $"last_sec") // an interior point must fit
+    val witnessed = ev.select($"user_id", $"event_type".as("type_b"),
+        $"ts_sec")
+      .join(intervals, "user_id")
+      .filter($"ts_sec" > $"first_sec" && $"ts_sec" < $"last_sec")
+      .select($"user_id", $"type_a", $"type_b", $"type_c")
+      .distinct()
+    witnessed
+      .groupBy($"type_a", $"type_b", $"type_c")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"type_a", $"type_b", $"type_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_path_transitions" -> transitions _,
     "q_attribution" -> attribution _,
     "q_sessionize" -> sessionize _,
     "q_seq_support" -> seqSupport _,
+    "q_seq_support3" -> seqSupport3 _,
   )
 
   val oracles: Map[String, String] = Map(
+    // per-user (first_A, last_C) intervals, middle step witnessed by an
+    // event strictly inside — the same interval-membership spelling
+    "q_seq_support3" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    date_trunc('second', ts) AS t FROM events),
+        |ut AS (SELECT user_id, event_type, min(t) AS f, max(t) AS l
+        |  FROM ev GROUP BY 1, 2),
+        |iv AS (SELECT a.user_id, a.event_type AS type_a,
+        |    c.event_type AS type_c, a.f, c.l
+        |  FROM ut a JOIN ut c ON c.user_id = a.user_id AND a.f < c.l),
+        |w AS (SELECT DISTINCT e.user_id, i.type_a,
+        |    e.event_type AS type_b, i.type_c
+        |  FROM ev e JOIN iv i ON i.user_id = e.user_id
+        |    AND e.t > i.f AND e.t < i.l)
+        |SELECT type_a, type_b, type_c, CAST(count(*) AS BIGINT) AS n_users
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // per-(user, type) first/last occurrence, subsequence = min(A) < max(B)
     "q_seq_support" ->
       """WITH ut AS (SELECT user_id, event_type,

@@ -104,6 +104,56 @@ class PathsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("seq support3: interior witness required — min/max cannot fake it") {
+    import spark.implicits._
+    // user 1: B occurs ONLY outside (first A, last C) — B@05 before A@10,
+    // B@25 after C@20 — so A→B→C is NOT supported even though min(B) <
+    // max(C) and max(B) > min(A) (the exact case a min/max spelling gets
+    // wrong); user 2: a genuine interior B
+    val events = Seq(
+      (1L, 1L, "error", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "view", ts("2024-01-01 09:00:00")),
+      (1L, 3L, "view", ts("2024-01-01 13:00:00")),
+      (1L, 4L, "purchase", ts("2024-01-01 12:00:00")),
+      (2L, 5L, "error", ts("2024-01-01 10:00:00")),
+      (2L, 6L, "view", ts("2024-01-01 11:00:00")),
+      (2L, 7L, "purchase", ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Paths.seqSupport3Of(events)
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got(("error", "view", "purchase")) == 1L, got.toString) // user 2 only
+    // user 1 still supports error→purchase→view (purchase@12 inside
+    // (error@10, view@13)) — the interval machinery, not a fluke
+    assert(got(("error", "purchase", "view")) == 1L, got.toString)
+  }
+
+  test("seq support3: randomized property == brute force triple scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6961)
+    val types = Vector("a", "b", "c")
+    for (trial <- 1 to 4) {
+      val events = (0 until 50).map { i =>
+        (rnd.nextInt(5).toLong, i.toLong, types(rnd.nextInt(types.size)),
+          ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+      }
+      val byUser = events.groupBy(_._1)
+      val exp = (for {
+        ta <- types; tb <- types; tc <- types
+        users = byUser.count { case (_, es) =>
+          es.exists(x => x._3 == ta && es.exists(y => y._3 == tb &&
+            x._4.getTime < y._4.getTime && es.exists(z => z._3 == tc &&
+              y._4.getTime < z._4.getTime)))
+        }
+        if users > 0
+      } yield (ta, tb, tc, users.toLong)).toSet
+      val got = Paths.seqSupport3Of(
+          events.toDF("user_id", "event_id", "event_type", "ts"))
+        .as[(String, String, String, Long)].collect().toSet
+      assert(got == exp, s"trial $trial: ${got -- exp} / ${exp -- got}")
+    }
+  }
+
   test("seq support: randomized property — min/max trick == brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(4181)
