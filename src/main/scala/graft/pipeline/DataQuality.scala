@@ -197,7 +197,11 @@ object DataQuality {
 
   /** Thresholds for [[crossAudit]]: RI passes on this corpus; the other
     * three demonstrably fail (childless orders ~170 bp, ship-date
-    * inversions ~4860 bp, total mismatches ~9930 bp). */
+    * inversions ~4860 bp, and nearly every order-with-lines misses its
+    * stored total by >1%). Each rate uses the denominator of the
+    * population that can actually violate it — total_matches divides by
+    * orders WITH lines, so a childless order is charged only to
+    * order_has_lineitem. */
   val CrossThresholds: Seq[(String, Long)] = Seq(
     "order_has_lineitem" -> 9950L,
     "ri_lineitem_order" -> 9950L,
@@ -231,7 +235,11 @@ object DataQuality {
       expr("n_wl * 10000L div n_orders"), // order_has_lineitem
       expr("n_lm * 10000L div n_l"),      // ri_lineitem_order
       expr("n_do * 10000L div n_lm"),     // ship_after_order (matched denom)
-      expr("n_to * 10000L div n_orders")) // total_matches_sum_1pct
+      // denominator = orders WITH lines: a childless order can never satisfy
+      // the sum predicate and is already counted by order_has_lineitem —
+      // an n_orders denominator would double-charge it to two violation
+      // classes (r9 ADVICE)
+      expr("n_to * 10000L div n_wl"))     // total_matches_sum_1pct
     val rows = CrossThresholds.zip(bps).map { case ((cname, thr), bp) =>
       struct(lit(cname).as("check_name"), bp.as("measured_bp"),
         lit(thr).as("threshold_bp"),
@@ -363,7 +371,7 @@ object DataQuality {
         |  UNION ALL SELECT 'ship_after_order',
         |    CAST(n_do * 10000 // n_lm AS BIGINT), 9900 FROM g, tot
         |  UNION ALL SELECT 'total_matches_sum_1pct',
-        |    CAST(n_to * 10000 // n_orders AS BIGINT), 9000 FROM g, tot)
+        |    CAST(n_to * 10000 // n_wl AS BIGINT), 9000 FROM g, tot)
         |ORDER BY check_name""".stripMargin,
     "q_dq_by_partition" ->
       s"""WITH $dirtyCte

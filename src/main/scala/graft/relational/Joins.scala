@@ -255,8 +255,12 @@ object Joins {
     *
     * Shape at scale: ONE map-side-combinable key count (the corpus never
     * moves — partial counts do), a 1-row (total, key-count) aggregate
-    * crossJoined back onto the key-cardinality-bounded result. Exact
-    * integer basis points; verdict threshold identical in the oracle. */
+    * crossJoined back onto the key-cardinality-bounded result. The VERDICT
+    * compares unrounded (`n_rows · n_keys > 2 · n_total` ⇔ share > 2× fair)
+    * — the basis-point columns are display-only, because `10000 div n_keys`
+    * floors to 0 past 10 000 keys and a rounded comparison would flag every
+    * key in exactly the high-cardinality regime the diagnostic targets (r9
+    * ADVICE). Threshold identical in the oracle. */
   def skewDiagnose(s: SparkSession, dir: String): DataFrame =
     skewDiagnoseOf(Tables.events(s, dir))
 
@@ -271,9 +275,9 @@ object Joins {
     perKey.crossJoin(broadcast(tot))
       .select($"event_type", $"n_rows",
         expr("n_rows * 10000L div n_total").as("share_bp"),
-        expr("10000L div n_keys").as("fair_bp"))
-      .withColumn("action",
-        when($"share_bp" > $"fair_bp" * 2, "SALT").otherwise("OK"))
+        expr("10000L div n_keys").as("fair_bp"),
+        when($"n_rows" * $"n_keys" > $"n_total" * 2L, "SALT").otherwise("OK")
+          .as("action"))
       .orderBy($"event_type")
   }
 
@@ -379,7 +383,8 @@ object Joins {
         |  CAST(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) * d.type_n - d.type_cents AS BIGINT) AS dev_scaled
         |FROM events e JOIN d USING (event_type)
         |ORDER BY event_id""".stripMargin,
-    // per-key load share vs fair share, verdict threshold share > 2× fair
+    // per-key load share vs fair share; verdict unrounded (share > 2× fair
+    // as n_rows·n_keys > 2·n_total) — the bp columns are display-only
     "q_join_skew_diagnose" ->
       """WITH pk AS (SELECT event_type, count(*) AS n_rows
         |  FROM events GROUP BY 1),
@@ -388,7 +393,7 @@ object Joins {
         |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_rows * 10000 // n_total AS BIGINT) AS share_bp,
         |  CAST(10000 // n_keys AS BIGINT) AS fair_bp,
-        |  CASE WHEN n_rows * 10000 // n_total > (10000 // n_keys) * 2
+        |  CASE WHEN n_rows * n_keys > 2 * n_total
         |    THEN 'SALT' ELSE 'OK' END AS action
         |FROM pk, tot ORDER BY event_type""".stripMargin,
   )

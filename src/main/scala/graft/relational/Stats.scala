@@ -68,8 +68,17 @@ object Stats {
     val g = momentsOf(Tables.table(s, dir, "lineitem"))
     val rows = Pairs.map { case (vx, vy, xy, sx, qx, sy, qy) =>
       val cov = s"(n * $xy - $sx * $sy)"
+      // cov_num leaves Decimal(38) for the long output column; past ~sf100
+      // the n²-scaled covariance can exceed int64, where a bare cast would
+      // return silent NULL (ANSI off) while DuckDB's HUGEINT→BIGINT cast
+      // errors loudly — guard so both engines fail identically (r9 ADVICE):
+      // out-of-range aborts with a unit-coarsening message instead.
+      val covLong = s"CASE WHEN abs($cov) < CAST(4611686018427387904 AS DECIMAL(38,0))" +
+        s" THEN CAST($cov AS BIGINT)" +
+        s" ELSE CAST(raise_error('q_stats_corr cov_num exceeds int64 — " +
+        s"coarsen the hectodollar unit') AS BIGINT) END"
       struct(lit(vx).as("var_x"), lit(vy).as("var_y"), col("n").as("n"),
-        expr(cov).cast("long").as("cov_num"),
+        expr(covLong).as("cov_num"),
         expr(s"CAST((abs($cov) * abs($cov)) div (n * $qx - $sx * $sx)" +
           s" AS DECIMAL(38,0)) * 10000 div (n * $qy - $sy * $sy)")
           .as("corr2_bp"),

@@ -161,8 +161,9 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got("ri_lineitem_order") == 8000L)    // 4 of 5 (orphan)
     assert(got("ship_after_order") == 7500L)     // 3 of 4 matched
     // orders 1 AND 2 are sum-consistent (2's violation is the date, not
-    // the total — one violation class per order)
-    assert(got("total_matches_sum_1pct") == 5000L)
+    // the total); denominator = the 3 orders WITH lines — childless order
+    // 4 is charged only to order_has_lineitem (r9 ADVICE)
+    assert(got("total_matches_sum_1pct") == 6666L)
   }
 
   test("cross-table audit on the real tables: honest rates, RI passes") {

@@ -73,6 +73,20 @@ class JoinSkewSpec extends AnyFunSuite {
       ("hot", 60L, 6666L, 2500L, "SALT")), got.toString)
   }
 
+  test("skew diagnose: verdict stays honest past 10k keys (fair_bp floors to 0)") {
+    import spark.implicits._
+    // 15 000 keys: fair_bp = 10000 div 15000 = 0, so a ROUNDED comparison
+    // (share_bp > 2·fair_bp) would flag every key with any measurable share.
+    // 'warm' holds 2 rows = 2× the 1-row fair share exactly — NOT over the
+    // 2× line, so the unrounded verdict must keep it OK (r9 ADVICE).
+    val rows = (1 to 14999).map(i => (i.toLong, f"k$i%05d")) :+
+      (20001L, "warm") :+ (20002L, "warm")
+    val got = Joins.skewDiagnoseOf(rows.toDF("event_id", "event_type"))
+    assert(got.filter($"action" === "SALT").count() == 0L)
+    val warm = got.filter($"event_type" === "warm").collect().head
+    assert(warm.getLong(1) == 2L && warm.getLong(3) == 0L) // n_rows, fair_bp
+  }
+
   test("skew diagnose: a uniform key table raises no SALT verdict") {
     import spark.implicits._
     val rows = for (k <- Seq("a", "b", "c", "d"); i <- 1 to 25)

@@ -8,10 +8,11 @@ import SampleStream._
 
 /** Streaming bottom-k sample: a top-k under a total order is
   * order-independent, so the final emission must equal the batch bottom-k
-  * under ANY slicing — pinned on the real documents table with the repo's
-  * salted charFoldHash — plus checkpoint restart and the bottom-k
-  * distinct estimator's exact-below-capacity / bounded-error-at-capacity
-  * behavior.
+  * under ANY slicing — pinned on the real documents table hashed with the
+  * operator's mandated uniform `pmod(xxhash64(...), HashM)` key (NOT the
+  * salted charFoldHash, which SampleStream's contract rules out here) —
+  * plus checkpoint restart and the bottom-k distinct estimator's
+  * exact-below-capacity / bounded-error-at-capacity behavior.
   */
 class SampleStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
