@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Session cache hygiene for the library's internal `.cache()` sites.
+  *
+  * Operators here cache an expensive pass when more than one plan branch
+  * consumes it (the [[GraftSession]] cache-ownership convention). Those
+  * results are LAZY DataFrames, so the operator itself can never unpersist
+  * — the blocks must outlive the caller's terminal action — and before r10
+  * a long-lived library session that ran many such queries accumulated
+  * MEMORY_AND_DISK blocks indefinitely unless the owner knew to call
+  * `spark.catalog.clearCache()` (r8/r9 ADVICE).
+  *
+  * Every internal cache now registers itself here via [[Caches.cached]] (or
+  * the postfix [[Caches.CacheOps.graftCache]]); a session owner calls
+  * [[Caches.clear]] between logical jobs to unpersist exactly the blocks
+  * the library created — their own caches are untouched, unlike the
+  * `clearCache()` sledgehammer. `graft.Bench` and `graft.Verify` call it
+  * between queries; `CachesSpec` pins that a multi-query session ends with
+  * zero persistent graft RDDs after a clear.
+  */
+object Caches {
+
+  private val reg =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** `ds.cache()` (MEMORY_AND_DISK), registered for [[clear]]. */
+  def cached[T](ds: Dataset[T]): Dataset[T] = {
+    reg.add(ds.cache())
+    ds
+  }
+
+  /** Unpersist every cache the library registered since the last clear.
+    * Non-blocking: block deletion proceeds asynchronously, which is fine —
+    * the point is that the blocks are RELEASED, not that they vanish
+    * before the next statement. Safe to call at any time; in-flight
+    * queries recompute the pass (correctness is unaffected). */
+  def clear(): Unit = {
+    var ds = reg.poll()
+    while (ds != null) {
+      ds.unpersist(blocking = false)
+      ds = reg.poll()
+    }
+  }
+
+  /** Number of registered, not-yet-cleared caches (test visibility). */
+  private[graft] def registered: Int = reg.size()
+
+  /** Registered-but-not-cleared caches (test visibility). */
+  private[graft] def snapshot: List[Dataset[_]] = {
+    val b = List.newBuilder[Dataset[_]]
+    reg.forEach(ds => b += ds)
+    b.result()
+  }
+
+  /** Postfix spelling: `df.graftCache()` reads like `df.cache()` at the
+    * ~24 internal sites. */
+  implicit final class CacheOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def graftCache(): Dataset[T] = cached(ds)
+  }
+}

@@ -9,15 +9,17 @@ import org.apache.spark.sql.SparkSession
   * operator requires, without hunting for flags.
   *
   * Cache ownership convention: operators that consume an expensive pass
-  * from more than one plan branch mark it `.cache()` (MEMORY_AND_DISK) —
-  * the blocks materialize at the query's first action and make every reuse
-  * branch-local. The SESSION OWNER owns their lifetime: a long-lived
-  * session running many such queries should `spark.catalog.clearCache()`
-  * (plus `getPersistentRDDs.values.foreach(_.unpersist(false))` for
-  * checkpoint blocks) between logical jobs, exactly as `graft.Bench` and
-  * `graft.Verify` do between queries. The operators cannot unpersist for
-  * you: their results are lazy DataFrames, and dropping the blocks before
-  * the caller's terminal action would just recompute the pass per branch.
+  * from more than one plan branch mark it cached (MEMORY_AND_DISK, via
+  * [[graft.Caches.cached]]) — the blocks materialize at the query's first
+  * action and make every reuse branch-local. The SESSION OWNER owns their
+  * lifetime: a long-lived session running many such queries calls
+  * `graft.Caches.clear()` between logical jobs — it unpersists exactly the
+  * library-registered caches, leaving the owner's own cached relations
+  * alone (plus `getPersistentRDDs.values.foreach(_.unpersist(false))` for
+  * checkpoint blocks) — exactly as `graft.Bench` and `graft.Verify` do
+  * between queries. The operators cannot unpersist for you: their results
+  * are lazy DataFrames, and dropping the blocks before the caller's
+  * terminal action would just recompute the pass per branch.
   */
 object GraftSession {
 

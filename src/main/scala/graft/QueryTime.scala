@@ -27,6 +27,7 @@ object QueryTime {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        Caches.clear()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         println(f"[qtime] $qn run $i: $dt%.3f s ($n rows)")

@@ -39,7 +39,9 @@ object Verify {
         status(name) = (-1L, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
       // per-query working-set caches: don't let 64 queries accumulate
-      // (clearCache = SQL relations; unpersist = RDD-level checkpoint blocks)
+      // (Caches.clear = the library's registered caches; clearCache = any
+      // other SQL relations; unpersist = RDD-level checkpoint blocks)
+      Caches.clear()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -45,14 +45,23 @@ object Curation {
     * filter needs: long verbatim eval passages CANNOT escape; only
     * sub-threshold fragments can. Same broadcast-eval-side join shape as
     * [[decontaminate]] — at 100 TB the eval fingerprint set stays tiny
-    * and the corpus side never shuffles for the probe. */
+    * and the corpus side never shuffles for the probe.
+    *
+    * ONE fingerprint pass (r9 verdict #1): the corpus is tokenized and
+    * winnowed once with an `is_eval` flag carried through, the distinct
+    * fingerprint table is cached ([[graft.Caches]]), and the eval/corpus
+    * split is two narrow filters over the cached pass — the previous
+    * two-disjoint-filter spelling decoded the documents table twice and
+    * its recompute-heavy lineage inflated 6× under box contention. The
+    * cache spills (MEMORY_AND_DISK) rather than recomputes at scale. */
   def decontaminateWinnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.table(s, dir, "documents")
-    val ev = Winnowing.winnowFpOf(docs.filter($"source" === EvalSource))
-      .select($"fp").distinct()
-    Winnowing.winnowFpOf(docs.filter($"source" =!= EvalSource))
-      .select($"doc_id", $"fp").distinct()
+    val fps = graft.Caches.cached(
+      Winnowing.winnowFpWith(Tables.table(s, dir, "documents"), Seq("source"))
+        .select($"doc_id", $"fp", ($"source" === EvalSource).as("is_eval"))
+        .distinct())
+    val ev = fps.filter($"is_eval").select($"fp").distinct()
+    fps.filter(!$"is_eval").select($"doc_id", $"fp")
       .join(broadcast(ev), "fp")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hits"))

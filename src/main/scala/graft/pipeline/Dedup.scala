@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -59,7 +60,7 @@ object Dedup {
     docs
       .select($"doc_id", shingleMd5(tokens($"text")).as("bh"))
       .select($"doc_id", minhashSigRot($"bh", MinhashK).as("sig"))
-      .cache()
+      .graftCache()
   }
 
   /** Banded LSH candidate pairs from a (doc_id, sig) table: bucket-join on
@@ -116,7 +117,7 @@ object Dedup {
     // replays 3× (the r8 cache-placement sweep; MEMORY_AND_DISK). Block
     // lifetime belongs to the session owner — clearCache between jobs,
     // see the [[graft.GraftSession]] cache-ownership convention.
-    val sg = sigsOf(docs).cache()
+    val sg = sigsOf(docs).graftCache()
     bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
@@ -152,7 +153,7 @@ object Dedup {
     val docs = Tables.table(s, dir, "documents")
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id", array_distinct(shingles3($"w")).as("sh"), shingleMd5($"w").as("bh"))
-      .cache()
+      .graftCache()
       .select($"doc_id", $"sh", minhashSigRot($"bh", MinhashK).as("sig"))
     val cand = bandCandidates(docs.select($"doc_id", $"sig"))
     cand
@@ -189,7 +190,7 @@ object Dedup {
     val fp = Tables.table(s, dir, "documents")
       .select($"doc_id", transform(tokens($"text"), t => charFoldHash(t)).as("hs"))
       .select($"doc_id", simhash($"hs", 32).as("fp"))
-      .cache()
+      .graftCache()
     val bands = dropHotBuckets(
       fp.select($"doc_id", $"fp", explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -233,7 +234,7 @@ object Dedup {
       .withColumn("n2", qdot($"q", $"q"))
       .withColumn("bkt", Similarity.bucket($"q", planes))
       // two plan branches (probe side + candidate side): materialize once
-      .cache()
+      .graftCache()
     val probes = e.select($"vec_id", $"q", $"n2",
       explode(array($"bkt" +:
         (0 until planes).map(p => $"bkt".bitwiseXOR(lit(1L << p))): _*)).as("bkt"))
@@ -301,7 +302,7 @@ object Dedup {
       s: SparkSession, cellsIn: DataFrame, maxCell: Int): DataFrame = {
     import s.implicits._
     val dec38 = DecimalType(38, 0)
-    val all = cellsIn.cache() // size count + both sides of the self-join
+    val all = cellsIn.graftCache() // size count + both sides of the self-join
     // over-MaxCell cells reduce to a tiny (cell) list via map-side-combinable
     // count, broadcast, and anti-join — the corpus side never shuffles for it
     val hot = all.groupBy($"cell").agg(count(lit(1)).as("csz"))
@@ -384,7 +385,7 @@ object Dedup {
     // cached: the LSH candidates→verify pipeline is the dominant cost and
     // the power iteration's seed and edge list both consume it
     val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
-      .select($"doc_a", $"doc_b").cache()
+      .select($"doc_a", $"doc_b").graftCache()
     Components.pageRank(pairs, PageRankIters)
       .select($"node".as("doc_id"), $"rank_micro")
       .orderBy($"doc_id")
@@ -401,7 +402,7 @@ object Dedup {
     // cached: both the BFS edge list and the components pass replay the
     // LSH pair pipeline otherwise
     val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
-      .select($"doc_a", $"doc_b").cache()
+      .select($"doc_a", $"doc_b").graftCache()
     Components.hopsFromRoots(pairs)
       .select($"node".as("doc_id"), $"root".as("cluster_id"), $"hops")
       .orderBy($"doc_id")
@@ -427,7 +428,7 @@ object Dedup {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
     // cached: feeds candidates + both verify sides (minhashPairs rationale)
-    val sg = sigsOf(docs).cache()
+    val sg = sigsOf(docs).graftCache()
     val scored = bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
@@ -435,7 +436,7 @@ object Dedup {
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x))
       .select($"doc_a", $"doc_b", $"matches")
-      .cache() // consumed by the pair histogram AND the doc-coverage pass
+      .graftCache() // consumed by the pair histogram AND the doc-coverage pass
     val thr = (1 to MinhashK).toDF("threshold")
     val pairHist = scored.groupBy($"matches").agg(count(lit(1)).as("np"))
     val nPairs = pairHist.join(broadcast(thr), $"matches" >= $"threshold")
@@ -463,7 +464,7 @@ object Dedup {
     import s.implicits._
     // cached: degree, triangle, and join branches share the LSH pipeline
     val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
-      .select($"doc_a", $"doc_b").cache()
+      .select($"doc_a", $"doc_b").graftCache()
     Components.clusteringCoefficients(pairs)
       .select($"node".as("doc_id"), $"degree", $"n_tri", $"cc_bp")
       .orderBy($"doc_id")
@@ -486,7 +487,7 @@ object Dedup {
     // cached: the LSH candidates→verify pipeline would otherwise replay
     // once per LPA round's lineage
     val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
-      .select($"doc_a", $"doc_b").cache()
+      .select($"doc_a", $"doc_b").graftCache()
     Components.labelPropagation(pairs, LpaRounds)
       .select($"node".as("doc_id"), $"label".as("community"))
       .orderBy($"doc_id")
@@ -522,7 +523,7 @@ object Dedup {
     // — the inverted-index join shuffles 32-char hashes, never gram text
     val base = docs
       .select($"doc_id", array_distinct(shingleMd5(tokens($"text"))).as("sh"))
-      .cache()
+      .graftCache()
     require(base.count() <= MaxRecallAuditDocs,
       s"recallAudit's exact truth join is unguarded — audit-scale only " +
         s"(≤ $MaxRecallAuditDocs docs); run it on a sample at corpus scale")
@@ -621,7 +622,7 @@ object Dedup {
     // inv) the sizes and both self-join sides — caching only `inv` (the r7
     // placement) still replayed the shingle pass once for `hot`
     // (MEMORY_AND_DISK, so at scale it spills rather than recomputes)
-    val all = base.select($"doc_id", explode($"sh").as("g")).cache()
+    val all = base.select($"doc_id", explode($"sh").as("g")).graftCache()
     val hot = all.groupBy($"g").agg(count(lit(1)).as("c"))
       .filter($"c" > MaxShingleBucket).select($"g")
     val inv = all.join(broadcast(hot), Seq("g"), "left_anti")

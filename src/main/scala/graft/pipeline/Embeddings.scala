@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -111,7 +112,7 @@ object Embeddings {
           s"named_struct('m', m, 'q', slice(qf, m * $PqDim + 1, $PqDim)))")).as("s"))
       .select($"vec_id", $"s.m".cast("int").as("m"), $"s.q".as("q"))
       .withColumn("n2", qdot($"q", $"q"))
-      .cache()
+      .graftCache()
     // seeds: subspace m's first PqK subvectors (same rule as the IVF model)
     val seeds = sub.filter($"vec_id" < PqK)
       .select($"m", $"vec_id".as("cid"), $"q".as("cq"))
@@ -207,7 +208,7 @@ object Embeddings {
         transform($"dm", x => x.getField("mean_micro")).as("m"))
       .withColumn("n2", qdot($"m", $"m"))
       .filter($"n2" > 0)
-      .cache()
+      .graftCache()
     val a = cents.select($"source".as("src_a"), $"m".as("ma"),
       $"n2".as("na2"), $"n_vecs".as("n_a"))
     val b = cents.select($"source".as("src_b"), $"m".as("mb"),

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -215,7 +216,7 @@ object Retrieval {
     import s.implicits._
     val e = Tables.table(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
-      .cache() // three branches: query universe, both brute-force sides
+      .graftCache() // three branches: query universe, both brute-force sides
     require(e.count() <= MaxRecallVecs,
       s"annRecallKnn's exact baseline is N² — audit-scale only " +
         s"(≤ $MaxRecallVecs vectors); run it on a sample at corpus scale")
@@ -288,7 +289,7 @@ object Retrieval {
     val pairs = probes.join(cand, Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"rn", qdot($"qv", $"q").as("dot"))
-      .cache()
+      .graftCache()
     val sweep = KnnSweep.toDF("nprobe")
     val sp = pairs.join(broadcast(sweep), $"rn" <= $"nprobe")
     val w = Window.partitionBy($"nprobe", $"query_id").orderBy($"dot".desc, $"vec_id")

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -80,7 +81,7 @@ object Similarity {
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("bkt", bucket($"q", planes))
       // two plan branches (queries + candidates): materialize once
-      .cache()
+      .graftCache()
     val flipMasks: Seq[Long] = Seq(0L) ++
       (if (probeRadius >= 1) (0 until planes).map(p => 1L << p) else Seq.empty) ++
       (if (probeRadius >= 2)
@@ -125,7 +126,7 @@ object Similarity {
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cells = ivfCells(s, dir).cache() // two branches below: queries + candidates
+    val cells = ivfCells(s, dir).graftCache() // two branches below: queries + candidates
     val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
     cells.filter($"vec_id" < QueryVecs)
       .select($"vec_id".as("query_id"), $"q".as("qv"), $"cell")
@@ -163,7 +164,7 @@ object Similarity {
   private def probeQuery(
       s: SparkSession, cents: DataFrame, cellsRaw: DataFrame): DataFrame = {
     import s.implicits._
-    val cells = cellsRaw.cache() // two branches: probe ranking + candidates
+    val cells = cellsRaw.graftCache() // two branches: probe ranking + candidates
     val pw = Window.partitionBy($"query_id").orderBy($"d", $"cid")
     val probes = cells.filter($"vec_id" < QueryVecs)
       .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
@@ -239,7 +240,7 @@ object Similarity {
     import s.implicits._
     val centArr: Seq[(Long, Seq[Long], Long)] = centroidArrayOf(centsDf)
     val cl = typedLit(centArr)
-    // No .cache() here (r9): both branches below usually read a persisted-
+    // No .graftCache() here (r9): both branches below usually read a persisted-
     // index parquet ([[ivfModel]]) — re-scanning it twice is cheaper than a
     // MEMORY_AND_DISK copy a library caller in a long-lived session would
     // have to remember to clearCache (the r8 "already cached" warnings).
@@ -521,7 +522,7 @@ object Similarity {
     import s.implicits._
     val e = eIn
       .withColumn("n2", qdot($"q", $"q"))
-      .cache()
+      .graftCache()
     // nearest centroid per vector: cid is unique within a group, so the
     // lexicographic (d, cid) min is deterministic; q rides along in the
     // struct (never compared — cid already breaks every tie)
@@ -548,7 +549,7 @@ object Similarity {
     }
     val seeds = e.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"))
-    // Each refined centroid table is K rows. `.cache()` alone left the fold
+    // Each refined centroid table is K rows. `.graftCache()` alone left the fold
     // LAZY: the final plan referenced every iteration's lineage, and the
     // first action materialized the whole chain as one deep job graph whose
     // concurrent branches raced to fill the same cache blocks ("Block

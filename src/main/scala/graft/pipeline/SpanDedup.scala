@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -65,7 +66,7 @@ object SpanDedup {
     // residency; the branch structure is identical either way.
     val base = docs
       .select($"doc_id", shingleMd5(tokens($"text"), SpanK).as("hs"))
-      .cache()
+      .graftCache()
     val sp = base.select($"doc_id", explode($"hs").as("h"))
     val dup = sp.groupBy($"h").agg(count(lit(1)).as("n"))
       .filter($"n" > 1).select($"h")
@@ -101,7 +102,7 @@ object SpanDedup {
     // identical (r5 bench: the triple ShingleMd5 pass was 2/3 of the 22.6 s).
     val base = docs
       .select($"doc_id", shingleMd5(tokens($"text"), SpanK).as("hs"))
-      .cache()
+      .graftCache()
     val spans0 = base.select($"doc_id", explode($"hs").as("h"))
     val batch = spans0.filter($"doc_id" % 2 === 1)
     val corpus = spans0.filter($"doc_id" % 2 === 0)

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -735,7 +736,7 @@ object TextAnalysis {
       .select($"doc_id", $"term",
         ($"tf" * floor(log($"n".cast("double") / $"df") * 1e2).cast("long"))
           .as("wt"))
-      .cache()
+      .graftCache()
     val norms = wts.groupBy($"doc_id").agg(sum($"wt" * $"wt").as("n2"))
     val cand = Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b")
     cand

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,11 +48,21 @@ object Winnowing {
     * `PipelineStreamSpec` pins streaming ≡ batch. */
   def winnowFpOf(docs: DataFrame): DataFrame = fingerprints(docs)
 
-  /** The unsorted `(doc_id, pos, fp)` fingerprint table ([[winnowPairs]]
-    * feeds it straight into a shuffle, where the sort would be dead work). */
-  private def fingerprints(docs: DataFrame): DataFrame = {
+  /** [[winnowFpOf]] with passthrough columns carried beside `doc_id` —
+    * lets a caller fingerprint a MIXED corpus in ONE pass and split it
+    * afterwards by a flag column instead of running the tokenize→gram-hash→
+    * winnow pipeline once per disjoint filter
+    * ([[Curation.decontaminateWinnow]], r9 verdict #1). */
+  private[pipeline] def winnowFpWith(docs: DataFrame, extra: Seq[String]): DataFrame =
+    fingerprints(docs, extra)
+
+  /** The unsorted `(doc_id[, extra...], pos, fp)` fingerprint table
+    * ([[winnowPairs]] feeds it straight into a shuffle, where the sort
+    * would be dead work). */
+  private def fingerprints(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val carry = col("doc_id") +: extra.map(col)
     // 1-based gram positions; window j covers grams j .. j+W-1; argmin
     // seeded at j and folded left→right with `<=` so ties land rightmost.
     val selected = expr(
@@ -61,10 +72,10 @@ object Winnowing {
          |    (acc, i) -> IF(element_at(hs, i) <= acc.fp,
          |      named_struct('pos', i, 'fp', element_at(hs, i)), acc))))""".stripMargin)
     docs
-      .select($"doc_id", shingleMd5(tokens($"text"), K).as("hs"))
+      .select(carry :+ shingleMd5(tokens($"text"), K).as("hs"): _*)
       .filter(size($"hs") >= W)
-      .select($"doc_id", explode(selected).as("s"))
-      .select($"doc_id", $"s.pos".as("pos"), $"s.fp".as("fp"))
+      .select(carry :+ explode(selected).as("s"): _*)
+      .select(carry :+ $"s.pos".as("pos") :+ $"s.fp".as("fp"): _*)
   }
 
   /** Hot-fingerprint guard for [[winnowPairs]] — the [[Dedup.MaxBucket]]
@@ -88,7 +99,7 @@ object Winnowing {
     // cache-placement fix; MEMORY_AND_DISK, so at scale it spills rather
     // than recomputes)
     val uf = fingerprints(Tables.table(s, dir, "documents"))
-      .select($"doc_id", $"fp").distinct().cache()
+      .select($"doc_id", $"fp").distinct().graftCache()
     val hot = uf.groupBy($"fp").agg(count(lit(1)).as("c"))
       .filter($"c" > MaxFpBucket).select($"fp")
     val cl = uf.join(broadcast(hot), Seq("fp"), "left_anti")

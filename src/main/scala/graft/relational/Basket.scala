@@ -1,5 +1,6 @@
 package graft.relational
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,7 +39,7 @@ object Basket {
     val li = lineitem
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .distinct()
-      .cache()
+      .graftCache()
     val freq = li.groupBy($"p").agg(count(lit(1)).as("c"))
     // Apriori pruning: pair support ≤ min(c1, c2), so parts in fewer than
     // MinSupport orders can never reach the gate — drop their postings

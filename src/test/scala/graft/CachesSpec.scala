@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library cache hygiene (r8/r9 ADVICE): internal multi-branch caches
+  * register in [[Caches]] and a single `Caches.clear()` releases them all —
+  * a long-lived session running many queries accumulates NO graft blocks,
+  * while the session owner's own caches are left untouched. Assertions are
+  * per-dataset (`storageLevel`), not on the global persistent-RDD map,
+  * because sbt runs suites in parallel on one shared session.
+  */
+class CachesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("multi-query session: clear() releases every library cache") {
+    val before = Caches.snapshot.toSet
+    // three cache-heavy query families back to back, fully materialized
+    graft.pipeline.Dedup.minhash(spark, sf).count()
+    graft.pipeline.Winnowing.winnowPairs(spark, sf).count()
+    graft.relational.Basket.basketPairs(spark, sf).count()
+    val mine = Caches.snapshot.filterNot(before)
+    assert(mine.nonEmpty, "queries should have registered caches")
+    assert(mine.forall(_.storageLevel != StorageLevel.NONE),
+      "registered caches should be persisted before the clear")
+    Caches.clear()
+    assert(mine.forall(_.storageLevel == StorageLevel.NONE),
+      "clear() must unpersist every registered cache")
+  }
+
+  test("clear() leaves the session owner's own caches alone") {
+    import spark.implicits._
+    val mine = Seq(1, 2, 3).toDF("x").cache()
+    try {
+      mine.count()
+      graft.pipeline.Dedup.minhash(spark, sf).count()
+      Caches.clear()
+      assert(mine.storageLevel != StorageLevel.NONE,
+        "the owner's own cache must survive a library clear")
+    } finally mine.unpersist(blocking = false)
+  }
+}
