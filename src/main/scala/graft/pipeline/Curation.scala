@@ -242,17 +242,20 @@ object Curation {
   }
 
   /** THE WHOLE PIPELINE as one declared plan — the run a pretraining data
-    * job actually executes, end to end: quality gate → eval-source
-    * EXCLUSION + shingle decontamination (the eval set never trains AND
-    * nothing overlapping it does) → MinHash-LSH near-dedup with
-    * transitive closure, keeping cluster canonicals → deterministic
-    * salted sample → hierarchical-prefix-sum sequence PACKING of the
-    * survivors. Output is the training manifest: (doc_id, source,
-    * pack_id, n_tok). Every stage is individually oracled elsewhere; this
-    * pins that the COMPOSITION survives Catalyst whole-plan optimization
-    * and stays correct — and its plan inherits each stage's scale story
-    * (broadcast eval probe, guarded banded LSH, one-shuffle-per-round
-    * closure, no corpus-sized single-partition stage in the packing). */
+    * job actually executes, end to end: quality gate → C4/Gopher LINE
+    * gate ([[LineClean.lineGateFails]] — r10: the standard web-corpus
+    * line-level cleaning stage, dup-line fraction + surviving-line floor)
+    * → eval-source EXCLUSION + shingle decontamination (the eval set
+    * never trains AND nothing overlapping it does) → MinHash-LSH
+    * near-dedup with transitive closure, keeping cluster canonicals →
+    * deterministic salted sample → hierarchical-prefix-sum sequence
+    * PACKING of the survivors. Output is the training manifest: (doc_id,
+    * source, pack_id, n_tok). Every stage is individually oracled
+    * elsewhere; this pins that the COMPOSITION survives Catalyst
+    * whole-plan optimization and stays correct — and its plan inherits
+    * each stage's scale story (narrow per-row line gate, broadcast eval
+    * probe, guarded banded LSH, one-shuffle-per-round closure, no
+    * corpus-sized single-partition stage in the packing). */
   /** [[pipelineFull]] contamination-gram length (tokens). */
   val FullDeconK = 8
 
@@ -260,6 +263,7 @@ object Curation {
     import s.implicits._
     val gated = Tables.table(s, dir, "documents")
       .filter(size(tokens($"text")) >= MinTokens)
+      .filter(!LineClean.lineGateFails($"doc_id", $"text"))
     val corpus = gated.filter($"source" =!= EvalSource)
     // contamination grams are LONG ([[FullDeconK]] tokens, the
     // production-13-gram convention scaled to this corpus): the reporting
@@ -303,25 +307,27 @@ object Curation {
 
   /** PIPELINE ATTRITION WATERFALL — the per-stage drop attribution report
     * for [[pipelineFull]]: every document is attributed to the FIRST stage
-    * that drops it (short → eval-excluded → contaminated → near-dup
-    * non-canonical → not-sampled → kept), and the output is the
+    * that drops it (short → line-gate → eval-excluded → contaminated →
+    * near-dup non-canonical → not-sampled → kept), and the output is the
     * stage-count-sized (stage, n_docs, n_tokens) table a pipeline owner
     * reads before believing the final corpus ("where did my tokens go?").
     * The flags come from the SAME populations pipelineFull computes —
     * dirty set from the gated corpus, clusters from the decontaminated
-    * survivors — so `6_kept` here is BY CONSTRUCTION the pipelineFull
+    * survivors — so `7_kept` here is BY CONSTRUCTION the pipelineFull
     * document set (pinned in `CurationSpec`).
     *
     * Shape at scale: the attribution pass is the pipelineFull plan minus
     * packing, with the corpus-sized joins replaced by LEFT joins against
     * the (small) dirty and cluster maps and one CASE projection; the
-    * output aggregate is stage-bounded and map-side combinable. */
+    * line-gate flag is a narrow per-row lambda; the output aggregate is
+    * stage-bounded and map-side combinable. */
   def pipelineWaterfall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
       .select($"doc_id", $"source", $"text",
-        size(tokens($"text")).cast("long").as("n_tok"))
-    val gated = docs.filter($"n_tok" >= MinTokens)
+        size(tokens($"text")).cast("long").as("n_tok"),
+        LineClean.lineGateFails($"doc_id", $"text").as("line_fail"))
+    val gated = docs.filter($"n_tok" >= MinTokens && !$"line_fail")
     val corpus = gated.filter($"source" =!= EvalSource)
     val evalSh = gated.filter($"source" === EvalSource)
       .select(explode(array_distinct(
@@ -342,13 +348,14 @@ object Curation {
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("stage",
         when($"n_tok" < MinTokens, "1_gate_short")
-          .when($"source" === EvalSource, "2_eval_excluded")
-          .when($"is_dirty", "3_contaminated")
+          .when($"line_fail", "2_line_gate")
+          .when($"source" === EvalSource, "3_eval_excluded")
+          .when($"is_dirty", "4_contaminated")
           .when($"cluster_id".isNotNull && $"cluster_id" =!= $"doc_id",
-            "4_near_dup")
+            "5_near_dup")
           .when(charFoldHash(concat(lit("full:"), $"doc_id".cast("string")))
-            % 100 >= CuratePct, "5_not_sampled")
-          .otherwise("6_kept"))
+            % 100 >= CuratePct, "6_not_sampled")
+          .otherwise("7_kept"))
       .groupBy($"stage")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
       .orderBy($"stage")
@@ -379,7 +386,12 @@ object Curation {
       s"""WITH RECURSIVE base AS (
          |  SELECT doc_id, source, text, ${duckTokens("text")} AS w
          |  FROM documents),
-         |gated AS (SELECT * FROM base WHERE len(w) >= $MinTokens),
+         |${LineClean.duckLineGateCte("documents")},
+         |lfail AS (SELECT doc_id FROM lcm
+         |  WHERE n_dup * 10 > n_lines * ${LineClean.MaxDupTenths}
+         |     OR n_kept < ${LineClean.MinKeptLines}),
+         |gated AS (SELECT * FROM base WHERE len(w) >= $MinTokens
+         |  AND doc_id NOT IN (SELECT doc_id FROM lfail)),
          |corpus AS (SELECT * FROM gated WHERE source <> '$EvalSource'),
          |evsh AS (SELECT DISTINCT unnest(list_distinct($kGrams)) AS sh
          |  FROM gated WHERE source = '$EvalSource'),
@@ -401,14 +413,16 @@ object Curation {
          |  FROM walk GROUP BY node),
          |att AS (SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_tok,
          |    CASE WHEN len(b.w) < $MinTokens THEN '1_gate_short'
-         |         WHEN b.source = '$EvalSource' THEN '2_eval_excluded'
+         |         WHEN b.doc_id IN (SELECT doc_id FROM lfail)
+         |           THEN '2_line_gate'
+         |         WHEN b.source = '$EvalSource' THEN '3_eval_excluded'
          |         WHEN b.doc_id IN (SELECT doc_id FROM dirty)
-         |           THEN '3_contaminated'
+         |           THEN '4_contaminated'
          |         WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> b.doc_id
-         |           THEN '4_near_dup'
+         |           THEN '5_near_dup'
          |         WHEN ${duckCharFold("'full:' || CAST(b.doc_id AS VARCHAR)")} % 100
-         |             >= $CuratePct THEN '5_not_sampled'
-         |         ELSE '6_kept' END AS stage
+         |             >= $CuratePct THEN '6_not_sampled'
+         |         ELSE '7_kept' END AS stage
          |  FROM base b LEFT JOIN cl ON cl.doc_id = b.doc_id)
          |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
@@ -531,9 +545,14 @@ object Curation {
       val kGrams = s"CASE WHEN len(w) >= $FullDeconK THEN " +
         s"list_transform(generate_series(1, len(w) - ${FullDeconK - 1}), " +
         s"i -> md5('|' || concat_ws(' ', $kParts))) ELSE [] END"
-      s"""WITH RECURSIVE gated AS (
+      s"""WITH RECURSIVE ${LineClean.duckLineGateCte("documents")},
+         |lfail AS (SELECT doc_id FROM lcm
+         |  WHERE n_dup * 10 > n_lines * ${LineClean.MaxDupTenths}
+         |     OR n_kept < ${LineClean.MinKeptLines}),
+         |gated AS (
          |  SELECT *, ${duckTokens("text")} AS w FROM documents
-         |  WHERE len(${duckTokens("text")}) >= $MinTokens),
+         |  WHERE len(${duckTokens("text")}) >= $MinTokens
+         |    AND doc_id NOT IN (SELECT doc_id FROM lfail)),
          |corpus AS (SELECT * FROM gated WHERE source <> '$EvalSource'),
          |evsh AS (SELECT DISTINCT unnest(list_distinct($kGrams)) AS sh
          |  FROM gated WHERE source = '$EvalSource'),

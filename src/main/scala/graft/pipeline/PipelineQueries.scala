@@ -12,7 +12,7 @@ object PipelineQueries {
       Curation.queries ++ Embeddings.queries ++ Mixture.queries ++
       HeavyHitters.queries ++ Profiling.queries ++ Layout.queries ++
       Retrieval.queries ++ Tokenizer.queries ++ Winnowing.queries ++
-      EntityResolution.queries ++ DataQuality.queries
+      EntityResolution.queries ++ DataQuality.queries ++ LineClean.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ SpanDedup.oracles ++ Similarity.oracles ++
@@ -20,5 +20,5 @@ object PipelineQueries {
       Curation.oracles ++ Embeddings.oracles ++ Mixture.oracles ++
       HeavyHitters.oracles ++ Profiling.oracles ++ Layout.oracles ++
       Retrieval.oracles ++ Tokenizer.oracles ++ Winnowing.oracles ++
-      EntityResolution.oracles ++ DataQuality.oracles
+      EntityResolution.oracles ++ DataQuality.oracles ++ LineClean.oracles
 }

@@ -180,7 +180,7 @@ class CurationSpec extends AnyFunSuite {
     assert(!flagged.contains(200L))
   }
 
-  test("waterfall: full coverage, and 6_kept == the pipelineFull doc set") {
+  test("waterfall: full coverage, and 7_kept == the pipelineFull doc set") {
     val sf = "/root/testdata/sf0.001"
     val wf = Curation.pipelineWaterfall(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -191,10 +191,10 @@ class CurationSpec extends AnyFunSuite {
     // construction — this pins it)
     val kept = Curation.pipelineFull(spark, sf)
       .select("doc_id").distinct().count()
-    assert(wf("6_kept")._1 == kept, s"waterfall ${wf.get("6_kept")} vs full $kept")
-    // attrition is real on this corpus: at least gate, near-dup, sample
-    // and kept stages are populated
-    assert(Seq("1_gate_short", "4_near_dup", "5_not_sampled", "6_kept")
-      .forall(wf.contains), wf.keySet.toString)
+    assert(wf("7_kept")._1 == kept, s"waterfall ${wf.get("7_kept")} vs full $kept")
+    // attrition is real on this corpus: at least gate, line-gate, near-dup,
+    // sample and kept stages are populated
+    assert(Seq("1_gate_short", "2_line_gate", "5_near_dup", "6_not_sampled",
+      "7_kept").forall(wf.contains), wf.keySet.toString)
   }
 }

@@ -54,6 +54,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // from the query-set join side (q_ann_recall_ivf lost its entry in r8:
     // the shared IVF model serves cells from parquet, no filterable join)
     "q_ann_recall_pq",
+    // InjectRuntimeFilter again (r10): the cluster-map side of the
+    // keep-filter join became a checkpointed-RDD scan (Components now
+    // checkpoints its input pair lineage), so Spark builds a 1-row bloom
+    // from the gated-docs side — a bounded runtime-filter aggregate
+    "q_pipeline_curate_near",
     "q_text_tfidf_pairs", // 1-row doc-count aggregate for the idf
     "q_index_refresh", // 1-row snapshot-baseline mean-error aggregate
     // the ONE-PASS metric/constraint aggregate: the whole suite reduces to
