@@ -44,7 +44,13 @@ object Bench {
     val ivfT0 = System.nanoTime()
     try graft.pipeline.Similarity.annIvfProbe(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // the knn join's own K=32 index (r10) is a second one-time build —
+    // same untimed treatment, folded into the same emitted metric
+    try graft.pipeline.Similarity.trainIndex(
+      spark, sfDir, graft.pipeline.Similarity.KnnK)
+    catch { case _: Throwable => () }
     val ivfBuildSec = (System.nanoTime() - ivfT0) / 1e9
+    Caches.clear()
     spark.catalog.clearCache()
     // name-sorted for stable warmup attribution run-to-run
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -243,59 +243,74 @@ object Retrieval {
     * fires instead of the job silently running quadratic). */
   val MaxRecallVecs = 10000L
 
-  /** Probed-cell counts swept by [[annRecallFrontier]] — brackets the
-    * shipped [[Similarity.KnnNprobe]] operating point on both sides, ends
-    * at K (= full scan modulo the hot-cell guard: the 100%-recall anchor
-    * that proves the sweep's top end). */
-  val KnnSweep: Seq[Long] = Seq(2L, 4L, 6L, 8L, 12L, 16L)
+  /** (K, nprobe) grid swept by [[annRecallFrontier]] — per trained index
+    * size K, the probed-cell counts bracket the shipped operating point on
+    * both sides and end at K (= full scan modulo the hot-cell guard: the
+    * 100%-recall anchor that proves each sweep's top end). The two Ks are
+    * the shared serving index ([[Similarity.IvfK]]) and the knn join's own
+    * [[Similarity.KnnK]] (r9 measured K=32 ~ +4 recall points over K=16 at
+    * matched candidate cost; r10 ships it). */
+  val KnnSweep: Seq[(Int, Seq[Long])] = Seq(
+    (Similarity.IvfK, Seq(2L, 4L, 6L, 8L, 12L, 16L)),
+    (Similarity.KnnK, Seq(4L, 8L, 12L, 16L, 24L, 32L)))
 
   /** The RECALL/COST FRONTIER of the guarded kNN similarity join — one row
-    * per [[KnnSweep]] probe count: mean recall@[[RecallK]] (basis points,
-    * exact integer) and the candidate-pair count actually scored. This is
-    * the measurement that PICKS [[Similarity.KnnNprobe]] (r9: nprobe=8 is
-    * the cheapest swept point ≥ 80% recall@3 at both audit SFs — on this
-    * near-uniform synthetic corpus recall tracks the scan fraction, IVF's
-    * worst case; a clustered corpus bends the curve up and the same sweep
-    * finds the knee). Declared and oracle-gated so the frontier is a
+    * per [[KnnSweep]] (K, nprobe) point: mean recall@[[RecallK]] (basis
+    * points, exact integer) and the candidate-pair count actually scored.
+    * This is the measurement that PICKS ([[Similarity.KnnK]],
+    * [[Similarity.KnnNprobe]]) — on this near-uniform synthetic corpus
+    * recall tracks the scan fraction almost linearly (IVF's worst case),
+    * and at a matched scan fraction the finer K=32 partition probes
+    * closer-fitting cells, buying more recall per candidate pair; a
+    * clustered corpus bends the curves further apart and the same sweep
+    * finds the knee. Declared and oracle-gated so the frontier is a
     * durable artifact, re-measured per corpus snapshot.
     *
-    * Scale shape: ONE probe ranking pass (the knnJoin literal-array argmin,
-    * extended to rank all K cells via posexplode), ONE cell equi-join, the
-    * 6-row sweep table broadcast onto the pair stream (`rn <= nprobe` —
-    * bounded BNLJ), one (nprobe, query) window for top-k, one exact-baseline
-    * pass shared across sweep points. AUDIT-SCALE-ONLY like [[annRecallKnn]]
-    * (the baseline is N² — same [[MaxRecallVecs]] require; sample at 100 TB). */
+    * Scale shape PER K: ONE probe ranking pass (the knnJoin literal-array
+    * argmin, extended to rank the top max-nprobe cells via posexplode),
+    * ONE cell equi-join; the per-K pair streams union, the 12-row sweep
+    * table equi-joins on k (then `rn <= nprobe` narrows), one
+    * (k, nprobe, query) window for top-k, one exact-baseline pass shared
+    * across ALL sweep points. AUDIT-SCALE-ONLY like [[annRecallKnn]] (the
+    * baseline is N² — same [[MaxRecallVecs]] require; sample at 100 TB). */
   def annRecallFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (cents, cells) = Similarity.ivfModel(s, dir)
-    val n = cells.count()
+    val n = Tables.table(s, dir, "embeddings").count()
     require(n <= MaxRecallVecs,
       s"annRecallFrontier's exact baseline is N² — audit-scale only " +
         s"(≤ $MaxRecallVecs vectors); run it on a sample at corpus scale")
-    val cl = typedLit(Similarity.centroidArrayOf(cents))
-    val hot = cells.groupBy($"cell").agg(count(lit(1)).as("csz"))
-      .filter($"csz" > Similarity.MaxKnnCell).select($"cell")
-    val cand = cells.join(broadcast(hot), Seq("cell"), "left_anti")
-    val probes = cells
-      .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
-      .select($"query_id", $"qv",
-        posexplode(slice(array_sort(transform(cl, c =>
-          struct(($"qn2" + c.getField("_3") - lit(2L) * qdot($"qv", c.getField("_2")))
-            .as("d"), c.getField("_1").as("cid")))), 1, KnnSweep.max.toInt)))
-      .select($"query_id", $"qv", ($"pos" + 1).cast("long").as("rn"),
-        $"col.cid".as("cell"))
-    // pairs feed two sweep-side branches (top-k ranking + cost counting):
-    // materialize above the fan-out, per the cache-placement discipline
-    val pairs = probes.join(cand, Seq("cell"))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", $"rn", qdot($"qv", $"q").as("dot"))
+    val pairs = KnnSweep.map { case (k, nps) =>
+      val (cents, cells) = Similarity.ivfModel(s, dir, k)
+      val cl = typedLit(Similarity.centroidArrayOf(cents))
+      val hot = cells.groupBy($"cell").agg(count(lit(1)).as("csz"))
+        .filter($"csz" > Similarity.MaxKnnCell).select($"cell")
+      val cand = cells.join(broadcast(hot), Seq("cell"), "left_anti")
+      cells
+        .select($"vec_id".as("query_id"), $"q".as("qv"), $"n2".as("qn2"))
+        .select($"query_id", $"qv",
+          posexplode(slice(array_sort(transform(cl, c =>
+            struct(($"qn2" + c.getField("_3") - lit(2L) * qdot($"qv", c.getField("_2")))
+              .as("d"), c.getField("_1").as("cid")))), 1, nps.max.toInt)))
+        .select($"query_id", $"qv", ($"pos" + 1).cast("long").as("rn"),
+          $"col.cid".as("cell"))
+        .join(cand, Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select(lit(k.toLong).as("k"), $"query_id", $"vec_id", $"rn",
+          qdot($"qv", $"q").as("dot"))
+    }.reduce(_ unionAll _)
+      // pairs feed two sweep-side branches (top-k ranking + cost counting):
+      // materialize above the fan-out, per the cache-placement discipline
       .graftCache()
-    val sweep = KnnSweep.toDF("nprobe")
-    val sp = pairs.join(broadcast(sweep), $"rn" <= $"nprobe")
-    val w = Window.partitionBy($"nprobe", $"query_id").orderBy($"dot".desc, $"vec_id")
+    val sweep = KnnSweep
+      .flatMap { case (k, nps) => nps.map(np => (k.toLong, np)) }
+      .toDF("k", "nprobe")
+    val sp = pairs.join(broadcast(sweep), Seq("k")).filter($"rn" <= $"nprobe")
+    val w = Window.partitionBy($"k", $"nprobe", $"query_id")
+      .orderBy($"dot".desc, $"vec_id")
     val ann = sp.withColumn("rnk", row_number().over(w)).filter($"rnk" <= RecallK)
-      .select($"nprobe", $"query_id", $"vec_id")
-    val e = cells.select($"vec_id", $"q")
+      .select($"k", $"nprobe", $"query_id", $"vec_id")
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
     val wx = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
     val exact = e
       .crossJoin(broadcast(e.select($"vec_id".as("query_id"), $"q".as("qv"))))
@@ -304,13 +319,14 @@ object Retrieval {
       .withColumn("rnk", row_number().over(wx)).filter($"rnk" <= RecallK)
       .select($"query_id", $"vec_id")
     val hits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
-      .groupBy($"nprobe").agg(count(lit(1)).as("h"))
-    val cost = sp.groupBy($"nprobe").agg(count(lit(1)).as("cand_pairs"))
-    sweep.join(hits, Seq("nprobe"), "left").join(cost, Seq("nprobe"), "left")
-      .select($"nprobe",
+      .groupBy($"k", $"nprobe").agg(count(lit(1)).as("h"))
+    val cost = sp.groupBy($"k", $"nprobe").agg(count(lit(1)).as("cand_pairs"))
+    sweep.join(hits, Seq("k", "nprobe"), "left")
+      .join(cost, Seq("k", "nprobe"), "left")
+      .select($"k", $"nprobe",
         expr(s"(coalesce(h, 0L) * 10000) div ($RecallK * $n)").as("mean_recall_bp"),
         coalesce($"cand_pairs", lit(0L)).as("cand_pairs"))
-      .orderBy($"nprobe")
+      .orderBy($"k", $"nprobe")
   }
 
   /** HARD-NEGATIVE MINING for contrastive training — the standard
@@ -640,7 +656,7 @@ object Retrieval {
     // CTE chain as the q_similarity_knn_join oracle, scored per query against
     // the all-pairs exact top-k (N² — oracle scale only, per the Scaladoc)
     "q_ann_recall_knn" ->
-      s"""WITH ${Similarity.duckCellCtes},
+      s"""WITH ${Similarity.duckCellCtesK(Similarity.KnnK, "")},
          |${Similarity.duckKnnCandCte},
          |annc AS (SELECT p.query_id, a.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
@@ -666,27 +682,41 @@ object Retrieval {
          |  CAST((COALESCE(h.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
          |FROM e LEFT JOIN h ON h.query_id = e.vec_id
          |ORDER BY query_id""".stripMargin,
-    // the full sweep re-derived once: probe ranks over ALL K cells, the
-    // guarded candidate join, then per-nprobe top-3 vs the exact baseline
-    "q_ann_recall_frontier" ->
-      s"""WITH ${Similarity.duckCellCtes},
-         |sw AS (SELECT CAST(unnest([${KnnSweep.mkString(", ")}]) AS BIGINT) AS nprobe),
-         |fhot AS (SELECT cell FROM a3 GROUP BY cell
-         |  HAVING count(*) > ${Similarity.MaxKnnCell}),
-         |fcand AS (SELECT * FROM a3 WHERE cell NOT IN (SELECT cell FROM fhot)),
-         |pr AS (SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
-         |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_sum(list_transform(generate_series(1, 64),
-         |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS BIGINT) AS rn
-         |  FROM e CROSS JOIN c2 c),
-         |pairs AS (SELECT p.query_id, a.vec_id, p.rn,
-         |    CAST(list_sum(list_transform(generate_series(1, 64),
-         |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
-         |  FROM pr p JOIN fcand a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-         |sp AS (SELECT s.nprobe, pairs.* FROM pairs JOIN sw s ON pairs.rn <= s.nprobe),
-         |ann AS (SELECT nprobe, query_id, vec_id FROM (
-         |  SELECT nprobe, query_id, vec_id,
-         |    row_number() OVER (PARTITION BY nprobe, query_id ORDER BY dot DESC, vec_id) AS rnk
+    // the full (K, nprobe) sweep re-derived once: one k-means chain per
+    // index size (suffix "" = IvfK, "b" = KnnK), probe ranks over all K
+    // cells, the guarded candidate join per chain, pair streams unioned
+    // with a k column, then per-(k, nprobe) top-3 vs the one exact baseline
+    "q_ann_recall_frontier" -> {
+      def chain(k: Int, sfx: String): String =
+        s"""fhot$sfx AS (SELECT cell FROM a3$sfx GROUP BY cell
+           |  HAVING count(*) > ${Similarity.MaxKnnCell}),
+           |fcand$sfx AS (SELECT * FROM a3$sfx
+           |  WHERE cell NOT IN (SELECT cell FROM fhot$sfx)),
+           |pr$sfx AS (SELECT e.vec_id AS query_id, e.q, c.cid AS cell,
+           |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      list_sum(list_transform(generate_series(1, 64),
+           |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS BIGINT) AS rn
+           |  FROM e$sfx e CROSS JOIN c2$sfx c),
+           |prs$sfx AS (SELECT CAST($k AS BIGINT) AS k, p.query_id, a.vec_id, p.rn,
+           |    CAST(list_sum(list_transform(generate_series(1, 64),
+           |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+           |  FROM pr$sfx p JOIN fcand$sfx a
+           |  ON a.cell = p.cell AND a.vec_id <> p.query_id)""".stripMargin
+      val swRows = KnnSweep
+        .flatMap { case (k, nps) => nps.map(np => s"($k, $np)") }.mkString(", ")
+      s"""WITH ${Similarity.duckCellCtesK(Similarity.IvfK, "")},
+         |${Similarity.duckCellCtesK(Similarity.KnnK, "b")},
+         |sw(k, nprobe) AS (SELECT CAST(c0 AS BIGINT), CAST(c1 AS BIGINT)
+         |  FROM (VALUES $swRows) t(c0, c1)),
+         |${chain(Similarity.IvfK, "")},
+         |${chain(Similarity.KnnK, "b")},
+         |pall AS (SELECT * FROM prs UNION ALL SELECT * FROM prsb),
+         |sp AS (SELECT s.k, s.nprobe, p.query_id, p.vec_id, p.dot
+         |  FROM pall p JOIN sw s ON p.k = s.k AND p.rn <= s.nprobe),
+         |ann AS (SELECT k, nprobe, query_id, vec_id FROM (
+         |  SELECT k, nprobe, query_id, vec_id,
+         |    row_number() OVER (PARTITION BY k, nprobe, query_id
+         |      ORDER BY dot DESC, vec_id) AS rnk
          |  FROM sp) WHERE rnk <= $RecallK),
          |exc AS (SELECT qr.vec_id AS query_id, c.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
@@ -696,18 +726,19 @@ object Retrieval {
          |  SELECT query_id, vec_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
          |  FROM exc) WHERE rnk <= $RecallK),
-         |h AS (SELECT nprobe, count(*) AS h
-         |  FROM ann JOIN ex USING (query_id, vec_id) GROUP BY nprobe),
-         |cp AS (SELECT nprobe, count(*) AS cand_pairs FROM sp GROUP BY nprobe),
+         |h AS (SELECT k, nprobe, count(*) AS h
+         |  FROM ann JOIN ex USING (query_id, vec_id) GROUP BY k, nprobe),
+         |cp AS (SELECT k, nprobe, count(*) AS cand_pairs FROM sp GROUP BY k, nprobe),
          |n AS (SELECT count(*) AS nv FROM e)
-         |SELECT sw.nprobe,
+         |SELECT sw.k, sw.nprobe,
          |  CAST((COALESCE(h.h, 0) * 10000) // ($RecallK * n.nv) AS BIGINT) AS mean_recall_bp,
          |  CAST(COALESCE(cp.cand_pairs, 0) AS BIGINT) AS cand_pairs
-         |FROM sw LEFT JOIN h USING (nprobe) LEFT JOIN cp USING (nprobe), n
-         |ORDER BY nprobe""".stripMargin,
+         |FROM sw LEFT JOIN h USING (k, nprobe) LEFT JOIN cp USING (k, nprobe), n
+         |ORDER BY k, nprobe""".stripMargin
+    },
     // the guarded knn-join top-3, cross-source members only
     "q_retrieval_hard_negatives" ->
-      s"""WITH ${Similarity.duckCellCtes},
+      s"""WITH ${Similarity.duckCellCtesK(Similarity.KnnK, "")},
          |${Similarity.duckKnnCandCte},
          |cand AS (SELECT p.query_id, a.vec_id,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
