@@ -22,8 +22,14 @@ object StreamProbe {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Stateful-stream partition sizing (r10): each state-store partition
+    // pays a FIXED per-batch commit cost (RocksDB commit + changelog
+    // upload), so shuffle partitions ≈ cores — ONE task wave per batch —
+    // beats the 2×cores batch sizing (64 stores = 64 commits/batch was the
+    // measured ~1.85 s/round floor at 250k-row triggers, r9 verdict #2).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", cpus).toInt
     val spark: org.apache.spark.sql.SparkSession =
-      GraftSession.builder(s"local[$cpus]", cpus.toInt * 2).getOrCreate()
+      GraftSession.builder(s"local[$cpus]", parts).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

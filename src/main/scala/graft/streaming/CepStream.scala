@@ -38,7 +38,17 @@ object CepStream {
     * Changelog checkpointing: commit the per-batch DELTA instead of a full
     * store snapshot per partition per batch — at large key counts the
     * per-batch snapshot upload is the throughput floor, not the per-key
-    * get/put work (r9 StreamProbe measurement). */
+    * get/put work (r9 StreamProbe measurement).
+    *
+    * PARTITION SIZING (r10): every state-store partition pays a FIXED
+    * per-batch commit cost (RocksDB commit + changelog write + timer
+    * sweep), so size `spark.sql.shuffle.partitions` ≈ cores — ONE task
+    * wave per micro-batch — BEFORE starting a stateful query (the first
+    * checkpoint pins it for the query's lifetime). Measured at 250k-row
+    * triggers, 1M events, 100k keys, local[32]: 64 partitions = 68.8k
+    * ev/s, 32 = 115.7k, 16 = 117.7k (uniform; skewed 66.5k / 103.4k /
+    * 116.5k) — halving the commit fan-out from 2×cores to cores bought
+    * 1.7×. [[graft.GraftSession.builder]]'s default already matches. */
   val rocksConf: Seq[(String, String)] = Seq(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
