@@ -243,8 +243,9 @@ object Curation {
 
   /** THE WHOLE PIPELINE as one declared plan — the run a pretraining data
     * job actually executes, end to end: quality gate → C4/Gopher LINE
-    * gate ([[LineClean.lineGateFails]] — r10: the standard web-corpus
-    * line-level cleaning stage, dup-line fraction + surviving-line floor)
+    * gate ([[LineClean.lineGateFailIds]] — r10: the standard web-corpus
+    * line-level cleaning stage, dup-line fraction + surviving-line floor,
+    * evaluated ONCE into a cached fail-id set and anti-joined)
     * → eval-source EXCLUSION + shingle decontamination (the eval set
     * never trains AND nothing overlapping it does) → MinHash-LSH
     * near-dedup with transitive closure, keeping cluster canonicals →
@@ -253,7 +254,7 @@ object Curation {
     * source, pack_id, n_tok). Every stage is individually oracled
     * elsewhere; this pins that the COMPOSITION survives Catalyst
     * whole-plan optimization and stays correct — and its plan inherits
-    * each stage's scale story (narrow per-row line gate, broadcast eval
+    * each stage's scale story (one-pass cached line gate, broadcast eval
     * probe, guarded banded LSH, one-shuffle-per-round closure, no
     * corpus-sized single-partition stage in the packing). */
   /** [[pipelineFull]] contamination-gram length (tokens). */
@@ -261,9 +262,13 @@ object Curation {
 
   def pipelineFull(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gated = Tables.table(s, dir, "documents")
+    val gated0 = Tables.table(s, dir, "documents")
       .filter(size(tokens($"text")) >= MinTokens)
-      .filter(!LineClean.lineGateFails($"doc_id", $"text"))
+    // line gate as ONE cached evaluation + an anti-join per consumer —
+    // never an inline predicate (the cache lives INSIDE lineGateFailIds,
+    // below the fail filter)
+    val lfail = LineClean.lineGateFailIds(gated0)
+    val gated = gated0.join(lfail, Seq("doc_id"), "left_anti")
     val corpus = gated.filter($"source" =!= EvalSource)
     // contamination grams are LONG ([[FullDeconK]] tokens, the
     // production-13-gram convention scaled to this corpus): the reporting
@@ -319,15 +324,20 @@ object Curation {
     * Shape at scale: the attribution pass is the pipelineFull plan minus
     * packing, with the corpus-sized joins replaced by LEFT joins against
     * the (small) dirty and cluster maps and one CASE projection; the
-    * line-gate flag is a narrow per-row lambda; the output aggregate is
-    * stage-bounded and map-side combinable. */
+    * line-gate flag comes from ONE cached gate evaluation joined back
+    * (never an inline predicate — see [[LineClean.lineGateFailIds]]); the
+    * output aggregate is stage-bounded and map-side combinable. */
   def pipelineWaterfall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
       .select($"doc_id", $"source", $"text",
-        size(tokens($"text")).cast("long").as("n_tok"),
-        LineClean.lineGateFails($"doc_id", $"text").as("line_fail"))
-    val gated = docs.filter($"n_tok" >= MinTokens && !$"line_fail")
+        size(tokens($"text")).cast("long").as("n_tok"))
+    // one cached line-gate evaluation, consumed as a flag map (the dirty-
+    // set pattern) — see LineClean.lineGateFailIds
+    val lfail = LineClean.lineGateFailIds(docs.filter($"n_tok" >= MinTokens))
+      .withColumn("line_fail", lit(true))
+    val gated = docs.filter($"n_tok" >= MinTokens)
+      .join(lfail.select($"doc_id"), Seq("doc_id"), "left_anti")
     val corpus = gated.filter($"source" =!= EvalSource)
     val evalSh = gated.filter($"source" === EvalSource)
       .select(explode(array_distinct(
@@ -344,6 +354,7 @@ object Curation {
         Dedup.minhashPairs(s, clean).select($"doc_a", $"doc_b"))
       .select($"node".as("doc_id"), $"root".as("cluster_id"))
     docs
+      .join(lfail, Seq("doc_id"), "left")
       .join(dirty, Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("stage",

@@ -123,17 +123,32 @@ object LineClean {
       .orderBy($"doc_id")
   }
 
-  /** Document-level line gate as a reusable predicate — TRUE when the doc
-    * FAILS the gate ([[Curation.pipelineFull]]'s `2_line_gate` stage):
-    * dup-line fraction over [[MaxDupTenths]]/10 or fewer than
-    * [[MinKeptLines]] surviving lines. Pure per-row projection. */
-  private[pipeline] def lineGateFails(docId: Column, text: Column): Column = {
-    val lines = split(synthLinedText(docId, text), "\n")
-    val cls = lineReasons(lines)
-    val nDup = size(filter(cls, c => c === "dup")).cast("long")
-    val nKept = size(filter(cls, c => c === "kept")).cast("long")
-    nDup * 10 > size(lines).cast("long") * MaxDupTenths ||
-      nKept < MinKeptLines
+  /** The doc_ids FAILING the document-level line gate
+    * ([[Curation.pipelineFull]]'s `2_line_gate` stage: dup-line fraction
+    * over [[MaxDupTenths]]/10, or fewer than [[MinKeptLines]] surviving
+    * lines) — as a TABLE, not a predicate Column, deliberately: an inline
+    * predicate re-evaluates the whole synthesize→classify expression tree
+    * in EVERY plan branch that re-derives the gated corpus, and internal
+    * Column-lambda duplication multiplies that per row (~40 synthesis
+    * evaluations/row — measured 61 s on q_pipeline_full at sf0.1, r10).
+    * Here the gate runs through the stepwise-bound [[cleanLinesOf]]
+    * (projection per intermediate → one evaluation per row) and the
+    * per-doc verdict table is CACHED *below* the fail filter
+    * ([[graft.Caches]]) — caching above it would let
+    * PushPredicateThroughProject inline the verdict's whole expression
+    * chain back into one giant scan predicate (measured: the "one"
+    * evaluation re-inflated to ~20 s). Consumers pay one anti/left join
+    * against the filtered cache read. Same shape as pipelineFull's
+    * `dirty` contamination map. */
+  private[pipeline] def lineGateFailIds(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.Caches.cached(
+        cleanLinesOf(docs.select($"doc_id",
+            synthLinedText($"doc_id", $"text").as("text")))
+          .select($"doc_id", $"verdict"))
+      .filter($"verdict" =!= "keep")
+      .select($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
