@@ -462,6 +462,37 @@ object ScaleProbe {
     assert(diffStats._3 == nRows / 100000L, s"extra ${diffStats._3}")
     println(f"""{"probe":"table_diff","rows":$nRows,"drifted":${diffStats._1 + diffStats._2 + diffStats._3},"secs":$diffSecs%.1f,"rows_per_sec":${(2 * nRows / diffSecs).toLong}}""")
 
+    // ---- C4/Gopher line cleaning at 1M synthetic documents (r10): the ----
+    // whole synthesize→split→classify→gate report is per-row array
+    // lambdas, so throughput must scale with document count and the
+    // output must keep its internal accounting invariant (per-reason
+    // counts sum to n_lines) at any volume.
+    val nLcDocs = 1000000L
+    val lcVocab = array((0 until 32).map(i => lit(s"w$i")): _*)
+    val lcDocs = spark.range(nLcDocs).select(
+      $"id".as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(lit(1), (lit(12) + pmod(xxhash64($"id" * 7 + 1), lit(60L))).cast("int")),
+        i => element_at(lcVocab,
+          (pmod(xxhash64($"id" * 31 + i.cast("long") * 13 + 11), lit(32L)) + 1)
+            .cast("int")))).as("text"))
+    val (lcStats, lcSecs) = time {
+      val rep = graft.pipeline.LineClean.cleanLinesOf(
+        lcDocs.select($"doc_id",
+          graft.pipeline.LineClean.synthLinedText($"doc_id", $"text").as("text")))
+      rep.agg(
+          count(lit(1)),
+          sum(when($"n_kept" + $"n_dup" + $"n_bullet" + $"n_ellipsis" +
+            $"n_nopunct" + $"n_short" =!= $"n_lines", 1L).otherwise(0L)),
+          sum(when($"verdict" === "keep", 1L).otherwise(0L)))
+        .as[(Long, Long, Long)].head()
+    }
+    assert(lcStats._1 == nLcDocs && lcStats._2 == 0L,
+      s"line-clean accounting broke: $lcStats")
+    assert(lcStats._3 > 0L && lcStats._3 < nLcDocs,
+      s"degenerate verdicts: ${lcStats._3} of $nLcDocs kept")
+    println(f"""{"probe":"line_clean","docs":$nLcDocs,"kept_docs":${lcStats._3},"secs":$lcSecs%.1f,"docs_per_sec":${(nLcDocs / lcSecs).toLong}}""")
+
     spark.stop()
   }
 }

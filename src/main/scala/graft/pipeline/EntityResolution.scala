@@ -69,7 +69,7 @@ object EntityResolution {
   /** The dirty registry: base customer rows + two deterministic corruption
     * classes (the re-registration and the partial import). Column set is the
     * linkage schema: (rec_id, name, nation, bal, seg). */
-  private[pipeline] def registryOf(cust: DataFrame): DataFrame = {
+  private[graft] def registryOf(cust: DataFrame): DataFrame = {
     val s = cust.sparkSession
     import s.implicits._
     val base = cust.select($"c_custkey".as("rec_id"), $"c_name".as("name"),
@@ -192,6 +192,8 @@ object EntityResolution {
       full.filter($"rec_id" < 10000000L), MaxBlock)
   }
 
+  /** (the streaming twin [[graft.streaming.EntityAssignStream]] replays
+    * this per micro-batch against the static master snapshot) */
   private[graft] def assignOf(incoming: DataFrame, master: DataFrame,
       maxBlock: Int): DataFrame = {
     val s = incoming.sparkSession

@@ -47,7 +47,7 @@ object LineClean {
     * h%11 = 0 additionally prefixes a bullet. Docs with
     * `charFoldHash("dup:" + doc_id) % 3 = 0` get their first line repeated
     * at the end (the within-doc dup the cleaner must catch). */
-  private[pipeline] def synthLinedText(docId: Column, text: Column): Column = {
+  private[graft] def synthLinedText(docId: Column, text: Column): Column = {
     val w = tokens(text)
     val raw = transform(sequence(lit(1), size(w), lit(LineW)),
       st => concat_ws(" ", slice(w, st, lit(LineW))))

@@ -158,6 +158,69 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** HOLT LINEAR-TREND forecasting (double exponential smoothing, Holt
+    * 1957) — the next tier above [[ewma]]'s level-only smoothing: per
+    * user, the zero-filled DAILY purchase-cents series is folded through
+    *
+    *   l_t = (y_t·S + l_{t−1} + b_{t−1}) >> 1        (α = 1/2)
+    *   b_t = ((l_t − l_{t−1}) + b_{t−1}) >> 1        (β = 1/2)
+    *
+    * in exact micro-cent integers — α = β = 1/2 make every step one
+    * ARITHMETIC SHIFT, which floors identically in Spark
+    * (`shiftright`) and DuckDB (`>>`) even on negative trends, so the
+    * fold is bit-identical cross-engine with no float and no
+    * truncate-vs-floor divergence (the hazard `div`/`//` carry on
+    * negatives across engine versions). Init: l_1 = y_1·S, b_1 = 0.
+    * Output per user: day count, final level/trend (micro-cents) and the
+    * 7-day-ahead forecast l + 7·b — the "where is this key's spend
+    * heading" feature a monitoring pipeline derives per key.
+    *
+    * Shape at scale: the zero-filled grid is the [[gapfill]] machinery
+    * (per-user day span join — span bounded by the corpus TIME WINDOW,
+    * not by event volume), then the [[ewma]] sequential-fold shape: one
+    * (user) shuffle, the 2-field [l, b] array accumulator folds entirely
+    * inside codegen'd array lambdas, no window exchange. The oracle folds
+    * the SAME recursion with a LIST accumulator (`list_reduce` struct
+    * accumulators mis-evaluate on DuckDB 1.0 — see q_ts_cusum's note —
+    * but list accumulators are sound, verified by hand-fold fixture). */
+  def holt(s: SparkSession, dir: String): DataFrame =
+    holtOf(Tables.events(s, dir))
+
+  /** [[holt]] over any `(user_id, ts, event_type, value)` events table —
+    * fixture entry point. */
+  private[graft] def holtOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val S = EwmaScale
+    val perDay = events
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("d"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("cents"))
+    perDay
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"d", $"cents"))).as("m"),
+        min($"d").as("d0"), max($"d").as("d1"))
+      .withColumn("ys", expr(
+        "transform(sequence(d0, d1), i -> coalesce(element_at(m, i), 0L))"))
+      .select($"user_id",
+        size($"ys").cast("long").as("n_days"),
+        expr(
+          s"""aggregate(slice(ys, 2, size(ys) - 1),
+             |  array(element_at(ys, 1) * ${S}L, 0L),
+             |  (acc, y) -> array(
+             |    shiftright(y * ${S}L + element_at(acc, 1) + element_at(acc, 2), 1),
+             |    shiftright(
+             |      shiftright(y * ${S}L + element_at(acc, 1) + element_at(acc, 2), 1)
+             |        - element_at(acc, 1) + element_at(acc, 2), 1)))"""
+            .stripMargin.replace("\n", " ")).as("lb"))
+      .select($"user_id", $"n_days",
+        expr("element_at(lb, 1)").as("level_micro"),
+        expr("element_at(lb, 2)").as("trend_micro"),
+        expr("element_at(lb, 1) + 7 * element_at(lb, 2)").as("forecast7_micro"))
+      .orderBy($"user_id")
+  }
+
   /** CUSUM calibration window: the user's first [[CusumTrainN]] purchases
     * set the in-control level μ (integer floor mean). */
   val CusumTrainN = 5
@@ -263,6 +326,7 @@ object TimeSeries {
     "q_ts_gapfill" -> gapfill _,
     "q_ts_anomaly" -> anomaly _,
     "q_ts_ewma" -> ewma _,
+    "q_ts_holt" -> holt _,
     "q_ts_cusum" -> cusum _,
     "q_ts_twa" -> twa _,
   )
@@ -325,6 +389,36 @@ object TimeSeries {
          |    (x + ${EwmaDen - 1L} * acc) // $EwmaDen) AS BIGINT) AS ewma_micro,
          |  CAST(xs[len(xs)] // $EwmaScale AS BIGINT) AS last_cents
          |FROM l ORDER BY user_id""".stripMargin,
+    // the identical shift-floored Holt recursion over the zero-filled
+    // daily grid, folded with a LIST accumulator [l, b] (struct
+    // accumulators mis-evaluate on DuckDB 1.0; list ones are sound)
+    "q_ts_holt" ->
+      s"""WITH s AS (SELECT user_id,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         |    CAST(floor(value * 100) AS BIGINT) AS vc
+         |  FROM events WHERE event_type = 'purchase'),
+         |obs AS (SELECT user_id, d, CAST(sum(vc) AS BIGINT) AS cents
+         |  FROM s GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span),
+         |j AS (SELECT g.user_id, g.d, COALESCE(o.cents, 0) AS y
+         |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.d = g.d),
+         |l AS (SELECT user_id, list(y ORDER BY d) AS ys, count(*) AS n_days
+         |  FROM j GROUP BY 1),
+         |f AS (SELECT user_id, n_days,
+         |    list_reduce(
+         |      list_prepend(CAST([ys[1] * $EwmaScale, 0] AS BIGINT[]),
+         |        list_transform(ys[2:], y -> CAST([y, 0] AS BIGINT[]))),
+         |      (acc, e) -> [
+         |        (e[1] * $EwmaScale + acc[1] + acc[2]) >> 1,
+         |        (((e[1] * $EwmaScale + acc[1] + acc[2]) >> 1) - acc[1] + acc[2]) >> 1
+         |      ]) AS lb
+         |  FROM l)
+         |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(lb[1] AS BIGINT) AS level_micro,
+         |  CAST(lb[2] AS BIGINT) AS trend_micro,
+         |  CAST(lb[1] + 7 * lb[2] AS BIGINT) AS forecast7_micro
+         |FROM f ORDER BY user_id""".stripMargin,
     // an INDEPENDENT formulation of the same statistic, not a replay of
     // the fold: the recursion S_i = max(0, S_{i−1} + d_i) has the closed
     // form S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of

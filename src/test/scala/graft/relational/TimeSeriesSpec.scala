@@ -206,4 +206,55 @@ class TimeSeriesSpec extends AnyFunSuite {
     }.sortBy(_._1)
     assert(got == expect)
   }
+  test("holt: the shift-floored fold matches a driver-side reference") {
+    import spark.implicits._
+    // user 1: four consecutive days, rising spend 1.00 / 2.00 / 3.00 / 4.00
+    // (positive trend); user 2: one day (level = y1, trend 0); user 3:
+    // falling spend with a zero-filled gap day (negative trend exercises
+    // the arithmetic-shift floor on negatives)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 1.00),
+      (1L, ts("2024-01-02 10:00:00"), "purchase", 2.00),
+      (1L, ts("2024-01-03 10:00:00"), "purchase", 3.00),
+      (1L, ts("2024-01-04 10:00:00"), "purchase", 4.00),
+      (2L, ts("2024-02-01 00:00:00"), "purchase", 7.25),
+      (3L, ts("2024-03-01 12:00:00"), "purchase", 9.00),
+      (3L, ts("2024-03-03 12:00:00"), "purchase", 1.00), // day 2 is a gap
+      (3L, ts("2024-03-02 09:00:00"), "view", 50.0)      // never enters
+    ).toDF("user_id", "ts", "event_type", "value")
+
+    def ref(ys: Seq[Long]): (Long, Long) = {
+      val S = TimeSeries.EwmaScale
+      ys.tail.foldLeft((ys.head * S, 0L)) { case ((l, b), y) =>
+        val l2 = (y * S + l + b) >> 1
+        (l2, (l2 - l + b) >> 1)
+      }
+    }
+    val got = TimeSeries.holtOf(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val e1 = ref(Seq(100L, 200L, 300L, 400L))
+    val e2 = ref(Seq(725L))
+    val e3 = ref(Seq(900L, 0L, 100L))
+    assert(got == Seq(
+      (1L, 4L, e1._1, e1._2, e1._1 + 7 * e1._2),
+      (2L, 1L, e2._1, e2._2, e2._1 + 7 * e2._2),
+      (3L, 3L, e3._1, e3._2, e3._1 + 7 * e3._2)), got.toString)
+    // direction sanity: rising spend → positive trend, falling → negative
+    assert(e1._2 > 0L && e3._2 < 0L && e2._2 == 0L)
+  }
+
+  test("holt: same-day purchases sum into one observation") {
+    import spark.implicits._
+    val events = Seq(
+      (9L, ts("2024-05-01 01:00:00"), "purchase", 1.00),
+      (9L, ts("2024-05-01 23:00:00"), "purchase", 2.00),
+      (9L, ts("2024-05-02 02:00:00"), "purchase", 5.00)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val r = TimeSeries.holtOf(events).collect().head
+    assert(r.getLong(1) == 2L) // two days
+    // l2 = (500*S + 300*S + 0) >> 1 = 400*S; b2 = (400S - 300S) >> 1 = 50S
+    val S = TimeSeries.EwmaScale
+    assert(r.getLong(2) == 400L * S && r.getLong(3) == 50L * S)
+  }
+
 }
