@@ -186,25 +186,34 @@ object TimeSeries {
   def holt(s: SparkSession, dir: String): DataFrame =
     holtOf(Tables.events(s, dir))
 
+  /** Per-user zero-filled DAILY purchase-cents series: `(user_id, n_days,
+    * ys)` with ys ordered from the user's first to last observed day —
+    * the shared input of [[holtOf]] and [[holtWintersOf]]. Span bounded
+    * by the corpus time window, never by event volume. */
+  private def dailySeries(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("d"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("cents"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"d", $"cents"))).as("m"),
+        min($"d").as("d0"), max($"d").as("d1"))
+      .withColumn("ys", expr(
+        "transform(sequence(d0, d1), i -> coalesce(element_at(m, i), 0L))"))
+      .select($"user_id", size($"ys").cast("long").as("n_days"), $"ys")
+  }
+
   /** [[holt]] over any `(user_id, ts, event_type, value)` events table —
     * fixture entry point. */
   private[graft] def holtOf(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val S = EwmaScale
-    val perDay = events
-      .filter($"event_type" === "purchase")
-      .groupBy($"user_id",
-        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("d"))
-      .agg(sum(floor($"value" * 100).cast("long")).as("cents"))
-    perDay
-      .groupBy($"user_id")
-      .agg(map_from_entries(collect_list(struct($"d", $"cents"))).as("m"),
-        min($"d").as("d0"), max($"d").as("d1"))
-      .withColumn("ys", expr(
-        "transform(sequence(d0, d1), i -> coalesce(element_at(m, i), 0L))"))
-      .select($"user_id",
-        size($"ys").cast("long").as("n_days"),
+    dailySeries(events)
+      .select($"user_id", $"n_days",
         expr(
           s"""aggregate(slice(ys, 2, size(ys) - 1),
              |  array(element_at(ys, 1) * ${S}L, 0L),
@@ -218,6 +227,60 @@ object TimeSeries {
         expr("element_at(lb, 1)").as("level_micro"),
         expr("element_at(lb, 2)").as("trend_micro"),
         expr("element_at(lb, 1) + 7 * element_at(lb, 2)").as("forecast7_micro"))
+      .orderBy($"user_id")
+  }
+
+  /** Weekly seasonality period for [[holtWinters]]. */
+  val HwPeriod = 7
+
+  /** HOLT–WINTERS additive seasonal forecasting (triple exponential
+    * smoothing, Winters 1960) at α = β = γ = 1/2 — [[holt]]'s recursion
+    * plus a rotating [[HwPeriod]]-slot seasonal register, every update
+    * still ONE arithmetic shift (floor-identical cross-engine on
+    * negatives):
+    *
+    *   l_t = (y_t·S − s_{t−7} + l_{t−1} + b_{t−1}) >> 1
+    *   b_t = ((l_t − l_{t−1}) + b_{t−1}) >> 1
+    *   s_t = (y_t·S − l_t + s_{t−7}) >> 1
+    *
+    * with zero-initialized seasonals (the warm-up is absorbed by the fold
+    * — a DEFINED deterministic variant, the property the oracle pins).
+    * The accumulator is [l, b, s₁..s₇]; each step consumes the head
+    * seasonal (the same weekday one cycle ago) and appends the refreshed
+    * one, so slot alignment is maintained by rotation alone. Output:
+    * level/trend, the seasonal that applies to the NEXT day, and the
+    * one-day-ahead forecast l + b + s_next — the weekly-pattern-aware
+    * counterpart of [[holt]]'s trend-only 7-day projection. Same
+    * one-(user)-shuffle gapfilled-fold shape. */
+  def holtWinters(s: SparkSession, dir: String): DataFrame =
+    holtWintersOf(Tables.events(s, dir))
+
+  /** [[holtWinters]] over any events table — fixture entry point. */
+  private[graft] def holtWintersOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val S = EwmaScale
+    val lNew = "shiftright(y * " + S + "L - element_at(acc, 3)" +
+      " + element_at(acc, 1) + element_at(acc, 2), 1)"
+    dailySeries(events)
+      .select($"user_id", $"n_days",
+        expr(
+          s"""aggregate(slice(ys, 2, size(ys) - 1),
+             |  concat(array(element_at(ys, 1) * ${S}L, 0L),
+             |    array_repeat(0L, ${HwPeriod})),
+             |  (acc, y) -> concat(
+             |    array(
+             |      $lNew,
+             |      shiftright($lNew - element_at(acc, 1) + element_at(acc, 2), 1)),
+             |    slice(acc, 4, ${HwPeriod - 1}),
+             |    array(shiftright(y * ${S}L - $lNew + element_at(acc, 3), 1))))"""
+            .stripMargin.replace("\n", " ")).as("st"))
+      .select($"user_id", $"n_days",
+        expr("element_at(st, 1)").as("level_micro"),
+        expr("element_at(st, 2)").as("trend_micro"),
+        expr("element_at(st, 3)").as("season_next_micro"),
+        expr("element_at(st, 1) + element_at(st, 2) + element_at(st, 3)")
+          .as("forecast1_micro"))
       .orderBy($"user_id")
   }
 
@@ -327,6 +390,7 @@ object TimeSeries {
     "q_ts_anomaly" -> anomaly _,
     "q_ts_ewma" -> ewma _,
     "q_ts_holt" -> holt _,
+    "q_ts_holt_winters" -> holtWinters _,
     "q_ts_cusum" -> cusum _,
     "q_ts_twa" -> twa _,
   )
@@ -389,6 +453,40 @@ object TimeSeries {
          |    (x + ${EwmaDen - 1L} * acc) // $EwmaDen) AS BIGINT) AS ewma_micro,
          |  CAST(xs[len(xs)] // $EwmaScale AS BIGINT) AS last_cents
          |FROM l ORDER BY user_id""".stripMargin,
+    // the identical shift-floored Holt–Winters recursion: the same daily
+    // grid, a 9-slot [l, b, s1..s7] LIST accumulator with head-seasonal
+    // rotation (textual re-inlining of l_new is oracle-scale-fine)
+    "q_ts_holt_winters" -> {
+      val lNew = s"(e[1] * $EwmaScale - acc[3] + acc[1] + acc[2]) >> 1"
+      s"""WITH s AS (SELECT user_id,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         |    CAST(floor(value * 100) AS BIGINT) AS vc
+         |  FROM events WHERE event_type = 'purchase'),
+         |obs AS (SELECT user_id, d, CAST(sum(vc) AS BIGINT) AS cents
+         |  FROM s GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span),
+         |j AS (SELECT g.user_id, g.d, COALESCE(o.cents, 0) AS y
+         |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.d = g.d),
+         |l AS (SELECT user_id, list(y ORDER BY d) AS ys, count(*) AS n_days
+         |  FROM j GROUP BY 1),
+         |f AS (SELECT user_id, n_days,
+         |    list_reduce(
+         |      list_prepend(
+         |        CAST([ys[1] * $EwmaScale, 0, 0, 0, 0, 0, 0, 0, 0] AS BIGINT[]),
+         |        list_transform(ys[2:], y -> CAST([y] AS BIGINT[]))),
+         |      (acc, e) -> list_concat(list_concat(
+         |        [$lNew, (($lNew) - acc[1] + acc[2]) >> 1],
+         |        acc[4:${2 + HwPeriod}]),
+         |        [(e[1] * $EwmaScale - ($lNew) + acc[3]) >> 1])) AS st
+         |  FROM l)
+         |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(st[1] AS BIGINT) AS level_micro,
+         |  CAST(st[2] AS BIGINT) AS trend_micro,
+         |  CAST(st[3] AS BIGINT) AS season_next_micro,
+         |  CAST(st[1] + st[2] + st[3] AS BIGINT) AS forecast1_micro
+         |FROM f ORDER BY user_id""".stripMargin
+    },
     // the identical shift-floored Holt recursion over the zero-filled
     // daily grid, folded with a LIST accumulator [l, b] (struct
     // accumulators mis-evaluate on DuckDB 1.0; list ones are sound)

@@ -257,4 +257,59 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getLong(2) == 400L * S && r.getLong(3) == 50L * S)
   }
 
+  test("holt-winters: the 9-slot rotating fold matches a driver-side reference") {
+    import spark.implicits._
+    // 14 days: weekday-0 spikes (10.00) over a flat 1.00 base — two full
+    // weekly cycles, so the head seasonal slot has been refreshed and the
+    // next-day forecast must carry the learned weekly component
+    val base = Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val events = (0 until 14).map { d =>
+      val v = if (d % 7 == 0) 10.00 else 1.00
+      (1L, new Timestamp(base + d * 86400000L), "purchase", v)
+    }.toDF("user_id", "ts", "event_type", "value")
+
+    def ref(ys: Seq[Long]): Vector[Long] = {
+      val S = TimeSeries.EwmaScale
+      ys.tail.foldLeft(Vector(ys.head * S, 0L) ++ Vector.fill(7)(0L)) { (acc, y) =>
+        val l2 = (y * S - acc(2) + acc(0) + acc(1)) >> 1
+        val b2 = (l2 - acc(0) + acc(1)) >> 1
+        val s2 = (y * S - l2 + acc(2)) >> 1
+        Vector(l2, b2) ++ acc.slice(3, 9) :+ s2
+      }
+    }
+    val ys = (0 until 14).map(d => if (d % 7 == 0) 1000L else 100L)
+    val e = ref(ys)
+    val got = TimeSeries.holtWintersOf(events)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 14L, e(0), e(1), e(2), e(0) + e(1) + e(2))), got.toString)
+    // day 15 is a spike weekday: its seasonal must push the forecast ABOVE
+    // the trend-only projection
+    assert(e(2) > 0L, s"spike-day seasonal should be positive: ${e(2)}")
+  }
+
+  test("holt-winters: seasonal slot alignment survives a gap day") {
+    import spark.implicits._
+    // 9 observed days with day 4 missing (zero-filled): the rotation must
+    // still consume exactly one slot per GRID day, so the reference fold
+    // over the zero-filled series is the contract
+    val base = Timestamp.valueOf("2024-02-01 00:30:00").getTime
+    val events = (0 until 9).filter(_ != 4).map { d =>
+      (2L, new Timestamp(base + d * 86400000L), "purchase", (d + 1).toDouble)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val ys = (0 until 9).map(d => if (d == 4) 0L else (d + 1) * 100L)
+    def ref(v: Seq[Long]): Vector[Long] = {
+      val S = TimeSeries.EwmaScale
+      v.tail.foldLeft(Vector(v.head * S, 0L) ++ Vector.fill(7)(0L)) { (acc, y) =>
+        val l2 = (y * S - acc(2) + acc(0) + acc(1)) >> 1
+        val b2 = (l2 - acc(0) + acc(1)) >> 1
+        val s2 = (y * S - l2 + acc(2)) >> 1
+        Vector(l2, b2) ++ acc.slice(3, 9) :+ s2
+      }
+    }
+    val e = ref(ys)
+    val r = TimeSeries.holtWintersOf(events).collect().head
+    assert(r.getLong(1) == 9L && r.getLong(2) == e(0) &&
+      r.getLong(3) == e(1) && r.getLong(4) == e(2), r.toString)
+  }
+
 }
