@@ -72,6 +72,46 @@ class HoltStreamSpec extends AnyFunSuite {
       shuffled.drop(300)), "45 days") == want)
   }
 
+  test("restart from checkpoint resumes the register exactly") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // 8 consecutive days split across TWO query incarnations sharing one
+    // checkpoint: the [l, b, s×7] register, the open-day map, and the
+    // armed timer must all survive the restart — the final emission must
+    // equal the uninterrupted batch fold
+    val rows = (0 until 8).map(d =>
+      (1L, ts(f"2024-04-${d + 1}%02d 09:00:00"), "purchase", (d + 1).toDouble))
+    val ckpt = java.nio.file.Files.createTempDirectory("hw_ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[HwRow]())
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    def start() = HoltStream.forecasts(
+        mem.toDF().toDF("user_id", "ts", "event_type", "value"), "0 seconds")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[HwRow], _: Long) =>
+        b.collect().foreach(got.add)
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try { mem.addData(rows.take(5): _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData(rows.drop(5): _*); q2.processAllAvailable()
+      mem.addData((999999L, ts("2025-01-01 00:00:00"), "purchase", 1.0))
+      q2.processAllAvailable()
+      mem.addData((999999L, ts("2025-02-01 00:00:00"), "purchase", 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = got.asScala.filter(_.user_id == 1L).maxBy(_.n_days)
+    val want = graft.relational.TimeSeries.holtWintersOf(
+        rows.toDF("user_id", "ts", "event_type", "value"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(fin == HwRow(want._1, want._2, want._3, want._4, want._5, want._6))
+    assert(fin.n_days == 8L)
+  }
+
   test("watermark gates emission; interior gap days fold as zero") {
     import spark.implicits._
     val rows = Seq(
