@@ -493,6 +493,32 @@ object ScaleProbe {
       s"degenerate verdicts: ${lcStats._3} of $nLcDocs kept")
     println(f"""{"probe":"line_clean","docs":$nLcDocs,"kept_docs":${lcStats._3},"secs":$lcSecs%.1f,"docs_per_sec":${(nLcDocs / lcSecs).toLong}}""")
 
+    // ---- Holt-Winters forecasting at 10M events / 100k keys (r10): ----
+    // the (user, day) rollup + per-user map + in-row shift-fold shape —
+    // per-key work is bounded by the DAY SPAN (the corpus time window),
+    // never by event volume, so 100 events/user/day and 1 event/user/day
+    // must cost the same fold. The span invariant is asserted at volume.
+    val hwEvents = spark.range(nEvents).select(
+      pmod(xxhash64($"id" * 7 + 1), lit(users)).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(xxhash64($"id" * 13 + 5), lit(30L * 86400 * 1000000L))).as("ts"),
+      lit("purchase").as("event_type"),
+      (pmod(xxhash64($"id" * 31 + 11), lit(10000L)).cast("double") / 100.0)
+        .as("value"))
+    val (hwStats, hwSecs) = time {
+      graft.relational.TimeSeries.holtWintersOf(hwEvents)
+        .agg(count(lit(1)),
+          sum(when($"n_days" > 32, 1L).otherwise(0L)),
+          sum(when($"forecast1_micro" =!=
+            $"level_micro" + $"trend_micro" + $"season_next_micro", 1L)
+            .otherwise(0L)))
+        .as[(Long, Long, Long)].head()
+    }
+    assert(hwStats._1 == users, s"holt-winters lost keys: ${hwStats._1}")
+    assert(hwStats._2 == 0L, s"day span exceeded the corpus window: $hwStats")
+    assert(hwStats._3 == 0L, s"forecast identity broke: $hwStats")
+    println(f"""{"probe":"holt_winters","rows":$nEvents,"keys":$users,"secs":$hwSecs%.1f,"rows_per_sec":${(nEvents / hwSecs).toLong}}""")
+
     spark.stop()
   }
 }
