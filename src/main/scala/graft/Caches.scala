@@ -25,9 +25,30 @@ object Caches {
   private val reg =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
-  /** `ds.cache()` (MEMORY_AND_DISK), registered for [[clear]]. */
+  /** `ds.cache()` (MEMORY_AND_DISK), registered for [[clear]].
+    *
+    * Idempotent on the PLAN (r10 verdict #4): a shared intermediate
+    * consumed through two library entry points (e.g. the IVF cell table)
+    * used to register twice — Spark's CacheManager dedups the blocks
+    * (logging "Asked to cache already cached data") but the registry then
+    * held a stale second handle. A plan already registered and still
+    * persisted is returned as-is. The scan is O(registry) per call; the
+    * registry holds at most the library's distinct cache sites between
+    * [[clear]]s. Concurrency caveat for multi-threaded session owners: two
+    * threads caching the same plan simultaneously may still both register
+    * (benign — double unpersist is a no-op), and a [[clear]] from one
+    * thread unpersists caches of queries still running on others
+    * (recompute-safe, but a perf cliff — clear BETWEEN jobs, not during). */
   def cached[T](ds: Dataset[T]): Dataset[T] = {
-    reg.add(ds.cache())
+    val plan = ds.queryExecution.analyzed
+    val it = reg.iterator()
+    var dup = false
+    while (!dup && it.hasNext) {
+      val r = it.next()
+      dup = (r.storageLevel != org.apache.spark.storage.StorageLevel.NONE) &&
+        r.queryExecution.analyzed.sameResult(plan)
+    }
+    if (!dup) reg.add(ds.cache())
     ds
   }
 

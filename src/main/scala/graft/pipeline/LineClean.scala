@@ -49,8 +49,14 @@ object LineClean {
     * at the end (the within-doc dup the cleaner must catch). */
   private[graft] def synthLinedText(docId: Column, text: Column): Column = {
     val w = tokens(text)
-    val raw = transform(sequence(lit(1), size(w), lit(LineW)),
-      st => concat_ws(" ", slice(w, st, lit(LineW))))
+    // zero-token guard (r10 ADVICE): Spark's sequence(1, 0, 6) throws
+    // "Illegal sequence boundaries" while DuckDB's generate_series(1, 0, 6)
+    // yields [] — an empty/whitespace-only document must produce an empty
+    // line list in BOTH engines, not a crash in one.
+    val raw = when(size(w) > 0,
+      transform(sequence(lit(1), size(w), lit(LineW)),
+        st => concat_ws(" ", slice(w, st, lit(LineW)))))
+      .otherwise(array().cast("array<string>"))
     // bind h once per line (struct field), not once per use — the r1
     // expression-tree-duplication hazard
     val withH = transform(raw, l => struct(l.as("l"), charFoldHash(l).as("h")))
@@ -94,7 +100,11 @@ object LineClean {
     def cnt(cls: Column, r: String): Column =
       size(filter(cls, c => c === r)).cast("long")
     docs
-      .withColumn("lines", split($"text", "\n"))
+      // empty text = ZERO lines (split("", "\n") would yield [""] — one
+      // phantom line the oracle's empty line list doesn't have; r10 ADVICE)
+      .withColumn("lines",
+        when(length($"text") === 0, array().cast("array<string>"))
+          .otherwise(split($"text", "\n")))
       .withColumn("cls", lineReasons($"lines"))
       .withColumn("kept_lines",
         filter(zip_with($"lines", $"cls", (l, c) => when(c === "kept", l)),

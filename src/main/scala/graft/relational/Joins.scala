@@ -276,8 +276,13 @@ object Joins {
       .select($"event_type", $"n_rows",
         expr("n_rows * 10000L div n_total").as("share_bp"),
         expr("10000L div n_keys").as("fair_bp"),
-        when($"n_rows" * $"n_keys" > $"n_total" * 2L, "SALT").otherwise("OK")
-          .as("action"))
+        // n_rows·n_keys > 2·n_total spelled division-based: the product can
+        // overflow int64 silently in non-ANSI Spark at corpus-scale counts
+        // (r10 ADVICE — the same silent-vs-loud class as Stats.covLong).
+        // Exact: for k ≥ 1, a·k > T ⇔ a > T div k (if a > T div k then
+        // a·k ≥ (T div k + 1)·k = T - T mod k + k > T; else a·k ≤ T).
+        when($"n_rows" > expr("(2 * n_total) div n_keys"), "SALT")
+          .otherwise("OK").as("action"))
       .orderBy($"event_type")
   }
 
@@ -393,7 +398,7 @@ object Joins {
         |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_rows * 10000 // n_total AS BIGINT) AS share_bp,
         |  CAST(10000 // n_keys AS BIGINT) AS fair_bp,
-        |  CASE WHEN n_rows * n_keys > 2 * n_total
+        |  CASE WHEN n_rows > (2 * n_total) // n_keys
         |    THEN 'SALT' ELSE 'OK' END AS action
         |FROM pk, tot ORDER BY event_type""".stripMargin,
   )

@@ -49,6 +49,15 @@ object HoltStream {
   def forecasts(events: DataFrame, delay: String = "30 minutes"): Dataset[HwRow] = {
     val s = events.sparkSession
     import s.implicits._
+    // The processor buckets days by UTC epoch-day arithmetic
+    // (floorDiv(ts, DayMs) — timers must align with epoch-day boundaries),
+    // while the batch twin buckets via session-timezone to_date: the
+    // documented streaming ≡ batch bit-identity holds only under UTC, so
+    // fail loudly instead of silently drifting (r10 ADVICE).
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "HoltStream.forecasts requires spark.sql.session.timeZone=UTC: day " +
+        "buckets and sealing timers are epoch-day aligned, and the batch " +
+        "twin (TimeSeries.holtWinters) buckets via session-timezone to_date")
     events
       .filter($"event_type" === "purchase")
       .select($"user_id", date_trunc("second", $"ts").as("event_ts"),

@@ -29,6 +29,24 @@ class CachesSpec extends AnyFunSuite {
       "clear() must unpersist every registered cache")
   }
 
+  test("cached() is idempotent on the plan: one registration per shared plan") {
+    import spark.implicits._
+    val base = Seq(1L, 2L, 3L).toDF("x").filter($"x" > 1)
+    Caches.cached(base)
+    base.count()
+    // a second entry point re-deriving the SAME plan must not re-register
+    // (Spark would log "Asked to cache already cached data" and the
+    // registry would hold a stale duplicate handle — r10 verdict #4).
+    // Membership check, not a global count: other suites register in
+    // parallel on the shared session.
+    Caches.cached(Seq(1L, 2L, 3L).toDF("x").filter($"x" > 1))
+    val plan = base.queryExecution.analyzed
+    val mine = Caches.snapshot.filter(_.queryExecution.analyzed.sameResult(plan))
+    assert(mine.size == 1,
+      s"an equivalent plan must be registered exactly once, found ${mine.size}")
+    base.unpersist(blocking = false)
+  }
+
   test("clear() leaves the session owner's own caches alone") {
     import spark.implicits._
     val mine = Seq(1, 2, 3).toDF("x").cache()

@@ -47,6 +47,27 @@ class LineCleanSpec extends AnyFunSuite {
     assert(r.getString(8) == expect, "clean_digest")
   }
 
+  test("empty / whitespace-only documents: empty line list, zero-line report") {
+    import spark.implicits._
+    val d = Seq((1L, ""), (2L, "   "), (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // the synth path must not crash on zero tokens (sequence(1, 0, 6) —
+    // r10 ADVICE) and must produce an EMPTY line list, like the oracle's
+    // generate_series(1, 0, 6)
+    val synth = LineClean.cleanLinesOf(
+      d.select($"doc_id", LineClean.synthLinedText($"doc_id", $"text").as("text")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    Seq(1L, 2L).foreach { id =>
+      val r = synth(id)
+      assert(r.getLong(1) == 0L, s"doc $id n_lines")
+      assert(r.getLong(2) == 0L, s"doc $id n_kept")
+      assert(r.getString(8) == emptyMd5, s"doc $id clean_digest")
+      assert(r.getString(9) == "drop_few_lines", s"doc $id verdict")
+    }
+    assert(synth(3L).getLong(1) == 1L, "non-empty doc still synthesizes lines")
+  }
+
   test("question and quote terminators keep; Gopher gates drop documents") {
     val r = reportOf(
       (1L, "is this kept?\nhe said \"sure.\"\nthird fine line."),
