@@ -67,6 +67,23 @@ object Components {
     * collect fires only when the measured edge count is under the gate. */
   val LocalSolveThreshold = 500000L
 
+  /** Materialize a frame NOW and truncate its lineage — the round-loop
+    * prologue of every iterative operator here (LPA, PageRank, triangles,
+    * BFS). A cache alone is not enough: the round plans still NEST the full
+    * upstream lineage (for dedup callers, the whole LSH candidates→verify
+    * pipeline) once per round reference, so the driver re-analyzes and
+    * re-optimizes a plan that doubles with the horizon — exactly the
+    * driver-CPU-bound shape that inflated 4–6× under box contention while
+    * single-plan queries inflated ~2× (r10 verdict #1; the same class as
+    * r9's q_dedup_canonical tail). One eager checkpoint runs the upstream
+    * exactly once and makes every round plan constant-size over a
+    * materialized leaf. Reliable checkpoint when a dir is configured
+    * (cluster deployment — survives executor loss), localCheckpoint
+    * otherwise (local/test). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** [[connectedComponents]] with a per-round observer: `roundLog(round,
     * workingSetEdges)` after each round — what `ScaleProbe` prints and
     * `ComponentsSpec` asserts shrinks. `splitThreshold` overrides the
@@ -292,7 +309,8 @@ object Components {
           struct($"u".as("s"), $"v".as("t"), $"dv".as("dt")))
           .otherwise(struct($"v".as("s"), $"u".as("t"), $"du".as("dt"))).as("x"))
       .select($"x.s".as("s"), $"x.t".as("t"), $"x.dt".as("dt"))
-      .graftCache() // three plan branches: two wedge sides + the closure probe
+      .transform(materialize) // 3 plan branches (two wedge sides + the
+    // closure probe) each re-nest the caller's pair lineage otherwise
     val wedges = e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") &&
           struct(col("a.dt"), col("a.t")) < struct(col("b.dt"), col("b.t")))
@@ -374,7 +392,9 @@ object Components {
       .union(p.select($"b".as("u"), $"a".as("v")))
       .graftCache()
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
-    val ed = edges.join(deg, "u").graftCache() // iterated `iters` times
+    // iterated `iters` times: materialized (not just cached) so each
+    // round's plan references a constant-size leaf — see [[materialize]]
+    val ed = materialize(edges.join(deg, "u"))
     var ranks = deg.select($"u".as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       ranks = ed.join(ranks.withColumnRenamed("node", "u"), "u")
@@ -419,9 +439,12 @@ object Components {
     val s = pairs.sparkSession
     import s.implicits._
     val p = pairs.toDF("a", "b")
-    val edges = p.select($"a".as("u"), $"b".as("v"))
-      .union(p.select($"b".as("u"), $"a".as("v")))
-      .graftCache() // iterated `rounds` times
+    // iterated `rounds` times: ONE eager checkpoint above the rounds runs
+    // the caller's pair pipeline exactly once and keeps every round's plan
+    // constant-size ([[materialize]] — r10 verdict #1)
+    val edges = materialize(
+      p.select($"a".as("u"), $"b".as("v"))
+        .union(p.select($"b".as("u"), $"a".as("v"))))
     var labels = edges.select($"u".as("node")).distinct()
       .select($"node", $"node".as("label"))
     for (_ <- 1 to rounds) {
@@ -457,9 +480,12 @@ object Components {
     val s = pairs.sparkSession
     import s.implicits._
     val p = pairs.toDF("a", "b")
-    val edges = p.select($"a".as("u"), $"b".as("v"))
-      .union(p.select($"b".as("u"), $"a".as("v")))
-      .distinct().graftCache()
+    // joined once per BFS round: materialized above the loop (see
+    // [[materialize]]) so round r's plan never re-nests the pair lineage
+    val edges = materialize(
+      p.select($"a".as("u"), $"b".as("v"))
+        .union(p.select($"b".as("u"), $"a".as("v")))
+        .distinct())
     val comp = connectedComponents(pairs).localCheckpoint()
     var dist = comp.filter($"node" === $"root")
       .select($"node", lit(0L).as("hops")).localCheckpoint()
