@@ -51,7 +51,7 @@ object Dedup {
     * explode + two pair-side joins), and Column lambdas duplicate their
     * input expression tree per use — without materialization the shingle +
     * md5 work would re-run once per branch per hash position. */
-  private def sigsOf(docs: DataFrame): DataFrame = {
+  private[pipeline] def sigsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // One cache: the native RotMinHash consumes the md5-shingle base array
     // exactly once (no lambda expression-tree duplication — the r1 hazard),
@@ -82,13 +82,28 @@ object Dedup {
     bands0.join(broadcast(hot), Seq("band", "key"), "left_anti")
   }
 
-  private def bandCandidates(sg: DataFrame): DataFrame = {
+  /** Exploded `(doc_id, band, key)` rows of a `(doc_id, sig)` table —
+    * UNGUARDED (the arrival side of [[assignOf]]: candidate width there is
+    * bounded by the already-guarded index buckets, so the batch side needs
+    * no hot-drop of its own). */
+  private def rawBandsOf(sg: DataFrame): DataFrame = {
     import sg.sparkSession.implicits._
-    val bands = dropHotBuckets(sg.select($"doc_id", explode(
+    sg.select($"doc_id", explode(
       transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"), concat(element_at($"sig", b * 2 + 1),
           element_at($"sig", b * 2 + 2)).as("key")))).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.key"))
+      .select($"doc_id", $"bk.band", $"bk.key")
+  }
+
+  /** [[rawBandsOf]] with the [[MaxBucket]] hot-bucket guard — the band
+    * table the self-join candidates and the persisted index are built
+    * from. */
+  private[pipeline] def bandsOf(sg: DataFrame): DataFrame =
+    dropHotBuckets(rawBandsOf(sg))
+
+  private def bandCandidates(sg: DataFrame): DataFrame = {
+    import sg.sparkSession.implicits._
+    val bands = bandsOf(sg)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -639,7 +654,113 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Snapshot split for the PERSISTED near-dup index: even doc_ids are the
+    * indexed corpus, odd doc_ids the arrival batch — the
+    * [[SpanDedup.incremental]] convention. */
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+
+  /** The persisted MinHash near-dup index — the dedup twin of
+    * [[Similarity.writeIvfIndex]] (r10 verdict #2): the corpus signature
+    * table `sigs(doc_id, sig)` and the hot-guarded band table
+    * `bands(doc_id, band, key)`, built ONCE per (process, dir,
+    * table-fingerprint) via the shared [[IndexStore]] registry and served
+    * from parquet thereafter. This is what makes incremental admission
+    * checks affordable at 100 TB: before r11, every arrival batch replayed
+    * the tokenize→shingle→MinHash pass over the WHOLE corpus; with the
+    * index, a batch computes its own signatures (batch-sized, narrow) and
+    * equi-joins the band scan — the corpus is never re-read, let alone
+    * re-hashed. In production the index is written next to the corpus
+    * ([[writeMinhashIndex]]) and refreshed per corpus snapshot, exactly
+    * the frozen-IVF refresh contract. */
+  private[pipeline] def minhashIndexPath(s: SparkSession, dir: String): String =
+    IndexStore.getOrBuild(
+      s.sparkContext.applicationId, dir, "documents", "mh") { out =>
+      writeMinhashIndex(s, dir, out)
+    }
+
+  /** Build the index artifact at `out` — the production BUILD entry point
+    * (the [[Similarity.writeIvfIndex]] shape): one signature pass over the
+    * corpus half, bands derived and hot-guarded at build time so every
+    * serving join sees only admissible buckets. */
+  def writeMinhashIndex(s: SparkSession, dir: String, out: String): Unit = {
+    val sg = sigsOf(corpusDocs(s, dir))
+    sg.write.mode("overwrite").parquet(s"$out/sigs")
+    bandsOf(sg).write.mode("overwrite").parquet(s"$out/bands")
+  }
+
+  /** The index as DataFrames `(sigs, bands)` — two parquet scans, zero
+    * signature replay. */
+  private[graft] def minhashIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = minhashIndexPath(s, dir)
+    (s.read.parquet(s"$path/sigs"), s.read.parquet(s"$path/bands"))
+  }
+
+  /** Materialize the persisted index — the untimed BUILD entry point
+    * `graft.Bench` calls (the [[Similarity.trainIndex]] convention) so
+    * index construction is emitted as its own metric instead of landing on
+    * q_dedup_assign. */
+  def trainIndex(s: SparkSession, dir: String): Unit =
+    minhashIndexPath(s, dir): Unit
+
+  /** ADMISSION CHECK of an arrival batch against the persisted near-dup
+    * index — the declared, oracle-gated serving query (q_dedup_assign, the
+    * `q_similarity_ivf_assign` convention): per arrival document, its
+    * lowest-id corpus near-duplicate (banded LSH candidates against the
+    * index band scan, verified at the production ≥ 4/8 signature
+    * agreement), the match count, and the admit/reject verdict. Every
+    * arrival reports a row — an admission check's output is a VERDICT per
+    * candidate document, not just the rejects.
+    *
+    * Shape at scale: arrival signatures are batch-sized and narrow; the
+    * only corpus-sized work is the band-key equi-join against the index
+    * scan (bucket width ≤ [[MaxBucket]] by build-time construction, so
+    * candidate fan-out is bounded by |batch| × Bands × MaxBucket) and the
+    * signature verify join against the index sigs scan. Nothing re-hashes
+    * the corpus. */
+  def assign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ixSigs, ixBands) = minhashIndex(s, dir)
+    assignOf(
+        Tables.table(s, dir, "documents").filter($"doc_id" % 2 === 1),
+        ixSigs, ixBands)
+      .orderBy($"doc_id")
+  }
+
+  /** [[assign]] over any `(doc_id, text)` arrival frame + index scans —
+    * RECORD-LOCAL given the index (no cross-arrival state), which is what
+    * makes [[graft.streaming.DedupAssignStream]]'s per-micro-batch replay
+    * slicing-invariant (the `EntityAssignStream` argument). */
+  def assignOf(arrivals: DataFrame, ixSigs: DataFrame, ixBands: DataFrame): DataFrame = {
+    val s = arrivals.sparkSession
+    import s.implicits._
+    // three consumers (band explode, verify side, left-join base): one
+    // batch-sized signature pass, materialized
+    val arr = sigsOf(arrivals)
+    val cand = rawBandsOf(arr)
+      .join(ixBands.select($"band", $"key", $"doc_id".as("corpus_id")),
+        Seq("band", "key"))
+      .select($"doc_id", $"corpus_id").distinct()
+    val ver = cand
+      .join(arr.select($"doc_id", $"sig".as("sig_a")), "doc_id")
+      .join(ixSigs.select($"doc_id".as("corpus_id"), $"sig".as("sig_b")),
+        "corpus_id")
+      .withColumn("matches",
+        aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .filter($"matches" >= 4)
+      .groupBy($"doc_id")
+      .agg(min($"corpus_id").as("dup_of0"), count(lit(1)).as("n_dups0"))
+    arr.select($"doc_id").join(ver, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"dup_of0", lit(-1L)).as("dup_of"),
+        coalesce($"n_dups0", lit(0L)).as("n_dups"),
+        when($"n_dups0".isNotNull, "reject_dup").otherwise("admit")
+          .as("verdict"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_assign" -> assign _,
     "q_dedup_exact" -> exact _,
     "q_dedup_containment" -> containment _,
     "q_dedup_canonical" -> canonical _,
@@ -727,6 +848,34 @@ object Dedup {
        |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the index build replayed inline: corpus (even) bands hot-guarded —
+    // the guard is a BUILD-time property of the index, so it counts corpus
+    // buckets only; arrival (odd) bands unguarded, exactly like assignOf
+    "q_dedup_assign" ->
+      s"""$sigCte,
+         |bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         |ixb AS (SELECT doc_id, b, key FROM (
+         |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
+         |  FROM bands0 WHERE doc_id % 2 = 0) WHERE bsz <= $MaxBucket),
+         |ab AS (SELECT doc_id, b, key FROM bands0 WHERE doc_id % 2 = 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id, i.doc_id AS corpus_id
+         |  FROM ab a JOIN ixb i ON a.b = i.b AND a.key = i.key),
+         |ver AS (SELECT c.doc_id, min(c.corpus_id) AS dup_of,
+         |    count(*) AS n_dups
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id
+         |  JOIN sig sb ON sb.doc_id = c.corpus_id
+         |  WHERE len(list_filter(generate_series(1, $MinhashK),
+         |    i -> sa.sigs[i] = sb.sigs[i])) >= 4
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(v.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(COALESCE(v.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CASE WHEN v.doc_id IS NULL THEN 'admit' ELSE 'reject_dup' END
+         |    AS verdict
+         |FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

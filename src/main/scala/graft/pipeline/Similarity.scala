@@ -292,51 +292,6 @@ object Similarity {
     cells.write.mode("overwrite").parquet(s"$out/cells")
   }
 
-  /** Process-local registry of trained IVF indexes, keyed by (application,
-    * data dir) → index path: the six declared IVF-family consumers
-    * (q_similarity_ivf/_ivf_probe/_knn_join, q_dedup_semantic,
-    * q_ann_recall_ivf/_knn) share ONE k-means training per process instead
-    * of replaying it per query — the in-process twin of the
-    * [[writeIvfIndex]] production contract (train once per corpus
-    * snapshot, serve every search from the index). Parquet, not a cached
-    * DataFrame, because the bench/verify harnesses clear all caches and
-    * unpersist all RDDs between queries — which would sever a
-    * localCheckpoint lineage but cannot touch files. `IvfIndexSpec` pins
-    * that index-served results are bit-identical to inline training. */
-  private val trainedIndexes =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int), String]
-
-  /** Staleness key for [[trainedIndexes]]: name+length+mtime of every file
-    * under `dir/embeddings.parquet` — if the table is regenerated or mutated
-    * within the process lifetime the key changes and the next access
-    * retrains instead of silently serving the old snapshot's index (r8
-    * ADVICE). Cheap (one directory listing, no data read) so it runs on
-    * every access. */
-  private def embeddingsFingerprint(dir: String): String = {
-    def stamp(f: java.io.File): String =
-      s"${f.getName}:${f.length}:${f.lastModified}"
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    if (root.isDirectory)
-      Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
-        .map(stamp).mkString(",")
-    else stamp(root)
-  }
-
-  /** Temp index dirs live for the process; delete them on exit (r8 ADVICE —
-    * they leaked). One hook, recursive delete of whatever was registered. */
-  private val tempIndexDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val cleanupHook: Unit =
-    sys.addShutdownHook {
-      tempIndexDirs.forEach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(d))
-      }
-    }: Unit
-
   /** [[annIvfProbe]] served from a PERSISTED index — no k-means replay;
     * the only lineage is two parquet scans. */
   def annIvfProbeFromIndex(s: SparkSession, indexPath: String): DataFrame =
@@ -505,25 +460,26 @@ object Similarity {
   /** The full IVF model: `(centroids (cid, cq, cn2), assignment (vec_id, q,
     * n2, cell))` — [[annIvfProbe]] needs the centroid table itself to rank
     * probe cells per query. Trains once per (process, dir, K) and serves
-    * from the persisted index thereafter (see [[trainedIndexes]]); the K
-    * key (r10) lets the knn join run its own [[KnnK]]-cell index beside
-    * the shared [[IvfK]] one without either replaying the other's
-    * training. */
+    * from the persisted index thereafter — the six declared IVF-family
+    * consumers (q_similarity_ivf/_ivf_probe/_knn_join, q_dedup_semantic,
+    * q_ann_recall_ivf/_knn) share ONE k-means training per process, the
+    * in-process twin of the [[writeIvfIndex]] production contract.
+    * Registry, staleness fingerprint, and temp-dir lifecycle live in the
+    * shared [[IndexStore]] (r11 — the MinHash dedup index reuses them);
+    * the K key (r10) lets the knn join run its own [[KnnK]]-cell index
+    * beside the shared [[IvfK]] one without either replaying the other's
+    * training. `IvfIndexSpec` pins index-served ≡ inline training. */
   private[pipeline] def ivfModel(
       s: SparkSession, dir: String, k: Int = IvfK): (DataFrame, DataFrame) = {
-    val path = trainedIndexes.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, embeddingsFingerprint(dir), k), {
-        cleanupHook
-        val out = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
-        tempIndexDirs.add(out)
-        val (cents, cells) = ivfModelOf(s,
-          Tables.table(s, dir, "embeddings")
-            .select(col("vec_id"), quantize(col("embedding")).as("q")),
-          k)
-        cents.write.mode("overwrite").parquet(s"$out/centroids")
-        cells.write.mode("overwrite").parquet(s"$out/cells")
-        out
-      })
+    val path = IndexStore.getOrBuild(
+      s.sparkContext.applicationId, dir, "embeddings", s"ivf-$k") { out =>
+      val (cents, cells) = ivfModelOf(s,
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), quantize(col("embedding")).as("q")),
+        k)
+      cents.write.mode("overwrite").parquet(s"$out/centroids")
+      cells.write.mode("overwrite").parquet(s"$out/cells")
+    }
     (s.read.parquet(s"$path/centroids"), s.read.parquet(s"$path/cells"))
   }
 
