@@ -495,6 +495,95 @@ object TextAnalysis {
       .withColumn("keep", ($"score_milli" > 0).cast("int"))
   }
 
+  /** ONE-PASS QUALITY-CLASSIFIER TRAINING (r10 verdict #3 — the loop
+    * [[classifier]] serves but nothing trained): a closed-form
+    * Naive-Bayes-shaped fit over hashed bag-of-words features, the
+    * fastText-supervised shape (Joulin et al. 2016) reduced to its
+    * count-based core. Label = the corpus's `lang = 'en'` slice (the
+    * labeled-slice stand-in; any binary label column works); per feature
+    * bucket the fit counts positive/negative token occurrences and freezes
+    * the add-one-smoothed positive rate, CENTERED, in exact integer
+    * milli-units:
+    *
+    *   w_milli(b) = (1000·(n_pos+1)) div (n_pos+n_neg+2) − 500
+    *
+    * — a monotone proxy of the NB log-odds (same sign, same ordering)
+    * chosen over the log itself because it is INTEGER-EXACT, so the whole
+    * fit replays bit-identically in the oracle. Unseen buckets score
+    * exactly 0 (the smoothed rate at 0/0 is 500 − 500).
+    *
+    * Shape at scale: token explode → ONE map-side-combinable aggregate on
+    * the bucket key; output cardinality is the feature-hash space
+    * ([[ClfBuckets]] — 2^21 in production), never the corpus. The fitted
+    * table freezes into the same literal-array scorer the hash-derived
+    * weights use ([[fittedScorerOf]] — the DSIR fit-offline/score-online
+    * pattern); `ClassifierFitSpec` pins literal-array scoring ≡ the
+    * broadcast-join path and streaming ≡ batch. */
+  def classifierFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    classifierFitOf(Tables.table(s, dir, "documents")).orderBy($"bucket")
+  }
+
+  /** The fit over any `(lang, text)` frame — `(bucket, n_pos, n_neg,
+    * w_milli)`, unsorted. */
+  def classifierFitOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(($"lang" === "en").cast("long").as("pos"),
+        explode(tokens(lower($"text"))).as("t"))
+      .select($"pos", (charFoldHash($"t") % ClfBuckets).as("bucket"))
+      .groupBy($"bucket")
+      .agg(sum($"pos").as("n_pos"),
+        (count(lit(1)) - sum($"pos")).as("n_neg"))
+      .withColumn("w_milli",
+        expr("(1000 * (n_pos + 1)) div (n_pos + n_neg + 2) - 500"))
+  }
+
+  /** Freeze a fitted `(bucket, w_milli)` model into the length-
+    * [[ClfBuckets]] literal weight array the row-local scorer consumes —
+    * unseen buckets 0, budget-asserted like every frozen model. */
+  def fitWeightArrayOf(model: DataFrame): Seq[Long] = {
+    val w = new Array[Long](ClfBuckets.toInt)
+    model.select(col("bucket"), col("w_milli")).collect()
+      .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    graft.plans.ModelBudget.assertWithinBudget("classifier weight array", w.toSeq)
+    w.toSeq
+  }
+
+  /** Score any `(doc_id, text)` frame with FROZEN fitted weights — the
+    * serving half: one narrow codegen'd fold per document (no explode, no
+    * join, no shuffle), stateless, so the SAME transform runs on batch
+    * frames and append-mode streams unchanged. */
+  def fittedScorerOf(w: Seq[Long]): DataFrame => DataFrame = { docs =>
+    val s = docs.sparkSession
+    import s.implicits._
+    require(w.length == ClfBuckets.toInt, s"weight array must be $ClfBuckets long")
+    val wl = typedLit(w)
+    docs.select($"doc_id",
+        aggregate(tokens(lower($"text")), lit(0L), (acc, t) =>
+          acc + element_at(wl, (charFoldHash(t) % ClfBuckets).cast("int") + 1))
+          .as("score_milli"))
+      .withColumn("keep", ($"score_milli" > 0).cast("int"))
+  }
+
+  /** The JOIN-PATH twin of [[fittedScorerOf]] — explode → broadcast-join
+    * the fitted model table → per-doc sum. The literal-array scorer must
+    * equal this bit-for-bit (`ClassifierFitSpec`); production uses the
+    * broadcast join when the feature space outgrows a plan literal
+    * (2^21+ buckets). */
+  private[pipeline] def fittedScoreJoinOf(docs: DataFrame, model: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
+      .select($"doc_id", (charFoldHash($"t") % ClfBuckets).as("bucket"))
+      .join(broadcast(model.select($"bucket", $"w_milli")), Seq("bucket"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(coalesce($"w_milli", lit(0L))).as("score_milli"))
+      .withColumn("keep", ($"score_milli" > 0).cast("int"))
+  }
+
   /** Language-ID quality audit: confusion matrix of the stopword-vote
     * prediction against the corpus's labeled `lang` column — the
     * eval-the-filter step a pipeline runs before trusting a classifier at
@@ -776,6 +865,7 @@ object TextAnalysis {
     "q_text_perplexity" -> perplexity _,
     "q_text_perplexity_bigram" -> perplexityBigram _,
     "q_text_classifier" -> classifier _,
+    "q_text_classifier_fit" -> classifierFit _,
     "q_langid_eval" -> langIdEval _,
     "q_text_vocab" -> vocab _,
     "q_text_vocab_approx" -> vocabApprox _,
@@ -1052,6 +1142,19 @@ object TextAnalysis {
          |  FROM sc)
          |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
          |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    // the count-based fit replayed exactly: token-occurrence explode,
+    // feature-hash bucket, smoothed-centered integer weight
+    "q_text_classifier_fit" ->
+      s"""WITH d AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+         |    ${duckTokens("lower(text)")} AS w FROM documents),
+         |tk AS (SELECT pos, unnest(w) AS t FROM d),
+         |b AS (SELECT pos, (${duckCharFold("t")}) % $ClfBuckets AS bucket FROM tk)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+         |  CAST((1000 * (sum(pos) + 1)) // (count(*) + 2) - 500 AS BIGINT)
+         |    AS w_milli
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_text_classifier" ->
       s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
          |sc AS (SELECT doc_id,

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The trained-quality-classifier loop (fit → freeze → serve): the
+  * literal-array scorer must equal the broadcast-join scoring path
+  * bit-for-bit on the REAL fitted model, the frozen scorer must be
+  * streaming ≡ batch (stateless projection), and the fit itself must
+  * separate a planted label (positive-only tokens score positive,
+  * negative-only negative).
+  */
+class ClassifierFitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("literal-array scorer == broadcast-join path on the real fit") {
+    import spark.implicits._
+    val model = TextAnalysis.classifierFit(spark, sf).cache()
+    try {
+      val w = TextAnalysis.fitWeightArrayOf(model)
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+      val arr = TextAnalysis.fittedScorerOf(w)(docs)
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      val join = TextAnalysis.fittedScoreJoinOf(docs, model)
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      assert(arr.nonEmpty && arr == join,
+        "frozen literal-array scoring must equal the join path")
+    } finally model.unpersist(blocking = false): Unit
+  }
+
+  test("frozen scorer is streaming == batch (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = TextAnalysis.fitWeightArrayOf(TextAnalysis.classifierFit(spark, sf))
+    val rows = Seq((1L, "the quick brown fox"), (2L, "der schnelle braune fuchs"),
+      (3L, "le renard brun rapide"))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.fittedScorerOf(w)(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clf_fit_stream")
+      .outputMode("append").start()
+    mem.addData(rows)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("clf_fit_stream").collect().map(_.toSeq).toSet
+    val want = TextAnalysis.fittedScorerOf(w)(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.size == rows.size)
+  }
+
+  test("the fit separates a planted label") {
+    import spark.implicits._
+    // 'en' docs use only goodtokN, others only badtokN — disjoint buckets
+    // (distinct token strings hash to distinct buckets here; asserted via
+    // the fitted weights' signs rather than assumed)
+    val docs = (1 to 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", s"goodtok$i goodtok$i goodtok${i % 5}")
+      else (i.toLong, "de", s"badtok$i badtok$i badtok${i % 5}")
+    }.toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.classifierFitOf(docs)
+    val w = TextAnalysis.fitWeightArrayOf(model)
+    val scored = TextAnalysis.fittedScorerOf(w)(docs.select($"doc_id", $"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 20).foreach { i =>
+      if (i % 2 == 0) assert(scored(i.toLong) > 0, s"doc $i should score positive")
+      else assert(scored(i.toLong) < 0, s"doc $i should score negative")
+    }
+  }
+}
