@@ -879,7 +879,107 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Frame-sequence shingle size ([[SeqK]] consecutive frame hashes per
+    * gram) and winnow window ([[SeqW]]) for the TEMPORAL video near-dup
+    * tier — small because the synthetic clips run 2–6 frames; on real
+    * footage both grow (the text winnow uses 4/4). Guarantee (Schleimer
+    * et al.): any shared run of SeqW + SeqK − 1 = 3 consecutive frames
+    * produces at least one shared fingerprint — so a re-encoded copy with
+    * a trimmed intro, an inserted outro, or dropped boundary frames still
+    * pairs, which exact per-frame equality at matching positions misses
+    * and [[neardupVideo]]'s position-free hash join can only see one
+    * isolated frame at a time. */
+  val SeqK = 2
+  val SeqW = 2
+
+  /** Declared query: the winnowed FRAME-SEQUENCE fingerprints of every
+    * video (doc_id, pos, fp) — the temporal index-build half of video
+    * near-dup ([[Winnowing]] applied to the per-frame aHash stream as the
+    * token sequence; the selection key is the gram md5, engine-agnostic).
+    * Videos shorter than SeqK + SeqW − 1 frames have no window and emit
+    * nothing (mirrored in the oracle). */
+  def videoSeq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoSeqFingerprintsOf(Tables.table(s, dir, "documents"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** The fingerprints from raw docs: frame hashes AND the token sequence
+    * build entirely inside the per-row decode (frames never leave the
+    * row — the [[sceneCutsOf]] shape), then the shingle+winnow run as
+    * per-row array lambdas. No shuffle anywhere; stream-safe. */
+  private[graft] def videoSeqFingerprintsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    seqFingerprints(
+      docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          (id, ahashAvi(MediaRow(id, "video/avi", encodeAvi(p)))
+            .map(f => s"${f.ahash_hi}:${f.ahash_lo}").toSeq)
+        }.toDF("doc_id", "toks"))
+  }
+
+  /** Fixture entry point: the same fingerprints from an already-exploded
+    * `(doc_id, frame_no, ahash_hi, ahash_lo)` frame table —
+    * `MultimodalSpec` plants trimmed/shifted copies at the hash level.
+    * Pays one groupBy the decode path doesn't need. */
+  private[graft] def videoSeqFpOfFrames(frames: DataFrame): DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    seqFingerprints(frames
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(
+        struct($"frame_no", $"ahash_hi", $"ahash_lo"))).as("fs"))
+      .select($"doc_id", transform($"fs", f =>
+        concat(f.getField("ahash_hi").cast("string"), lit(":"),
+          f.getField("ahash_lo").cast("string"))).as("toks")))
+  }
+
+  private def seqFingerprints(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.select($"doc_id", Hashing.shingleMd5($"toks", SeqK).as("hs"))
+      .filter(size($"hs") >= SeqW)
+      .select($"doc_id", explode(Winnowing.selectExprOf(SeqW)).as("s"))
+      .select($"doc_id", $"s.pos".as("pos"), $"s.fp".as("fp"))
+  }
+
+  /** Declared query: TEMPORAL-ALIGNMENT video near-dup pairs — videos
+    * sharing at least one winnowed frame-sequence fingerprint, with the
+    * shared count (the [[Winnowing.winnowPairs]] machinery on frame-hash
+    * tokens; r10 verdict #5). Complementary to [[neardupVideo]]: the
+    * exact-frame join pairs ANY shared frame (strong recall, no temporal
+    * evidence); this tier requires a shared RUN of ≥ 3 consecutive
+    * frames, so a pair here is temporally aligned footage, not one
+    * coincidental still. ONE shuffle on the fingerprint key, hot
+    * fingerprints (a corpus-wide black-frame run) dropped via broadcast
+    * anti-join. */
+  def neardupVideoSeq(s: SparkSession, dir: String): DataFrame =
+    videoSeqPairsOf(videoSeqFingerprintsOf(Tables.table(s, dir, "documents")))
+
+  /** The pair join over any `(doc_id, pos, fp)` fingerprint table —
+    * fixture entry point. */
+  private[graft] def videoSeqPairsOf(fps: DataFrame): DataFrame = {
+    val s = fps.sparkSession
+    import s.implicits._
+    import graft.Caches.CacheOps
+    // cached: the decode→hash→winnow pipeline feeds the hot-list count and
+    // both self-join sides (the winnowPairs placement)
+    val uf = fps.select($"doc_id", $"fp").distinct().graftCache()
+    val hot = uf.groupBy($"fp").agg(count(lit(1)).as("c"))
+      .filter($"c" > Winnowing.MaxFpBucket).select($"fp")
+    val cl = uf.join(broadcast(hot), Seq("fp"), "left_anti")
+    cl.as("a").join(cl.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_videoseq" -> videoSeq _,
+    "q_multimodal_neardup_video_seq" -> neardupVideoSeq _,
     "q_multimodal_features" -> features _,
     "q_multimodal_frames" -> frames _,
     "q_multimodal_audio" -> audio _,
@@ -936,6 +1036,30 @@ object Multimodal {
     s"""$duckVideoHashCtes
        |SELECT doc_id, frame_no, ahash_hi, ahash_lo
        |FROM vh ORDER BY doc_id, frame_no""".stripMargin
+
+  /** DuckDB: the frame-sequence winnow fingerprints — CTEs ending in
+    * `vu(doc_id, pos, fp)`, shared by the videoseq and temporal-pair
+    * oracles. */
+  private val duckVideoSeqCtes: String =
+    s"""WITH ${duckVideoHashCtes.stripPrefix("WITH ")},
+       |vt AS (SELECT doc_id,
+       |    list(CAST(ahash_hi AS VARCHAR) || ':' || CAST(ahash_lo AS VARCHAR)
+       |      ORDER BY frame_no) AS toks
+       |  FROM vh GROUP BY doc_id),
+       |vg AS (SELECT doc_id, CASE WHEN len(toks) >= $SeqK THEN
+       |    list_transform(generate_series(1, len(toks) - ${SeqK - 1}),
+       |      i -> md5('|' || concat_ws(' ', toks[i], toks[i + 1])))
+       |    ELSE [] END AS hs
+       |  FROM vt),
+       |vsel AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(hs) - ${SeqW - 1}), j ->
+       |      list_reduce(
+       |        list_transform(generate_series(j, j + ${SeqW - 1}),
+       |          i -> struct_pack(pos := i, fp := hs[i])),
+       |        (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END)) AS ss
+       |  FROM vg WHERE len(hs) >= $SeqW),
+       |vu AS (SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp
+       |  FROM (SELECT doc_id, unnest(ss) AS s FROM vsel))""".stripMargin
 
   /** DuckDB: the [[ahashWav]] construction from the text bytes. */
   private val duckAudioHashSql: String =
@@ -1101,6 +1225,24 @@ object Multimodal {
     "q_multimodal_neardup_audio" ->
       duckNeardupSql(duckAudioHashSql, "CAST(0 AS BIGINT)", "ahash",
         AudioBands, AudioTau),
+    // Frame-sequence winnow: the per-frame hash CTEs → ordered token list
+    // → 2-gram md5 (the ShingleMd5 construction on frame-hash tokens) →
+    // the Winnowing argmin selection — identical constants, rightmost tie
+    // rule, and ≥-window gate as the Spark side.
+    "q_multimodal_videoseq" ->
+      s"""$duckVideoSeqCtes
+         |SELECT doc_id, CAST(pos AS INT) AS pos, fp
+         |FROM vu ORDER BY doc_id, pos""".stripMargin,
+    "q_multimodal_neardup_video_seq" ->
+      s"""$duckVideoSeqCtes,
+         |vuf AS (SELECT DISTINCT doc_id, fp FROM vu),
+         |vcold AS (SELECT doc_id, fp FROM vuf
+         |  WHERE fp NOT IN (SELECT fp FROM vuf GROUP BY fp
+         |                   HAVING count(*) > ${Winnowing.MaxFpBucket}))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM vcold a JOIN vcold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "q_multimodal_neardup_video" ->
       s"""WITH fpv AS MATERIALIZED (SELECT DISTINCT doc_id, ahash_hi, ahash_lo
          |  FROM ($duckVideoHashSql) src),

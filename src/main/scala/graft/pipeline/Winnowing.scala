@@ -59,22 +59,27 @@ object Winnowing {
   /** The unsorted `(doc_id[, extra...], pos, fp)` fingerprint table
     * ([[winnowPairs]] feeds it straight into a shuffle, where the sort
     * would be dead work). */
+  /** The window-argmin selection over a gram-hash array column named `hs`
+    * at window width `w` — 1-based gram positions; window j covers grams
+    * j .. j+w−1; argmin seeded at j and folded left→right with `<=` so
+    * ties land rightmost (the paper's rule). Shared with the video
+    * frame-sequence fingerprints ([[Multimodal]], r11), which winnow at a
+    * narrower window than text. */
+  private[pipeline] def selectExprOf(w: Int) = expr(
+    s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}), j ->
+       |  aggregate(sequence(j + 1, j + ${w - 1}),
+       |    named_struct('pos', j, 'fp', element_at(hs, j)),
+       |    (acc, i) -> IF(element_at(hs, i) <= acc.fp,
+       |      named_struct('pos', i, 'fp', element_at(hs, i)), acc))))""".stripMargin)
+
   private def fingerprints(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val carry = col("doc_id") +: extra.map(col)
-    // 1-based gram positions; window j covers grams j .. j+W-1; argmin
-    // seeded at j and folded left→right with `<=` so ties land rightmost.
-    val selected = expr(
-      s"""array_distinct(transform(sequence(1, size(hs) - ${W - 1}), j ->
-         |  aggregate(sequence(j + 1, j + ${W - 1}),
-         |    named_struct('pos', j, 'fp', element_at(hs, j)),
-         |    (acc, i) -> IF(element_at(hs, i) <= acc.fp,
-         |      named_struct('pos', i, 'fp', element_at(hs, i)), acc))))""".stripMargin)
     docs
       .select(carry :+ shingleMd5(tokens($"text"), K).as("hs"): _*)
       .filter(size($"hs") >= W)
-      .select(carry :+ explode(selected).as("s"): _*)
+      .select(carry :+ explode(selectExprOf(W)).as("s"): _*)
       .select(carry :+ $"s.pos".as("pos") :+ $"s.fp".as("fp"): _*)
   }
 

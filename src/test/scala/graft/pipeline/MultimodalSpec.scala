@@ -346,4 +346,43 @@ class MultimodalSpec extends AnyFunSuite {
       shots.foreach(s => assert(hashAt((doc, s._3)) == ((s._5, s._6))))
     }
   }
+
+  test("temporal near-dup pairs a TRIMMED copy; one shared still does not pair") {
+    import spark.implicits._
+    // planted at the frame-hash level (videoSeqFpOfFrames): video 2 is
+    // video 1 with the intro frame dropped and positions renumbered — the
+    // shifted/trimmed re-encode exact positional equality misses; video 3
+    // shares exactly ONE isolated frame (h3) with video 1 — a coincidental
+    // still, not aligned footage
+    val h = (i: Long) => (100L + i, 200L + i)
+    val v1 = (0 until 6).map(i => (1L, i, h(i)._1, h(i)._2))
+    val v2 = (1 until 6).zipWithIndex.map { case (src, pos) =>
+      (2L, pos, h(src)._1, h(src)._2) }
+    val v3 = Seq((3L, 0, 901L, 902L), (3L, 1, h(3)._1, h(3)._2), (3L, 2, 903L, 904L))
+    val frames = (v1 ++ v2 ++ v3)
+      .toDF("doc_id", "frame_no", "ahash_hi", "ahash_lo")
+    val pairs = Multimodal.videoSeqPairsOf(Multimodal.videoSeqFpOfFrames(frames))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      s"trimmed copy must pair: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"an isolated shared still must NOT pair temporally: $pairs")
+    // ...while the exact-frame tier DOES pair video 3 (the recall/precision
+    // split between the two tiers)
+    val exact = Multimodal.neardupVideoOf(
+        frames.select($"doc_id", $"ahash_hi", $"ahash_lo"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(exact.contains((1L, 3L, 1L)), s"exact tier should see the still: $exact")
+  }
+
+  test("frame-table fingerprint path == decode-path fingerprints (real corpus)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val direct = Multimodal.videoSeqFingerprintsOf(docs)
+      .orderBy($"doc_id", $"pos").collect().map(_.toSeq).toSeq
+    val viaFrames = Multimodal.videoSeqFpOfFrames(Multimodal.videoHashOf(docs))
+      .orderBy($"doc_id", $"pos").collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && direct == viaFrames)
+  }
 }
