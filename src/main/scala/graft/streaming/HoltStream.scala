@@ -28,7 +28,12 @@ import graft.relational.TimeSeries
   * seal, armed timer, day count, the 9-long [l, b, s₁..s₇] register)
   * plus a map of OPEN days above the watermark — bounded by
   * horizon/day, never by stream length; late rows below a sealed day
-  * are dropped (the standard contract). Parallelism is the user-key
+  * are dropped (the standard contract) — by the WATERMARK before the
+  * processor, counted in the query's numRowsDroppedByWatermark metric
+  * (sealing never runs ahead of the watermark, so a row under a sealed
+  * day is always under the watermark too; the in-handler `b >= next`
+  * guard is the defensive second line — `HoltStreamSpec` pins emissions
+  * unchanged and the drop counted). Parallelism is the user-key
   * hash partitioning, Flink's keyed scope.
   */
 object HoltStream {

@@ -112,6 +112,44 @@ class HoltStreamSpec extends AnyFunSuite {
     assert(fin.n_days == 8L)
   }
 
+  test("late rows below sealed days: forecasts unchanged, drop counted") {
+    import spark.implicits._
+    // The documented drop contract, executable (r10 verdict #6, the
+    // DedupStream re-admit pin's shape): a row below the watermark — and
+    // therefore below every sealed day, since sealing never runs ahead of
+    // the watermark — is dropped by the framework BEFORE the processor
+    // and counted in numRowsDroppedByWatermark; the processor's own
+    // b >= next guard is the defensive second line. Emissions must be
+    // bit-identical with and without the late row.
+    val base = (1 to 10).map(d =>
+      (1L, ts(f"2024-03-$d%02d 12:00:00"), "purchase", d.toDouble))
+    val adv = (1L, ts("2024-03-10 13:00:00"), "purchase", 1.0)
+    val late = (1L, ts("2024-03-02 12:00:00"), "purchase", 99.0)
+    def run(withLate: Boolean): (Seq[HwRow], Long) = {
+      val mem = MemoryStream[(Long, Timestamp, String, Double)]
+      val q = HoltStream.forecasts(
+          mem.toDF().toDF("user_id", "ts", "event_type", "value"), "1 day")
+        .writeStream.format("memory").queryName("hw_late")
+        .outputMode("append").start()
+      try {
+        mem.addData(base: _*); q.processAllAvailable()
+        mem.addData(adv); q.processAllAvailable()
+        if (withLate) { mem.addData(late); q.processAllAvailable() }
+        val dropped = q.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsDroppedByWatermark).sum
+        (spark.table("hw_late").as[HwRow].collect().toSeq.sortBy(_.n_days),
+          dropped)
+      } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS hw_late"): Unit }
+    }
+    val (clean, droppedClean) = run(withLate = false)
+    val (withL, droppedLate) = run(withLate = true)
+    assert(clean.nonEmpty && withL == clean,
+      "a late row below sealed days must not change any emission")
+    assert(droppedClean == 0L && droppedLate == 1L,
+      s"the drop must be counted: clean=$droppedClean late=$droppedLate")
+  }
+
   test("watermark gates emission; interior gap days fold as zero") {
     import spark.implicits._
     val rows = Seq(
