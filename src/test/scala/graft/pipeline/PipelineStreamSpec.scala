@@ -170,6 +170,12 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(streamed("pipe_videohash", Multimodal.videoHashOf) == bv)
   }
 
+  test("video frame-sequence fingerprints: streaming == batch") {
+    val b = batch(Multimodal.videoSeqFingerprintsOf)
+    assert(b.nonEmpty)
+    assert(streamed("pipe_videoseq", Multimodal.videoSeqFingerprintsOf) == b)
+  }
+
   test("scene cuts: streaming == batch") {
     val b = batch(Multimodal.sceneCutsOf)
     assert(b.nonEmpty) // the synthetic frames cycle bytes, so cuts exist
