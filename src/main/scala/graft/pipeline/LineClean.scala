@@ -48,31 +48,40 @@ object LineClean {
     * `charFoldHash("dup:" + doc_id) % 3 = 0` get their first line repeated
     * at the end (the within-doc dup the cleaner must catch). */
   private[graft] def synthLinedText(docId: Column, text: Column): Column = {
-    val w = tokens(text)
-    // zero-token guard (r10 ADVICE): Spark's sequence(1, 0, 6) throws
-    // "Illegal sequence boundaries" while DuckDB's generate_series(1, 0, 6)
-    // yields [] — an empty/whitespace-only document must produce an empty
-    // line list in BOTH engines, not a crash in one.
-    val raw = when(size(w) > 0,
-      transform(sequence(lit(1), size(w), lit(LineW)),
-        st => concat_ws(" ", slice(w, st, lit(LineW)))))
-      .otherwise(array().cast("array<string>"))
-    // bind h once per line (struct field), not once per use — the r1
-    // expression-tree-duplication hazard
-    val withH = transform(raw, l => struct(l.as("l"), charFoldHash(l).as("h")))
-    val deco = transform(withH, x => {
-      val l = x.getField("l")
-      val h = x.getField("h")
-      val punct = when(h % 5 <= 2, concat(l, lit(".")))
-        .when(h % 5 === 3, l)
-        .otherwise(concat(l, lit("...")))
-      when(h % 11 === 0, concat(lit("- "), punct)).otherwise(punct)
-    })
-    val lines = when(
-      charFoldHash(concat(lit("dup:"), docId.cast("string"))) % 3 === 0 &&
-        size(deco) >= 2,
-      concat(deco, slice(deco, 1, 1))).otherwise(deco)
-    array_join(lines, "\n")
+    // Higher-order-function trees are CSE-EXEMPT, so every plain reuse of
+    // a Column here re-evaluates its whole upstream per row (the r1/r10
+    // hazard — measured ~0.7 s on q_pipeline_full at sf0.1 when the r11
+    // empty-doc guard added one more `size(tokens)` reference): bind the
+    // token array and then the decorated line list ONCE each as lambda
+    // variables (`transform(array(x), v -> ...)` — v is a true variable,
+    // not a copied tree), h once per line as a struct field.
+    def bind(x: Column)(f: Column => Column): Column =
+      element_at(transform(array(x), f), 1)
+    bind(tokens(text)) { w =>
+      // zero-token guard (r10 ADVICE): Spark's sequence(1, 0, 6) throws
+      // "Illegal sequence boundaries" while DuckDB's generate_series(1, 0,
+      // 6) yields [] — an empty/whitespace-only document must produce an
+      // empty line list in BOTH engines, not a crash in one.
+      val raw = when(size(w) > 0,
+        transform(sequence(lit(1), size(w), lit(LineW)),
+          st => concat_ws(" ", slice(w, st, lit(LineW)))))
+        .otherwise(array().cast("array<string>"))
+      val withH = transform(raw, l => struct(l.as("l"), charFoldHash(l).as("h")))
+      bind(transform(withH, x => {
+        val l = x.getField("l")
+        val h = x.getField("h")
+        val punct = when(h % 5 <= 2, concat(l, lit(".")))
+          .when(h % 5 === 3, l)
+          .otherwise(concat(l, lit("...")))
+        when(h % 11 === 0, concat(lit("- "), punct)).otherwise(punct)
+      })) { deco =>
+        val lines = when(
+          charFoldHash(concat(lit("dup:"), docId.cast("string"))) % 3 === 0 &&
+            size(deco) >= 2,
+          concat(deco, slice(deco, 1, 1))).otherwise(deco)
+        array_join(lines, "\n")
+      }
+    }
   }
 
   /** Per-line first-drop reason over a newline-delimited `line list`
