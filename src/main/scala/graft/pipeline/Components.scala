@@ -457,6 +457,58 @@ object Components {
     labels
   }
 
+  /** Integer MODULARITY of a community assignment over an undirected pair
+    * table (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²) — the
+    * partition-QUALITY score that closes the community-detection loop
+    * ([[labelPropagation]] says where the communities are; modularity says
+    * whether the partition beats random edge placement — Q near 0 means
+    * the "communities" are noise, so a curator should not review bridges
+    * that aren't there). Reported in exact basis points: with
+    * N = Σ_c (4·m·e_c − d_c²), Q_bp = N·10⁴ div 4m², computed through a
+    * Decimal(38) fold (4m·e_c and d_c² pass int64 at ~10⁹ edges — the
+    * covLong overflow class) and SHIFTED by +4m² before the truncating
+    * division so both engines agree on negative Q (Q ≥ −1 always; Spark
+    * `div` and DuckDB `//` truncate identically on non-negatives).
+    *
+    * 100 TB shape: two label joins onto the canonical edge list, one
+    * map-side-combinable count per community for e_c, the degree pass
+    * reduced per node then per community for d_c — every shuffle on a
+    * community/node key, the per-community table bounded by community
+    * count; the 1-row m aggregate crossJoins onto it (bounded,
+    * allowlisted). Output is ONE summary row.
+    */
+  def modularityOf(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val dec = "CAST(4 AS DECIMAL(38,0))"
+    val e = pairs.toDF("a", "b").filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .distinct().graftCache() // m count + label join + degree pass
+    val lab = labels.toDF("node", "label").graftCache() // three join sides
+    val ec = e
+      .join(lab.select($"node".as("u"), $"label".as("lu")), "u")
+      .join(lab.select($"node".as("v"), $"label".as("lv")), "v")
+      .filter($"lu" === $"lv")
+      .groupBy($"lu".as("label")).agg(count(lit(1)).as("e_in"))
+    val dc = e.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+      .join(lab, "node")
+      .groupBy($"label").agg(sum($"d").as("d_sum"))
+    val m = e.agg(count(lit(1)).as("m")) // 1 row
+    dc.join(ec, Seq("label"), "left")
+      .select(coalesce($"e_in", lit(0L)).as("e_in"), $"d_sum")
+      .crossJoin(broadcast(m))
+      .select(expr(s"$dec * m * e_in - CAST(d_sum AS DECIMAL(38,0)) * d_sum")
+        .as("num"), $"m")
+      .groupBy($"m")
+      .agg(sum($"num").as("n_sum"), count(lit(1)).as("n_communities"))
+      .select($"n_communities",
+        $"m".as("n_edges"),
+        when($"m" === 0L, lit(0L)).otherwise(
+          expr(s"((n_sum + $dec * m * m) * 10000) div ($dec * m * m)")
+            .cast("long") - 10000L).as("q_modularity_bp"))
+  }
+
   /** Multi-source BFS hop distances from each component's ROOT (the min-id
     * exemplar [[connectedComponents]] elects): per node, the fewest edges
     * between it and its cluster canonical — the CHAIN-DEPTH diagnostic

@@ -508,6 +508,20 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** MODULARITY of the LPA community partition over the near-dup graph
+    * ([[Components.modularityOf]] on [[communities]]' assignment): the
+    * quality score that says whether the detected communities BEAT random
+    * edge placement — the go/no-go gate on acting on [[communities]]' '
+    * review-the-bridge signal at all (Q ≈ 0 ⟹ the partition is noise and
+    * there are no bridges worth reviewing). One summary row:
+    * (n_communities, n_edges, q_modularity_bp). */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b").graftCache()
+    Components.modularityOf(pairs, Components.labelPropagation(pairs, LpaRounds))
+  }
+
   /** RECALL AUDIT of the MinHash-LSH dedup index — [[Similarity]]'s
     * `q_ann_recall` discipline applied to dedup: ground truth is every pair
     * with exact Jaccard ≥ 30% (computed via the shingle INVERTED INDEX —
@@ -768,6 +782,7 @@ object Dedup {
     "q_dedup_pagerank" -> pagerank _,
     "q_dedup_hops" -> hops _,
     "q_dedup_communities" -> communities _,
+    "q_dedup_modularity" -> modularity _,
     "q_dedup_threshold_frontier" -> thresholdFrontier _,
     "q_dedup_clustering" -> clustering _,
     "q_dedup_recall" -> recallAudit _,
@@ -1123,6 +1138,49 @@ object Dedup {
          |$rounds
          |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
          |FROM l$LpaRounds ORDER BY doc_id""".stripMargin
+    },
+    // Newman modularity of the l4 LPA partition over the verified pair
+    // graph — HUGEINT arithmetic, the same +4m² shift before truncating
+    // division as the Spark side (Q ≥ −1 keeps the shifted numerator
+    // non-negative, where // and div agree)
+    "q_dedup_modularity" -> {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""l$i AS (SELECT v AS node, label FROM (
+           |  SELECT e.v, l.label, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY e.v
+           |      ORDER BY count(*) DESC, l.label) AS rk
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.u
+           |  GROUP BY e.v, l.label) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$sigCte,
+         |$candCtes,
+         |$prsCte,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+         |$rounds,
+         |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM prs),
+         |ec AS (SELECT la.label, count(*) AS e_in
+         |  FROM prs p JOIN l$LpaRounds la ON la.node = p.doc_a
+         |  JOIN l$LpaRounds lb ON lb.node = p.doc_b
+         |  WHERE la.label = lb.label GROUP BY la.label),
+         |deg AS (SELECT node, count(*) AS d FROM (
+         |    SELECT doc_a AS node FROM prs
+         |    UNION ALL SELECT doc_b FROM prs) GROUP BY node),
+         |dc AS (SELECT l.label, sum(d.d) AS d_sum
+         |  FROM deg d JOIN l$LpaRounds l ON l.node = d.node
+         |  GROUP BY l.label),
+         |ns AS (SELECT
+         |    CAST(sum(4 * mm.m * COALESCE(ec.e_in, 0)
+         |      - CAST(dc.d_sum AS HUGEINT) * dc.d_sum) AS HUGEINT) AS n_sum,
+         |    count(*) AS n_communities
+         |  FROM dc LEFT JOIN ec ON ec.label = dc.label, mm)
+         |SELECT CAST(ns.n_communities AS BIGINT) AS n_communities,
+         |  CAST(mm.m AS BIGINT) AS n_edges,
+         |  CAST(CASE WHEN mm.m = 0 THEN 0 ELSE
+         |    ((ns.n_sum + 4 * mm.m * mm.m) * 10000) // (4 * mm.m * mm.m)
+         |      - 10000 END AS BIGINT) AS q_modularity_bp
+         |FROM ns, mm""".stripMargin
     },
     // unthresholded candidate agreement histogram + per-doc max agreement,
     // each swept over the 1..K threshold table

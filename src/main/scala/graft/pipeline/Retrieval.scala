@@ -243,6 +243,66 @@ object Retrieval {
     * fires instead of the job silently running quadratic). */
   val MaxRecallVecs = 10000L
 
+  /** Dimension prefixes swept by [[annRecallTrunc]] — powers of two up to
+    * the full width (the 64-dim row is the 100%-recall anchor proving the
+    * sweep's top end, the q_ann_recall_frontier convention). */
+  val TruncDims = Seq(8, 16, 32, 64)
+
+  /** Query-set size for the truncation audit — larger than
+    * [[Similarity.QueryVecs]] because the frontier reports a MEAN whose
+    * resolution is 10000/(nq·k) basis points. */
+  val TruncQueryVecs = 100L
+
+  /** DIMENSION-BUDGET recall frontier (Matryoshka-style truncation audit,
+    * Kusupati et al. 2022 arXiv:2205.13147): recall@[[RecallK]] of
+    * brute-force search over PREFIX-TRUNCATED embeddings against the
+    * full-width exact top-k, one row per prefix width in [[TruncDims]].
+    * Cutting 64 → 16 dims is a 4× cut in index bytes, scan IO, and dot
+    * cost at 100 TB — this measures what it costs in recall BEFORE a
+    * build commits to it (the same measure-first discipline as the
+    * (K, nprobe) frontier; the synthetic near-uniform embeddings spread
+    * information evenly across dims, so the frontier here reads low —
+    * real Matryoshka-trained embeddings front-load it).
+    *
+    * Shape: the dims axis EXPLODES from a 4-element literal (a Generate,
+    * not a join — no BNLJ, no 4-partition shuffle key), the query set
+    * broadcasts against the corpus (query-set-sized audit work, the
+    * [[annRecall]] contract), truncated dots run through the native fused
+    * [[qdot]] over sliced arrays, and the per-(dims, query) top-k window
+    * partitions on a query-set-bounded key. One 4-row × 1-row assembly
+    * crossJoin at the end (bounded, allowlisted). */
+  def annRecallTrunc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+    val corpusD = e
+      .select($"vec_id", explode(typedLit(TruncDims)).as("dims"), $"q")
+      .select($"vec_id", $"dims", slice($"q", lit(1), $"dims").as("qd"))
+    val queriesD = corpusD.filter($"vec_id" < TruncQueryVecs)
+      .select($"vec_id".as("query_id"), $"dims", $"qd".as("qvd"))
+    val w = Window.partitionBy($"dims", $"query_id").orderBy($"dot".desc, $"vec_id")
+    // cached: the dims=64 baseline and the all-dims hit side both read it
+    val tr = corpusD.join(broadcast(queriesD), Seq("dims"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"dims", $"query_id", $"vec_id", qdot($"qvd", $"qd").as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= RecallK)
+      .select($"dims", $"query_id", $"vec_id")
+      .graftCache()
+    val exact = tr.filter($"dims" === 64).select($"query_id", $"vec_id")
+    val hits = tr.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy($"dims").agg(count(lit(1)).as("h"))
+    val nq = e.filter($"vec_id" < TruncQueryVecs).agg(count(lit(1)).as("n_queries"))
+    TruncDims.toDF("dims")
+      .crossJoin(broadcast(nq))
+      .join(hits, Seq("dims"), "left")
+      .select($"dims", $"n_queries",
+        coalesce($"h", lit(0L)).as("n_hit"),
+        expr(s"(coalesce(h, 0L) * 10000) div (n_queries * $RecallK)")
+          .as("recall_bp"))
+      .orderBy($"dims")
+  }
+
   /** (K, nprobe) grid swept by [[annRecallFrontier]] — per trained index
     * size K, the probed-cell counts bracket the shipped operating point on
     * both sides and end at K (= full scan modulo the hot-cell guard: the
@@ -447,6 +507,7 @@ object Retrieval {
     "q_retrieval_phrase" -> phrase _,
     "q_retrieval_rrf" -> rrf _,
     "q_ann_recall" -> annRecall _,
+    "q_ann_recall_trunc" -> annRecallTrunc _,
     "q_ann_recall_ivf" -> annRecallIvf _,
     "q_ann_recall_pq" -> annRecallPq _,
     "q_ann_recall_knn" -> annRecallKnn _,
@@ -538,6 +599,36 @@ object Retrieval {
     // exact top-k and the full LSH multiprobe plan re-derived in SQL (the
     // bit_count pair join is oracle-scale-only, per Similarity's Scaladoc),
     // then recall = |ann ∩ exact| per query
+    // the truncation frontier replayed: per dims, prefix dots via
+    // generate_series(1, dims), top-3 vs the dims=64 rows of the SAME table
+    "q_ann_recall_trunc" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dm AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS dims),
+         |trc AS (SELECT d.dims, qr.vec_id AS query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, d.dims),
+         |      i -> qr.q[i] * c.q[i])) AS BIGINT) AS dot
+         |  FROM e qr JOIN e c ON qr.vec_id <> c.vec_id, dm d
+         |  WHERE qr.vec_id < $TruncQueryVecs),
+         |tr AS (SELECT dims, query_id, vec_id FROM (
+         |  SELECT dims, query_id, vec_id,
+         |    row_number() OVER (PARTITION BY dims, query_id
+         |      ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM trc) WHERE rnk <= $RecallK),
+         |ex AS (SELECT query_id, vec_id FROM tr WHERE dims = 64),
+         |h AS (SELECT tr.dims, count(*) AS h
+         |  FROM tr JOIN ex ON ex.query_id = tr.query_id
+         |    AND ex.vec_id = tr.vec_id
+         |  GROUP BY tr.dims),
+         |nq AS (SELECT count(*) AS nq FROM e WHERE vec_id < $TruncQueryVecs)
+         |SELECT CAST(d.dims AS INT) AS dims,
+         |  CAST(nq.nq AS BIGINT) AS n_queries,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+         |  CAST((COALESCE(h.h, 0) * 10000) // (nq.nq * $RecallK) AS BIGINT)
+         |    AS recall_bp
+         |FROM dm d CROSS JOIN nq LEFT JOIN h ON h.dims = d.dims
+         |ORDER BY dims""".stripMargin,
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q

@@ -344,4 +344,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(left.size == 1 && right.size == 1 && left != right,
       s"communities not separated: $lpa")
   }
+
+  test("modularity: two disjoint triangles = exactly 5000 bp; one blob = 0") {
+    import spark.implicits._
+    // two triangles, per-triangle labels: m = 6, each community e_c = 3,
+    // d_c = 6 ⟹ Q = 2·(3/6 − (6/12)²) = 1/2 ⟹ 5000 bp exactly
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("node", "label")
+    val r = Components.modularityOf(tri, labels).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L && r.getLong(2) == 5000L,
+      s"expected (2, 6, 5000), got $r")
+    // the degenerate one-community partition scores Q = e/m − 1 = 0 here
+    // (all edges internal): Σ(4m·m − (2m)²) = 0
+    val one = labels.select($"node",
+      org.apache.spark.sql.functions.lit(0L).as("label"))
+    val r1 = Components.modularityOf(tri, one).collect().head
+    assert(r1.getLong(2) == 0L, s"one-blob modularity should be 0, got $r1")
+    // anti-community labels (every edge crosses): strictly negative
+    val anti = Seq((0L, 0L), (1L, 1L), (2L, 2L),
+      (10L, 10L), (11L, 11L), (12L, 12L)).toDF("node", "label")
+    val r2 = Components.modularityOf(tri, anti).collect().head
+    assert(r2.getLong(2) < 0L, s"singleton labels should score negative, got $r2")
+  }
 }

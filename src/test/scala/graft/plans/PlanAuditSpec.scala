@@ -74,7 +74,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row distinct-user total for the support_bp denominator
     "q_seq_support",
     // 1-row (total, key-count) aggregate over the key-bounded count table
-    "q_join_skew_diagnose"
+    "q_join_skew_diagnose",
+    // 1-row query-set-count aggregate for the recall denominator (r11)
+    "q_ann_recall_trunc",
+    // 1-row edge-count aggregate (m) + the 1-row final modularity fold
+    // over the community-bounded per-label table (r11)
+    "q_dedup_modularity"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject;
     // q_sample_priority's global top-(k+1) collapses the same way)
@@ -116,6 +121,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_seq_support",
     // 1-row (total, key-count) crossed onto the key-cardinality table
     "q_join_skew_diagnose",
+    // 4-row dims table × 1-row query-count aggregate (r11 truncation
+    // frontier assembly; the query-set side of the audit itself is a
+    // broadcast HASH join on dims, not a BNLJ)
+    "q_ann_recall_trunc",
+    // 1-row m (edge count) crossJoined onto the community-bounded
+    // per-label table (r11 modularity)
+    "q_dedup_modularity",
     // 1-row scan-only lineitem count crossed onto the 1-row audit row
     "q_dq_cross",
     // the MinhashK-row threshold table non-equi-joined (matches >= t) onto
