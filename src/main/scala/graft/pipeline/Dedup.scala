@@ -508,6 +508,65 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Rebuild threshold for [[dedupIndexRefresh]], in basis points of the
+    * arrival band keys ABSENT from the index: past this, the frozen
+    * snapshot no longer covers what's arriving. The synthetic corpus's
+    * odd/even halves share its distribution, so the natural novelty rate
+    * sits well below it; `MinhashIndexSpec` plants an out-of-distribution
+    * arrival batch that flips the verdict. */
+  val NoveltyRebuildBp = 5000L
+
+  /** INDEX-REFRESH decision for the persisted MinHash index — the
+    * operational loop-closer ([[Similarity.indexRefresh]]'s drift verdict
+    * applied to the dedup index): per arrival source, the admission
+    * outcome (how much of what arrives is already-known content) and the
+    * NOVELTY rate — the fraction of arrival band keys with NO bucket in
+    * the index. A novel band key cannot candidate against anything, so
+    * past [[NoveltyRebuildBp]] the frozen snapshot no longer covers the
+    * arrival distribution and arrivals silently stop deduping against
+    * each other — the rebuild signal. (A key matching a bucket the BUILD
+    * dropped as hot counts as missing too: the index genuinely cannot
+    * serve it; mirrored in the oracle.)
+    *
+    * Shape at scale: the reject side is [[assignOf]] unchanged; the
+    * novelty side is one anti-join of the batch-sized arrival band rows
+    * against the index band scan ([[Bands]] rows per arrival) reduced
+    * map-side per doc, then one source-bounded aggregate. Corpus never
+    * re-hashed. */
+  def dedupIndexRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ixSigs, ixBands) = minhashIndex(s, dir)
+    dedupIndexRefreshOf(
+      Tables.table(s, dir, "documents").filter($"doc_id" % 2 === 1),
+      ixSigs, ixBands)
+  }
+
+  /** [[dedupIndexRefresh]] over any `(doc_id, source, text)` arrival frame
+    * + index scans — the fixture entry point (`MinhashIndexSpec` plants an
+    * out-of-distribution batch). */
+  private[graft] def dedupIndexRefreshOf(
+      arrivals: DataFrame, ixSigs: DataFrame, ixBands: DataFrame): DataFrame = {
+    val s = arrivals.sparkSession
+    import s.implicits._
+    val asg = assignOf(arrivals, ixSigs, ixBands)
+    val missing = rawBandsOf(sigsOf(arrivals))
+      .join(ixBands.select($"band", $"key"), Seq("band", "key"), "left_anti")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_missing"))
+    arrivals.select($"doc_id", $"source")
+      .join(asg.select($"doc_id", $"verdict"), "doc_id")
+      .join(missing, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(when($"verdict" === "reject_dup", 1L).otherwise(0L)).as("n_rejects"),
+        sum(coalesce($"n_missing", lit(0L))).as("novel_bands"))
+      .withColumn("novelty_bp",
+        expr(s"(novel_bands * 10000) div (n_arrivals * $Bands)"))
+      .withColumn("verdict",
+        when($"novelty_bp" > NoveltyRebuildBp, "rebuild").otherwise("keep"))
+      .select($"source", $"n_arrivals", $"n_rejects", $"novelty_bp", $"verdict")
+      .orderBy($"source")
+  }
+
   /** MODULARITY of the LPA community partition over the near-dup graph
     * ([[Components.modularityOf]] on [[communities]]' assignment): the
     * quality score that says whether the detected communities BEAT random
@@ -775,6 +834,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_assign" -> assign _,
+    "q_dedup_index_refresh" -> dedupIndexRefresh _,
     "q_dedup_exact" -> exact _,
     "q_dedup_containment" -> containment _,
     "q_dedup_canonical" -> canonical _,
@@ -891,6 +951,42 @@ object Dedup {
          |FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
          |WHERE d.doc_id % 2 = 1
          |ORDER BY d.doc_id""".stripMargin,
+    // the refresh verdict replayed: the assign verify chain for rejects +
+    // the per-arrival count of band keys absent from the (hot-guarded)
+    // index bands, aggregated per source
+    "q_dedup_index_refresh" ->
+      s"""$sigCte,
+         |bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         |ixb AS (SELECT doc_id, b, key FROM (
+         |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
+         |  FROM bands0 WHERE doc_id % 2 = 0) WHERE bsz <= $MaxBucket),
+         |ab AS (SELECT doc_id, b, key FROM bands0 WHERE doc_id % 2 = 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id, i.doc_id AS corpus_id
+         |  FROM ab a JOIN ixb i ON a.b = i.b AND a.key = i.key),
+         |rej AS (SELECT DISTINCT c.doc_id FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id
+         |  JOIN sig sb ON sb.doc_id = c.corpus_id
+         |  WHERE len(list_filter(generate_series(1, $MinhashK),
+         |    i -> sa.sigs[i] = sb.sigs[i])) >= 4),
+         |ik AS (SELECT DISTINCT b, key FROM ixb),
+         |am AS (SELECT a.doc_id, count(*) AS n_missing
+         |  FROM ab a LEFT JOIN ik ON ik.b = a.b AND ik.key = a.key
+         |  WHERE ik.b IS NULL GROUP BY a.doc_id)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_arrivals,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rejects,
+         |  CAST((sum(COALESCE(am.n_missing, 0)) * 10000)
+         |    // (count(*) * $Bands) AS BIGINT) AS novelty_bp,
+         |  CASE WHEN (sum(COALESCE(am.n_missing, 0)) * 10000)
+         |    // (count(*) * $Bands) > $NoveltyRebuildBp
+         |    THEN 'rebuild' ELSE 'keep' END AS verdict
+         |FROM documents d
+         |LEFT JOIN rej r ON r.doc_id = d.doc_id
+         |LEFT JOIN am ON am.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

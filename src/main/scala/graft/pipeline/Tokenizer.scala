@@ -259,11 +259,37 @@ object Tokenizer {
   private def duckTrainCtes: String =
     (duckVocabCtes +: (1 to NMerges).map(duckMergeIter)).mkString(",\n")
 
+  /** TOKENIZER FERTILITY per source — BPE tokens emitted per whitespace
+    * word, in exact milli-units (r11): the standard tokenizer-fit
+    * diagnostic of a pretraining mixture (Rust et al. 2021): a source
+    * whose fertility runs hot relative to the rest is one the merge
+    * vocabulary underfits (wrong language/domain), which inflates its
+    * effective token cost in every downstream budget (`q_mixture_bpe`,
+    * `q_text_pack_bpe`). Rides the trained merge list unchanged: the
+    * vocab-bounded per-word token counts broadcast onto one token
+    * explode, reduced per source — no new corpus-sized work beyond the
+    * explode every BPE consumer already pays. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val (merges, words) = bpeModelOf(s, docs)
+    val model = merges.map { case (a, b, _) => (a, b) }
+    val perWord = words.select($"word",
+      size(graft.functions.BpeApply($"word", model)).as("n_tok"))
+    docs.select($"source", explode(tokens(lower($"text"))).as("word"))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("n_tokens"))
+      .withColumn("fertility_milli", expr("(n_tokens * 1000) div n_words"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bpe_pairs" -> bpePairs _,
     "q_text_bpe_merges" -> bpeMerges _,
     "q_text_bpe_encode" -> bpeEncode _,
     "q_text_bpe_doc_tokens" -> bpeDocTokens _,
+    "q_text_bpe_fertility" -> bpeFertility _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,6 +322,21 @@ object Tokenizer {
     "q_text_bpe_doc_tokens" ->
       s"""WITH $duckDocTokensCtes
          |SELECT doc_id, n_tokens FROM dt ORDER BY doc_id""".stripMargin,
+    // per-source fertility over the same trained chain: every word is in
+    // the vocab (trained on the full corpus), so per-doc word counts equal
+    // the token-list lengths
+    "q_text_bpe_fertility" ->
+      s"""WITH $duckDocTokensCtes,
+         |dwc AS (SELECT doc_id, source,
+         |    len(${duckTokens("lower(text)")}) AS n_words
+         |  FROM documents)
+         |SELECT dwc.source,
+         |  CAST(sum(dwc.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(dt.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST((sum(dt.n_tokens) * 1000) // sum(dwc.n_words) AS BIGINT)
+         |    AS fertility_milli
+         |FROM dt JOIN dwc USING (doc_id)
+         |GROUP BY dwc.source ORDER BY dwc.source""".stripMargin,
   )
 
   /** DuckDB: training + per-doc real token counts, ending in

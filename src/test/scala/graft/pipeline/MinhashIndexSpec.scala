@@ -61,6 +61,31 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("index refresh: out-of-distribution arrivals flip the verdict to rebuild") {
+    import spark.implicits._
+    val (ixSigs, ixBands) = Dedup.minhashIndex(spark, sf)
+    // in-distribution: verbatim copies of indexed corpus docs — every band
+    // key is in the index, novelty 0, verdict keep (and all rejected)
+    val corpusCopy = graft.sources.Tables.table(spark, sf, "documents")
+      .filter($"doc_id" % 2 === 0).limit(20)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        lit("known").as("source"), $"text")
+    val keep = Dedup.dedupIndexRefreshOf(corpusCopy, ixSigs, ixBands).collect()
+    assert(keep.length == 1 && keep.head.getString(4) == "keep"
+      && keep.head.getLong(3) == 0L && keep.head.getLong(2) == 20L,
+      s"verbatim copies should be all-reject / zero-novelty keep: ${keep.toSeq}")
+    // out-of-distribution: vocabulary the index never saw — every band key
+    // missing, novelty 10000 bp, verdict rebuild
+    val alien = (1 to 20).map(i =>
+      (2000000L + i, "alien", s"zqx$i vbn$i plm$i wry$i kdf$i hjt$i gps$i " +
+        s"mzv$i qwe$i rty$i uio$i asd$i fgh$i jkl$i zxc$i"))
+      .toDF("doc_id", "source", "text")
+    val rebuild = Dedup.dedupIndexRefreshOf(alien, ixSigs, ixBands).collect()
+    assert(rebuild.length == 1 && rebuild.head.getString(4) == "rebuild"
+      && rebuild.head.getLong(3) == 10000L,
+      s"alien arrivals should be full-novelty rebuild: ${rebuild.toSeq}")
+  }
+
   test("registry is staleness-keyed: a mutated source table rebuilds") {
     // copy the documents table to a writable dir so it can be mutated
     val data = java.nio.file.Files.createTempDirectory("mh_stale").toString
