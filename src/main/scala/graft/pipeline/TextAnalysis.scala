@@ -505,12 +505,14 @@ object TextAnalysis {
     * the add-one-smoothed positive rate, CENTERED, in exact integer
     * milli-units:
     *
-    *   w_milli(b) = (1000·(n_pos+1)) div (n_pos+n_neg+2) − 500
+    *   w_milli(b) = (1000·(n_pos+1)) div (n_pos+n_neg+2) − prior_milli
     *
-    * — a monotone proxy of the NB log-odds (same sign, same ordering)
-    * chosen over the log itself because it is INTEGER-EXACT, so the whole
-    * fit replays bit-identically in the oracle. Unseen buckets score
-    * exactly 0 (the smoothed rate at 0/0 is 500 − 500).
+    * where prior_milli is the identically-smoothed GLOBAL positive rate —
+    * a monotone proxy of the NB log-likelihood-ratio against the prior
+    * (same sign, same ordering) chosen over the log itself because it is
+    * INTEGER-EXACT, so the whole fit replays bit-identically in the
+    * oracle. Unseen buckets score exactly 0 — the prior-centered rate of
+    * a bucket carrying no evidence.
     *
     * Shape at scale: token explode → ONE map-side-combinable aggregate on
     * the bucket key; output cardinality is the feature-hash space
@@ -525,19 +527,34 @@ object TextAnalysis {
   }
 
   /** The fit over any `(lang, text)` frame — `(bucket, n_pos, n_neg,
-    * w_milli)`, unsorted. */
+    * w_milli)`, unsorted. Weights center at the CLASS PRIOR (the global
+    * positive occurrence rate, same smoothing), not at 500: that is the
+    * NB decision rule — a bucket carrying no label signal (rate ≈ prior,
+    * e.g. the shared cross-language vocabulary) weighs ≈ 0 instead of
+    * dragging every document toward the majority class. Centering at 500
+    * made the r11 first cut score ALL documents negative on the 41%-
+    * positive corpus — the eval query caught it, which is what it's for.
+    * The prior reduces from the bucket-count table itself (one 1-row
+    * aggregate over ≤ [[ClfBuckets]] rows — no second corpus pass). */
   def classifierFitOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
+    // two consumers (the prior aggregate + the weight projection) of a
+    // ≤ClfBuckets-row table
+    val counts = graft.Caches.cached(docs
       .select(($"lang" === "en").cast("long").as("pos"),
         explode(tokens(lower($"text"))).as("t"))
       .select($"pos", (charFoldHash($"t") % ClfBuckets).as("bucket"))
       .groupBy($"bucket")
       .agg(sum($"pos").as("n_pos"),
-        (count(lit(1)) - sum($"pos")).as("n_neg"))
-      .withColumn("w_milli",
-        expr("(1000 * (n_pos + 1)) div (n_pos + n_neg + 2) - 500"))
+        (count(lit(1)) - sum($"pos")).as("n_neg")))
+    val prior = counts.agg(
+      expr("(1000 * (sum(n_pos) + 1)) div (sum(n_pos) + sum(n_neg) + 2)")
+        .as("prior_milli"))
+    counts.crossJoin(broadcast(prior))
+      .select($"bucket", $"n_pos", $"n_neg",
+        expr("(1000 * (n_pos + 1)) div (n_pos + n_neg + 2) - prior_milli")
+          .as("w_milli"))
   }
 
   /** Freeze a fitted `(bucket, w_milli)` model into the length-
@@ -565,6 +582,38 @@ object TextAnalysis {
           acc + element_at(wl, (charFoldHash(t) % ClfBuckets).cast("int") + 1))
           .as("score_milli"))
       .withColumn("keep", ($"score_milli" > 0).cast("int"))
+  }
+
+  /** EVALUATION of the trained quality classifier — the third leg of the
+    * fit → freeze → serve loop (train on the labeled slice, score every
+    * document with the FROZEN weights, report the keep-decision confusion
+    * against the label): per label class, how many documents the
+    * `score > 0` keep rule admits, in exact basis points. A fit whose
+    * keep_bp barely separates the classes is noise — the eval-the-filter
+    * gate a pipeline runs before trusting `keep` at corpus scale (the
+    * [[langIdEval]] discipline applied to the TRAINED scorer). On this
+    * synthetic corpus the honest answer is WEAK: 6508 vs 5875 bp — the
+    * languages share most of the generated vocabulary, so unigram
+    * occurrences carry little label signal (verified bucket-count-
+    * independent: 4096 buckets reproduce the 1024-bucket numbers exactly,
+    * so collisions are not the limiter). Which is precisely what this
+    * query exists to surface before a 100 TB run trusts the filter.
+    *
+    * Shape at scale: the frozen literal-array scorer is one narrow
+    * codegen'd pass (no join, no shuffle); the report is ONE map-side-
+    * combinable 2-row aggregate. The fit itself collapses into a
+    * plan-time model collect (the dsir/knn frozen-literal convention). */
+  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val w = fitWeightArrayOf(classifierFitOf(docs))
+    fittedScorerOf(w)(docs.select($"doc_id", $"text"))
+      .join(docs.select($"doc_id", ($"lang" === "en").cast("long").as("pos")),
+        "doc_id")
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_keep"))
+      .withColumn("keep_bp", expr("(n_keep * 10000) div n_docs"))
+      .orderBy($"pos")
   }
 
   /** The JOIN-PATH twin of [[fittedScorerOf]] — explode → broadcast-join
@@ -866,6 +915,7 @@ object TextAnalysis {
     "q_text_perplexity_bigram" -> perplexityBigram _,
     "q_text_classifier" -> classifier _,
     "q_text_classifier_fit" -> classifierFit _,
+    "q_text_classifier_eval" -> classifierEval _,
     "q_langid_eval" -> langIdEval _,
     "q_text_vocab" -> vocab _,
     "q_text_vocab_approx" -> vocabApprox _,
@@ -1142,19 +1192,48 @@ object TextAnalysis {
          |  FROM sc)
          |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
          |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    // fit replayed + scoring via the join path (≡ the literal-array
+    // scorer, pinned in ClassifierFitSpec) + the 2-row keep confusion;
+    // zero-token docs score 0 via the LEFT join + coalesce
+    "q_text_classifier_eval" ->
+      s"""WITH d AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
+         |    ${duckTokens("lower(text)")} AS w FROM documents),
+         |tk AS (SELECT doc_id, pos, unnest(w) AS t FROM d),
+         |bt AS (SELECT doc_id, pos, (${duckCharFold("t")}) % $ClfBuckets
+         |    AS bucket FROM tk),
+         |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
+         |  FROM bt GROUP BY bucket),
+         |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
+         |  FROM c),
+         |m AS (SELECT bucket,
+         |    (1000 * (np + 1)) // (nt + 2) - p.prior AS w_milli
+         |  FROM c, p),
+         |sc AS (SELECT bt.doc_id, sum(m.w_milli) AS score
+         |  FROM bt JOIN m USING (bucket) GROUP BY bt.doc_id),
+         |kd AS (SELECT d.pos,
+         |    CAST(COALESCE(sc.score, 0) > 0 AS BIGINT) AS keep
+         |  FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+         |SELECT pos, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(keep) AS BIGINT) AS n_keep,
+         |  CAST((sum(keep) * 10000) // count(*) AS BIGINT) AS keep_bp
+         |FROM kd GROUP BY pos ORDER BY pos""".stripMargin,
     // the count-based fit replayed exactly: token-occurrence explode,
     // feature-hash bucket, smoothed-centered integer weight
     "q_text_classifier_fit" ->
       s"""WITH d AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
          |    ${duckTokens("lower(text)")} AS w FROM documents),
          |tk AS (SELECT pos, unnest(w) AS t FROM d),
-         |b AS (SELECT pos, (${duckCharFold("t")}) % $ClfBuckets AS bucket FROM tk)
+         |b AS (SELECT pos, (${duckCharFold("t")}) % $ClfBuckets AS bucket FROM tk),
+         |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
+         |  FROM b GROUP BY bucket),
+         |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
+         |  FROM c)
          |SELECT CAST(bucket AS BIGINT) AS bucket,
-         |  CAST(sum(pos) AS BIGINT) AS n_pos,
-         |  CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
-         |  CAST((1000 * (sum(pos) + 1)) // (count(*) + 2) - 500 AS BIGINT)
+         |  CAST(np AS BIGINT) AS n_pos,
+         |  CAST(nt - np AS BIGINT) AS n_neg,
+         |  CAST((1000 * (np + 1)) // (nt + 2) - p.prior AS BIGINT)
          |    AS w_milli
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+         |FROM c, p ORDER BY bucket""".stripMargin,
     "q_text_classifier" ->
       s"""WITH d AS (SELECT doc_id, ${duckTokens("lower(text)")} AS w FROM documents),
          |sc AS (SELECT doc_id,

@@ -79,7 +79,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ann_recall_trunc",
     // 1-row edge-count aggregate (m) + the 1-row final modularity fold
     // over the community-bounded per-label table (r11)
-    "q_dedup_modularity"
+    "q_dedup_modularity",
+    // 1-row class-prior aggregate over the ≤ClfBuckets-row count table (r11)
+    "q_text_classifier_fit"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject;
     // q_sample_priority's global top-(k+1) collapses the same way)
@@ -128,6 +130,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row m (edge count) crossJoined onto the community-bounded
     // per-label table (r11 modularity)
     "q_dedup_modularity",
+    // 1-row class prior crossJoined onto the ≤ClfBuckets-row count table
+    "q_text_classifier_fit",
     // 1-row scan-only lineitem count crossed onto the 1-row audit row
     "q_dq_cross",
     // the MinhashK-row threshold table non-equi-joined (matches >= t) onto
