@@ -25,6 +25,37 @@ object Caches {
   private val reg =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
+  // RDD-level blocks created by [[materialize]] (localCheckpoint persists
+  // the internal RDD directly — Dataset.unpersist can't reach it, only
+  // rdd.unpersist releases the blocks)
+  private val rddReg =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Lineage-truncating materialization, REGISTERED for [[clear]] — the
+    * checkpoint analog of [[cached]] (r11 ADVICE: `localCheckpoint` blocks
+    * used to be invisible to the registry, so a long-lived session
+    * accumulated them until GC). Reliable `checkpoint()` when a checkpoint
+    * dir is configured (cluster deployment — survives executor loss;
+    * [[graft.GraftSession]] sets `cleanCheckpoints=true` so the files are
+    * deleted when the RDD is GC'd), `localCheckpoint()` otherwise
+    * (local/test). The newly persisted RDD is found by diffing
+    * `getPersistentRDDs` around the call and registered so [[clear]] can
+    * `rdd.unpersist` it deterministically. Concurrency caveat: a racing
+    * thread's simultaneous persist may be captured too — benign, the same
+    * recompute-safe class as [[clear]] itself. */
+  def materialize[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
+    val sc = ds.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) ds.checkpoint(eager)
+    else {
+      val before = sc.getPersistentRDDs.keySet
+      val out = ds.localCheckpoint(eager)
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rddReg.add(rdd)
+      }
+      out
+    }
+  }
+
   /** `ds.cache()` (MEMORY_AND_DISK), registered for [[clear]].
     *
     * Idempotent on the PLAN (r10 verdict #4): a shared intermediate
@@ -55,13 +86,22 @@ object Caches {
   /** Unpersist every cache the library registered since the last clear.
     * Non-blocking: block deletion proceeds asynchronously, which is fine —
     * the point is that the blocks are RELEASED, not that they vanish
-    * before the next statement. Safe to call at any time; in-flight
-    * queries recompute the pass (correctness is unaffected). */
+    * before the next statement. Safe to call at any time for CACHES;
+    * in-flight queries recompute the pass (correctness is unaffected).
+    * [[materialize]]d frames are different: a localCheckpoint has no
+    * lineage to recompute from, so a frame obtained BEFORE a clear must
+    * not be re-run after it — clear between logical jobs, exactly as
+    * `graft.Bench`/`graft.Verify` do, and build each query fresh. */
   def clear(): Unit = {
     var ds = reg.poll()
     while (ds != null) {
       ds.unpersist(blocking = false)
       ds = reg.poll()
+    }
+    var rdd = rddReg.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = rddReg.poll()
     }
   }
 

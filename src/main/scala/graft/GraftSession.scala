@@ -30,6 +30,11 @@ object GraftSession {
       // local-mode sizing: match cores, not the 200 default
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // reliable-checkpoint files (Caches.materialize on a cluster with a
+      // checkpoint dir) are deleted when their RDD is GC'd — without this
+      // Spark never cleans them and a long-lived session leaks disk (r11
+      // ADVICE)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // UTC end to end (reference interprets event time as UTC,
       // FlinkCEPExample.scala:34)
       .config("spark.sql.session.timeZone", "UTC")

@@ -77,12 +77,15 @@ object Components {
     * single-plan queries inflated ~2× (r10 verdict #1; the same class as
     * r9's q_dedup_canonical tail). One eager checkpoint runs the upstream
     * exactly once and makes every round plan constant-size over a
-    * materialized leaf. Reliable checkpoint when a dir is configured
-    * (cluster deployment — survives executor loss), localCheckpoint
-    * otherwise (local/test). */
+    * materialized leaf. Delegates to [[graft.Caches.materialize]] (r11
+    * ADVICE): reliable checkpoint when a dir is configured (cluster
+    * deployment — survives executor loss; checkpoint files are GC-cleaned
+    * via the `cleanCheckpoints` conf [[graft.GraftSession]] sets),
+    * localCheckpoint otherwise (local/test) — either way the blocks are
+    * REGISTERED so `Caches.clear()` releases them between jobs instead of
+    * accumulating until GC in a long-lived session. */
   private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    graft.Caches.materialize(df)
 
   /** [[connectedComponents]] with a per-round observer: `roundLog(round,
     * workingSetEdges)` after each round — what `ScaleProbe` prints and
@@ -173,8 +176,7 @@ object Components {
     // test — is the materializing action, so each round costs ONE Spark
     // job, not two.
     val ckpt: DataFrame => DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) _.checkpoint(eager = false)
-      else _.localCheckpoint(eager = false)
+      graft.Caches.materialize(_, eager = false)
 
     // The INPUT pair lineage materializes exactly once (r9 verdict #1):
     // both consumers — round 0's canon() and the closing selfRoots
@@ -494,19 +496,23 @@ object Components {
       .groupBy($"node").agg(count(lit(1)).as("d"))
       .join(lab, "node")
       .groupBy($"label").agg(sum($"d").as("d_sum"))
-    val m = e.agg(count(lit(1)).as("m")) // 1 row
-    dc.join(ec, Seq("label"), "left")
-      .select(coalesce($"e_in", lit(0L)).as("e_in"), $"d_sum")
-      .crossJoin(broadcast(m))
-      .select(expr(s"$dec * m * e_in - CAST(d_sum AS DECIMAL(38,0)) * d_sum")
-        .as("num"), $"m")
-      .groupBy($"m")
-      .agg(sum($"num").as("n_sum"), count(lit(1)).as("n_communities"))
+    val m = e.agg(count(lit(1)).as("m")) // 1 row (ungrouped: 1 row even empty)
+    // Σ_c (4m·e_c − d_c²) = 4m·Σe_c − Σd_c²: fold the per-community table
+    // with an UNGROUPED aggregate (1 row on ANY input — a groupBy(m) here
+    // returned zero rows on an empty graph while the oracle's ungrouped
+    // aggregate emitted one (0,0,0) row; r11 ADVICE), then join the 1-row m.
+    val folded = dc.join(ec, Seq("label"), "left")
+      .agg(
+        sum(coalesce($"e_in", lit(0L)).cast("decimal(38,0)")).as("e_sum"),
+        sum(expr("CAST(d_sum AS DECIMAL(38,0)) * d_sum")).as("d2_sum"),
+        count(lit(1)).as("n_communities"))
+    folded.crossJoin(broadcast(m))
       .select($"n_communities",
         $"m".as("n_edges"),
         when($"m" === 0L, lit(0L)).otherwise(
-          expr(s"((n_sum + $dec * m * m) * 10000) div ($dec * m * m)")
-            .cast("long") - 10000L).as("q_modularity_bp"))
+          expr(s"(($dec * m * e_sum - d2_sum + $dec * m * m) * 10000)" +
+            s" div ($dec * m * m)").cast("long") - 10000L)
+          .as("q_modularity_bp"))
   }
 
   /** Multi-source BFS hop distances from each component's ROOT (the min-id
@@ -538,9 +544,9 @@ object Components {
       p.select($"a".as("u"), $"b".as("v"))
         .union(p.select($"b".as("u"), $"a".as("v")))
         .distinct())
-    val comp = connectedComponents(pairs).localCheckpoint()
-    var dist = comp.filter($"node" === $"root")
-      .select($"node", lit(0L).as("hops")).localCheckpoint()
+    val comp = materialize(connectedComponents(pairs))
+    var dist = materialize(comp.filter($"node" === $"root")
+      .select($"node", lit(0L).as("hops")))
     var frontier = dist
     var r = 0
     var live = true
@@ -548,11 +554,11 @@ object Components {
       val cand = edges.join(frontier.withColumnRenamed("node", "u"), "u")
         .select($"v".as("node"), ($"hops" + 1L).as("hops"))
         .groupBy($"node").agg(min($"hops").as("hops"))
-      val imp = cand.join(dist.select($"node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+      val imp = materialize(
+        cand.join(dist.select($"node"), Seq("node"), "left_anti"))
       if (imp.count() == 0L) live = false
       else {
-        dist = dist.union(imp).localCheckpoint()
+        dist = materialize(dist.union(imp))
         frontier = imp
         r += 1
       }

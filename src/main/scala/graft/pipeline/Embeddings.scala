@@ -140,9 +140,10 @@ object Embeddings {
         .select(cents("m"), $"cid", coalesce($"cent", $"cq").as("cq"))
         .withColumn("cn2", qdot($"cq", $"cq"))
     }
-    val cents = (1 to Similarity.IvfIters).foldLeft(seeds.localCheckpoint()) {
-      (c, _) => update(c, assign(c)).localCheckpoint()
-    }
+    val cents = (1 to Similarity.IvfIters)
+      .foldLeft(graft.Caches.materialize(seeds)) {
+        (c, _) => graft.Caches.materialize(update(c, assign(c)))
+      }
     (cents, assign(cents))
   }
 

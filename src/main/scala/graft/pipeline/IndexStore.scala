@@ -23,7 +23,7 @@ package graft.pipeline
 private[pipeline] object IndexStore {
 
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), String]()
 
   /** Staleness key: per-file `name:length:mtime` stamps of
     * `dir/<table>.parquet` (a directory of part files or a single file). */
@@ -51,11 +51,15 @@ private[pipeline] object IndexStore {
     }: Unit
 
   /** The artifact path for (appId, dir, table, variant), building via
-    * `build(out)` exactly once per distinct key (TrieMap.getOrElseUpdate —
-    * concurrent consumers of the same key serialize on the build). */
+    * `build(out)` exactly once per distinct key:
+    * `ConcurrentHashMap.computeIfAbsent` runs the thunk under the key's
+    * bin lock, so racing first consumers BLOCK until the single build
+    * finishes instead of double-building (TrieMap.getOrElseUpdate only
+    * made the INSERT atomic, not the build — r11 ADVICE). Builds must not
+    * recursively call [[getOrBuild]]. */
   def getOrBuild(appId: String, dir: String, table: String, variant: String)(
       build: String => Unit): String =
-    built.getOrElseUpdate((appId, dir, fingerprint(dir, table), variant), {
+    built.computeIfAbsent((appId, dir, fingerprint(dir, table), variant), _ => {
       cleanupHook
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-$variant-").toString

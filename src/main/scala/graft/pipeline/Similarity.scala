@@ -533,8 +533,8 @@ object Similarity {
     // EAGER localCheckpoint per iteration runs each refinement as its own
     // tiny job (K rows) and hands the next step a lineage-free K-row table
     // — the downstream broadcast reads K rows, full stop.
-    val cents = (1 to IvfIters).foldLeft(seeds.localCheckpoint()) { (c, _) =>
-      update(c, assign(c)).localCheckpoint()
+    val cents = (1 to IvfIters).foldLeft(graft.Caches.materialize(seeds)) {
+      (c, _) => graft.Caches.materialize(update(c, assign(c)))
     }
     (cents, assign(cents))
   }

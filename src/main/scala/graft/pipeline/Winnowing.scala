@@ -56,9 +56,6 @@ object Winnowing {
   private[pipeline] def winnowFpWith(docs: DataFrame, extra: Seq[String]): DataFrame =
     fingerprints(docs, extra)
 
-  /** The unsorted `(doc_id[, extra...], pos, fp)` fingerprint table
-    * ([[winnowPairs]] feeds it straight into a shuffle, where the sort
-    * would be dead work). */
   /** The window-argmin selection over a gram-hash array column named `hs`
     * at window width `w` — 1-based gram positions; window j covers grams
     * j .. j+w−1; argmin seeded at j and folded left→right with `<=` so
@@ -72,6 +69,9 @@ object Winnowing {
        |    (acc, i) -> IF(element_at(hs, i) <= acc.fp,
        |      named_struct('pos', i, 'fp', element_at(hs, i)), acc))))""".stripMargin)
 
+  /** The unsorted `(doc_id[, extra...], pos, fp)` fingerprint table
+    * ([[winnowPairs]] feeds it straight into a shuffle, where the sort
+    * would be dead work). */
   private def fingerprints(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -368,4 +368,16 @@ class ComponentsSpec extends AnyFunSuite {
     val r2 = Components.modularityOf(tri, anti).collect().head
     assert(r2.getLong(2) < 0L, s"singleton labels should score negative, got $r2")
   }
+
+  test("modularity: empty graph yields ONE (0, 0, 0) row, matching the " +
+    "oracle's ungrouped aggregate (r11 ADVICE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val labels = Seq.empty[(Long, Long)].toDF("node", "label")
+    val rows = Components.modularityOf(empty, labels).collect()
+    assert(rows.length == 1, s"expected one summary row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L,
+      s"expected (0, 0, 0), got $r")
+  }
 }
