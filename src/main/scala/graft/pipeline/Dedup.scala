@@ -754,20 +754,115 @@ object Dedup {
 
   /** Build the index artifact at `out` — the production BUILD entry point
     * (the [[Similarity.writeIvfIndex]] shape): one signature pass over the
-    * corpus half, bands derived and hot-guarded at build time so every
-    * serving join sees only admissible buckets. */
-  def writeMinhashIndex(s: SparkSession, dir: String, out: String): Unit = {
-    val sg = sigsOf(corpusDocs(s, dir))
-    sg.write.mode("overwrite").parquet(s"$out/sigs")
-    bandsOf(sg).write.mode("overwrite").parquet(s"$out/bands")
+    * corpus half. Artifact layout (r12, segment-based so a MERGE costs
+    * ∝ arrivals instead of a corpus re-hash — r11 verdict #1):
+    * {{{
+    *   out/manifest        segment dirs, one absolute path per line
+    *   out/seg0/sigs       (doc_id, sig)        — immutable, appended-to
+    *   out/seg0/bands      (doc_id, band, key)  — RAW (unguarded) rows
+    *   out/counts          (band, key, cnt)     — TOTAL band-key counts
+    *   out/hot             (band, key)          — buckets with cnt > MaxBucket
+    * }}}
+    * Segments are immutable; [[mergeMinhashIndex]] adds one and rewrites
+    * only the metadata tier (`counts`/`hot` — combinable aggregates, never
+    * a data re-scan). The [[MaxBucket]] guard moves from band-write time to
+    * artifact-OPEN time ([[openMinhashIndex]] anti-joins the broadcast hot
+    * list): a bucket crossing the cap at merge N must also drop the rows
+    * older segments already persisted, which a physical-drop-at-write
+    * layout cannot do without rewriting them. Counts only GROW under an
+    * append-only corpus, so a bucket hot at build stays hot on every
+    * union — dropped rows never need resurrecting, which is what makes the
+    * merged artifact EXACTLY ≡ a from-scratch build on the union
+    * (`MinhashIndexSpec` pins it, `q_dedup_index_merge` oracles it). */
+  def writeMinhashIndex(s: SparkSession, dir: String, out: String): Unit =
+    writeMinhashIndexOf(corpusDocs(s, dir), out)
+
+  /** [[writeMinhashIndex]] over any `(doc_id, text)` corpus frame — the
+    * fixture entry point. */
+  private[graft] def writeMinhashIndexOf(docs: DataFrame, out: String): Unit = {
+    val sg = sigsOf(docs)
+    val seg = s"$out/seg0"
+    sg.write.mode("overwrite").parquet(s"$seg/sigs")
+    val raw = rawBandsOf(sg)
+    raw.write.mode("overwrite").parquet(s"$seg/bands")
+    writeCountsAndHot(
+      raw.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).cast("long").as("cnt")), out)
+    writeManifest(out, Seq(seg))
   }
 
-  /** The index as DataFrames `(sigs, bands)` — two parquet scans, zero
-    * signature replay. */
-  private[graft] def minhashIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val path = minhashIndexPath(s, dir)
-    (s.read.parquet(s"$path/sigs"), s.read.parquet(s"$path/bands"))
+  /** MERGE an arrival frame into a persisted index — acting on
+    * [[dedupIndexRefresh]]'s "rebuild" verdict WITHOUT the full-corpus
+    * re-hash that `writeMinhashIndex` is (r11 verdict #1). Writes to a NEW
+    * artifact root `out`: one arrival-sized segment (sigs + raw bands), the
+    * merged `counts` (old totals + arrival counts — a combinable sum, the
+    * only old data read is the metadata tier), the recomputed `hot` list,
+    * and a manifest referencing the old segments in place (immutable — the
+    * old artifact keeps serving until its registry entry is dropped).
+    * Cost ∝ |arrivals| + |distinct band keys|; the corpus text is never
+    * re-read.
+    *
+    * Contract: `arrivals` doc_ids must be disjoint from the indexed docs —
+    * the intended feed is [[assignOf]]'s `verdict = 'admit'` subset, which
+    * is new content by construction. */
+  def mergeMinhashIndex(
+      arrivals: DataFrame, oldPath: String, out: String): Unit = {
+    require(out != oldPath, "merge writes a new artifact root; segments of " +
+      s"$oldPath are referenced in place, never mutated")
+    val s = arrivals.sparkSession
+    val segs = readManifest(oldPath)
+    val seg = s"$out/seg${segs.length}"
+    val sg = sigsOf(arrivals)
+    sg.write.mode("overwrite").parquet(s"$seg/sigs")
+    val raw = rawBandsOf(sg)
+    raw.write.mode("overwrite").parquet(s"$seg/bands")
+    val merged = s.read.parquet(s"$oldPath/counts")
+      .unionByName(raw.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).cast("long").as("cnt")))
+      .groupBy(col("band"), col("key"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    writeCountsAndHot(merged, out)
+    writeManifest(out, segs :+ seg)
   }
+
+  private def writeCountsAndHot(counts: DataFrame, out: String): Unit = {
+    val c = graft.Caches.cached(counts)
+    c.write.mode("overwrite").parquet(s"$out/counts")
+    c.filter(col("cnt") > MaxBucket).select(col("band"), col("key"))
+      .write.mode("overwrite").parquet(s"$out/hot")
+  }
+
+  private def writeManifest(out: String, segs: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(out, "manifest")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      segs.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+  }
+
+  private def readManifest(path: String): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "manifest")), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Open an index artifact as `(sigs, bands)` DataFrames: parquet scans
+    * over every segment, zero signature replay; the serving band table is
+    * the raw segment union minus the broadcast `hot` list (anti-join — the
+    * open-time spelling of the [[MaxBucket]] guard, see
+    * [[writeMinhashIndex]]), so candidate fan-out per probe stays
+    * ≤ [[Bands]] × [[MaxBucket]] exactly as before. */
+  private[graft] def openMinhashIndex(
+      s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val segs = readManifest(path)
+    val sigs = s.read.parquet(segs.map(_ + "/sigs"): _*)
+    val hot = s.read.parquet(s"$path/hot")
+    val bands = s.read.parquet(segs.map(_ + "/bands"): _*)
+      .join(broadcast(hot), Seq("band", "key"), "left_anti")
+    (sigs, bands)
+  }
+
+  /** The registry-served index as DataFrames `(sigs, bands)`. */
+  private[graft] def minhashIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    openMinhashIndex(s, minhashIndexPath(s, dir))
 
   /** Materialize the persisted index — the untimed BUILD entry point
     * `graft.Bench` calls (the [[Similarity.trainIndex]] convention) so
@@ -794,6 +889,50 @@ object Dedup {
   def assign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (ixSigs, ixBands) = minhashIndex(s, dir)
+    assignOf(
+        Tables.table(s, dir, "documents").filter($"doc_id" % 2 === 1),
+        ixSigs, ixBands)
+      .orderBy($"doc_id")
+  }
+
+  /** The MERGED-index demo artifact for [[indexMerge]]: a base index on
+    * the `doc_id % 4 == 0` quarter, an arrival batch (`% 4 == 2`) admitted
+    * against it, and the ADMITTED docs folded in via [[mergeMinhashIndex]]
+    * — registry-cached like every index, with the base resolved BEFORE the
+    * merged entry's build thunk (getOrBuild must not nest). */
+  private def mergedIndexPath(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val base = IndexStore.getOrBuild(
+      s.sparkContext.applicationId, dir, "documents", "mh4") { out =>
+      writeMinhashIndexOf(
+        Tables.table(s, dir, "documents").filter($"doc_id" % 4 === 0), out)
+    }
+    IndexStore.getOrBuild(
+      s.sparkContext.applicationId, dir, "documents", "mhm") { out =>
+      val (ixSigs, ixBands) = openMinhashIndex(s, base)
+      val batch = Tables.table(s, dir, "documents").filter($"doc_id" % 4 === 2)
+      val admitted = batch.join(
+        assignOf(batch, ixSigs, ixBands)
+          .filter($"verdict" === "admit").select($"doc_id"),
+        "doc_id")
+      mergeMinhashIndex(admitted, base, out)
+    }
+  }
+
+  /** SERVING FROM A MERGED INDEX — the declared query
+    * (q_dedup_index_merge) that closes the refresh loop [[dedupIndexRefresh]]
+    * opened: the r11 verdict could SAY "rebuild" but the only path was a
+    * full corpus re-hash. Here the `% 4 == 2` arrival batch is admitted
+    * against the base (`% 4 == 0`) index, its admitted docs MERGED in
+    * ([[mergeMinhashIndex]] — one arrival-sized segment plus a combinable
+    * count merge), and the odd-id batch is then admission-checked against
+    * the merged artifact, so a late arrival can near-dup against base
+    * corpus AND freshly-admitted content. The oracle replays the whole
+    * chain from scratch on the union — hash equality IS the
+    * merged ≡ rebuilt contract. */
+  def indexMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ixSigs, ixBands) = openMinhashIndex(s, mergedIndexPath(s, dir))
     assignOf(
         Tables.table(s, dir, "documents").filter($"doc_id" % 2 === 1),
         ixSigs, ixBands)
@@ -834,6 +973,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_assign" -> assign _,
+    "q_dedup_index_merge" -> indexMerge _,
     "q_dedup_index_refresh" -> dedupIndexRefresh _,
     "q_dedup_exact" -> exact _,
     "q_dedup_containment" -> containment _,
@@ -939,6 +1079,54 @@ object Dedup {
          |ver AS (SELECT c.doc_id, min(c.corpus_id) AS dup_of,
          |    count(*) AS n_dups
          |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id
+         |  JOIN sig sb ON sb.doc_id = c.corpus_id
+         |  WHERE len(list_filter(generate_series(1, $MinhashK),
+         |    i -> sa.sigs[i] = sb.sigs[i])) >= 4
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(v.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(COALESCE(v.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CASE WHEN v.doc_id IS NULL THEN 'admit' ELSE 'reject_dup' END
+         |    AS verdict
+         |FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin,
+    // the merged-index serving chain replayed FROM SCRATCH on the union:
+    // tier 1 admits the %4=2 batch against the %4=0 base index (hot-guarded
+    // on base counts alone), tier 2 serves the odd batch against the
+    // base ∪ admitted union (hot-guarded on UNION counts — the count-merge
+    // semantics); hash equality with the Spark side's segment+metadata
+    // artifact IS the merged ≡ from-scratch-rebuild contract
+    "q_dedup_index_merge" ->
+      s"""$sigCte,
+         |bands0 AS (SELECT doc_id, b, sigs[2*b+1] || sigs[2*b+2] AS key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         |ixb1 AS (SELECT doc_id, b, key FROM (
+         |  SELECT doc_id, b, key, count(*) OVER (PARTITION BY b, key) AS bsz
+         |  FROM bands0 WHERE doc_id % 4 = 0) WHERE bsz <= $MaxBucket),
+         |ab1 AS (SELECT doc_id, b, key FROM bands0 WHERE doc_id % 4 = 2),
+         |c1 AS (SELECT DISTINCT a.doc_id, i.doc_id AS corpus_id
+         |  FROM ab1 a JOIN ixb1 i ON a.b = i.b AND a.key = i.key),
+         |rej1 AS (SELECT DISTINCT c.doc_id FROM c1 c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id
+         |  JOIN sig sb ON sb.doc_id = c.corpus_id
+         |  WHERE len(list_filter(generate_series(1, $MinhashK),
+         |    i -> sa.sigs[i] = sb.sigs[i])) >= 4),
+         |uni AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id FROM documents WHERE doc_id % 4 = 2
+         |    AND doc_id NOT IN (SELECT doc_id FROM rej1)),
+         |ixb2 AS (SELECT doc_id, b, key FROM (
+         |  SELECT b0.doc_id, b0.b, b0.key,
+         |    count(*) OVER (PARTITION BY b0.b, b0.key) AS bsz
+         |  FROM bands0 b0 JOIN uni u ON u.doc_id = b0.doc_id)
+         |  WHERE bsz <= $MaxBucket),
+         |ab2 AS (SELECT doc_id, b, key FROM bands0 WHERE doc_id % 2 = 1),
+         |c2 AS (SELECT DISTINCT a.doc_id, i.doc_id AS corpus_id
+         |  FROM ab2 a JOIN ixb2 i ON a.b = i.b AND a.key = i.key),
+         |ver AS (SELECT c.doc_id, min(c.corpus_id) AS dup_of,
+         |    count(*) AS n_dups
+         |  FROM c2 c
          |  JOIN sig sa ON sa.doc_id = c.doc_id
          |  JOIN sig sb ON sb.doc_id = c.corpus_id
          |  WHERE len(list_filter(generate_series(1, $MinhashK),

@@ -23,8 +23,7 @@ class MinhashIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
     try {
       Dedup.writeMinhashIndex(spark, sf, dir)
-      val ixSigs = spark.read.parquet(s"$dir/sigs")
-      val ixBands = spark.read.parquet(s"$dir/bands")
+      val (ixSigs, ixBands) = Dedup.openMinhashIndex(spark, dir)
       val arrivals = graft.sources.Tables.table(spark, sf, "documents")
         .filter($"doc_id" % 2 === 1)
       val served = Dedup.assignOf(arrivals, ixSigs, ixBands)
@@ -84,6 +83,76 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(rebuild.length == 1 && rebuild.head.getString(4) == "rebuild"
       && rebuild.head.getLong(3) == 10000L,
       s"alien arrivals should be full-novelty rebuild: ${rebuild.toSeq}")
+  }
+
+  test("merge ≡ from-scratch build on the union: artifact contents AND serving") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mh_merge").toString
+    try {
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+      val corpusA = docs.filter($"doc_id" % 4 === 0)
+      val batchB = docs.filter($"doc_id" % 4 === 2)
+      val serveC = docs.filter($"doc_id" % 2 === 1)
+      // incremental path: build on A, merge B in
+      Dedup.writeMinhashIndexOf(corpusA, s"$root/base")
+      Dedup.mergeMinhashIndex(batchB, s"$root/base", s"$root/merged")
+      // from-scratch path: one build on A ∪ B
+      Dedup.writeMinhashIndexOf(corpusA.unionByName(batchB), s"$root/full")
+      def dump(path: String): (Seq[String], Seq[String]) = {
+        val (sg, bd) = Dedup.openMinhashIndex(spark, path)
+        (sg.orderBy($"doc_id").collect().map(_.toString).toSeq,
+          bd.orderBy($"doc_id", $"band").collect().map(_.toString).toSeq)
+      }
+      val (mSigs, mBands) = dump(s"$root/merged")
+      val (fSigs, fBands) = dump(s"$root/full")
+      assert(mSigs == fSigs, "merged sigs must equal a from-scratch build")
+      assert(mBands == fBands,
+        "merged serving bands must equal a from-scratch build")
+      // and serving an arrival batch from either artifact is bit-identical
+      val (ms, mb) = Dedup.openMinhashIndex(spark, s"$root/merged")
+      val (fs, fb) = Dedup.openMinhashIndex(spark, s"$root/full")
+      val servedM = Dedup.assignOf(serveC, ms, mb)
+        .orderBy($"doc_id").collect().map(_.toString).toSeq
+      val servedF = Dedup.assignOf(serveC, fs, fb)
+        .orderBy($"doc_id").collect().map(_.toString).toSeq
+      assert(servedM.nonEmpty && servedM == servedF)
+      // old artifact untouched and still serving (immutable segments)
+      val (bs, bb) = Dedup.openMinhashIndex(spark, s"$root/base")
+      assert(Dedup.assignOf(serveC, bs, bb).count() == serveC.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("a bucket crossing MaxBucket only AFTER the merge drops the old " +
+    "segment's rows too (count-merge guard)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mh_hot").toString
+    try {
+      // identical text ⟹ identical signature ⟹ one band bucket per band;
+      // 150 docs in the base (≤ MaxBucket=200, kept), 100 more in the
+      // merge batch (250 > 200 on the union, all four buckets now hot)
+      val mk = (ids: Range) => ids.map(i =>
+        (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text")
+      Dedup.writeMinhashIndexOf(mk(0 until 150), s"$root/base")
+      val (_, baseBands) = Dedup.openMinhashIndex(spark, s"$root/base")
+      assert(baseBands.count() == 150L * Dedup.Bands,
+        "below the cap, every band row serves")
+      Dedup.mergeMinhashIndex(mk(1000 until 1100), s"$root/base", s"$root/m")
+      val (mSigs, mBands) = Dedup.openMinhashIndex(spark, s"$root/m")
+      assert(mSigs.count() == 250L, "sigs are never hot-dropped")
+      assert(mBands.count() == 0L,
+        "the union count exceeds MaxBucket, so the bucket's rows — " +
+          "including the base segment's 150 — must stop serving")
+      // from-scratch twin agrees
+      Dedup.writeMinhashIndexOf(mk(0 until 150).unionByName(mk(1000 until 1100)),
+        s"$root/full")
+      val (_, fBands) = Dedup.openMinhashIndex(spark, s"$root/full")
+      assert(fBands.count() == 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
   }
 
   test("registry is staleness-keyed: a mutated source table rebuilds") {
