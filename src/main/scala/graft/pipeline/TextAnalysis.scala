@@ -495,6 +495,33 @@ object TextAnalysis {
       .withColumn("keep", ($"score_milli" > 0).cast("int"))
   }
 
+  /** Hashed FEATURE BUCKETS of one token for the TRAINED classifier: the
+    * word itself plus its boundary-marked char 3- and 4-grams — fastText's
+    * actual discriminative machinery (Bojanowski et al. 2017 subwords),
+    * added in r12 because the r11 eval measured the unigram-only signal
+    * WEAK (6508 vs 5875 bp separation — r11 verdict #2). `<` and `>`
+    * mark word boundaries so prefixes/suffixes hash distinctly from
+    * word-internal grams, exactly fastText's convention. All features
+    * share the one [[ClfBuckets]] hash space (the hashing trick).
+    *
+    * The marked token `g` binds as a LAMBDA VARIABLE (transform over a
+    * 1-element array) — higher-order-function Columns are CSE-exempt, so a
+    * plain reuse would re-evaluate the concat per gram (the r11 LineClean
+    * lesson). The 4-gram arm guards `length ≥ 4`: Spark's
+    * `sequence(1, 0)` DESCENDS ([1, 0]) where DuckDB's
+    * `generate_series(1, 0)` is empty — unguarded, a 1-char token would
+    * diverge the engines AND hash a bogus gram. */
+  private def clfFeatureBuckets(t: Column): Column =
+    element_at(transform(array(concat(lit("<"), t, lit(">"))), g =>
+      concat(
+        array(charFoldHash(t) % ClfBuckets),
+        transform(sequence(lit(1), length(g) - 2), i =>
+          charFoldHash(g.substr(i, lit(3))) % ClfBuckets),
+        when(length(g) >= 4,
+          transform(sequence(lit(1), length(g) - 3), i =>
+            charFoldHash(g.substr(i, lit(4))) % ClfBuckets))
+          .otherwise(typedLit(Seq.empty[Long])))), 1)
+
   /** ONE-PASS QUALITY-CLASSIFIER TRAINING (r10 verdict #3 — the loop
     * [[classifier]] serves but nothing trained): a closed-form
     * Naive-Bayes-shaped fit over hashed bag-of-words features, the
@@ -544,7 +571,7 @@ object TextAnalysis {
     val counts = graft.Caches.cached(docs
       .select(($"lang" === "en").cast("long").as("pos"),
         explode(tokens(lower($"text"))).as("t"))
-      .select($"pos", (charFoldHash($"t") % ClfBuckets).as("bucket"))
+      .select($"pos", explode(clfFeatureBuckets($"t")).as("bucket"))
       .groupBy($"bucket")
       .agg(sum($"pos").as("n_pos"),
         (count(lit(1)) - sum($"pos")).as("n_neg")))
@@ -579,7 +606,8 @@ object TextAnalysis {
     val wl = typedLit(w)
     docs.select($"doc_id",
         aggregate(tokens(lower($"text")), lit(0L), (acc, t) =>
-          acc + element_at(wl, (charFoldHash(t) % ClfBuckets).cast("int") + 1))
+          acc + aggregate(clfFeatureBuckets(t), lit(0L), (a, b) =>
+            a + element_at(wl, b.cast("int") + 1)))
           .as("score_milli"))
       .withColumn("keep", ($"score_milli" > 0).cast("int"))
   }
@@ -591,13 +619,23 @@ object TextAnalysis {
     * `score > 0` keep rule admits, in exact basis points. A fit whose
     * keep_bp barely separates the classes is noise — the eval-the-filter
     * gate a pipeline runs before trusting `keep` at corpus scale (the
-    * [[langIdEval]] discipline applied to the TRAINED scorer). On this
-    * synthetic corpus the honest answer is WEAK: 6508 vs 5875 bp — the
-    * languages share most of the generated vocabulary, so unigram
-    * occurrences carry little label signal (verified bucket-count-
-    * independent: 4096 buckets reproduce the 1024-bucket numbers exactly,
-    * so collisions are not the limiter). Which is precisely what this
-    * query exists to surface before a 100 TB run trusts the filter.
+    * [[langIdEval]] discipline applied to the TRAINED scorer).
+    *
+    * Measured verdicts, recorded honestly: the r11 unigram-only fit read
+    * 6508 vs 5875 bp at sf0.1 (weak); r12 added fastText char 3/4-gram
+    * subword features ([[clfFeatureBuckets]] — r11 verdict #2), which
+    * lifts the small-sample fit sharply (sf0.01: 6743 vs 4539 bp) but
+    * converges back to weak at sf0.1 (6687 vs 6174 bp). That is a DATA
+    * limit, not a feature limit: the generated language classes share
+    * 100% of a 31-word vocabulary (measured — en and non-en token sets
+    * are identical; only word frequencies differ per class), so no
+    * character statistic can separate what the words themselves don't.
+    * (The r11 unigram fit was additionally verified bucket-count-
+    * independent — 4096 buckets reproduced the 1024-bucket numbers — and
+    * with 31 words the n-gram space occupies only ~225 of 1024 buckets,
+    * so collisions are not the limiter.) Surfacing exactly this — "the
+    * filter does not clear the bar on this corpus" — before a 100 TB run
+    * trusts `keep` is the query's entire job.
     *
     * Shape at scale: the frozen literal-array scorer is one narrow
     * codegen'd pass (no join, no shuffle); the report is ONE map-side-
@@ -626,7 +664,7 @@ object TextAnalysis {
     import s.implicits._
     docs
       .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
-      .select($"doc_id", (charFoldHash($"t") % ClfBuckets).as("bucket"))
+      .select($"doc_id", explode(clfFeatureBuckets($"t")).as("bucket"))
       .join(broadcast(model.select($"bucket", $"w_milli")), Seq("bucket"), "left")
       .groupBy($"doc_id")
       .agg(sum(coalesce($"w_milli", lit(0L))).as("score_milli"))
@@ -924,6 +962,22 @@ object TextAnalysis {
   private def duckHits(w: String, words: Seq[String]): String =
     s"len(list_filter($w, t -> t IN (${words.map(x => s"'$x'").mkString(", ")})))"
 
+  /** DuckDB: the classifier feature-bucket list — unigram + boundary-marked
+    * char 3/4-grams, mirroring [[clfFeatureBuckets]] exactly (including the
+    * `length ≥ 4` guard where Spark's `sequence` would descend). Expects
+    * token column `t` and `g = '<' || t || '>'` in scope. */
+  private val duckClfFeatures: String =
+    // single-line (no leading-pipe continuations): this fragment embeds in
+    // outer stripMargin strings, which would eat one pipe of a line-leading
+    // `||` list-concat operator
+    s"list_concat(list_concat([${duckCharFold("t")} % $ClfBuckets], " +
+      s"list_transform(generate_series(1, length(g) - 2), " +
+      s"i -> ${duckCharFold("substr(g, i, 3)")} % $ClfBuckets)), " +
+      s"CASE WHEN length(g) >= 4 THEN " +
+      s"list_transform(generate_series(1, length(g) - 3), " +
+      s"i -> ${duckCharFold("substr(g, i, 4)")} % $ClfBuckets) " +
+      s"ELSE CAST([] AS BIGINT[]) END)"
+
   val oracles: Map[String, String] = Map(
     // UNSHARDED per-source histogram quantiles — the Spark side shards per
     // source 4 ways and merges, so the hash match proves shard-merge
@@ -1199,8 +1253,9 @@ object TextAnalysis {
       s"""WITH d AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
          |    ${duckTokens("lower(text)")} AS w FROM documents),
          |tk AS (SELECT doc_id, pos, unnest(w) AS t FROM d),
-         |bt AS (SELECT doc_id, pos, (${duckCharFold("t")}) % $ClfBuckets
-         |    AS bucket FROM tk),
+         |gt AS (SELECT doc_id, pos, t, '<' || t || '>' AS g FROM tk),
+         |bt AS (SELECT doc_id, pos, unnest($duckClfFeatures) AS bucket
+         |  FROM gt),
          |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
          |  FROM bt GROUP BY bucket),
          |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
@@ -1223,7 +1278,8 @@ object TextAnalysis {
       s"""WITH d AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
          |    ${duckTokens("lower(text)")} AS w FROM documents),
          |tk AS (SELECT pos, unnest(w) AS t FROM d),
-         |b AS (SELECT pos, (${duckCharFold("t")}) % $ClfBuckets AS bucket FROM tk),
+         |gt AS (SELECT pos, t, '<' || t || '>' AS g FROM tk),
+         |b AS (SELECT pos, unnest($duckClfFeatures) AS bucket FROM gt),
          |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
          |  FROM b GROUP BY bucket),
          |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
