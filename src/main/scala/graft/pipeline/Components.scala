@@ -515,6 +515,65 @@ object Components {
           .as("q_modularity_bp"))
   }
 
+  /** One deterministic LOUVAIN-STYLE REFINEMENT round over a community
+    * assignment (Blondel et al. 2008's local-move phase, made synchronous
+    * and integer-exact): every node evaluates its neighbor communities
+    * (plus staying put) and moves to the one with maximal modularity gain
+    * — this is what ACTS on a mediocre [[modularityOf]] score, which r11
+    * could measure but not improve (r11 verdict #3). For node i and
+    * candidate community c, the gain of joining c after leaving its own
+    * community a shares a constant removal term across candidates, so the
+    * argmax reduces to the exact integer score
+    *
+    *   score(i, c) = 4m·k_{i,c} − 2·k_i·(d_c − [c = a]·k_i)
+    *
+    * (k_{i,c} = edges from i into c, k_i = degree, d_c = community total
+    * degree) — the same Decimal(38) algebra as [[modularityOf]], so both
+    * engines agree bit-for-bit. Ties break to the SMALLEST community
+    * label (the LPA convention); all nodes move SYNCHRONOUSLY from the
+    * input assignment, one fixed round — deterministic by construction,
+    * no convergence loop to diverge on.
+    *
+    * 100 TB shape: degree/community-degree/neighbor-community tables are
+    * all map-side-combinable aggregates keyed on node or community; the
+    * candidate table is bounded by Σ_i (distinct neighbor communities of
+    * i) + 1 ≤ |sym edges| + |nodes|; the 1-row m crossJoins on (bounded,
+    * allowlisted). Output one row per node: `(node, label, refined)`. */
+  def refineOf(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val dec = "CAST(4 AS DECIMAL(38,0))"
+    val e = pairs.toDF("a", "b").filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .distinct().graftCache() // m count + degree pass + neighbor join
+    val lab = labels.toDF("node", "label").graftCache() // four join sides
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("k"))
+      .graftCache() // community-degree fold + per-node score join
+    val dc = deg.join(lab, "node")
+      .groupBy($"label").agg(sum($"k").as("d_sum"))
+    // neighbor-community edge counts, plus a zero row for the node's OWN
+    // community so "stay" is always a candidate even with no internal edge
+    val nb = sym.join(lab.select($"node".as("v"), $"label".as("cand")), "v")
+      .groupBy($"u", $"cand").agg(count(lit(1)).as("k_ic"))
+    val ow = lab.select($"node".as("u"), $"label".as("cand"),
+      lit(0L).as("k_ic"))
+    val cd = nb.unionByName(ow)
+      .groupBy($"u", $"cand").agg(sum($"k_ic").as("k_ic"))
+    val m = e.agg(count(lit(1)).as("m")) // 1 row
+    cd
+      .join(deg.select($"node".as("u"), $"k"), "u")
+      .join(lab.select($"node".as("u"), $"label"), "u")
+      .join(dc.select($"label".as("cand"), $"d_sum"), "cand")
+      .crossJoin(broadcast(m))
+      .select($"u", $"label", $"cand",
+        expr(s"$dec * m * k_ic - CAST(2 AS DECIMAL(38,0)) * k * " +
+          "(d_sum - IF(cand = label, k, 0))").as("score"))
+      .groupBy($"u", $"label")
+      .agg(max(struct($"score", (-$"cand").as("nc"))).as("pick"))
+      .select($"u".as("node"), $"label", (-$"pick.nc").as("refined"))
+  }
+
   /** Multi-source BFS hop distances from each component's ROOT (the min-id
     * exemplar [[connectedComponents]] elects): per node, the fewest edges
     * between it and its cluster canonical — the CHAIN-DEPTH diagnostic

@@ -369,6 +369,41 @@ class ComponentsSpec extends AnyFunSuite {
     assert(r2.getLong(2) < 0L, s"singleton labels should score negative, got $r2")
   }
 
+  test("refine: never degrades Q on the fixtures; lifts a singleton start") {
+    import spark.implicits._
+    def qBp(pairs: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame): Long =
+      Components.modularityOf(pairs, labels).collect().head.getLong(2)
+    def refined(pairs: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      Components.refineOf(pairs, labels)
+        .select($"node", $"refined".as("label"))
+    // two disjoint triangles with the PERFECT partition: every node's own
+    // community is already argmax, so refinement is a fixed point
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val perfect = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("node", "label")
+    val triOut = Components.refineOf(tri, perfect).collect()
+    assert(triOut.forall(r => r.getLong(1) == r.getLong(2)),
+      s"a perfect partition must be a fixed point: ${triOut.toSeq}")
+    assert(qBp(tri, refined(tri, perfect)) >= qBp(tri, perfect))
+    // barbell: two triangles + a bridge, LPA labels — refinement keeps Q
+    val barbell = tri.unionByName(Seq((2L, 10L)).toDF("a", "b"))
+    val lpa = Components.labelPropagation(barbell, 4)
+    assert(qBp(barbell, refined(barbell, lpa)) >= qBp(barbell, lpa),
+      "refinement must not degrade the LPA partition's modularity")
+    // singleton start on the two triangles: every node alone scores
+    // negative Q; one synchronous round merges neighbors and lifts it
+    val singleton = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+      .toDF("node").select($"node", $"node".as("label"))
+    val q0 = qBp(tri, singleton)
+    val q1 = qBp(tri, refined(tri, singleton))
+    assert(q0 < 0L, s"singleton partition should score negative, got $q0")
+    assert(q1 > q0, s"one refinement round must lift a singleton start: " +
+      s"$q0 -> $q1")
+  }
+
   test("modularity: empty graph yields ONE (0, 0, 0) row, matching the " +
     "oracle's ungrouped aggregate (r11 ADVICE)") {
     import spark.implicits._

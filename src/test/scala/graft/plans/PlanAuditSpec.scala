@@ -80,6 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row edge-count aggregate (m) + the 1-row final modularity fold
     // over the community-bounded per-label table (r11)
     "q_dedup_modularity",
+    // 1-row edge-count aggregate (m) for the refinement gain score (r12)
+    "q_dedup_refine",
     // 1-row class-prior aggregate over the ≤ClfBuckets-row count table (r11)
     "q_text_classifier_fit"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
@@ -130,6 +132,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row m (edge count) crossJoined onto the community-bounded
     // per-label table (r11 modularity)
     "q_dedup_modularity",
+    // 1-row m crossJoined onto the neighbor-community candidate table
+    // (r12 refinement round)
+    "q_dedup_refine",
     // 1-row class prior crossJoined onto the ≤ClfBuckets-row count table
     "q_text_classifier_fit",
     // 1-row scan-only lineitem count crossed onto the 1-row audit row
