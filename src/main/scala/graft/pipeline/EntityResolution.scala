@@ -236,10 +236,85 @@ object EntityResolution {
       .orderBy($"rec_id")
   }
 
+  /** Survivorship summary of a master registry, one single-member entity
+    * per record — the FROZEN MASTER shape [[masterMergeOf]] folds into.
+    * Internal columns: the survivorship PICK struct `(−name_len, rec_id,
+    * name)` rides along so a later merge can re-apply the rule as a pure
+    * struct-min without re-reading the records. */
+  private[graft] def masterSummaryOf(master: DataFrame): DataFrame = {
+    val s = master.sparkSession
+    import s.implicits._
+    master.select($"rec_id".as("entity_id"), lit(1L).as("n_members"),
+      struct((-length($"name")).as("nl"), $"rec_id".as("ri"),
+        $"name".as("nm")).as("pick"),
+      floor($"bal" * lit(100.0) + lit(0.5)).cast("long").as("mbc"))
+  }
+
+  /** MASTER MERGE — fold an arrival batch's [[assignOf]] verdicts back
+    * into the frozen master (r11 verdict #6: `EntityAssignStream`
+    * documented "a master refresh is a query restart"; this is the
+    * refresh). MATCHED arrivals update their entity's survivorship;
+    * NEW arrivals mint single-member entities. Survivorship is a
+    * COMBINABLE algebra (count-sum, struct-min for the canonical record,
+    * max for balance), so touched entities re-resolve from
+    * (master summary ⊕ arrival partial aggregate) — the records behind an
+    * untouched entity are never re-read, and the whole merge is one
+    * broadcast hash join of the batch-sized arrival aggregate against the
+    * master-summary scan plus a union of the minted entities: no master
+    * shuffle, cost ∝ master scan + |arrivals|. `EntityResolutionSpec`
+    * pins merge ≡ one-pass re-resolution over the union.
+    *
+    * Contract: arrival `rec_id`s are disjoint from master ids (the
+    * [[assignOf]] id-space convention) — a group can therefore never mix
+    * MATCHED and NEW members. */
+  private[graft] def masterMergeOf(incoming: DataFrame, master: DataFrame,
+      maxBlock: Int): DataFrame = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    val asg = assignOf(incoming, master, maxBlock)
+      .select($"rec_id", $"entity_id", $"status")
+    // two consumers (touched-entity join + minted union): batch-sized
+    val arrAgg = graft.Caches.cached(
+      incoming.join(asg, "rec_id")
+        .groupBy($"entity_id")
+        .agg(count(lit(1)).as("a_n"),
+          min(struct((-length($"name")).as("nl"), $"rec_id".as("ri"),
+            $"name".as("nm"))).as("a_pick"),
+          max(floor($"bal" * lit(100.0) + lit(0.5)).cast("long")).as("a_mbc"),
+          max(($"status" === "NEW").cast("int")).as("is_new")))
+    val touched = masterSummaryOf(master)
+      .join(broadcast(arrAgg.filter($"is_new" === 0)
+          .select($"entity_id", $"a_n", $"a_pick", $"a_mbc")),
+        Seq("entity_id"), "left")
+      .select($"entity_id",
+        ($"n_members" + coalesce($"a_n", lit(0L))).as("n_members"),
+        // array_min skips NULL elements: untouched entities keep their pick
+        array_min(array($"pick", $"a_pick")).as("pick"),
+        greatest($"mbc", $"a_mbc").as("mbc"))
+    val minted = arrAgg.filter($"is_new" === 1)
+      .select($"entity_id", $"a_n".as("n_members"), $"a_pick".as("pick"),
+        $"a_mbc".as("mbc"))
+    touched.unionByName(minted)
+      .select($"entity_id", $"n_members", $"pick.nm".as("canon_name"),
+        $"pick.ri".as("canon_rec"), $"mbc".as("max_bal_cents"))
+  }
+
+  /** Declared query: the merged master after folding the corrupted-arrival
+    * batch into the clean-base master — the refresh that closes
+    * [[assign]]'s loop. */
+  def masterMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val full = registryOf(Tables.table(s, dir, "customer"))
+    masterMergeOf(full.filter($"rec_id" >= 10000000L),
+        full.filter($"rec_id" < 10000000L), MaxBlock)
+      .orderBy($"entity_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_entity_matches" -> matches _,
     "q_entity_canonical" -> canonical _,
     "q_entity_assign" -> assign _,
+    "q_entity_master_merge" -> masterMerge _,
   )
 
   /** Shared oracle CTEs: registry → blocking → guard → scoring → matches,
@@ -332,6 +407,63 @@ object EntityResolution {
     "q_entity_matches" ->
       s"""WITH $matchCtes
          |SELECT rec_a, rec_b, score FROM mtch ORDER BY rec_a, rec_b""".stripMargin,
+    // the merged master replayed as a FULL ONE-PASS RE-RESOLUTION over the
+    // union (assign chain → every record tagged with its entity → one
+    // survivorship window per entity): hash equality with the Spark side's
+    // touched-only combinable merge IS the merge ≡ re-resolution contract
+    "q_entity_master_merge" ->
+      s"""WITH $matchCtes,
+         |inc AS (SELECT * FROM reg WHERE rec_id >= 10000000),
+         |mst AS (SELECT * FROM reg WHERE rec_id < 10000000),
+         |mk AS (
+         |  SELECT rec_id, concat('n|', CAST(nation AS VARCHAR), '|',
+         |    substring(name, length(name) - 3, 4)) AS bk FROM mst
+         |  UNION ALL
+         |  SELECT rec_id, concat('s|', seg, '|',
+         |    substring(name, length(name) - 3, 4)) FROM mst),
+         |mbig AS (SELECT bk FROM mk GROUP BY bk HAVING count(*) > $MaxBlock),
+         |mkg AS (SELECT k.rec_id, k.bk FROM mk k
+         |        LEFT JOIN mbig b ON b.bk = k.bk WHERE b.bk IS NULL),
+         |ik AS (
+         |  SELECT rec_id, concat('n|', CAST(nation AS VARCHAR), '|',
+         |    substring(name, length(name) - 3, 4)) AS bk FROM inc
+         |  UNION ALL
+         |  SELECT rec_id, concat('s|', seg, '|',
+         |    substring(name, length(name) - 3, 4)) FROM inc),
+         |acand AS (SELECT DISTINCT i.rec_id, m.rec_id AS m_id
+         |          FROM ik i JOIN mkg m ON m.bk = i.bk),
+         |ascored AS (
+         |  SELECT c.rec_id, c.m_id,
+         |    CAST(CASE levenshtein(x.name, y.name)
+         |           WHEN 0 THEN 40 WHEN 1 THEN 32 WHEN 2 THEN 24
+         |           ELSE -15 END
+         |       + CASE WHEN x.nation = y.nation THEN 10 ELSE -5 END
+         |       + CASE WHEN x.seg = 'UNKNOWN' OR y.seg = 'UNKNOWN' THEN 0
+         |              WHEN x.seg = y.seg THEN 6 ELSE -8 END
+         |       + CASE WHEN x.bal = y.bal THEN 8 ELSE -6 END AS INT) AS score
+         |  FROM acand c JOIN inc x ON x.rec_id = c.rec_id
+         |               JOIN mst y ON y.rec_id = c.m_id),
+         |abest AS (SELECT rec_id, m_id FROM (
+         |  SELECT rec_id, m_id, row_number() OVER (
+         |    PARTITION BY rec_id ORDER BY score DESC, m_id) AS rk
+         |  FROM ascored WHERE score >= $MatchThreshold) WHERE rk = 1),
+         |uni AS (
+         |  SELECT rec_id AS entity_id, rec_id, name, bal FROM mst
+         |  UNION ALL
+         |  SELECT COALESCE(b.m_id, i.rec_id), i.rec_id, i.name, i.bal
+         |  FROM inc i LEFT JOIN abest b ON b.rec_id = i.rec_id)
+         |SELECT entity_id, n_members, canon_name, canon_rec, max_bal_cents
+         |FROM (
+         |  SELECT entity_id,
+         |    CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+         |      AS n_members,
+         |    name AS canon_name, CAST(rec_id AS BIGINT) AS canon_rec,
+         |    max(CAST(floor(bal * 100.0 + 0.5) AS BIGINT))
+         |      OVER (PARTITION BY entity_id) AS max_bal_cents,
+         |    row_number() OVER (PARTITION BY entity_id
+         |      ORDER BY length(name) DESC, rec_id) AS rk
+         |  FROM uni)
+         |WHERE rk = 1 ORDER BY entity_id""".stripMargin,
     // Transitive closure by recursive reachability (exact at oracle scale;
     // the Spark side's star rounds are the 100 TB shape) + the same
     // survivorship resolved with a per-entity window.

@@ -158,6 +158,53 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("master merge == one-pass re-resolution over the union; untouched " +
+    "entities byte-identical; NEW arrivals mint entities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val master = reg(Seq(
+      (1L, "Acme Corp 0001", 7, 100.0, "BUILDING"),
+      (3L, "Beta LLC 0009", 3, 55.5, "MACHINERY"),
+      (4L, "Gamma Co 0042", 9, 12.3, "FURNITURE"))) // untouched
+    val incoming = reg(Seq(
+      // dist-1 names with agreeing bal/nation/seg (score 56 ≥ 50); the
+      // longer name at 100 wins the merged pick
+      (100L, "Acme Corp X0001", 7, 100.0, "BUILDING"),
+      (101L, "Acme Xorp 0001", 7, 100.0, "BUILDING"), // same entity 1
+      (200L, "Zzzz Xxxx 0009", 3, 900.0, "MACHINERY"))) // NEW
+    val merged = EntityResolution.masterMergeOf(incoming, master, 1000)
+      .orderBy($"entity_id").collect().map(_.toString).toSeq
+    // from-scratch twin: tag every record with its assigned entity, then
+    // ONE survivorship aggregate over the whole union — the full re-pass
+    // the combinable merge must equal
+    val asg = EntityResolution.assignOf(incoming, master, 1000)
+      .select($"rec_id", $"entity_id")
+    val uni = master.select($"rec_id".as("entity_id"), $"rec_id", $"name", $"bal")
+      .unionByName(incoming.join(asg, "rec_id")
+        .select($"entity_id", $"rec_id", $"name", $"bal"))
+    val full = uni.groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-length($"name")).as("nl"), $"rec_id".as("ri"),
+          $"name".as("nm"))).as("pick"),
+        max(floor($"bal" * lit(100.0) + lit(0.5)).cast("long"))
+          .as("max_bal_cents"))
+      .select($"entity_id", $"n_members", $"pick.nm".as("canon_name"),
+        $"pick.ri".as("canon_rec"), $"max_bal_cents")
+      .orderBy($"entity_id").collect().map(_.toString).toSeq
+    assert(merged == full, s"merge must equal full re-resolution:\n" +
+      s"merged = $merged\nfull   = $full")
+    // spot semantics: entity 1 grew to 3 members with the longer arrival
+    // name surviving; untouched 4 is byte-identical to its master summary;
+    // 200 minted NEW
+    val byId = EntityResolution.masterMergeOf(incoming, master, 1000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 3L && byId(1L).getString(2) == "Acme Corp X0001"
+      && byId(1L).getLong(3) == 100L && byId(1L).getLong(4) == 10000L)
+    assert(byId(4L).getLong(1) == 1L && byId(4L).getString(2) == "Gamma Co 0042"
+      && byId(4L).getLong(4) == 1230L)
+    assert(byId(200L).getLong(1) == 1L && byId(200L).getString(2) == "Zzzz Xxxx 0009")
+  }
+
   test("declared queries run on sf0.001 with plausible shape") {
     val dir = "/root/testdata/sf0.001"
     val m = EntityResolution.matches(spark, dir).collect()
