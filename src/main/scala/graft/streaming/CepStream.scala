@@ -40,15 +40,20 @@ object CepStream {
     * per-batch snapshot upload is the throughput floor, not the per-key
     * get/put work (r9 StreamProbe measurement).
     *
-    * PARTITION SIZING (r10): every state-store partition pays a FIXED
-    * per-batch commit cost (RocksDB commit + changelog write + timer
-    * sweep), so size `spark.sql.shuffle.partitions` ≈ cores — ONE task
-    * wave per micro-batch — BEFORE starting a stateful query (the first
-    * checkpoint pins it for the query's lifetime). Measured at 250k-row
-    * triggers, 1M events, 100k keys, local[32]: 64 partitions = 68.8k
-    * ev/s, 32 = 115.7k, 16 = 117.7k (uniform; skewed 66.5k / 103.4k /
-    * 116.5k) — halving the commit fan-out from 2×cores to cores bought
-    * 1.7×. [[graft.GraftSession.builder]]'s default already matches. */
+    * PARTITION SIZING (r10, revised r12): every state-store partition
+    * pays a FIXED per-batch commit cost (RocksDB commit + changelog write
+    * + timer sweep), so size `spark.sql.shuffle.partitions` to at most
+    * cores — ONE task wave per micro-batch — BEFORE starting a stateful
+    * query (the first checkpoint pins it for the query's lifetime).
+    * Measured at 250k-row triggers, 1M events, 100k keys, local[32]
+    * (r10, MemoryStream feed): 64 partitions = 68.8k ev/s, 32 = 115.7k,
+    * 16 = 117.7k. r12, with the probe feed fixed so driver-side row
+    * shipping no longer masks the operator (`StreamProbe` Scaladoc):
+    * 32 = 182.4k, 16 = 220.7k quiesced / 280.5k pipelined — once input
+    * delivery is off the critical path, the commit fan-out is the
+    * remaining floor and cores/2 wins ~20-45%. Rule: partitions = the
+    * smallest count whose per-partition row work still saturates a task
+    * (≈ cores/2 at these trigger sizes), never more than cores. */
   val rocksConf: Seq[(String, String)] = Seq(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
