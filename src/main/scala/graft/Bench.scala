@@ -55,6 +55,10 @@ object Bench {
     val mhT0 = System.nanoTime()
     try graft.pipeline.Dedup.trainIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // the merge demo's base + merged artifacts (r12) are the same
+    // one-time-build class — q_dedup_index_merge measures SERVING
+    try graft.pipeline.Dedup.trainMergedIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     val mhBuildSec = (System.nanoTime() - mhT0) / 1e9
     Caches.clear()
     spark.catalog.clearCache()

@@ -888,6 +888,12 @@ object Dedup {
   def trainIndex(s: SparkSession, dir: String): Unit =
     minhashIndexPath(s, dir): Unit
 
+  /** Materialize the merge-demo artifacts (base quarter-corpus index +
+    * the merged index) untimed — the build half of [[indexMerge]], same
+    * contract as [[trainIndex]]. */
+  def trainMergedIndex(s: SparkSession, dir: String): Unit =
+    mergedIndexPath(s, dir): Unit
+
   /** ADMISSION CHECK of an arrival batch against the persisted near-dup
     * index — the declared, oracle-gated serving query (q_dedup_assign, the
     * `q_similarity_ivf_assign` convention): per arrival document, its
