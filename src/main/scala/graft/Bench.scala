@@ -78,11 +78,12 @@ object Bench {
       // plan); dropping them between queries keeps a 64-query run from
       // accumulating dead blocks + GC pressure (r2: back-half inflation).
       // Clearing is bookkeeping, not query work — outside the timed region.
-      // Caches.clear() is the library's own hygiene API (unpersists exactly
-      // the graft-registered caches); clearCache additionally drops anything
-      // else SQL-cached; localCheckpoint blocks (Components rounds) are
-      // RDD-level and need explicit unpersist.
-      Caches.clear()
+      // Caches.clearAll() unpersists the graft-registered caches AND the
+      // registered materialize() checkpoint blocks (deterministic release —
+      // safe here because every query builds fresh plans); clearCache drops
+      // anything else SQL-cached; the getPersistentRDDs sweep catches
+      // unregistered RDD-level blocks (loop-internal localCheckpoints).
+      Caches.clearAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> (if (errors.contains(name)) -1.0 else dt)

@@ -86,23 +86,40 @@ object Caches {
   /** Unpersist every cache the library registered since the last clear.
     * Non-blocking: block deletion proceeds asynchronously, which is fine —
     * the point is that the blocks are RELEASED, not that they vanish
-    * before the next statement. Safe to call at any time for CACHES;
-    * in-flight queries recompute the pass (correctness is unaffected).
-    * [[materialize]]d frames are different: a localCheckpoint has no
-    * lineage to recompute from, so a frame obtained BEFORE a clear must
-    * not be re-run after it — clear between logical jobs, exactly as
-    * `graft.Bench`/`graft.Verify` do, and build each query fresh. */
+    * before the next statement. SAFE TO CALL AT ANY TIME: caches are
+    * recompute-safe (an in-flight or held query just recomputes the
+    * pass), and [[materialize]]d checkpoint blocks — which are NOT
+    * recompute-safe, a localCheckpoint has no lineage — are only
+    * DEREFERENCED here, so frames the caller still holds keep working
+    * and the ContextCleaner releases the blocks once they become
+    * unreachable. [[clearAll]] is the deterministic-release variant. */
   def clear(): Unit = {
     var ds = reg.poll()
     while (ds != null) {
       ds.unpersist(blocking = false)
       ds = reg.poll()
     }
+    // drop the strong refs so GC + ContextCleaner can release the blocks;
+    // deterministic unpersist is clearAll()'s job (it would break frames
+    // the caller still holds)
+    rddReg.clear()
+  }
+
+  /** [[clear]] plus a DETERMINISTIC unpersist of every [[materialize]]d
+    * checkpoint block registered since the last clear. Call ONLY between
+    * logical jobs when no frame obtained before this call will run
+    * another action: a localCheckpoint cannot recompute, so a held frame
+    * fails with "checkpoint block not found" after this (unlike caches,
+    * which recompute). `graft.Bench` and `graft.Verify` call it between
+    * queries; a long-lived session owner who keeps results across jobs
+    * should stick to [[clear]]. */
+  def clearAll(): Unit = {
     var rdd = rddReg.poll()
     while (rdd != null) {
       rdd.unpersist(blocking = false)
       rdd = rddReg.poll()
     }
+    clear()
   }
 
   /** Number of registered, not-yet-cleared caches (test visibility). */

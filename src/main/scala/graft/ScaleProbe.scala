@@ -591,11 +591,11 @@ object ScaleProbe {
     val (pfKept, pfSecs) = time {
       graft.pipeline.Curation.pipelineFull(spark, pfDir).count()
     }
-    Caches.clear(); spark.catalog.clearCache()
+    Caches.clearAll(); spark.catalog.clearCache()
     val (wfRows, wfSecs) = time {
       graft.pipeline.Curation.pipelineWaterfall(spark, pfDir).collect()
     }
-    Caches.clear(); spark.catalog.clearCache()
+    Caches.clearAll(); spark.catalog.clearCache()
     val byStage = wfRows.map(r =>
       r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(byStage.keySet == Set("1_gate_short", "2_line_gate",

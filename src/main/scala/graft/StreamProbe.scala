@@ -88,36 +88,42 @@ object StreamProbe {
       *    the quiesced schedule drops are processed here — match counts
       *    differ by exactly that class; both are valid event-time
       *    behavior (late drops are schedule-dependent in any engine). */
-    def runEvents(name: String, events: Array[Ev],
+    def stageEvents(tag: String, events: Array[Ev]): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-cepstage-$tag").toString
+      events.grouped(events.length / 4 + 1).toSeq.zipWithIndex
+        .foreach { case (b, i) =>
+          spark.createDataset(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
+            .repartition(32).write.parquet(s"$root/g$i")
+        }
+      // pipelined-mode flush nudges: empty files that advance the trigger
+      // clock after the last data group (the wm lag is one trigger, so two)
+      (0 to 1).foreach(n =>
+        spark.emptyDataset[Ev].coalesce(1).write.parquet(s"$root/nudge$n"))
+      root
+    }
+
+    def runEvents(name: String, staged: String,
         pipelined: Boolean): (Double, Long) = {
       val root = java.nio.file.Files.createTempDirectory(s"graft-cep-$name").toString
       val inDir = s"$root/in"
       new java.io.File(inDir).mkdirs()
-      // stage each micro-batch as parquet UNTIMED (feed preparation, not
-      // operator work); 32 part files per batch = one full scan wave
-      val staged = events.grouped(events.length / 4 + 1).toSeq.zipWithIndex
-        .map { case (b, i) =>
-          val d = s"$root/stage$i"
-          spark.createDataset(
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
-            .repartition(32).write.parquet(d)
-          d
-        }
-      def moveGroup(d: String, i: Int): Unit =
+      // hard-link a staged group into the watched dir (no data copy); the
+      // per-group mtime drives the pipelined mode's oldest-first grouping
+      // (links share the inode, but every rep sets the same stamps)
+      def linkGroup(d: String, i: Int): Unit =
         new java.io.File(d).listFiles()
           .filter(_.getName.startsWith("part-")).foreach { f =>
             val dst = java.nio.file.Paths.get(inDir, s"b$i-${f.getName}")
-            java.nio.file.Files.move(f.toPath, dst)
+            java.nio.file.Files.createLink(dst, f.toPath)
             java.nio.file.Files.setLastModifiedTime(dst,
               java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L)): Unit
           }
+      val filesPerGroup = new java.io.File(s"$staged/g0").listFiles()
+        .count(_.getName.startsWith("part-"))
       val reader = spark.readStream.schema(spark.emptyDataset[Ev].schema)
-      if (pipelined) {
-        staged.zipWithIndex.foreach { case (d, i) => moveGroup(d, i) }
-        val filesPerGroup = new java.io.File(inDir).listFiles()
-          .count(_.getName.startsWith("b0-"))
+      if (pipelined)
         reader.option("maxFilesPerTrigger", filesPerGroup.toString): Unit
-      }
       val timed = reader.parquet(inDir)
         .as[Ev]
         .withColumn("ets", timestamp_micros($"ts"))
@@ -126,22 +132,18 @@ object StreamProbe {
       val out = graft.streaming.CepStream.matchPattern[Long, Ev, (Long, Long)](
         timed, _.user_id, _.ts / 1000L, pattern,
         (k, m) => Some((k, m.startTs)), (_, _) => None)
-      val t0 = System.nanoTime()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
+      val t0 = System.nanoTime()
       if (pipelined) {
+        (0 to 3).foreach(i => linkGroup(s"$staged/g$i", i))
         q.processAllAvailable()
-        // flush the last group's buffered tail: empty nudge files advance
-        // the trigger clock (wm is already at the corpus max; the lag is
-        // one trigger, so two nudges guarantee the final drain)
         (0 to 1).foreach { n =>
-          spark.emptyDataset[Ev].coalesce(1).write.parquet(s"$root/nudge$n")
-          moveGroup(s"$root/nudge$n", 100 + n)
-          q.processAllAvailable()
+          linkGroup(s"$staged/nudge$n", 100 + n); q.processAllAvailable()
         }
       } else {
-        staged.zipWithIndex.foreach { case (d, i) =>
-          moveGroup(d, i); q.processAllAvailable()
+        (0 to 3).foreach { i =>
+          linkGroup(s"$staged/g$i", i); q.processAllAvailable()
         }
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -162,17 +164,22 @@ object StreamProbe {
           .otherwise($"user_id"))
       .as[Ev].collect()
 
-    runEvents("warmup_cep",
-      uniform.take(math.max(nStream / 10, 10000L).toInt),
-      pipelined = false) // untimed: JIT + codegen
+    locally { // untimed: JIT + codegen
+      val wStaged = stageEvents("warmup",
+        uniform.take(math.max(nStream / 10, 10000L).toInt))
+      runEvents("warmup_cep", wStaged, pipelined = false)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wStaged))
+    }
     // Three timed repetitions, MEDIAN reported: a single run still swings
     // ±40% with GC and RocksDB compaction phasing; the median of three is
     // stable across JVM invocations.
     def median3(tag: String, events: Array[Ev], pipelined: Boolean): Unit = {
-      val reps = (1 to 3).map { i =>
+      val staged = stageEvents(tag, events)
+      val reps = try (1 to 3).map { i =>
         System.gc()
-        runEvents(s"${tag}_$i", events, pipelined)
-      }
+        runEvents(s"${tag}_$i", staged, pipelined)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(staged))
       val (secs, nOut) = reps.sortBy(_._1)(Ordering.Double.TotalOrdering)(1)
       println(f"""{"probe":"$tag","rows":$nStream,"batches":4,"matches":$nOut,"secs":$secs%.1f,"rows_per_sec":${(nStream / secs).toLong},"reps_secs":[${reps.map(r => f"${r._1}%.1f").mkString(",")}]}""")
     }

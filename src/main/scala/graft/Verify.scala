@@ -39,9 +39,9 @@ object Verify {
         status(name) = (-1L, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
       // per-query working-set caches: don't let 64 queries accumulate
-      // (Caches.clear = the library's registered caches; clearCache = any
+      // (Caches.clearAll = registered caches + materialized blocks; clearCache = any
       // other SQL relations; unpersist = RDD-level checkpoint blocks)
-      Caches.clear()
+      Caches.clearAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -797,6 +797,7 @@ object Dedup {
   /** [[writeMinhashIndex]] over any `(doc_id, text)` corpus frame — the
     * fixture entry point. */
   private[graft] def writeMinhashIndexOf(docs: DataFrame, out: String): Unit = {
+    val s = docs.sparkSession
     val sg = sigsOf(docs)
     val seg = s"$out/seg0"
     sg.write.mode("overwrite").parquet(s"$seg/sigs")
@@ -805,7 +806,7 @@ object Dedup {
     writeCountsAndHot(
       raw.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).cast("long").as("cnt")), out)
-    writeManifest(out, Seq(seg))
+    writeManifest(s, out, Seq(seg))
   }
 
   /** MERGE an arrival frame into a persisted index — acting on
@@ -827,7 +828,7 @@ object Dedup {
     require(out != oldPath, "merge writes a new artifact root; segments of " +
       s"$oldPath are referenced in place, never mutated")
     val s = arrivals.sparkSession
-    val segs = readManifest(oldPath)
+    val segs = readManifest(s, oldPath)
     val seg = s"$out/seg${segs.length}"
     val sg = sigsOf(arrivals)
     sg.write.mode("overwrite").parquet(s"$seg/sigs")
@@ -839,7 +840,7 @@ object Dedup {
       .groupBy(col("band"), col("key"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
     writeCountsAndHot(merged, out)
-    writeManifest(out, segs :+ seg)
+    writeManifest(s, out, segs :+ seg)
   }
 
   private def writeCountsAndHot(counts: DataFrame, out: String): Unit = {
@@ -849,17 +850,42 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$out/hot")
   }
 
-  private def writeManifest(out: String, segs: Seq[String]): Unit = {
-    val p = java.nio.file.Paths.get(out, "manifest")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
-      segs.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+  /** Manifest I/O through the Hadoop FileSystem of the artifact root, so
+    * the artifact lives wherever the parquet does (HDFS/S3A/local — a
+    * java.nio spelling would silently write a LOCAL `hdfs:` directory on
+    * the driver). Segments under the artifact's own root are stored
+    * RELATIVE — a fresh build is fully self-contained and relocatable;
+    * segments a MERGE references in a foreign root stay absolute
+    * (qualified URIs), so a merged artifact is relocatable only together
+    * with the roots it references — the documented LSM trade. */
+  private def writeManifest(s: SparkSession, out: String, segs: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(out, "manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(out)).toString
+    val lines = segs.map { seg =>
+      val q = fs.makeQualified(new org.apache.hadoop.fs.Path(seg)).toString
+      if (q.startsWith(rootUri + "/")) q.substring(rootUri.length + 1) else q
+    }
+    val o = fs.create(p, true)
+    try o.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally o.close()
   }
 
-  private def readManifest(path: String): Seq[String] =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "manifest")), "UTF-8")
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  /** Segment paths from `path/manifest`, relative entries resolved against
+    * the artifact root. */
+  private def readManifest(s: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    new String(bytes, "UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        if (line.contains("://") || line.startsWith("/")) line
+        else new org.apache.hadoop.fs.Path(path, line).toString
+      }
+  }
 
   /** Open an index artifact as `(sigs, bands)` DataFrames: parquet scans
     * over every segment, zero signature replay; the serving band table is
@@ -869,7 +895,7 @@ object Dedup {
     * ≤ [[Bands]] × [[MaxBucket]] exactly as before. */
   private[graft] def openMinhashIndex(
       s: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val segs = readManifest(path)
+    val segs = readManifest(s, path)
     val sigs = s.read.parquet(segs.map(_ + "/sigs"): _*)
     val hot = s.read.parquet(s"$path/hot")
     val bands = s.read.parquet(segs.map(_ + "/bands"): _*)
@@ -1041,6 +1067,27 @@ object Dedup {
     * [[candCtes]] upstream and `WITH RECURSIVE`); shared by the cluster and
     * leakage-free-split oracles. `walk` closes the edge relation so
     * `min(reach) GROUP BY node` is each node's component minimum. */
+  /** Symmetric edge list + synchronous-LPA rounds `l0..l<LpaRounds>` as
+    * CTEs (requires [[prsCte]] upstream): per round each node adopts its
+    * most frequent neighbor label, ties to the smallest — the exact
+    * [[Components.labelPropagation]] contract, factored ONCE so the
+    * communities / modularity / refine oracles can never diverge on the
+    * tie-break spelling. */
+  private val lpaCtes: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS (SELECT v AS node, label FROM (
+         |  SELECT e.v, l.label, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.v
+         |      ORDER BY count(*) DESC, l.label) AS rk
+         |  FROM edges e JOIN l${i - 1} l ON l.node = e.u
+         |  GROUP BY e.v, l.label) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+       |$rounds""".stripMargin
+  }
+
   /** The recall-audit oracle body (requires [[sigCte]] + [[candCtes]] +
     * [[prsCte]] upstream): inverted-index truth, hits, and the guarded
     * recall division — shared by the full and sampled audits. */
@@ -1428,45 +1475,22 @@ object Dedup {
     // Synchronous LPA unrolled round-by-round: per round, each node adopts
     // its most frequent neighbor label (ties → smallest label) — the same
     // fixed-horizon deterministic contract as the Spark side's argmax.
-    "q_dedup_communities" -> {
-      val rounds = (1 to LpaRounds).map { i =>
-        s"""l$i AS (SELECT v AS node, label FROM (
-           |  SELECT e.v, l.label, count(*) AS cnt,
-           |    row_number() OVER (PARTITION BY e.v
-           |      ORDER BY count(*) DESC, l.label) AS rk
-           |  FROM edges e JOIN l${i - 1} l ON l.node = e.u
-           |  GROUP BY e.v, l.label) WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
+    "q_dedup_communities" ->
       s"""$sigCte,
          |$candCtes,
          |$prsCte,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-         |  UNION ALL SELECT doc_b, doc_a FROM prs),
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
-         |$rounds
+         |$lpaCtes
          |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
-         |FROM l$LpaRounds ORDER BY doc_id""".stripMargin
-    },
+         |FROM l$LpaRounds ORDER BY doc_id""".stripMargin,
     // Newman modularity of the l4 LPA partition over the verified pair
     // graph — HUGEINT arithmetic, the same +4m² shift before truncating
     // division as the Spark side (Q ≥ −1 keeps the shifted numerator
     // non-negative, where // and div agree)
-    "q_dedup_modularity" -> {
-      val rounds = (1 to LpaRounds).map { i =>
-        s"""l$i AS (SELECT v AS node, label FROM (
-           |  SELECT e.v, l.label, count(*) AS cnt,
-           |    row_number() OVER (PARTITION BY e.v
-           |      ORDER BY count(*) DESC, l.label) AS rk
-           |  FROM edges e JOIN l${i - 1} l ON l.node = e.u
-           |  GROUP BY e.v, l.label) WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
+    "q_dedup_modularity" ->
       s"""$sigCte,
          |$candCtes,
          |$prsCte,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-         |  UNION ALL SELECT doc_b, doc_a FROM prs),
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
-         |$rounds,
+         |$lpaCtes,
          |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM prs),
          |ec AS (SELECT la.label, count(*) AS e_in
          |  FROM prs p JOIN l$LpaRounds la ON la.node = p.doc_a
@@ -1488,28 +1512,16 @@ object Dedup {
          |  CAST(CASE WHEN mm.m = 0 THEN 0 ELSE
          |    ((ns.n_sum + 4 * mm.m * mm.m) * 10000) // (4 * mm.m * mm.m)
          |      - 10000 END AS BIGINT) AS q_modularity_bp
-         |FROM ns, mm""".stripMargin
-    },
+         |FROM ns, mm""".stripMargin,
     // the refinement round unrolled: LPA as in the communities oracle, then
     // per node the exact-integer Louvain gain score over neighbor
     // communities (+ staying), argmax by (score DESC, label ASC) — HUGEINT
     // arithmetic mirroring the Spark side's Decimal(38)
-    "q_dedup_refine" -> {
-      val rounds = (1 to LpaRounds).map { i =>
-        s"""l$i AS (SELECT v AS node, label FROM (
-           |  SELECT e.v, l.label, count(*) AS cnt,
-           |    row_number() OVER (PARTITION BY e.v
-           |      ORDER BY count(*) DESC, l.label) AS rk
-           |  FROM edges e JOIN l${i - 1} l ON l.node = e.u
-           |  GROUP BY e.v, l.label) WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
+    "q_dedup_refine" ->
       s"""$sigCte,
          |$candCtes,
          |$prsCte,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-         |  UNION ALL SELECT doc_b, doc_a FROM prs),
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
-         |$rounds,
+         |$lpaCtes,
          |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM prs),
          |deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS k FROM (
          |    SELECT doc_a AS node FROM prs
@@ -1540,8 +1552,7 @@ object Dedup {
          |SELECT l.node AS doc_id, CAST(l.label AS BIGINT) AS community,
          |  CAST(p.cand AS BIGINT) AS refined_community
          |FROM l$LpaRounds l JOIN pk p ON p.u = l.node AND p.rk = 1
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     // unthresholded candidate agreement histogram + per-doc max agreement,
     // each swept over the 1..K threshold table
     "q_dedup_threshold_frontier" ->

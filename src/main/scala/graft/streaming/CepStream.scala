@@ -48,12 +48,14 @@ object CepStream {
     * Measured at 250k-row triggers, 1M events, 100k keys, local[32]
     * (r10, MemoryStream feed): 64 partitions = 68.8k ev/s, 32 = 115.7k,
     * 16 = 117.7k. r12, with the probe feed fixed so driver-side row
-    * shipping no longer masks the operator (`StreamProbe` Scaladoc):
-    * 32 = 182.4k, 16 = 220.7k quiesced / 280.5k pipelined — once input
-    * delivery is off the critical path, the commit fan-out is the
-    * remaining floor and cores/2 wins ~20-45%. Rule: partitions = the
-    * smallest count whose per-partition row work still saturates a task
-    * (≈ cores/2 at these trigger sizes), never more than cores. */
+    * shipping no longer masks the operator (`StreamProbe` Scaladoc;
+    * medians of 3, ±15-20% box noise across probe invocations):
+    * 32 partitions = 164-187k, 16 = 214-221k quiesced / 228-280k
+    * pipelined — once input delivery is off the critical path, the
+    * per-trigger commit fan-out is the remaining floor and cores/2 wins
+    * ~20%. Rule: partitions = the smallest count whose per-partition row
+    * work still saturates a task (≈ cores/2 at these trigger sizes),
+    * never more than cores. */
   val rocksConf: Seq[(String, String)] = Seq(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
