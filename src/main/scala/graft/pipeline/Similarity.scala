@@ -369,6 +369,51 @@ object Similarity {
       .drop("best")
   }
 
+  /** MERGE arrivals into a FROZEN IVF index — acting on [[indexRefresh]]'s
+    * "keep" verdict (the [[Dedup.mergeMinhashIndex]] twin, r12): when drift
+    * says the snapshot centroids still fit, arrivals should become
+    * SEARCHABLE without a retrain. Each arrival assigns ROW-LOCALLY to the
+    * frozen centroids ([[ivfAssignerOf]] — the exact serving transform) and
+    * its `(vec_id, q, n2, cell)` row unions the cell table; the centroid
+    * table is untouched. Cost ∝ |arrivals|: zero shuffle in the assignment,
+    * an arrival-sized append. At the ARTIFACT level this is a plain
+    * file-level union of the `cells` dir (the cell table is an unordered
+    * bag with no build-time guard to re-derive — the [[knnJoinOf]] hot-cell
+    * guard is serve-time — so production appends an arrival segment beside
+    * the corpus files and readers list both; unlike the MinHash artifact,
+    * no metadata tier needs merging). */
+  private[graft] def mergeIvfCells(
+      cents: DataFrame, snapCells: DataFrame, arrivals: DataFrame): DataFrame = {
+    val s = cents.sparkSession
+    import s.implicits._
+    snapCells.select($"vec_id", $"q", $"n2", $"cell")
+      .unionByName(
+        ivfAssignerOf(centroidArrayOf(cents))(arrivals)
+          .select($"vec_id", $"q", $"n2", $"cell"))
+  }
+
+  /** SERVING FROM THE MERGED INDEX — the declared query
+    * (q_similarity_index_merge): snapshot model trained below
+    * [[IvfSnapshotFloor]] (the [[ivfAssignNew]] convention), arrivals
+    * merged in frozen, and the [[IvfNprobe]] probe search run over the
+    * merged cell table — so a query's top-3 can now surface an ARRIVAL,
+    * which is the entire point of merging. The oracle replays training on
+    * the prefix, the frozen argmin on the arrivals, and the probe search
+    * over the union — hash equality IS the merged-serving ≡
+    * assign-the-union-frozen contract. */
+  def ivfIndexMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, snapCells) = ivfModelOf(s,
+      Tables.table(s, dir, "embeddings")
+        .filter($"vec_id" < IvfSnapshotFloor)
+        .select($"vec_id", quantize($"embedding").as("q")),
+      IvfK)
+    val arrivals = Tables.table(s, dir, "embeddings")
+      .filter($"vec_id" >= IvfSnapshotFloor)
+      .select($"vec_id", $"embedding")
+    probeQuery(s, cents, mergeIvfCells(cents, snapCells, arrivals))
+  }
+
   /** Retrain verdict threshold for [[indexRefresh]], in basis points of the
     * snapshot's own training error: a source whose arrivals quantize at
     * more than 1.5× the baseline mean squared-L2 no longer fits the frozen
@@ -545,6 +590,7 @@ object Similarity {
     "q_similarity_ivf_probe" -> annIvfProbe _,
     "q_similarity_knn_join" -> knnJoin _,
     "q_similarity_ivf_assign" -> ivfAssignNew _,
+    "q_similarity_index_merge" -> ivfIndexMerge _,
     "q_index_refresh" -> indexRefresh _,
   )
 
@@ -628,8 +674,46 @@ object Similarity {
          |  FROM cand) WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
     "q_similarity_ivf_assign" -> duckIvfAssignOracle,
+    "q_similarity_index_merge" -> duckIvfMergeOracle,
     "q_index_refresh" -> duckIndexRefreshOracle,
   )
+
+  /** See [[ivfIndexMerge]]: training rebased onto the snapshot prefix, the
+    * frozen-centroid argmin over the arrivals, the cell-table UNION, and
+    * the nprobe probe search over the union. */
+  private def duckIvfMergeOracle: String = {
+    val trainCtes = duckCellCtes.replace("FROM embeddings",
+      s"FROM embeddings WHERE vec_id < $IvfSnapshotFloor")
+    s"""WITH $trainCtes,
+       |ehi AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id >= $IvfSnapshotFloor),
+       |asg AS (SELECT vec_id, q, cell FROM (
+       |  SELECT e.vec_id, e.q, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))), c.cid) AS rn
+       |  FROM ehi e CROSS JOIN c2 c) WHERE rn = 1),
+       |mrg AS (SELECT vec_id, q, cell FROM a3
+       |  UNION ALL SELECT vec_id, q, cell FROM asg),
+       |probes AS (SELECT query_id, q, cell FROM (
+       |  SELECT m.vec_id AS query_id, m.q, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY m.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> (m.q[i] - c.q[i]) * (m.q[i] - c.q[i]))), c.cid) AS rn
+       |  FROM (SELECT vec_id, q FROM mrg WHERE vec_id < $QueryVecs) m
+       |  CROSS JOIN c2 c)
+       |  WHERE rn <= $IvfNprobe),
+       |cand AS (SELECT p.query_id, a.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> p.q[i] * a.q[i])) AS BIGINT) AS dot
+       |  FROM probes p JOIN mrg a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, rnk, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+       |  FROM cand) WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** See [[indexRefresh]]: snapshot training replayed as CTEs, per-vector
     * baseline error from the final assignment, frozen-centroid argmin +

@@ -36,4 +36,19 @@ class IvfIndexSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("merged index makes arrivals searchable; snapshot-only serving cannot") {
+    import spark.implicits._
+    val merged = Similarity.ivfIndexMerge(spark, sf).collect()
+    assert(merged.length == Similarity.QueryVecs * 3)
+    // the point of the merge: at least one top-3 result IS an arrival
+    // (vec_id >= the snapshot floor), which no snapshot-only index can
+    // return because its cell table simply does not contain those rows
+    val arrivalHits = merged.count(_.getLong(2) >= Similarity.IvfSnapshotFloor)
+    assert(arrivalHits > 0,
+      s"merged serving returned no arrivals: ${merged.toSeq}")
+    // deterministic across invocations (frozen centroids, exact integers)
+    val again = Similarity.ivfIndexMerge(spark, sf).collect()
+    assert(merged.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -112,6 +112,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // shared IVF index materializes, so the declared plans are parquet
     // scans + equi-joins.)
     "q_similarity_ivf_probe",
+    // the same K-row centroid crossJoin, probing the MERGED cell table
+    // (r12; training collapses to a plan-time collect as in ivf_assign)
+    "q_similarity_index_merge",
     "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_pq",
     // corpus-broadcast exact baseline (audit-scale only, input-size-required
     // in annRecallKnn)
