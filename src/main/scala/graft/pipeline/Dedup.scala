@@ -843,6 +843,32 @@ object Dedup {
     writeManifest(s, out, segs :+ seg)
   }
 
+  /** COMPACT an index (possibly many segments, possibly referencing
+    * foreign roots after merges) into ONE self-contained artifact at
+    * `out` — the LSM compaction that bounds [[mergeMinhashIndex]]'s
+    * fan-out: every merge adds a segment (one more parquet dir per open)
+    * and pins its referenced roots in place; compaction rewrites all
+    * segments into a single relocatable one. Deliberately O(index) — run
+    * on an amortized schedule (manifest length over a segment budget),
+    * exactly like any LSM store. `counts`/`hot` are already union TOTALS:
+    * copied through, never recomputed from data, so the serving guard is
+    * bit-identical before and after ([[MinhashIndexSpec]] pins it). */
+  def compactMinhashIndex(s: SparkSession, oldPath: String, out: String): Unit = {
+    require(out != oldPath,
+      "compaction writes a new artifact root (segments are immutable)")
+    val segs = readManifest(s, oldPath)
+    val seg = s"$out/seg0"
+    s.read.parquet(segs.map(_ + "/sigs"): _*)
+      .write.mode("overwrite").parquet(s"$seg/sigs")
+    s.read.parquet(segs.map(_ + "/bands"): _*)
+      .write.mode("overwrite").parquet(s"$seg/bands")
+    s.read.parquet(s"$oldPath/counts")
+      .write.mode("overwrite").parquet(s"$out/counts")
+    s.read.parquet(s"$oldPath/hot")
+      .write.mode("overwrite").parquet(s"$out/hot")
+    writeManifest(s, out, Seq(seg))
+  }
+
   private def writeCountsAndHot(counts: DataFrame, out: String): Unit = {
     val c = graft.Caches.cached(counts)
     c.write.mode("overwrite").parquet(s"$out/counts")

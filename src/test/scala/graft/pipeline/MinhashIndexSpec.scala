@@ -155,6 +155,35 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: one self-contained relocatable segment, serving " +
+    "bit-identical to the merged artifact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mh_compact").toString
+    try {
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+      Dedup.writeMinhashIndexOf(docs.filter($"doc_id" % 4 === 0), s"$root/base")
+      Dedup.mergeMinhashIndex(docs.filter($"doc_id" % 4 === 2),
+        s"$root/base", s"$root/merged")
+      Dedup.compactMinhashIndex(spark, s"$root/merged", s"$root/compact")
+      def dump(path: String): Seq[String] = {
+        val (sg, bd) = Dedup.openMinhashIndex(spark, path)
+        (sg.orderBy($"doc_id").collect() ++
+          bd.orderBy($"doc_id", $"band").collect()).map(_.toString).toSeq
+      }
+      assert(dump(s"$root/compact") == dump(s"$root/merged"),
+        "compaction must not change what the index serves")
+      // self-contained: the whole artifact survives a MOVE (the merged
+      // artifact cannot — it references base's segments in place)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/compact"),
+        java.nio.file.Paths.get(s"$root/elsewhere"))
+      assert(dump(s"$root/elsewhere") == dump(s"$root/merged"),
+        "a compacted artifact must be relocatable (relative manifest)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("registry is staleness-keyed: a mutated source table rebuilds") {
     // copy the documents table to a writable dir so it can be mutated
     val data = java.nio.file.Files.createTempDirectory("mh_stale").toString
