@@ -504,14 +504,22 @@ object TextAnalysis {
     * word-internal grams, exactly fastText's convention. All features
     * share the one [[ClfBuckets]] hash space (the hashing trick).
     *
-    * The marked token `g` binds as a LAMBDA VARIABLE (transform over a
-    * 1-element array) — higher-order-function Columns are CSE-exempt, so a
-    * plain reuse would re-evaluate the concat per gram (the r11 LineClean
-    * lesson). The 4-gram arm guards `length ≥ 4`: Spark's
-    * `sequence(1, 0)` DESCENDS ([1, 0]) where DuckDB's
-    * `generate_series(1, 0)` is empty — unguarded, a 1-char token would
-    * diverge the engines AND hash a bogus gram. */
+    * Native fused form ([[graft.functions.ClfGramBuckets]] — one pass over
+    * the marked token's bytes, zero per-gram allocation; the HOF spelling
+    * below cost a measured +1.2 s each on fit/eval at sf0.1 and is kept as
+    * the cross-implementation check, `ClassifierFitSpec` pins native ≡
+    * HOF on the real corpus). */
   private def clfFeatureBuckets(t: Column): Column =
+    graft.functions.ClfGramBuckets(t, ClfBuckets)
+
+  /** Built-in-only spelling of [[clfFeatureBuckets]] — the marked token
+    * `g` binds as a LAMBDA VARIABLE (transform over a 1-element array;
+    * HOF Columns are CSE-exempt, so a plain reuse would re-evaluate the
+    * concat per gram — the r11 LineClean lesson). The 4-gram arm guards
+    * `length ≥ 4`: Spark's `sequence(1, 0)` DESCENDS ([1, 0]) where
+    * DuckDB's `generate_series(1, 0)` is empty — unguarded, a 1-char
+    * token would diverge the engines AND hash a bogus gram. */
+  private[pipeline] def clfFeatureBucketsHof(t: Column): Column =
     element_at(transform(array(concat(lit("<"), t, lit(">"))), g =>
       concat(
         array(charFoldHash(t) % ClfBuckets),

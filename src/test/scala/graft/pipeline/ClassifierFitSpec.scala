@@ -67,4 +67,23 @@ class ClassifierFitSpec extends AnyFunSuite {
       else assert(scored(i.toLong) < 0, s"doc $i should score negative")
     }
   }
+
+  test("native ClfGramBuckets == the HOF feature spelling on the real corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(graft.pipeline.Hashing.tokens(lower($"text"))).as("t"))
+    val diff = toks.select(
+        graft.functions.ClfGramBuckets($"t", TextAnalysis.ClfBuckets).as("a"),
+        TextAnalysis.clfFeatureBucketsHof($"t").as("b"))
+      .filter($"a" =!= $"b")
+      .count()
+    assert(diff == 0L, s"$diff tokens diverge between native and HOF features")
+    // multibyte: windows advance per code point, folds run over UTF-8 bytes
+    val mb = Seq("caf\u00e9", "\u00fcber", "a\u00e9").toDF("t").select(
+        graft.functions.ClfGramBuckets($"t", TextAnalysis.ClfBuckets).as("a"),
+        TextAnalysis.clfFeatureBucketsHof($"t").as("b"))
+      .collect()
+    mb.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
 }
