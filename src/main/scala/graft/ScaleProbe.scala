@@ -555,6 +555,54 @@ object ScaleProbe {
       asgStats._2 <= nIdxDocs / 100 * 3 / 2,
       s"planted-copy rejects off: ${asgStats._2} of expected ~${nIdxDocs / 100}")
     println(f"""{"probe":"dedup_assign","corpus":${nIdxDocs / 2},"arrivals":${nIdxDocs / 2},"rejects":${asgStats._2},"build_secs":$mhBuildSecs%.1f,"serve_secs":$asgSecs%.1f,"arrivals_per_sec":${(nIdxDocs / 2 / asgSecs).toLong}}""")
+
+    // ---- Index MERGE cost ∝ arrivals at the same 1M-doc corpus (r12): ----
+    // fold a 10k-doc batch into the 500k-doc index and assert the merge
+    // pays arrival-scale, not corpus-scale (the whole point of
+    // mergeMinhashIndex vs a rebuild) — plus admission IDEMPOTENCE: the
+    // same batch re-submitted against the MERGED index is fully rejected
+    // (it is known content now), while the pre-merge index admits it.
+    val nMergeDocs = 10000L
+    val mergeArrivals = spark.range(nIdxDocs + 1, nIdxDocs + 2 * nMergeDocs, 2)
+      .select($"id".as("doc_id"), concat_ws(" ",
+        (0 until 50).map(j =>
+          concat(lit("m"), pmod(xxhash64($"id" * 59 + j), lit(5000L)))): _*)
+        .as("text"))
+    val (_, ixBuildSecs) = time {
+      graft.pipeline.Dedup.writeMinhashIndex(spark, idxDir, s"$idxDir/ix")
+    }
+    val (preAdmit, _) = time {
+      val (s0, b0) = graft.pipeline.Dedup.openMinhashIndex(spark, s"$idxDir/ix")
+      graft.pipeline.Dedup.assignOf(mergeArrivals, s0, b0)
+        .filter($"verdict" === "admit").count()
+    }
+    assert(preAdmit == nMergeDocs,
+      s"fresh-vocabulary batch should be fully admitted, got $preAdmit")
+    val (_, mergeSecs) = time {
+      graft.pipeline.Dedup.mergeMinhashIndex(
+        mergeArrivals, s"$idxDir/ix", s"$idxDir/ix2")
+    }
+    // the alternative merge replaces: a from-scratch rebuild on the union
+    // (re-hashes the 500k-doc corpus text to fold 10k docs in)
+    val (_, rebuildSecs) = time {
+      graft.pipeline.Dedup.writeMinhashIndexOf(
+        graft.sources.Tables.table(spark, idxDir, "documents")
+          .filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+          .unionByName(mergeArrivals),
+        s"$idxDir/ix3")
+    }
+    val (postReject, postSecs) = time {
+      val (s1, b1) = graft.pipeline.Dedup.openMinhashIndex(spark, s"$idxDir/ix2")
+      graft.pipeline.Dedup.assignOf(mergeArrivals, s1, b1)
+        .filter($"verdict" === "reject_dup").count()
+    }
+    spark.catalog.clearCache()
+    assert(postReject == nMergeDocs,
+      s"merged index must reject all re-submitted content, got $postReject")
+    assert(mergeSecs < rebuildSecs,
+      f"merge must beat the union rebuild it replaces: " +
+        f"merge $mergeSecs%.1f s vs rebuild $rebuildSecs%.1f s")
+    println(f"""{"probe":"dedup_index_merge","corpus":${nIdxDocs / 2},"merged_in":$nMergeDocs,"build_secs":$ixBuildSecs%.1f,"merge_secs":$mergeSecs%.1f,"union_rebuild_secs":$rebuildSecs%.1f,"reassign_rejects":$postReject,"reassign_secs":$postSecs%.1f}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
 
     // ---- pipelineFull END TO END at 1M documents (r11 verdict #4): the ----

@@ -771,25 +771,24 @@ object Dedup {
 
   /** Build the index artifact at `out` — the production BUILD entry point
     * (the [[Similarity.writeIvfIndex]] shape): one signature pass over the
-    * corpus half. Artifact layout (r12, segment-based so a MERGE costs
-    * ∝ arrivals instead of a corpus re-hash — r11 verdict #1):
+    * corpus half. Artifact layout (r12, segment-based LSM so a MERGE pays
+    * arrival-scale work instead of a corpus re-hash — r11 verdict #1):
     * {{{
-    *   out/manifest        segment dirs, one absolute path per line
-    *   out/seg0/sigs       (doc_id, sig)        — immutable, appended-to
-    *   out/seg0/bands      (doc_id, band, key)  — RAW (unguarded) rows
-    *   out/counts          (band, key, cnt)     — TOTAL band-key counts
-    *   out/hot             (band, key)          — buckets with cnt > MaxBucket
+    *   out/manifest        segment dirs, one per line (own-root RELATIVE)
+    *   out/segK/sigs       (doc_id, sig)       — immutable
+    *   out/segK/counts     (band, key, cnt)    — the segment's OWN counts
+    *   out/hot             (band, key)         — union buckets > MaxBucket
     * }}}
-    * Segments are immutable; [[mergeMinhashIndex]] adds one and rewrites
-    * only the metadata tier (`counts`/`hot` — combinable aggregates, never
-    * a data re-scan). The [[MaxBucket]] guard moves from band-write time to
-    * artifact-OPEN time ([[openMinhashIndex]] anti-joins the broadcast hot
-    * list): a bucket crossing the cap at merge N must also drop the rows
-    * older segments already persisted, which a physical-drop-at-write
-    * layout cannot do without rewriting them. Counts only GROW under an
-    * append-only corpus, so a bucket hot at build stays hot on every
-    * union — dropped rows never need resurrecting, which is what makes the
-    * merged artifact EXACTLY ≡ a from-scratch build on the union
+    * The band table is NOT materialized: [[openMinhashIndex]] derives it
+    * from the sigs scan (a narrow 4-rows-per-doc explode over 8-int
+    * arrays — no signature work), which makes the artifact ~5× smaller
+    * and saves a write per build/merge. The [[MaxBucket]] guard applies
+    * at OPEN time (broadcast anti-join against the tiny `hot` list): a
+    * bucket crossing the cap at merge N must also drop rows older
+    * segments persisted. Counts only GROW under an append-only corpus, so
+    * `hot` is maintained INCREMENTALLY ([[mergeMinhashIndex]]) yet always
+    * equals the from-scratch union guard — which is what makes a merged
+    * artifact serve EXACTLY what a rebuild on the union would
     * (`MinhashIndexSpec` pins it, `q_dedup_index_merge` oracles it). */
   def writeMinhashIndex(s: SparkSession, dir: String, out: String): Unit =
     writeMinhashIndexOf(corpusDocs(s, dir), out)
@@ -801,24 +800,29 @@ object Dedup {
     val sg = sigsOf(docs)
     val seg = s"$out/seg0"
     sg.write.mode("overwrite").parquet(s"$seg/sigs")
-    val raw = rawBandsOf(sg)
-    raw.write.mode("overwrite").parquet(s"$seg/bands")
-    writeCountsAndHot(
-      raw.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).cast("long").as("cnt")), out)
+    val counts = graft.Caches.cached(segCountsOf(rawBandsOf(sg)))
+    counts.write.mode("overwrite").parquet(s"$seg/counts")
+    counts.filter(col("cnt") > MaxBucket).select(col("band"), col("key"))
+      .write.mode("overwrite").parquet(s"$out/hot")
     writeManifest(s, out, Seq(seg))
   }
 
   /** MERGE an arrival frame into a persisted index — acting on
     * [[dedupIndexRefresh]]'s "rebuild" verdict WITHOUT the full-corpus
-    * re-hash that `writeMinhashIndex` is (r11 verdict #1). Writes to a NEW
-    * artifact root `out`: one arrival-sized segment (sigs + raw bands), the
-    * merged `counts` (old totals + arrival counts — a combinable sum, the
-    * only old data read is the metadata tier), the recomputed `hot` list,
-    * and a manifest referencing the old segments in place (immutable — the
-    * old artifact keeps serving until its registry entry is dropped).
-    * Cost ∝ |arrivals| + |distinct band keys|; the corpus text is never
-    * re-read.
+    * re-hash that `writeMinhashIndex` is (r11 verdict #1). Writes to a
+    * NEW artifact root `out`: one arrival-sized segment (sigs + the
+    * segment's own counts) and the incrementally-updated `hot` list; the
+    * manifest references the old segments in place (immutable — the old
+    * artifact keeps serving until its registry entry is dropped).
+    *
+    * `hot` is exact without a metadata rewrite: counts only grow, so
+    * ONLY band keys the batch touches can newly cross [[MaxBucket]] —
+    * their union totals come from scanning the old per-segment counts
+    * restricted by a broadcast semi-join on the (batch-sized) arrival
+    * keys, and `hot_new = hot_old ∪ newly_hot` is exactly the
+    * from-scratch union guard. Everything WRITTEN is arrival-sized; the
+    * only corpus-proportional touch is the columnar counts scan — the
+    * corpus text is never re-read, let alone re-hashed.
     *
     * Contract: `arrivals` doc_ids must be disjoint from the indexed docs —
     * the intended feed is [[assignOf]]'s `verdict = 'admit'` subset, which
@@ -832,14 +836,17 @@ object Dedup {
     val seg = s"$out/seg${segs.length}"
     val sg = sigsOf(arrivals)
     sg.write.mode("overwrite").parquet(s"$seg/sigs")
-    val raw = rawBandsOf(sg)
-    raw.write.mode("overwrite").parquet(s"$seg/bands")
-    val merged = s.read.parquet(s"$oldPath/counts")
-      .unionByName(raw.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).cast("long").as("cnt")))
+    val arrCounts = graft.Caches.cached(segCountsOf(rawBandsOf(sg)))
+    arrCounts.write.mode("overwrite").parquet(s"$seg/counts")
+    val newlyHot = s.read.parquet(segs.map(_ + "/counts"): _*)
+      .join(broadcast(arrCounts.select(col("band"), col("key"))),
+        Seq("band", "key"), "left_semi")
+      .unionByName(arrCounts)
       .groupBy(col("band"), col("key"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
-    writeCountsAndHot(merged, out)
+      .filter(col("cnt") > MaxBucket).select(col("band"), col("key"))
+    s.read.parquet(s"$oldPath/hot").unionByName(newlyHot).distinct()
+      .write.mode("overwrite").parquet(s"$out/hot")
     writeManifest(s, out, segs :+ seg)
   }
 
@@ -850,9 +857,11 @@ object Dedup {
     * and pins its referenced roots in place; compaction rewrites all
     * segments into a single relocatable one. Deliberately O(index) — run
     * on an amortized schedule (manifest length over a segment budget),
-    * exactly like any LSM store. `counts`/`hot` are already union TOTALS:
-    * copied through, never recomputed from data, so the serving guard is
-    * bit-identical before and after ([[MinhashIndexSpec]] pins it). */
+    * exactly like any LSM store. The compacted segment's counts are the
+    * aggregated union totals (per-segment counts are combinable deltas)
+    * and `hot` copies through unchanged — totals don't change, so the
+    * serving guard is bit-identical before and after
+    * ([[MinhashIndexSpec]] pins it). */
   def compactMinhashIndex(s: SparkSession, oldPath: String, out: String): Unit = {
     require(out != oldPath,
       "compaction writes a new artifact root (segments are immutable)")
@@ -860,21 +869,20 @@ object Dedup {
     val seg = s"$out/seg0"
     s.read.parquet(segs.map(_ + "/sigs"): _*)
       .write.mode("overwrite").parquet(s"$seg/sigs")
-    s.read.parquet(segs.map(_ + "/bands"): _*)
-      .write.mode("overwrite").parquet(s"$seg/bands")
-    s.read.parquet(s"$oldPath/counts")
-      .write.mode("overwrite").parquet(s"$out/counts")
+    s.read.parquet(segs.map(_ + "/counts"): _*)
+      .groupBy(col("band"), col("key"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(s"$seg/counts")
     s.read.parquet(s"$oldPath/hot")
       .write.mode("overwrite").parquet(s"$out/hot")
     writeManifest(s, out, Seq(seg))
   }
 
-  private def writeCountsAndHot(counts: DataFrame, out: String): Unit = {
-    val c = graft.Caches.cached(counts)
-    c.write.mode("overwrite").parquet(s"$out/counts")
-    c.filter(col("cnt") > MaxBucket).select(col("band"), col("key"))
-      .write.mode("overwrite").parquet(s"$out/hot")
-  }
+  /** A segment's own `(band, key, cnt)` band-key counts — the combinable
+    * delta the incremental hot-guard maintenance sums. */
+  private def segCountsOf(raw: DataFrame): DataFrame =
+    raw.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
 
   /** Manifest I/O through the Hadoop FileSystem of the artifact root, so
     * the artifact lives wherever the parquet does (HDFS/S3A/local — a
@@ -914,17 +922,19 @@ object Dedup {
   }
 
   /** Open an index artifact as `(sigs, bands)` DataFrames: parquet scans
-    * over every segment, zero signature replay; the serving band table is
-    * the raw segment union minus the broadcast `hot` list (anti-join — the
-    * open-time spelling of the [[MaxBucket]] guard, see
+    * over every segment, zero signature replay — the serving band table
+    * DERIVES from the sigs scan (a narrow per-row explode of the 8-int
+    * signature, no hashing) minus the broadcast `hot` list (anti-join —
+    * the open-time spelling of the [[MaxBucket]] guard, see
     * [[writeMinhashIndex]]), so candidate fan-out per probe stays
-    * ≤ [[Bands]] × [[MaxBucket]] exactly as before. */
+    * ≤ [[Bands]] × [[MaxBucket]] exactly as a materialized guarded band
+    * table gave. */
   private[graft] def openMinhashIndex(
       s: SparkSession, path: String): (DataFrame, DataFrame) = {
     val segs = readManifest(s, path)
     val sigs = s.read.parquet(segs.map(_ + "/sigs"): _*)
     val hot = s.read.parquet(s"$path/hot")
-    val bands = s.read.parquet(segs.map(_ + "/bands"): _*)
+    val bands = rawBandsOf(sigs)
       .join(broadcast(hot), Seq("band", "key"), "left_anti")
     (sigs, bands)
   }
