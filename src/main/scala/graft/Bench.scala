@@ -49,6 +49,10 @@ object Bench {
     try graft.pipeline.Similarity.trainIndex(
       spark, sfDir, graft.pipeline.Similarity.KnnK)
     catch { case _: Throwable => () }
+    // the snapshot + merged IVF artifacts (r13) are the same one-time-build
+    // class — q_similarity_index_merge measures SERVING from the artifact
+    try graft.pipeline.Similarity.trainMergedIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     val ivfBuildSec = (System.nanoTime() - ivfT0) / 1e9
     // the MinHash near-dup index (r11) is the same one-time-build class —
     // untimed, emitted as its own metric so q_dedup_assign measures serving

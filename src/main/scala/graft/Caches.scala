@@ -38,19 +38,23 @@ object Caches {
     * dir is configured (cluster deployment — survives executor loss;
     * [[graft.GraftSession]] sets `cleanCheckpoints=true` so the files are
     * deleted when the RDD is GC'd), `localCheckpoint()` otherwise
-    * (local/test). The newly persisted RDD is found by diffing
-    * `getPersistentRDDs` around the call and registered so [[clear]] can
-    * `rdd.unpersist` it deterministically. Concurrency caveat: a racing
-    * thread's simultaneous persist may be captured too — benign, the same
-    * recompute-safe class as [[clear]] itself. */
+    * (local/test). The EXACT RDD backing the returned Dataset is
+    * registered — the checkpointed Dataset's plan is a `LogicalRDD` over
+    * the persisted RDD, so we take it from there rather than diffing
+    * `getPersistentRDDs` around the call (r12 ADVICE: the diff could
+    * capture a CONCURRENT thread's simultaneous persist, and a later
+    * [[clearAll]] would then deterministically unpersist a checkpoint
+    * that other query still needs — localCheckpoints have no lineage, so
+    * that is not recompute-safe). `CachesSpec` pins the LogicalRDD shape
+    * so a Spark upgrade that changes it fails loudly instead of leaking. */
   def materialize[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
     val sc = ds.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined) ds.checkpoint(eager)
     else {
-      val before = sc.getPersistentRDDs.keySet
       val out = ds.localCheckpoint(eager)
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!before.contains(id)) rddReg.add(rdd)
+      out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          rddReg.add(lr.rdd): Unit
       }
       out
     }
@@ -124,6 +128,13 @@ object Caches {
 
   /** Number of registered, not-yet-cleared caches (test visibility). */
   private[graft] def registered: Int = reg.size()
+
+  /** Registered-but-not-cleared [[materialize]] RDDs (test visibility). */
+  private[graft] def rddSnapshot: List[org.apache.spark.rdd.RDD[_]] = {
+    val b = List.newBuilder[org.apache.spark.rdd.RDD[_]]
+    rddReg.forEach(r => b += r)
+    b.result()
+  }
 
   /** Registered-but-not-cleared caches (test visibility). */
   private[graft] def snapshot: List[Dataset[_]] = {

@@ -599,9 +599,13 @@ object ScaleProbe {
     spark.catalog.clearCache()
     assert(postReject == nMergeDocs,
       s"merged index must reject all re-submitted content, got $postReject")
-    assert(mergeSecs < rebuildSecs,
-      f"merge must beat the union rebuild it replaces: " +
-        f"merge $mergeSecs%.1f s vs rebuild $rebuildSecs%.1f s")
+    // wall-clock comparison of two timed Spark jobs on a possibly loaded
+    // box — asserted with slack (r12 ADVICE: a strict < raced spuriously);
+    // the HARD checks are the row-count asserts above/below, the slack
+    // assert only catches a merge that degenerated to corpus-scale work
+    assert(mergeSecs < rebuildSecs * 1.5,
+      f"merge must be at worst comparable to the union rebuild it " +
+        f"replaces: merge $mergeSecs%.1f s vs rebuild $rebuildSecs%.1f s")
     println(f"""{"probe":"dedup_index_merge","corpus":${nIdxDocs / 2},"merged_in":$nMergeDocs,"build_secs":$ixBuildSecs%.1f,"merge_secs":$mergeSecs%.1f,"union_rebuild_secs":$rebuildSecs%.1f,"reassign_rejects":$postReject,"reassign_secs":$postSecs%.1f}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
 

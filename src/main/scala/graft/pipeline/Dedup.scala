@@ -764,8 +764,7 @@ object Dedup {
     * ([[writeMinhashIndex]]) and refreshed per corpus snapshot, exactly
     * the frozen-IVF refresh contract. */
   private[pipeline] def minhashIndexPath(s: SparkSession, dir: String): String =
-    IndexStore.getOrBuild(
-      s.sparkContext.applicationId, dir, "documents", "mh") { out =>
+    IndexStore.getOrBuild(s, dir, "documents", "mh") { out =>
       writeMinhashIndex(s, dir, out)
     }
 
@@ -826,13 +825,25 @@ object Dedup {
     *
     * Contract: `arrivals` doc_ids must be disjoint from the indexed docs —
     * the intended feed is [[assignOf]]'s `verdict = 'admit'` subset, which
-    * is new content by construction. */
+    * is new content by construction. ENFORCED, not assumed (r12 ADVICE:
+    * a re-submitted doc_id would silently duplicate sigs rows, inflate
+    * n_dups, and break merged ≡ rebuilt): one broadcast semi-join of the
+    * batch-sized arrival ids against the old sigs scan — a columnar
+    * doc_id read, no signature work, and merges are refresh-rare. */
   def mergeMinhashIndex(
       arrivals: DataFrame, oldPath: String, out: String): Unit = {
     require(out != oldPath, "merge writes a new artifact root; segments of " +
       s"$oldPath are referenced in place, never mutated")
     val s = arrivals.sparkSession
     val segs = readManifest(s, oldPath)
+    val resubmitted = s.read.parquet(segs.map(_ + "/sigs"): _*)
+      .join(broadcast(arrivals.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id")).limit(3).collect()
+    require(resubmitted.isEmpty,
+      "mergeMinhashIndex: arrival doc_ids must be disjoint from the " +
+        "indexed corpus (feed assignOf's admit subset); already indexed: " +
+        resubmitted.map(_.getLong(0)).mkString(", "))
     val seg = s"$out/seg${segs.length}"
     val sg = sigsOf(arrivals)
     sg.write.mode("overwrite").parquet(s"$seg/sigs")
@@ -884,42 +895,13 @@ object Dedup {
     raw.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).cast("long").as("cnt"))
 
-  /** Manifest I/O through the Hadoop FileSystem of the artifact root, so
-    * the artifact lives wherever the parquet does (HDFS/S3A/local — a
-    * java.nio spelling would silently write a LOCAL `hdfs:` directory on
-    * the driver). Segments under the artifact's own root are stored
-    * RELATIVE — a fresh build is fully self-contained and relocatable;
-    * segments a MERGE references in a foreign root stay absolute
-    * (qualified URIs), so a merged artifact is relocatable only together
-    * with the roots it references — the documented LSM trade. */
-  private def writeManifest(s: SparkSession, out: String, segs: Seq[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(out, "manifest")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(out)).toString
-    val lines = segs.map { seg =>
-      val q = fs.makeQualified(new org.apache.hadoop.fs.Path(seg)).toString
-      if (q.startsWith(rootUri + "/")) q.substring(rootUri.length + 1) else q
-    }
-    val o = fs.create(p, true)
-    try o.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally o.close()
-  }
+  /** Manifest I/O — shared with the IVF artifact since r13, see
+    * [[IndexArtifact]] (relative-when-own-root entries, Hadoop FS). */
+  private def writeManifest(s: SparkSession, out: String, segs: Seq[String]): Unit =
+    IndexArtifact.writeManifest(s, out, segs)
 
-  /** Segment paths from `path/manifest`, relative entries resolved against
-    * the artifact root. */
-  private def readManifest(s: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path, "manifest")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val bytes =
-      try org.apache.commons.io.IOUtils.toByteArray(in)
-      finally in.close()
-    new String(bytes, "UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map { line =>
-        if (line.contains("://") || line.startsWith("/")) line
-        else new org.apache.hadoop.fs.Path(path, line).toString
-      }
-  }
+  private def readManifest(s: SparkSession, path: String): Seq[String] =
+    IndexArtifact.readManifest(s, path)
 
   /** Open an index artifact as `(sigs, bands)` DataFrames: parquet scans
     * over every segment, zero signature replay — the serving band table
@@ -983,17 +965,16 @@ object Dedup {
   /** The MERGED-index demo artifact for [[indexMerge]]: a base index on
     * the `doc_id % 4 == 0` quarter, an arrival batch (`% 4 == 2`) admitted
     * against it, and the ADMITTED docs folded in via [[mergeMinhashIndex]]
-    * — registry-cached like every index, with the base resolved BEFORE the
-    * merged entry's build thunk (getOrBuild must not nest). */
+    * — registry-cached like every index. The base resolves BEFORE the
+    * merged entry's build thunk (nesting is safe since the registry's
+    * per-key memo, r12 ADVICE — this is just clearer). */
   private def mergedIndexPath(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val base = IndexStore.getOrBuild(
-      s.sparkContext.applicationId, dir, "documents", "mh4") { out =>
+    val base = IndexStore.getOrBuild(s, dir, "documents", "mh4") { out =>
       writeMinhashIndexOf(
         Tables.table(s, dir, "documents").filter($"doc_id" % 4 === 0), out)
     }
-    IndexStore.getOrBuild(
-      s.sparkContext.applicationId, dir, "documents", "mhm") { out =>
+    IndexStore.getOrBuild(s, dir, "documents", "mhm") { out =>
       val (ixSigs, ixBands) = openMinhashIndex(s, base)
       val batch = Tables.table(s, dir, "documents").filter($"doc_id" % 4 === 2)
       val admitted = batch.join(

@@ -1,29 +1,67 @@
 package graft.pipeline
 
-/** Process-local registry of PERSISTED index artifacts — the shared
-  * machinery behind the train-once/serve-many contract ([[Similarity]]'s
-  * IVF index since r7, [[Dedup]]'s MinHash band index since r11): an index
-  * builds once per (application, data dir, source-table fingerprint,
-  * variant) and every subsequent consumer reads the parquet artifact
-  * instead of replaying training. Parquet, not a cached DataFrame, because
-  * the bench/verify harnesses clear all caches and unpersist all RDDs
-  * between queries — which would sever a localCheckpoint lineage but
-  * cannot touch files.
+import org.apache.spark.sql.SparkSession
+
+/** Registry of PERSISTED index artifacts — the shared machinery behind the
+  * train-once/serve-many contract ([[Similarity]]'s IVF index since r7,
+  * [[Dedup]]'s MinHash band index since r11): an index builds once per
+  * (data dir, source-table fingerprint, variant) and every subsequent
+  * consumer reads the parquet artifact instead of replaying training.
+  * Parquet, not a cached DataFrame, because the bench/verify harnesses
+  * clear all caches and unpersist all RDDs between queries — which would
+  * sever a localCheckpoint lineage but cannot touch files.
+  *
+  * Two artifact tiers (r12 verdict #1):
+  *
+  *  - '''Process-local (default)''': temp dirs that live for the process
+  *    and are deleted on exit (r8 ADVICE — they leaked). Right for tests
+  *    and one-shot jobs; every new session re-trains.
+  *  - '''Durable''' — set [[RootConf]] to an artifact root (HDFS/S3A/
+  *    local; resolved through the Hadoop FileSystem like the index
+  *    manifests themselves): artifacts persist under
+  *    `root/<variant>-fp<hash(fingerprint)>` and a SECOND session (fresh
+  *    process, fresh registry) REOPENS the artifact with ZERO training or
+  *    hashing jobs — the production serving shape, where the index lives
+  *    next to the corpus and sessions come and go. A mutated source table
+  *    changes the fingerprint, hence the directory name, hence REBUILDS;
+  *    superseded fingerprint dirs are retention-managed by the operator
+  *    (other sessions may still be serving them — exactly the immutable-
+  *    segment contract of the artifacts inside).
   *
   * Staleness (r8 ADVICE): the key includes name+length+mtime of every
   * file under the source table — if the table is regenerated or mutated
-  * within the process lifetime the key changes and the next access
-  * REBUILDS instead of silently serving the old snapshot's index. Cheap
-  * (one directory listing, no data read), so it runs on every access.
+  * the key changes and the next access REBUILDS instead of silently
+  * serving the old snapshot's index. Cheap (one directory listing, no
+  * data read), so it runs on every access.
   *
-  * Temp index dirs live for the process and are deleted on exit (r8
-  * ADVICE — they leaked): one shutdown hook, recursive delete of whatever
-  * was registered.
+  * Durable publish protocol: build into a `.tmp-*` sibling, stamp the
+  * full fingerprint into `_GRAFT_FINGERPRINT` LAST, then publish with one
+  * `rename` (atomic on HDFS and local filesystems; on object stores the
+  * losing writer of a race re-validates the winner's fingerprint). A
+  * crashed build leaves only a `.tmp-*` dir — never a half-published
+  * artifact — cleaned by operator retention like superseded fingerprints.
   */
 private[pipeline] object IndexStore {
 
+  /** Conf key for the durable artifact root; unset = process-local temp
+    * dirs. Runtime-settable (`spark.conf.set`) — it is read per access. */
+  val RootConf = "spark.graft.index.root"
+
+  /** Per-key memoized build (r12 ADVICE): `computeIfAbsent` only INSERTS
+    * the cheap holder under the map's bin lock; the build itself is forced
+    * OUTSIDE it through the holder's `lazy val`, so racing first consumers
+    * of the same key still block (on the holder's monitor — exactly one
+    * build per key) but a long build no longer stalls unrelated keys that
+    * hash to the same bin, and a build thunk that resolves ANOTHER index
+    * via [[getOrBuild]] (e.g. [[Dedup]]'s merged-index demo) recurses
+    * safely instead of hitting ConcurrentHashMap's nested-update
+    * IllegalStateException. */
+  private final class Memo(thunk: () => String) {
+    lazy val value: String = thunk()
+  }
+
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), Memo]()
 
   /** Staleness key: per-file `name:length:mtime` stamps of
     * `dir/<table>.parquet` (a directory of part files or a single file). */
@@ -50,21 +88,74 @@ private[pipeline] object IndexStore {
       }
     }: Unit
 
-  /** The artifact path for (appId, dir, table, variant), building via
-    * `build(out)` exactly once per distinct key:
-    * `ConcurrentHashMap.computeIfAbsent` runs the thunk under the key's
-    * bin lock, so racing first consumers BLOCK until the single build
-    * finishes instead of double-building (TrieMap.getOrElseUpdate only
-    * made the INSERT atomic, not the build — r11 ADVICE). Builds must not
-    * recursively call [[getOrBuild]]. */
-  def getOrBuild(appId: String, dir: String, table: String, variant: String)(
-      build: String => Unit): String =
-    built.computeIfAbsent((appId, dir, fingerprint(dir, table), variant), _ => {
-      cleanupHook
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft-$variant-").toString
-      tempDirs.add(out)
-      build(out)
-      out
-    })
+  /** The artifact path for (dir, table, variant) under the session's
+    * configured tier, building via `build(out)` at most once per distinct
+    * (source fingerprint, variant) — and in durable mode not even that,
+    * when a previous SESSION already published a matching artifact. */
+  def getOrBuild(s: SparkSession, dir: String, table: String, variant: String)(
+      build: String => Unit): String = {
+    val fp = fingerprint(dir, table)
+    val appId = s.sparkContext.applicationId
+    built.computeIfAbsent((appId, dir, fp, variant), _ => new Memo(() =>
+      durableRoot(s) match {
+        case Some(root) => durableGetOrBuild(s, root, variant, fp)(build)
+        case None =>
+          cleanupHook
+          val out = java.nio.file.Files
+            .createTempDirectory(s"graft-$variant-").toString
+          tempDirs.add(out)
+          build(out)
+          out
+      })).value
+  }
+
+  private def durableRoot(s: SparkSession): Option[String] =
+    s.conf.getOption(RootConf).map(_.trim).filter(_.nonEmpty)
+
+  /** Fingerprint marker file name inside a published durable artifact —
+    * written LAST, so its presence + content IS the publish marker. */
+  private[pipeline] val FpMarker = "_GRAFT_FINGERPRINT"
+
+  /** Builds-run counter (test visibility): durable-reopen specs assert it
+    * does NOT advance on a second-session open. */
+  private[graft] val durableBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  private def durableGetOrBuild(
+      s: SparkSession, root: String, variant: String, fp: String)(
+      build: String => Unit): String = {
+    import org.apache.hadoop.fs.Path
+    val hadoop = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(hadoop)
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dst = new Path(root, s"$variant-fp$hash")
+    def published: Boolean = {
+      val m = new Path(dst, FpMarker)
+      fs.exists(m) && {
+        val in = fs.open(m)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        new String(bytes, "UTF-8") == fp
+      }
+    }
+    if (published) return dst.toString
+    durableBuilds.incrementAndGet()
+    val tmp = new Path(root,
+      s".tmp-$variant-$hash-${java.util.UUID.randomUUID().toString.take(8)}")
+    build(tmp.toString)
+    val mo = fs.create(new Path(tmp, FpMarker), true)
+    try mo.write(fp.getBytes("UTF-8")) finally mo.close()
+    if (!fs.rename(tmp, dst)) {
+      // a concurrent builder (or an earlier crashed publish on an object
+      // store without atomic rename) holds the destination: re-validate it
+      // and serve theirs; a present-but-mismatched artifact is corrupt —
+      // fail loudly rather than serve an index of unknown provenance.
+      fs.delete(tmp, true): Unit
+      require(published,
+        s"durable index publish race at $dst: destination exists but its " +
+          s"$FpMarker does not match the source fingerprint")
+    }
+    dst.toString
+  }
 }

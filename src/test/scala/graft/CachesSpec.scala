@@ -47,6 +47,33 @@ class CachesSpec extends AnyFunSuite {
     base.unpersist(blocking = false)
   }
 
+  test("materialize() registers exactly the checkpoint RDD backing its result") {
+    import spark.implicits._
+    // a foreign persist must never be captured: registration reads the
+    // returned Dataset's own LogicalRDD, not a getPersistentRDDs diff
+    // (r12 ADVICE — the diff could capture a concurrent thread's
+    // checkpoint, and clearAll() would then deterministically kill it)
+    val foreign = spark.sparkContext.range(0, 100).persist()
+    foreign.count()
+    try {
+      val before = Caches.rddSnapshot.map(_.id).toSet
+      val m = Caches.materialize(Seq(1L, 2L, 3L).toDF("x"))
+      val lrRdd = m.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      // loud pin: if a Spark upgrade stops exposing the checkpoint RDD as
+      // a LogicalRDD leaf, materialize would silently leak its blocks
+      assert(lrRdd.isDefined,
+        "localCheckpoint result no longer a LogicalRDD — fix materialize()")
+      val mine = Caches.rddSnapshot.filterNot(r => before(r.id))
+      assert(mine.exists(_.id == lrRdd.get.id),
+        "the checkpoint RDD backing the result must be registered")
+      assert(!mine.exists(_.id == foreign.id),
+        "a foreign RDD must never enter the registry")
+      assert(m.count() == 3L)
+    } finally foreign.unpersist(blocking = false)
+  }
+
   test("clear() leaves the session owner's own caches alone") {
     import spark.implicits._
     val mine = Seq(1, 2, 3).toDF("x").cache()

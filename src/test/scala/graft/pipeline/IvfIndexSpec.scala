@@ -37,6 +37,64 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact-tier merge: persisted merged index ≡ plan-level union ≡ " +
+    "from-scratch artifact; base immutable; compaction relocatable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_merge").toString
+    try {
+      val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+      val (cents, snapCells) = Similarity.ivfModelOf(spark,
+        emb.filter($"vec_id" < Similarity.IvfSnapshotFloor)
+          .select($"vec_id", Hashing.quantize($"embedding").as("q")),
+        Similarity.IvfK)
+      val arrivals = emb.filter($"vec_id" >= Similarity.IvfSnapshotFloor)
+        .select($"vec_id", $"embedding")
+      // incremental path: snapshot artifact, then the arrival segment
+      Similarity.writeIvfIndexOf(cents, snapCells, s"$root/base")
+      val baseServed = Similarity.annIvfProbeFromIndex(spark, s"$root/base")
+        .collect().map(_.toString).toSeq
+      Similarity.mergeIvfSegments(arrivals, s"$root/base", s"$root/merged")
+      // plan-level twin (the r12 spelling) written as ONE artifact — the
+      // from-scratch build on the union under FROZEN centroids
+      Similarity.writeIvfIndexOf(cents,
+        Similarity.mergeIvfCells(cents, snapCells, arrivals), s"$root/full")
+      def serve(p: String): Seq[String] =
+        Similarity.annIvfProbeFromIndex(spark, p)
+          .collect().map(_.toString).toSeq
+      def cellsOf(p: String): Seq[String] = {
+        val (_, cells) = Similarity.openIvfIndex(spark, p)
+        cells.orderBy($"vec_id").collect().map(_.toString).toSeq
+      }
+      assert(cellsOf(s"$root/merged") == cellsOf(s"$root/full"),
+        "merged cell table must equal a from-scratch frozen-assign union")
+      val servedM = serve(s"$root/merged")
+      assert(servedM.nonEmpty && servedM == serve(s"$root/full"),
+        "artifact-served merge must be bit-identical to from-scratch")
+      // and to the DECLARED query (registry-served persisted artifact)
+      assert(servedM == Similarity.ivfIndexMerge(spark, sf)
+        .collect().map(_.toString).toSeq)
+      // the base artifact is untouched and still serves (immutability)
+      assert(serve(s"$root/base") == baseServed)
+      // compaction: one self-contained segment, serving unchanged, MOVABLE
+      Similarity.compactIvfIndex(spark, s"$root/merged", s"$root/compact")
+      assert(serve(s"$root/compact") == servedM)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/compact"),
+        java.nio.file.Paths.get(s"$root/elsewhere"))
+      assert(serve(s"$root/elsewhere") == servedM,
+        "a compacted artifact must be relocatable (relative manifest)")
+      // disjointness contract enforced: re-submitting indexed vec_ids fails
+      val e = intercept[IllegalArgumentException] {
+        Similarity.mergeIvfSegments(
+          emb.limit(3).select($"vec_id", $"embedding"),
+          s"$root/merged", s"$root/bad")
+      }
+      assert(e.getMessage.contains("disjoint"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("merged index makes arrivals searchable; snapshot-only serving cannot") {
     import spark.implicits._
     val merged = Similarity.ivfIndexMerge(spark, sf).collect()
