@@ -525,6 +525,62 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** CANONICAL KEEP-LIST FROM THE REFINED PARTITION — acting on the
+    * refinement instead of only computing it (r12 verdict #3): [[refine]]
+    * improves the community assignment, but [[canonical]] still collapses
+    * on the raw transitive closure, so a bridge-welded false merge keeps
+    * ONE doc even after the refinement split it. This query closes the
+    * loop: compute both partitions' exact-integer modularity
+    * ([[Components.modularityOf]]) and derive the keep-list from the
+    * REFINED labels when the Q gate says refined > LPA, from the LPA
+    * labels otherwise — the gate decision rides along as a `basis` column
+    * so downstream curation can see which partition acted.
+    *
+    * Shape at scale: the two modularity folds and the refinement round all
+    * reuse the cached verified-pair list; the gate is a 1-row × 1-row
+    * crossJoin broadcast onto the per-node table (bounded, allowlisted);
+    * the keep-list is one combinable argmax per community — exactly
+    * [[canonical]]'s `min(struct(-n_chars, id))`, no per-cluster window. */
+  def canonicalRefined(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+      .select($"doc_a", $"doc_b").graftCache()
+    canonicalRefinedOf(pairs,
+      Tables.table(s, dir, "documents")
+        .select($"doc_id".as("node"), $"n_chars"))
+  }
+
+  /** [[canonicalRefined]] over any pair table + `(node, n_chars)` length
+    * map — the fixture entry point (`ComponentsSpec` drives it with a
+    * bridge-welded false merge the refinement splits into two kept docs;
+    * `rounds` lets the fixture stop LPA at the mid-flood state where the
+    * misassignment is provable by hand). */
+  private[graft] def canonicalRefinedOf(
+      pairs: DataFrame, chars: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val lpa = Components.labelPropagation(pairs, rounds).graftCache()
+    val ref = Components.refineOf(pairs, lpa)
+    val qL = Components.modularityOf(pairs, lpa)
+    val qR = Components.modularityOf(
+      pairs, ref.select($"node", $"refined".as("label")))
+    val gate = qL.select($"q_modularity_bp".as("q_lpa"))
+      .crossJoin(broadcast(qR.select($"q_modularity_bp".as("q_ref"))))
+      .select(($"q_ref" > $"q_lpa").as("use_ref"))
+    ref.crossJoin(broadcast(gate))
+      .select($"node",
+        when($"use_ref", $"refined").otherwise($"label").as("community"),
+        when($"use_ref", "refined").otherwise("lpa").as("basis"))
+      .join(chars.toDF("node", "n_chars"), "node")
+      .groupBy($"community", $"basis")
+      .agg(min(struct((-$"n_chars").as("nc"), $"node".as("id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select($"community".as("cluster_id"), $"m.id".as("keep_doc"),
+        (-$"m.nc").as("keep_chars"), $"n_members", $"basis")
+      .orderBy($"cluster_id")
+  }
+
   /** Rebuild threshold for [[dedupIndexRefresh]], in basis points of the
     * arrival band keys ABSENT from the index: past this, the frozen
     * snapshot no longer covers what's arriving. The synthetic corpus's
@@ -889,6 +945,36 @@ object Dedup {
     writeManifest(s, out, Seq(seg))
   }
 
+  /** Segment budget for [[mergeMinhashIndexCompacting]]: past this many
+    * segments the merge amortizes a compaction into the same publish —
+    * the LSM policy that keeps open-time fan-out (one parquet dir list +
+    * scan per segment) bounded no matter how many refresh cycles ran.
+    * Small because merges are refresh-rare (a handful per corpus epoch),
+    * so even a 100 TB corpus sees single-digit live segments. */
+  val SegmentBudget = 4
+
+  /** [[mergeMinhashIndex]] with the compaction POLICY applied (r12
+    * verdict #4): if folding this batch would leave the manifest over
+    * [[SegmentBudget]] segments, the merge lands in a staging sibling and
+    * is immediately compacted into `out` — one self-contained segment,
+    * bit-identical serving ([[compactMinhashIndex]]'s pin), and the
+    * staging tier deleted after its rows are rewritten. Below budget it
+    * is exactly [[mergeMinhashIndex]]. This is the registry path's merge
+    * ([[mergedIndexPath]]), so artifact chains self-bound without an
+    * operator remembering to compact. */
+  def mergeMinhashIndexCompacting(arrivals: DataFrame, oldPath: String,
+      out: String, budget: Int = SegmentBudget): Unit = {
+    val s = arrivals.sparkSession
+    if (readManifest(s, oldPath).length + 1 > budget) {
+      val staging = s"$out-staging"
+      mergeMinhashIndex(arrivals, oldPath, staging)
+      compactMinhashIndex(s, staging, out)
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    } else mergeMinhashIndex(arrivals, oldPath, out)
+  }
+
   /** A segment's own `(band, key, cnt)` band-key counts — the combinable
     * delta the incremental hot-guard maintenance sums. */
   private def segCountsOf(raw: DataFrame): DataFrame =
@@ -981,7 +1067,7 @@ object Dedup {
         assignOf(batch, ixSigs, ixBands)
           .filter($"verdict" === "admit").select($"doc_id"),
         "doc_id")
-      mergeMinhashIndex(admitted, base, out)
+      mergeMinhashIndexCompacting(admitted, base, out)
     }
   }
 
@@ -1044,6 +1130,7 @@ object Dedup {
     "q_dedup_exact" -> exact _,
     "q_dedup_containment" -> containment _,
     "q_dedup_canonical" -> canonical _,
+    "q_dedup_canonical_refined" -> canonicalRefined _,
     "q_dedup_triangles" -> triangles _,
     "q_dedup_pagerank" -> pagerank _,
     "q_dedup_hops" -> hops _,
@@ -1570,6 +1657,80 @@ object Dedup {
          |  CAST(p.cand AS BIGINT) AS refined_community
          |FROM l$LpaRounds l JOIN pk p ON p.u = l.node AND p.rk = 1
          |ORDER BY doc_id""".stripMargin,
+    // the refinement round unrolled as in q_dedup_refine, both partitions'
+    // modularity folded (HUGEINT, same +4m² shift), the Q gate picks the
+    // label set, then the keep-longest policy per chosen community via a
+    // per-cluster window — equivalent at oracle scale to the Spark side's
+    // combinable argmin struct
+    "q_dedup_canonical_refined" ->
+      s"""$sigCte,
+         |$candCtes,
+         |$prsCte,
+         |$lpaCtes,
+         |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM prs),
+         |deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS k FROM (
+         |    SELECT doc_a AS node FROM prs
+         |    UNION ALL SELECT doc_b FROM prs) GROUP BY node),
+         |dc AS (SELECT l.label, sum(d.k) AS d_sum
+         |  FROM deg d JOIN l$LpaRounds l ON l.node = d.node
+         |  GROUP BY l.label),
+         |nb AS (SELECT e.u, l.label AS cand, CAST(count(*) AS HUGEINT) AS k_ic
+         |  FROM edges e JOIN l$LpaRounds l ON l.node = e.v
+         |  GROUP BY e.u, l.label),
+         |cd AS (SELECT u, cand, sum(k_ic) AS k_ic FROM (
+         |    SELECT u, cand, k_ic FROM nb
+         |    UNION ALL
+         |    SELECT node, label, CAST(0 AS HUGEINT) FROM l$LpaRounds)
+         |  GROUP BY u, cand),
+         |sc AS (SELECT cd.u, cd.cand,
+         |    4 * mm.m * cd.k_ic - 2 * deg.k *
+         |      (dc.d_sum - CASE WHEN cd.cand = l.label THEN deg.k
+         |        ELSE CAST(0 AS HUGEINT) END) AS score
+         |  FROM cd
+         |  JOIN deg ON deg.node = cd.u
+         |  JOIN l$LpaRounds l ON l.node = cd.u
+         |  JOIN dc ON dc.label = cd.cand, mm),
+         |rl AS (SELECT u AS node, cand AS label FROM (
+         |    SELECT u, cand,
+         |      row_number() OVER (PARTITION BY u ORDER BY score DESC, cand)
+         |        AS rk
+         |    FROM sc) WHERE rk = 1),
+         |eca AS (SELECT la.label, count(*) AS e_in
+         |  FROM prs p JOIN l$LpaRounds la ON la.node = p.doc_a
+         |  JOIN l$LpaRounds lb ON lb.node = p.doc_b
+         |  WHERE la.label = lb.label GROUP BY la.label),
+         |qa AS (SELECT CAST(sum(4 * mm.m * COALESCE(ec.e_in, 0)
+         |      - dc.d_sum * dc.d_sum) AS HUGEINT) AS n_sum
+         |  FROM dc LEFT JOIN eca ec ON ec.label = dc.label, mm),
+         |ecb AS (SELECT la.label, count(*) AS e_in
+         |  FROM prs p JOIN rl la ON la.node = p.doc_a
+         |  JOIN rl lb ON lb.node = p.doc_b
+         |  WHERE la.label = lb.label GROUP BY la.label),
+         |dcb AS (SELECT l.label, sum(d.k) AS d_sum
+         |  FROM deg d JOIN rl l ON l.node = d.node
+         |  GROUP BY l.label),
+         |qb AS (SELECT CAST(sum(4 * mm.m * COALESCE(ec.e_in, 0)
+         |      - dc.d_sum * dc.d_sum) AS HUGEINT) AS n_sum
+         |  FROM dcb dc LEFT JOIN ecb ec ON ec.label = dc.label, mm),
+         |gate AS (SELECT CASE WHEN mm.m = 0 THEN FALSE ELSE
+         |    (((qb.n_sum + 4 * mm.m * mm.m) * 10000) // (4 * mm.m * mm.m)) >
+         |    (((qa.n_sum + 4 * mm.m * mm.m) * 10000) // (4 * mm.m * mm.m))
+         |  END AS use_ref FROM qa, qb, mm),
+         |ch AS (SELECT l.node,
+         |    CASE WHEN g.use_ref THEN r.label ELSE l.label END AS community,
+         |    CASE WHEN g.use_ref THEN 'refined' ELSE 'lpa' END AS basis
+         |  FROM l$LpaRounds l JOIN rl r ON r.node = l.node, gate g),
+         |cdx AS (SELECT c.community, c.basis, c.node, d.n_chars
+         |  FROM ch c JOIN documents d ON d.doc_id = c.node)
+         |SELECT cluster_id, keep_doc, keep_chars, n_members, basis FROM (
+         |  SELECT CAST(community AS BIGINT) AS cluster_id,
+         |    node AS keep_doc, n_chars AS keep_chars, basis,
+         |    CAST(count(*) OVER (PARTITION BY community) AS BIGINT)
+         |      AS n_members,
+         |    row_number() OVER (PARTITION BY community
+         |      ORDER BY n_chars DESC, node) AS rk
+         |  FROM cdx)
+         |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     // unthresholded candidate agreement histogram + per-doc max agreement,
     // each swept over the 1..K threshold table
     "q_dedup_threshold_frontier" ->

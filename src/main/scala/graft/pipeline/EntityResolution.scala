@@ -273,16 +273,38 @@ object EntityResolution {
     import s.implicits._
     val asg = assignOf(incoming, master, maxBlock)
       .select($"rec_id", $"entity_id", $"status")
+    val merged = mergeIntoSummary(incoming, masterSummaryOf(master), asg)
+    merged.select($"entity_id", $"n_members", $"pick.nm".as("canon_name"),
+      $"pick.ri".as("canon_rec"), $"mbc".as("max_bal_cents"))
+  }
+
+  /** The COMPOSABLE half of [[masterMergeOf]]: fold one arrival batch's
+    * assignment verdicts into an INTERNAL master summary (`(entity_id,
+    * n_members, pick, mbc)` — the shape [[masterSummaryOf]] produces and
+    * this returns), so repeated merges CHAIN: the output is a valid
+    * `summary` input for the next batch, and `EntityResolutionSpec` pins
+    * two sequential merges ≡ one survivorship pass over the 3-way union
+    * (r12 verdict #4 — production merges repeatedly between compactions;
+    * one-shot equivalence alone would let a non-associative fold slip
+    * through). The survivorship algebra is combinable (count-sum,
+    * struct-min pick, max balance), which is exactly what makes the
+    * chain order-insensitive. A batch2 match to a batch1-MINTED entity is
+    * a `touched` update here like any other — minted entities are real
+    * summary rows the moment they fold in. */
+  private[graft] def mergeIntoSummary(incoming: DataFrame,
+      summary: DataFrame, asg: DataFrame): DataFrame = {
+    val s = incoming.sparkSession
+    import s.implicits._
     // two consumers (touched-entity join + minted union): batch-sized
     val arrAgg = graft.Caches.cached(
-      incoming.join(asg, "rec_id")
+      incoming.join(asg.select($"rec_id", $"entity_id", $"status"), "rec_id")
         .groupBy($"entity_id")
         .agg(count(lit(1)).as("a_n"),
           min(struct((-length($"name")).as("nl"), $"rec_id".as("ri"),
             $"name".as("nm"))).as("a_pick"),
           max(floor($"bal" * lit(100.0) + lit(0.5)).cast("long")).as("a_mbc"),
           max(($"status" === "NEW").cast("int")).as("is_new")))
-    val touched = masterSummaryOf(master)
+    val touched = summary
       .join(broadcast(arrAgg.filter($"is_new" === 0)
           .select($"entity_id", $"a_n", $"a_pick", $"a_mbc")),
         Seq("entity_id"), "left")
@@ -295,8 +317,6 @@ object EntityResolution {
       .select($"entity_id", $"a_n".as("n_members"), $"a_pick".as("pick"),
         $"a_mbc".as("mbc"))
     touched.unionByName(minted)
-      .select($"entity_id", $"n_members", $"pick.nm".as("canon_name"),
-        $"pick.ri".as("canon_rec"), $"mbc".as("max_bal_cents"))
   }
 
   /** Declared query: the merged master after folding the corrupted-arrival

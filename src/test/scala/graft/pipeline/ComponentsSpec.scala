@@ -404,6 +404,39 @@ class ComponentsSpec extends AnyFunSuite {
       s"$q0 -> $q1")
   }
 
+  test("canonicalRefined: the Q gate flips to the refined partition and " +
+    "splits a bridge-welded false merge into two kept docs") {
+    import spark.implicits._
+    // two triangles + a bridge (2,11); after TWO synchronous LPA rounds the
+    // min-label flood pulls node 11 across the bridge into community 0 —
+    // the bridge-welded false merge (verified by hand with the exact
+    // integer semantics): lpa = {0:{0,1,2,11}, 2:{10,12}}, Q = 1224 bp.
+    // One refinement round moves 11 home: refined = {0:{0,1,2},
+    // 2:{10,11,12}}, Q = 3571 bp, so the gate picks `refined` and the
+    // keep-list splits into one kept doc per TRUE cluster.
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 11L)).toDF("doc_a", "doc_b")
+    val chars = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+      .toDF("node").select($"node", ($"node" + 100L).as("n_chars"))
+    val lpa = Components.labelPropagation(pairs, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(11L) == lpa(0L) && lpa(11L) == lpa(2L),
+      s"fixture precondition: LPA must weld 11 across the bridge, got $lpa")
+    val out = Dedup.canonicalRefinedOf(pairs, chars, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out.forall(_._5 == "refined"),
+      s"the Q gate (1224 -> 3571 bp) must pick the refined basis: ${out.toSeq}")
+    assert(out.toSeq.sorted == Seq(
+      (0L, 2L, 102L, 3L, "refined"),     // true cluster A keeps its longest
+      (2L, 12L, 112L, 3L, "refined")),   // true cluster B keeps ITS OWN doc
+      s"refinement must yield one kept doc per true cluster: ${out.toSeq}")
+    // counterfactual: acting on the raw LPA labels would keep ONE doc for
+    // the welded {0,1,2,11} community — doc 11 collapsed into cluster A
+    val weldSize = lpa.values.groupBy(identity).map(_._2.size).max
+    assert(weldSize == 4, s"welded community should span 4 docs, got $lpa")
+  }
+
   test("modularity: empty graph yields ONE (0, 0, 0) row, matching the " +
     "oracle's ungrouped aggregate (r11 ADVICE)") {
     import spark.implicits._

@@ -205,6 +205,64 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(byId(200L).getLong(1) == 1L && byId(200L).getString(2) == "Zzzz Xxxx 0009")
   }
 
+  test("master merge chains: a second batch folded into the merged summary " +
+    "≡ one survivorship pass over the 3-way union; a batch2 match to a " +
+    "batch1-minted entity updates it (r12 verdict #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val master = reg(Seq(
+      (1L, "Acme Corp 0001", 7, 100.0, "BUILDING"),
+      (3L, "Beta LLC 0009", 3, 55.5, "MACHINERY"),
+      (4L, "Gamma Co 0042", 9, 12.3, "FURNITURE")))
+    val batch1 = reg(Seq(
+      (100L, "Acme Corp X0001", 7, 100.0, "BUILDING"), // MATCHED entity 1
+      (200L, "Zzzz Xxxx 0009", 3, 900.0, "MACHINERY"))) // NEW → mints 200
+    val batch2 = reg(Seq(
+      (300L, "Acme Xorp 0001", 7, 100.0, "BUILDING"), // entity 1 again
+      (301L, "Zzzz Xxxxx 0009", 3, 900.0, "MACHINERY"), // the MINTED 200
+      (400L, "Qqqq Wwww 7777", 5, 10.0, "AUTOMOBILE"))) // NEW → mints 400
+    def fin(s: org.apache.spark.sql.DataFrame): Seq[String] =
+      s.select($"entity_id", $"n_members", $"pick.nm".as("canon_name"),
+          $"pick.ri".as("canon_rec"), $"mbc".as("max_bal_cents"))
+        .orderBy($"entity_id").collect().map(_.toString).toSeq
+    // sequential path: fold batch1, then fold batch2 into THAT summary;
+    // batch2 assigns against the merged master (base ∪ batch1 records,
+    // matched records resolved through batch1's entity verdicts)
+    val a1 = EntityResolution.assignOf(batch1, master, 1000)
+      .select($"rec_id", $"entity_id", $"status")
+    val s1 = EntityResolution.mergeIntoSummary(batch1,
+      EntityResolution.masterSummaryOf(master), a1)
+    val map1 = a1.select($"rec_id".as("eid_raw"), $"entity_id".as("eid"))
+    val a2 = EntityResolution.assignOf(batch2, master.unionByName(batch1), 1000)
+      .select($"rec_id", $"entity_id".as("eid_raw"), $"status")
+      .join(map1, Seq("eid_raw"), "left")
+      .select($"rec_id", coalesce($"eid", $"eid_raw").as("entity_id"),
+        $"status")
+    val s2 = EntityResolution.mergeIntoSummary(batch2, s1, a2)
+    // from-scratch twin: tag all records with their entity, ONE aggregate
+    val uni = master.select($"rec_id".as("entity_id"), $"rec_id", $"name", $"bal")
+      .unionByName(batch1.join(a1.select($"rec_id", $"entity_id"), "rec_id")
+        .select($"entity_id", $"rec_id", $"name", $"bal"))
+      .unionByName(batch2.join(a2.select($"rec_id", $"entity_id"), "rec_id")
+        .select($"entity_id", $"rec_id", $"name", $"bal"))
+    val full = uni.groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-length($"name")).as("nl"), $"rec_id".as("ri"),
+          $"name".as("nm"))).as("pick"),
+        max(floor($"bal" * lit(100.0) + lit(0.5)).cast("long")).as("mbc"))
+    assert(fin(s2) == fin(full),
+      s"chained merges must equal one pass over the 3-way union:\n" +
+        s"chained = ${fin(s2)}\nfull    = ${fin(full)}")
+    // the minted entity grew: batch2's 301 matched batch1's NEW 200, so
+    // the merged summary shows 2 members with 301's longer name surviving
+    val byId = s2.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(200L).getLong(1) == 2L &&
+      byId(200L).getStruct(2).getString(2) == "Zzzz Xxxxx 0009",
+      s"batch2 must update the batch1-minted entity: ${byId(200L)}")
+    assert(byId(1L).getLong(1) == 3L, s"entity 1 grew across both batches")
+    assert(byId(400L).getLong(1) == 1L, "batch2's NEW mints its entity")
+  }
+
   test("declared queries run on sf0.001 with plausible shape") {
     val dir = "/root/testdata/sf0.001"
     val m = EntityResolution.matches(spark, dir).collect()

@@ -95,6 +95,46 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-of-merge: two sequential arrival segments ≡ one " +
+    "frozen-assign union build (r12 verdict #4)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_mseq").toString
+    try {
+      val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+      val (cents, snapCells) = Similarity.ivfModelOf(spark,
+        emb.filter($"vec_id" < Similarity.IvfSnapshotFloor)
+          .select($"vec_id", Hashing.quantize($"embedding").as("q")),
+        Similarity.IvfK)
+      val arr = emb.filter($"vec_id" >= Similarity.IvfSnapshotFloor)
+        .select($"vec_id", $"embedding")
+      val arr1 = arr.filter($"vec_id" % 2 === 0)
+      val arr2 = arr.filter($"vec_id" % 2 === 1)
+      Similarity.writeIvfIndexOf(cents, snapCells, s"$root/base")
+      Similarity.mergeIvfSegments(arr1, s"$root/base", s"$root/m1")
+      Similarity.mergeIvfSegments(arr2, s"$root/m1", s"$root/m2")
+      Similarity.writeIvfIndexOf(cents,
+        Similarity.mergeIvfCells(cents,
+          Similarity.mergeIvfCells(cents, snapCells, arr1), arr2),
+        s"$root/full")
+      def cellsOf(p: String): Seq[String] = {
+        val (_, cells) = Similarity.openIvfIndex(spark, p)
+        cells.orderBy($"vec_id").collect().map(_.toString).toSeq
+      }
+      def serve(p: String): Seq[String] =
+        Similarity.annIvfProbeFromIndex(spark, p)
+          .collect().map(_.toString).toSeq
+      assert(cellsOf(s"$root/m2") == cellsOf(s"$root/full"),
+        "sequential segment merges must equal the one-pass frozen union")
+      val s2 = serve(s"$root/m2")
+      assert(s2.nonEmpty && s2 == serve(s"$root/full"))
+      // the intermediate stays immutable: 2 segments, then 3
+      assert(IndexArtifact.readManifest(spark, s"$root/m1").length == 2)
+      assert(IndexArtifact.readManifest(spark, s"$root/m2").length == 3)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("merged index makes arrivals searchable; snapshot-only serving cannot") {
     import spark.implicits._
     val merged = Similarity.ivfIndexMerge(spark, sf).collect()

@@ -155,6 +155,87 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-of-merge: two sequential arrival batches ≡ one from-scratch " +
+    "build on the 3-way union (r12 verdict #4)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mh_mseq").toString
+    try {
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+      val corpusA = docs.filter($"doc_id" % 4 === 0)
+      val batchB = docs.filter($"doc_id" % 8 === 2)
+      val batchC = docs.filter($"doc_id" % 8 === 6)
+      val serveD = docs.filter($"doc_id" % 2 === 1)
+      // sequential path: build on A, merge B, then merge C into THAT
+      Dedup.writeMinhashIndexOf(corpusA, s"$root/base")
+      Dedup.mergeMinhashIndex(batchB, s"$root/base", s"$root/m1")
+      Dedup.mergeMinhashIndex(batchC, s"$root/m1", s"$root/m2")
+      // from-scratch twin on A ∪ B ∪ C
+      Dedup.writeMinhashIndexOf(
+        corpusA.unionByName(batchB).unionByName(batchC), s"$root/full")
+      def dump(path: String): Seq[String] = {
+        val (sg, bd) = Dedup.openMinhashIndex(spark, path)
+        (sg.orderBy($"doc_id").collect() ++
+          bd.orderBy($"doc_id", $"band").collect()).map(_.toString).toSeq
+      }
+      assert(dump(s"$root/m2") == dump(s"$root/full"),
+        "sequential merges must serve exactly a from-scratch 3-way build")
+      val (ms, mb) = Dedup.openMinhashIndex(spark, s"$root/m2")
+      val (fs2, fb2) = Dedup.openMinhashIndex(spark, s"$root/full")
+      val servedM = Dedup.assignOf(serveD, ms, mb)
+        .orderBy($"doc_id").collect().map(_.toString).toSeq
+      val servedF = Dedup.assignOf(serveD, fs2, fb2)
+        .orderBy($"doc_id").collect().map(_.toString).toSeq
+      assert(servedM.nonEmpty && servedM == servedF)
+      // the intermediate artifact is untouched by the second merge
+      assert(IndexArtifact.readManifest(spark, s"$root/m1").length == 2)
+      assert(IndexArtifact.readManifest(spark, s"$root/m2").length == 3)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("auto-compact policy: a merge that would exceed the segment budget " +
+    "compacts into one self-contained segment, serving unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mh_auto").toString
+    try {
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+      val corpusA = docs.filter($"doc_id" % 4 === 0)
+      val batchB = docs.filter($"doc_id" % 8 === 2)
+      val batchC = docs.filter($"doc_id" % 8 === 6)
+      Dedup.writeMinhashIndexOf(corpusA, s"$root/base")
+      // budget 2: first merge stays under (2 segments, plain append) …
+      Dedup.mergeMinhashIndexCompacting(batchB, s"$root/base", s"$root/m1",
+        budget = 2)
+      assert(IndexArtifact.readManifest(spark, s"$root/m1").length == 2,
+        "below budget the merge must append, not compact")
+      // … the second would reach 3 > 2, so the policy compacts in-publish
+      Dedup.mergeMinhashIndexCompacting(batchC, s"$root/m1", s"$root/m2",
+        budget = 2)
+      assert(IndexArtifact.readManifest(spark, s"$root/m2").length == 1,
+        "over budget the merge must land compacted")
+      assert(!new java.io.File(s"$root/m2-staging").exists(),
+        "the staging tier must be deleted after compaction")
+      // compacted serving ≡ from-scratch 3-way union build
+      Dedup.writeMinhashIndexOf(
+        corpusA.unionByName(batchB).unionByName(batchC), s"$root/full")
+      def dump(path: String): Seq[String] = {
+        val (sg, bd) = Dedup.openMinhashIndex(spark, path)
+        (sg.orderBy($"doc_id").collect() ++
+          bd.orderBy($"doc_id", $"band").collect()).map(_.toString).toSeq
+      }
+      assert(dump(s"$root/m2") == dump(s"$root/full"))
+      // and the auto-compacted artifact is self-contained: survives a move
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/m2"),
+        java.nio.file.Paths.get(s"$root/moved"))
+      assert(dump(s"$root/moved") == dump(s"$root/full"),
+        "an auto-compacted artifact must be relocatable")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("compaction: one self-contained relocatable segment, serving " +
     "bit-identical to the merged artifact") {
     import spark.implicits._

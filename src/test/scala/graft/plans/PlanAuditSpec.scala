@@ -82,6 +82,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_modularity",
     // 1-row edge-count aggregate (m) for the refinement gain score (r12)
     "q_dedup_refine",
+    // the same 1-row m aggregate plus the two 1-row modularity folds the
+    // Q gate compares (r13)
+    "q_dedup_canonical_refined",
     // 1-row class-prior aggregate over the ≤ClfBuckets-row count table (r11)
     "q_text_classifier_fit"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
@@ -138,6 +141,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row m crossJoined onto the neighbor-community candidate table
     // (r12 refinement round)
     "q_dedup_refine",
+    // the refinement's 1-row m crossJoins + the 1-row × 1-row Q gate
+    // broadcast onto the per-node table (r13)
+    "q_dedup_canonical_refined",
     // 1-row class prior crossJoined onto the ≤ClfBuckets-row count table
     "q_text_classifier_fit",
     // 1-row scan-only lineitem count crossed onto the 1-row audit row
