@@ -609,6 +609,58 @@ object ScaleProbe {
     println(f"""{"probe":"dedup_index_merge","corpus":${nIdxDocs / 2},"merged_in":$nMergeDocs,"build_secs":$ixBuildSecs%.1f,"merge_secs":$mergeSecs%.1f,"union_rebuild_secs":$rebuildSecs%.1f,"reassign_rejects":$postReject,"reassign_secs":$postSecs%.1f}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
 
+    // ---- Component MERGE cost ∝ arrivals (r13): fold ~25k arrival ----
+    // pairs into a FROZEN 1M-node component map (clusterMergeWithMap's
+    // contracted delta closure: relabel through the map, close only the
+    // arrival-touched delta graph, re-root by one map join) vs re-closing
+    // the ~925k-edge union from scratch. 100k 10-node even chains; every
+    // 10th chain pair is welded by an odd bridge doc; 5k disjoint
+    // odd-odd pairs form arrival-only clusters.
+    val cmChains = 100000L
+    val cmOld = spark.range(cmChains)
+      .select($"id".as("c"), explode(sequence(lit(0L), lit(8L))).as("i"))
+      .select(($"c" * 20 + $"i" * 2).as("doc_a"),
+        ($"c" * 20 + $"i" * 2 + 2).as("doc_b"))
+    val cmBridge = spark.range(0, cmChains - 1, 10).select($"id".as("c"))
+    val cmNew = cmBridge
+      .select(($"c" * 20 + 19).as("doc_a"), ($"c" * 20 + 18).as("doc_b"))
+      .unionByName(cmBridge
+        .select(($"c" * 20 + 19).as("doc_a"), (($"c" + 1) * 20).as("doc_b")))
+      .unionByName(spark.range(5000).select(
+        ($"id" * 4 + 4000001L).as("doc_a"), ($"id" * 4 + 4000003L).as("doc_b")))
+    val cmAll = graft.Caches.materialize(cmOld.unionByName(cmNew))
+    // the frozen map is the persisted artifact analog — built once,
+    // untimed for the merge measurement
+    val ((cmFrozen, cmMapRows), cmMapSecs) = time {
+      val m = graft.Caches.materialize(graft.pipeline.Components
+        .connectedComponents(cmOld.toDF("a", "b")))
+      (m, m.count())
+    }
+    val (cmMergedCnt, cmMergeSecs) = time {
+      graft.pipeline.Dedup.clusterMergeWithMap(cmAll, cmFrozen).count()
+    }
+    val (cmFullCnt, cmRebuildSecs) = time {
+      graft.pipeline.Components.connectedComponents(cmAll.toDF("a", "b")).count()
+    }
+    // HARD check: the merge path's map is exactly the from-scratch union
+    // closure — every node, every root
+    val cmMerged = graft.pipeline.Dedup.clusterMergeWithMap(cmAll, cmFrozen)
+      .select($"doc_id".as("node"), $"cluster_id".as("root"))
+    val cmFull = graft.pipeline.Components.connectedComponents(cmAll.toDF("a", "b"))
+    val cmDiff = cmMerged.unionByName(cmFull).distinct().count() - cmFullCnt
+    assert(cmDiff == 0L && cmMergedCnt == cmFullCnt,
+      s"merge map must equal the union closure: diff=$cmDiff, " +
+        s"merged=$cmMergedCnt, full=$cmFullCnt")
+    // wall-clock with slack (the r12 ADVICE convention) — the hard checks
+    // are the equality asserts; this catches a merge that degenerated to
+    // corpus-scale closure work
+    assert(cmMergeSecs < cmRebuildSecs * 1.5,
+      f"delta merge must be at worst comparable to the union re-closure: " +
+        f"merge $cmMergeSecs%.1f s vs rebuild $cmRebuildSecs%.1f s")
+    println(f"""{"probe":"dedup_cluster_merge","nodes":$cmMapRows,"arrival_pairs":25000,"map_build_secs":$cmMapSecs%.1f,"merge_secs":$cmMergeSecs%.1f,"union_reclose_secs":$cmRebuildSecs%.1f,"rows":$cmMergedCnt}""")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     // ---- pipelineFull END TO END at 1M documents (r11 verdict #4): the ----
     // seven composed stages had only been scale-probed individually; here
     // the whole declared q_pipeline_full plan runs at volume with every

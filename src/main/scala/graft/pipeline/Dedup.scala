@@ -189,6 +189,82 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** INCREMENTAL COMPONENT MERGE — fold an arrival batch's near-dup pairs
+    * into a FROZEN component map without re-closing the corpus graph
+    * (r13; the graph twin of [[mergeMinhashIndex]]/`masterMergeOf`, which
+    * closed the index and entity halves of the refresh loop but left the
+    * CLUSTER map a full recompute). Two-level contraction, exact by
+    * construction:
+    *
+    *  1. relabel each new pair's corpus endpoints through the frozen map
+    *     (component roots ARE their members' minima, so contraction
+    *     preserves both connectivity and the min-id election);
+    *  2. close ONLY the contracted delta graph — nodes are arrival docs
+    *     plus the touched old roots, so the closure costs ∝ arrivals;
+    *  3. final map: old nodes re-root through `delta(oldRoot)` when their
+    *     root was touched (one join of the batch-sized delta map onto the
+    *     frozen map), arrivals read the delta map directly.
+    *
+    * An old component can join the union component ONLY through a new
+    * pair (old edges never cross old components), so untouched clusters
+    * are byte-stable — which is also the output's diagnostic: per doc,
+    * the union cluster, the PRIOR cluster (−1 for arrivals and previously
+    * unpaired docs) and an arrival/stable/merged status — the review feed
+    * for "which of my frozen clusters did this batch weld".
+    *
+    * Declared-query instantiation (the `q_dedup_index_merge` convention):
+    * corpus = even doc_ids, arrivals = odd; the in-query "frozen" map is
+    * recomputed for oracle parity, and the DuckDB oracle replays BOTH
+    * closures from scratch on the union — hash equality at three SFs IS
+    * the merged ≡ rebuilt contract. Production serves the frozen map and
+    * the merged band index, so steps 1-3 genuinely cost ∝ arrivals. */
+  def clusterMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = graft.Caches.materialize(
+      minhashPairsIndexed(s, dir).select($"doc_a", $"doc_b"))
+    clusterMergeOf(all)
+  }
+
+  /** [[clusterMerge]] over any pair table with the odd-id = arrival
+    * convention — the fixture entry point (`ComponentsSpec`). */
+  private[graft] def clusterMergeOf(all: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    val oldPairs = all.filter($"doc_a" % 2 === 0 && $"doc_b" % 2 === 0)
+    clusterMergeWithMap(all,
+      Components.connectedComponents(oldPairs).graftCache())
+  }
+
+  /** The merge HALF of [[clusterMergeOf]] given an already-FROZEN map `m`
+    * (`(node, root)` over the corpus subgraph) — what production actually
+    * runs, and what [[graft.ScaleProbe]] times: delta build + delta
+    * closure cost ∝ arrivals, plus two columnar scans of the frozen map
+    * (the relabel join and the final re-root join — never a corpus
+    * re-closure). */
+  private[graft] def clusterMergeWithMap(all: DataFrame, m: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    val newPairs = all.filter($"doc_a" % 2 === 1 || $"doc_b" % 2 === 1)
+    val delta = newPairs
+      .join(m.select($"node".as("doc_a"), $"root".as("ra")), Seq("doc_a"), "left")
+      .join(m.select($"node".as("doc_b"), $"root".as("rb")), Seq("doc_b"), "left")
+      .select(coalesce($"ra", $"doc_a").as("a"),
+        coalesce($"rb", $"doc_b").as("b"))
+    val d = Components.connectedComponents(delta)
+    all.select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
+      .join(m.select($"node", $"root".as("prior0")), Seq("node"), "left")
+      .withColumn("r1", coalesce($"prior0", $"node"))
+      .join(d.select($"node".as("r1"), $"root".as("nr")), Seq("r1"), "left")
+      .select($"node".as("doc_id"),
+        coalesce($"nr", $"r1").as("cluster_id"),
+        coalesce($"prior0", lit(-1L)).as("prior_cluster_id"))
+      .withColumn("status",
+        when($"doc_id" % 2 === 1, "arrival")
+          .when($"prior_cluster_id" === $"cluster_id", "stable")
+          .otherwise("merged"))
+      .orderBy($"doc_id")
+  }
+
   /** N-gram Jaccard: exact similarity verification over the banded LSH
     * candidates (the candidates→verify pipeline shape; any-single-position
     * blocking floods on small-vocabulary corpora where random pairs share
@@ -1190,6 +1266,7 @@ object Dedup {
     "q_dedup_embedding" -> embedding _,
     "q_dedup_semantic" -> semantic _,
     "q_dedup_cluster" -> cluster _,
+    "q_dedup_cluster_merge" -> clusterMerge _,
   )
 
   private[pipeline] val sigCte =
@@ -1619,6 +1696,30 @@ object Dedup {
          |$ccCtes
          |SELECT node AS doc_id, min(reach) AS cluster_id
          |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    // the merge replayed from scratch: BOTH closures (corpus-only and
+    // union) as recursive CTEs; the Spark side's contracted delta closure
+    // must hash-equal this — the merged ≡ rebuilt contract for clusters
+    "q_dedup_cluster_merge" ->
+      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$candCtes,
+         |$ccCtes,
+         |comp AS (SELECT node, min(reach) AS root FROM walk GROUP BY node),
+         |oedges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |    WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+         |  UNION SELECT doc_b, doc_a FROM prs
+         |    WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+         |owalk(node, reach) AS (
+         |  SELECT u, u FROM oedges
+         |  UNION
+         |  SELECT w.node, e.v FROM owalk w JOIN oedges e ON e.u = w.reach),
+         |ocomp AS (SELECT node, min(reach) AS root FROM owalk GROUP BY node)
+         |SELECT c.node AS doc_id, c.root AS cluster_id,
+         |  COALESCE(o.root, -1) AS prior_cluster_id,
+         |  CASE WHEN c.node % 2 = 1 THEN 'arrival'
+         |    WHEN COALESCE(o.root, -1) = c.root THEN 'stable'
+         |    ELSE 'merged' END AS status
+         |FROM comp c LEFT JOIN ocomp o ON o.node = c.node
+         |ORDER BY doc_id""".stripMargin,
     // Synchronous LPA unrolled round-by-round: per round, each node adopts
     // its most frequent neighbor label (ties → smallest label) — the same
     // fixed-horizon deterministic contract as the Spark side's argmax.

@@ -64,15 +64,25 @@ private[pipeline] object IndexStore {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), Memo]()
 
   /** Staleness key: per-file `name:length:mtime` stamps of
-    * `dir/<table>.parquet` (a directory of part files or a single file). */
+    * `dir/<table>.parquet` (a directory of part files or a single file).
+    * Resolved through the Hadoop FileSystem so the key works wherever the
+    * table lives (HDFS/S3A/local — the durable tier already does; a
+    * `java.io.File` spelling silently fingerprinted nothing for a remote
+    * table). Falls back to the raw path string when the filesystem cannot
+    * be reached — a constant key, i.e. no staleness detection, which is
+    * the pre-existing behavior for an unreadable table. */
   def fingerprint(dir: String, table: String): String = {
-    def stamp(f: java.io.File): String =
-      s"${f.getName}:${f.length}:${f.lastModified}"
-    val root = new java.io.File(s"$dir/$table.parquet")
-    if (root.isDirectory)
-      Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
-        .map(stamp).mkString(",")
-    else stamp(root)
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/$table.parquet")
+    try {
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val st = fs.getFileStatus(p)
+      def stamp(s: org.apache.hadoop.fs.FileStatus): String =
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName).map(stamp).mkString(",")
+      else stamp(st)
+    } catch { case _: java.io.IOException => p.toString }
   }
 
   private val tempDirs =

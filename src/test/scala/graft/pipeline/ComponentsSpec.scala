@@ -437,6 +437,46 @@ class ComponentsSpec extends AnyFunSuite {
     assert(weldSize == 4, s"welded community should span 4 docs, got $lpa")
   }
 
+  test("clusterMerge: contracted delta closure ≡ from-scratch union " +
+    "closure; statuses pin the weld diagnostic") {
+    import spark.implicits._
+    // old components {0,2,4} (root 0), {10,12} (root 10), {20,22} (root
+    // 20, untouched); arrival 1 bridges the first two; arrivals 3,5 form
+    // their own cluster; even 30 was previously unpaired and joins via
+    // arrival 31
+    val all = Seq((0L, 2L), (2L, 4L), (10L, 12L), (20L, 22L),
+      (1L, 4L), (1L, 10L), (3L, 5L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterMergeOf(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sorted
+    assert(out == Seq(
+      (0L, 0L, 0L, "stable"), (1L, 0L, -1L, "arrival"),
+      (2L, 0L, 0L, "stable"), (3L, 3L, -1L, "arrival"),
+      (4L, 0L, 0L, "stable"), (5L, 3L, -1L, "arrival"),
+      (10L, 0L, 10L, "merged"), (12L, 0L, 10L, "merged"),
+      (20L, 20L, 20L, "stable"), (22L, 20L, 20L, "stable"),
+      (30L, 30L, -1L, "merged"), (31L, 30L, -1L, "arrival")), out.toString)
+  }
+
+  test("clusterMerge ≡ from-scratch closure on random mixed-parity graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { _ =>
+      val n = 40 + rnd.nextInt(40)
+      val pairs = Seq.fill(60)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val all = pairs.toDF("doc_a", "doc_b")
+      val merged = Dedup.clusterMergeOf(all)
+        .select($"doc_id", $"cluster_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Components.connectedComponents(all.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == full,
+        s"merge path must equal the union closure; pairs=$pairs")
+    }
+  }
+
   test("modularity: empty graph yields ONE (0, 0, 0) row, matching the " +
     "oracle's ungrouped aggregate (r11 ADVICE)") {
     import spark.implicits._
