@@ -671,10 +671,14 @@ object Dedup {
       rounds: Int = LpaRounds): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    val lpa = Components.labelPropagation(pairs, rounds).graftCache()
-    // consumed twice (the refined-side modularity fold + the keep-list
-    // basis): node-count-sized, cache it or the refinement DAG runs twice
-    val ref = Components.refineOf(pairs, lpa).graftCache()
+    // materialized, not just cached: the LPA table feeds SIX join arms
+    // (refinement lab ×3, both folds' label joins) and the refinement
+    // output feeds two more — localCheckpoint truncates the 4-round LPA
+    // join chain out of every downstream plan, and without it the
+    // refinement DAG would replay for the fold AND the keep-list
+    val lpa = graft.Caches.materialize(
+      Components.labelPropagation(pairs, rounds))
+    val ref = graft.Caches.materialize(Components.refineOf(pairs, lpa))
     val qL = Components.modularityOf(pairs, lpa)
     val qR = Components.modularityOf(
       pairs, ref.select($"node", $"refined".as("label")))
