@@ -240,7 +240,19 @@ object Dedup {
     * runs, and what [[graft.ScaleProbe]] times: delta build + delta
     * closure cost ∝ arrivals, plus two columnar scans of the frozen map
     * (the relabel join and the final re-root join — never a corpus
-    * re-closure). */
+    * re-closure).
+    *
+    * STALE-WELD CAVEAT (r13 ADVICE): the merge is edge-MONOTONE — it can
+    * only add welds — but the union PAIR set is not: arrivals can push a
+    * band bucket over [[MaxBucket]], dropping even-even pairs the frozen
+    * map was built on (the merged index's open-time guard drops those
+    * rows too). A production frozen map therefore RETAINS components a
+    * from-scratch union rebuild would split; the welds persist across
+    * hot-bucket transitions until the next full re-closure — the graph
+    * twin of the index merge's "dropped rows never resurrect" note. The
+    * declared query's merged ≡ rebuilt hash contract holds because it
+    * recomputes the frozen map in-query from the same (guarded) union
+    * pair table. */
   private[graft] def clusterMergeWithMap(all: DataFrame, m: DataFrame): DataFrame = {
     val s = all.sparkSession
     import s.implicits._
@@ -1083,12 +1095,21 @@ object Dedup {
       out: String, budget: Int = SegmentBudget): Unit = {
     val s = arrivals.sparkSession
     if (readManifest(s, oldPath).length + 1 > budget) {
-      val staging = s"$out-staging"
-      mergeMinhashIndex(arrivals, oldPath, staging)
-      compactMinhashIndex(s, staging, out)
-      val p = new org.apache.hadoop.fs.Path(staging)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(p, true): Unit
+      // UUID-suffixed staging (r13 ADVICE): a fixed `$out-staging` sibling
+      // leaked on a failure between merge and compact, and a retry — or a
+      // concurrent merge into the same out — inherited/collided with the
+      // stale dir. Unique per attempt + deleted in a finally, the
+      // IndexStore `.tmp-*` publish discipline.
+      val staging =
+        s"$out-staging-${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        mergeMinhashIndex(arrivals, oldPath, staging)
+        compactMinhashIndex(s, staging, out)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(staging)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
     } else mergeMinhashIndex(arrivals, oldPath, out)
   }
 

@@ -304,8 +304,9 @@ object EntityResolution {
             $"name".as("nm"))).as("a_pick"),
           max(floor($"bal" * lit(100.0) + lit(0.5)).cast("long")).as("a_mbc"),
           max(($"status" === "NEW").cast("int")).as("is_new")))
+    val arr0 = arrAgg.filter($"is_new" === 0)
     val touched = summary
-      .join(broadcast(arrAgg.filter($"is_new" === 0)
+      .join(broadcast(arr0
           .select($"entity_id", $"a_n", $"a_pick", $"a_mbc")),
         Seq("entity_id"), "left")
       .select($"entity_id",
@@ -316,7 +317,27 @@ object EntityResolution {
     val minted = arrAgg.filter($"is_new" === 1)
       .select($"entity_id", $"a_n".as("n_members"), $"a_pick".as("pick"),
         $"a_mbc".as("mbc"))
-    touched.unionByName(minted)
+    // CONTRACT, ENFORCED (r13 ADVICE): every non-NEW entity_id in the
+    // arrival aggregate must exist in `summary` — `touched`'s join is from
+    // the summary side, so a caller that assigned batch N against a STALE
+    // master without remapping the verdicts through the prior merges'
+    // entity map would otherwise lose those arrivals silently. In-plan,
+    // not a driver action: matched ids reduce to a ≤|batch| list (ONE
+    // broadcast semi-join pass over the summary's entity_id column — the
+    // same columnar scan class as the touch join), and an orphan raises at
+    // runtime through this zero-rows-when-healthy union branch.
+    val matchedIds = summary.select($"entity_id")
+      .join(broadcast(arr0.select($"entity_id")), Seq("entity_id"), "left_semi")
+    val orphans = arr0.select($"entity_id")
+      .join(broadcast(matchedIds), Seq("entity_id"), "left_anti")
+      .select($"entity_id",
+        raise_error(concat(lit("mergeIntoSummary: arrival aggregate " +
+          "references an entity_id absent from summary (remap the batch's " +
+          "assign verdicts through the prior merge's entity map): "),
+          $"entity_id".cast("string"))).cast("long").as("n_members"),
+        lit(null).cast(summary.schema("pick").dataType).as("pick"),
+        lit(null).cast("long").as("mbc"))
+    touched.unionByName(minted).unionByName(orphans)
   }
 
   /** Declared query: the merged master after folding the corrupted-arrival

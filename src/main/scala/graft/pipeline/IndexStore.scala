@@ -65,24 +65,34 @@ private[pipeline] object IndexStore {
 
   /** Staleness key: per-file `name:length:mtime` stamps of
     * `dir/<table>.parquet` (a directory of part files or a single file).
-    * Resolved through the Hadoop FileSystem so the key works wherever the
-    * table lives (HDFS/S3A/local — the durable tier already does; a
-    * `java.io.File` spelling silently fingerprinted nothing for a remote
-    * table). Falls back to the raw path string when the filesystem cannot
-    * be reached — a constant key, i.e. no staleness detection, which is
-    * the pre-existing behavior for an unreadable table. */
-  def fingerprint(dir: String, table: String): String = {
+    * Resolved through the Hadoop FileSystem with the SESSION's
+    * hadoopConfiguration (r13 ADVICE: a fresh `new Configuration()` here
+    * ignored `spark.hadoop.*` credentials/endpoints/FS impls, so on
+    * S3A/HDFS the lookup threw and the catch silently disabled staleness
+    * detection — the exact failure fingerprinting exists to prevent).
+    * Falls back to the raw path string when the filesystem genuinely
+    * cannot be reached — a constant key, i.e. no staleness detection,
+    * which is the pre-existing behavior for an unreadable table — and
+    * WARNS instead of degrading silently. */
+  def fingerprint(s: SparkSession, dir: String, table: String): String = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$dir/$table.parquet")
     try {
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       def stamp(s: org.apache.hadoop.fs.FileStatus): String =
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
       if (st.isDirectory)
         fs.listStatus(p).sortBy(_.getPath.getName).map(stamp).mkString(",")
       else stamp(st)
-    } catch { case _: java.io.IOException => p.toString }
+    } catch {
+      case e: java.io.IOException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"IndexStore.fingerprint: cannot stat $p (${e.getMessage}); " +
+            "staleness detection DISABLED for this table — a mutated " +
+            "source will keep serving its stale index")
+        p.toString
+    }
   }
 
   private val tempDirs =
@@ -104,7 +114,7 @@ private[pipeline] object IndexStore {
     * when a previous SESSION already published a matching artifact. */
   def getOrBuild(s: SparkSession, dir: String, table: String, variant: String)(
       build: String => Unit): String = {
-    val fp = fingerprint(dir, table)
+    val fp = fingerprint(s, dir, table)
     val appId = s.sparkContext.applicationId
     built.computeIfAbsent((appId, dir, fp, variant), _ => new Memo(() =>
       durableRoot(s) match {

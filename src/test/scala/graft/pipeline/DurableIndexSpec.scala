@@ -48,8 +48,8 @@ class DurableIndexSpec extends AnyFunSuite {
     val dataB = copyTable(dataA, "documents")
     val dataC = copyTable(dataA, "documents")
     try {
-      assert(IndexStore.fingerprint(dataA, "documents") ==
-        IndexStore.fingerprint(dataB, "documents"),
+      assert(IndexStore.fingerprint(s2, dataA, "documents") ==
+        IndexStore.fingerprint(s2, dataB, "documents"),
         "timestamp-preserving copy must fingerprint identically")
       val b0 = IndexStore.durableBuilds.get()
       // session 1: build — lands under the durable root, marker stamped

@@ -263,6 +263,34 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(byId(400L).getLong(1) == 1L, "batch2's NEW mints its entity")
   }
 
+  test("mergeIntoSummary REJECTS an arrival aggregate whose non-NEW " +
+    "entity_id is absent from the summary (forgotten verdict remap — " +
+    "r13 ADVICE: it used to drop those arrivals silently)") {
+    import spark.implicits._
+    val master = reg(Seq(
+      (1L, "Acme Corp 0001", 7, 100.0, "BUILDING"),
+      (3L, "Beta LLC 0009", 3, 55.5, "MACHINERY")))
+    val batch = reg(Seq((100L, "Acme Corp X0001", 7, 100.0, "BUILDING")))
+    // a MATCHED verdict pointing at entity 999 — which no summary row has
+    // (the shape a caller produces by skipping the prior-merge remap)
+    val badAsg = Seq((100L, 999L, "MATCHED"))
+      .toDF("rec_id", "entity_id", "status")
+    val merged = EntityResolution.mergeIntoSummary(batch,
+      EntityResolution.masterSummaryOf(master), badAsg)
+    val e = intercept[Exception] { merged.collect() }
+    def msgs(t: Throwable): Iterator[String] =
+      Iterator.unfold(Option(t))(_.map(x =>
+        (Option(x.getMessage).getOrElse(""), Option(x.getCause))))
+    assert(msgs(e).exists(_.contains("absent from summary")),
+      s"expected the orphan-arrival raise_error, got: $e")
+    // and the healthy path is untouched: a correct assignment still merges
+    val goodAsg = Seq((100L, 1L, "MATCHED")).toDF("rec_id", "entity_id", "status")
+    val ok = EntityResolution.mergeIntoSummary(batch,
+      EntityResolution.masterSummaryOf(master), goodAsg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok(1L) == 2L && ok(3L) == 1L)
+  }
+
   test("declared queries run on sf0.001 with plausible shape") {
     val dir = "/root/testdata/sf0.001"
     val m = EntityResolution.matches(spark, dir).collect()
