@@ -155,8 +155,9 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("pair-graph serving from the corpus signature artifact: indexed " +
-    "pairs ≡ inline pairs, zero signature sites in the served plan") {
+  test("pair-graph serving from the scored-pair artifact: indexed " +
+    "pairs ≡ inline pairs; zero signature, band-join or verify sites " +
+    "in the served plan (r13 verdict #1)") {
     import spark.implicits._
     val indexed = Dedup.minhashPairsIndexed(spark, sf)
     val inline = Dedup.minhashPairs(spark,
@@ -165,11 +166,25 @@ class MinhashIndexSpec extends AnyFunSuite {
     val b = inline.orderBy($"doc_a", $"doc_b").collect().map(_.toString).toSeq
     assert(a.nonEmpty && a == b,
       "artifact-served pairs must be bit-identical to inline signatures")
-    // the whole point: the corpus is not re-hashed — no signature
-    // expression anywhere in the served plan, just parquet scans
+    // the whole point: the corpus is neither re-hashed NOR re-paired — no
+    // signature expression, no (band, key) self-join, no zip_with verify
+    // anywhere in the served plan: ONE filtered parquet scan of the
+    // artifact, with the threshold pushed down
     val plan = indexed.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("rot_minhash"),
-      s"no signature compute may appear in the served plan:\n$plan")
+    for (tok <- Seq("rot_minhash", "zip_with", "band"))
+      assert(!plan.contains(tok),
+        s"no '$tok' site may appear in the served plan:\n$plan")
+    val pushed = indexed.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") &&
+      pushed.contains("GreaterThanOrEqual(matches,4)"),
+      s"the >=4 threshold must push down to the artifact scan:\n$pushed")
+    // the frontier sweep serves from the same UNFILTERED scan: every
+    // banded candidate's agreement count, nothing recomputed
+    val frontier = Dedup.thresholdFrontier(spark, sf)
+    val fplan = frontier.queryExecution.optimizedPlan.toString
+    for (tok <- Seq("rot_minhash", "zip_with"))
+      assert(!fplan.contains(tok),
+        s"no '$tok' site may appear in the frontier plan:\n$fplan")
   }
 
   test("merge-of-merge: two sequential arrival batches ≡ one from-scratch " +
