@@ -70,55 +70,93 @@ object Bench {
     val mhBuildSec = (System.nanoTime() - mhT0) / 1e9
     Caches.clear()
     spark.catalog.clearCache()
+
+    // Round inference, HOISTED before the run (r13 verdict #2: the re-run
+    // rule needs the PREVIOUS round's committed detail). Repo root = the
+    // nearest ancestor holding build.sbt; round = SPARK_GRAFT_ROUND if set
+    // (zero-padded to the same %02d as inference — r8 ADVICE), else max
+    // committed BENCH_r{N}.json + 1 = the round in progress.
+    val repoRoot = Iterator.iterate(
+        new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
+      .takeWhile(_ != null).take(8)
+      .find(d => new java.io.File(d, "build.sbt").isFile)
+      .getOrElse(new java.io.File("."))
+    val roundN: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(_.toIntOption)
+      .orElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        Option(repoRoot.listFiles()).toSeq.flatten
+          .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .sorted.lastOption.map(_ + 1)
+      }
+    val round = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => r.toIntOption.map(n => f"$n%02d").getOrElse(r))
+      .orElse(roundN.map(n => f"$n%02d"))
+    // The previous round's committed per-query times — the re-run rule's
+    // reference. Falls back through earlier rounds if N-1 never committed
+    // a detail (r7's driver overwrite); empty map = 5 s floor alone.
+    val prevTimes: Map[String, Double] = roundN.iterator
+      .flatMap(n => (n - 1) to 1 by -1).map(n =>
+        repoRoot.toPath.resolve(f"BENCH_detail_r$n%02d.json"))
+      .find(java.nio.file.Files.isReadable)
+      .map(p => BenchKit.parseDetailQueries(java.nio.file.Files.readString(p)))
+      .getOrElse(Map.empty)
+
     // name-sorted for stable warmup attribution run-to-run
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val reruns = scala.collection.mutable.LinkedHashMap[String, BenchKit.Rerun]()
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    canaries += BenchKit.canaryMs() // run start
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == sorted.size / 2) canaries += BenchKit.canaryMs() // mid-run
       // stderr marker so interleaved Spark WARNs (large task binaries,
       // broadcast sizes) attribute to the query that caused them
       System.err.println(s"[bench] $name")
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      def timedRun(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Caches are per-query working sets (multi-branch reuse inside ONE
+        // plan); dropping them between queries keeps a 220-query run from
+        // accumulating dead blocks + GC pressure (r2: back-half inflation).
+        // Clearing is bookkeeping, not query work — outside the timed
+        // region. Caches.clearAll() unpersists the graft-registered caches
+        // AND the registered materialize() checkpoint blocks; clearCache
+        // drops anything else SQL-cached; the getPersistentRDDs sweep
+        // catches unregistered RDD-level blocks (loop-internal
+        // localCheckpoints).
+        Caches.clearAll()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Caches are per-query working sets (multi-branch reuse inside ONE
-      // plan); dropping them between queries keeps a 64-query run from
-      // accumulating dead blocks + GC pressure (r2: back-half inflation).
-      // Clearing is bookkeeping, not query work — outside the timed region.
-      // Caches.clearAll() unpersists the graft-registered caches AND the
-      // registered materialize() checkpoint blocks (deterministic release —
-      // safe here because every query builds fresh plans); clearCache drops
-      // anything else SQL-cached; the getPersistentRDDs sweep catches
-      // unregistered RDD-level blocks (loop-internal localCheckpoints).
-      Caches.clearAll()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> (if (errors.contains(name)) -1.0 else dt)
+      val first = timedRun()
+      val dt =
+        if (errors.contains(name)) -1.0
+        else if (first > BenchKit.rerunThreshold(prevTimes.get(name))) {
+          // Contention self-labeling (r13 verdict #2): a first timing over
+          // max(5 s, 2× last round's committed time) re-runs ONCE — both
+          // timings are reported, the min serves. A host-contention burst
+          // stops poisoning the official artifact; a real regression
+          // reproduces and stays visible in `reruns`.
+          System.err.println(f"[bench] $name rerun (first $first%.3f s)")
+          val second = timedRun()
+          val used = if (errors.contains(name)) -1.0 else math.min(first, second)
+          reruns(name) = BenchKit.Rerun(first, second)
+          used
+        } else first
+      name -> dt
     }.toMap
-    // ms precision: full-precision doubles made the emitted line long
-    // enough that the driver's tail capture truncated its head (r3)
-    def r3f(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3f(v) }
-      .mkString("{", ",", "}")
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    // Half-budget tripwire (r9 verdict #7): any query over 5 s — half the
-    // 10 s per-query budget — is named in the committed artifact so creep
-    // is visible round-over-round instead of discovered by the judge's diff.
-    val budgetWarn = results.toSeq.filter(_._2 > 5.0).map(_._1).sorted
-      .map(jstr).mkString("[", ",", "]")
+    canaries += BenchKit.canaryMs() // run end
     // The per-query map goes to a FILE; stdout gets only a short totals
     // line. Both r3 and r4 lost the head of the long per-query JSON line to
     // the driver's tail-capture ("parsed": null) — a file can't truncate.
-    val detail =
-      s"""{"metric":"total","value":${r3f(total)},"unit":"sec","ivf_build_sec":${r3f(ivfBuildSec)},"mh_build_sec":${r3f(mhBuildSec)},"budget_warn":$budgetWarn,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val detail = BenchKit.detailJson(
+      results, errors, reruns, canaries.toSeq, ivfBuildSec, mhBuildSec, sfDir)
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.writeString(detailPath, detail + "\n")
@@ -129,29 +167,14 @@ object Bench {
     // immutable one — r7's driver re-run overwrote the builder's committed
     // clean-run detail in the working tree, losing the clean-vs-contended
     // forensics; a per-round name can't be clobbered by the next round.
-    // Round = SPARK_GRAFT_ROUND if set (zero-padded to the same %02d as
-    // inference — r8 ADVICE: an env "8" wrote the unpadded BENCH_detail_r8),
-    // else inferred from the committed BENCH_r{N}.json artifacts (max N + 1
-    // = the round in progress), resolved against the repo root (the nearest
-    // ancestor holding build.sbt) rather than the process cwd.
-    val repoRoot = Iterator.iterate(
-        new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
-      .takeWhile(_ != null).take(8)
-      .find(d => new java.io.File(d, "build.sbt").isFile)
-      .getOrElse(new java.io.File("."))
-    val round = sys.env.get("SPARK_GRAFT_ROUND")
-      .flatMap(r => r.toIntOption.map(n => f"$n%02d").orElse(Some(r)))
-      .orElse {
-        val re = "BENCH_r(\\d+)\\.json".r
-        Option(repoRoot.listFiles()).toSeq.flatten
-          .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-          .sorted.lastOption.map(n => f"${n + 1}%02d")
-      }
     java.nio.file.Files.writeString(
       repoRoot.toPath.resolve("BENCH_detail_latest.json"), detail + "\n")
     round.foreach(r => java.nio.file.Files.writeString(
       repoRoot.toPath.resolve(s"BENCH_detail_r$r.json"), detail + "\n"))
-    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    import BenchKit.r3f
+    val canaryJson = canaries.map(r3f).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"canary_ms":$canaryJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }
