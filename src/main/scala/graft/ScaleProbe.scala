@@ -658,6 +658,36 @@ object ScaleProbe {
       f"delta merge must be at worst comparable to the union re-closure: " +
         f"merge $cmMergeSecs%.1f s vs rebuild $cmRebuildSecs%.1f s")
     println(f"""{"probe":"dedup_cluster_merge","nodes":$cmMapRows,"arrival_pairs":25000,"map_build_secs":$cmMapSecs%.1f,"merge_secs":$cmMergeSecs%.1f,"union_reclose_secs":$cmRebuildSecs%.1f,"rows":$cmMergedCnt}""")
+
+    // ---- CHAINED component-map folds (r13 verdict #6): the same 25k
+    // arrival pairs split into two sequential batches folded through the
+    // intermediate map (mergeComponentMap — map in, map out), so the
+    // per-fold cost stays ∝ batch even as folds accumulate. HARD check:
+    // the chained map equals the one-shot 3-way union closure exactly.
+    val (cmB1, cmB2) = {
+      val marked = cmNew.withColumn(
+        "h", pmod(xxhash64($"doc_a", $"doc_b"), lit(2L)))
+      (graft.Caches.materialize(marked.filter($"h" === 0).drop("h")),
+        graft.Caches.materialize(marked.filter($"h" === 1).drop("h")))
+    }
+    val (cmChainCnt, cmChainSecs) = time {
+      val m1 = graft.Caches.materialize(
+        graft.pipeline.Dedup.mergeComponentMap(cmFrozen, cmB1))
+      graft.pipeline.Dedup.mergeComponentMap(m1, cmB2).count()
+    }
+    val cmChained = {
+      val m1 = graft.Caches.materialize(
+        graft.pipeline.Dedup.mergeComponentMap(cmFrozen, cmB1))
+      graft.pipeline.Dedup.mergeComponentMap(m1, cmB2)
+    }
+    val cmChainDiff = cmChained.unionByName(cmFull).distinct().count() - cmFullCnt
+    assert(cmChainDiff == 0L && cmChainCnt == cmFullCnt,
+      s"chained folds must equal the union closure: diff=$cmChainDiff, " +
+        s"chained=$cmChainCnt, full=$cmFullCnt")
+    assert(cmChainSecs < cmRebuildSecs * 1.5,
+      f"two chained folds must stay comparable to ONE union re-closure: " +
+        f"chain $cmChainSecs%.1f s vs rebuild $cmRebuildSecs%.1f s")
+    println(f"""{"probe":"dedup_cluster_merge_chain","nodes":$cmMapRows,"batches":2,"chain_secs":$cmChainSecs%.1f,"union_reclose_secs":$cmRebuildSecs%.1f,"rows":$cmChainCnt}""")
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 

@@ -295,25 +295,56 @@ object Dedup {
   private[graft] def clusterMergeWithMap(all: DataFrame, m: DataFrame): DataFrame = {
     val s = all.sparkSession
     import s.implicits._
-    val newPairs = all.filter($"doc_a" % 2 === 1 || $"doc_b" % 2 === 1)
-    val delta = newPairs
-      .join(m.select($"node".as("doc_a"), $"root".as("ra")), Seq("doc_a"), "left")
-      .join(m.select($"node".as("doc_b"), $"root".as("rb")), Seq("doc_b"), "left")
-      .select(coalesce($"ra", $"doc_a").as("a"),
-        coalesce($"rb", $"doc_b").as("b"))
-    val d = Components.connectedComponents(delta)
+    val merged = mergeComponentMap(m,
+      all.filter($"doc_a" % 2 === 1 || $"doc_b" % 2 === 1))
     all.select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
+      .join(merged.select($"node", $"root".as("cluster1")), Seq("node"))
       .join(m.select($"node", $"root".as("prior0")), Seq("node"), "left")
-      .withColumn("r1", coalesce($"prior0", $"node"))
-      .join(d.select($"node".as("r1"), $"root".as("nr")), Seq("r1"), "left")
       .select($"node".as("doc_id"),
-        coalesce($"nr", $"r1").as("cluster_id"),
+        $"cluster1".as("cluster_id"),
         coalesce($"prior0", lit(-1L)).as("prior_cluster_id"))
       .withColumn("status",
         when($"doc_id" % 2 === 1, "arrival")
           .when($"prior_cluster_id" === $"cluster_id", "stable")
           .otherwise("merged"))
       .orderBy($"doc_id")
+  }
+
+  /** The COMPOSABLE primitive under [[clusterMergeWithMap]] (r13 verdict
+    * #6): fold one batch of new pairs into a frozen component map — map
+    * `(node, root)` in, map out, covering nodes(m) ∪ the batch's
+    * endpoints — so arrival batches CHAIN exactly like
+    * [[mergeMinhashIndex]] and `mergeIntoSummary` do on the index and
+    * entity halves. Contraction algebra (exact because roots ARE member
+    * minima): relabel batch endpoints through the map, close ONLY the
+    * contracted delta graph, then re-root old nodes whose root the delta
+    * touched and read new endpoints off the delta map directly. Cost per
+    * fold ∝ batch + two columnar scans of the frozen map, never a corpus
+    * re-closure. `ComponentsSpec` pins the CHAIN: two sequential batches
+    * folded through the intermediate map ≡ one closure over the 3-way
+    * union, including a batch-2 pair that welds two clusters batch 1
+    * created; [[graft.ScaleProbe]] times the chained fold at a 1M-node
+    * map. Same stale-weld caveat as [[clusterMergeWithMap]]. */
+  private[graft] def mergeComponentMap(m: DataFrame, newPairs: DataFrame): DataFrame = {
+    val s = m.sparkSession
+    import s.implicits._
+    val delta = newPairs
+      .join(m.select($"node".as("doc_a"), $"root".as("ra")), Seq("doc_a"), "left")
+      .join(m.select($"node".as("doc_b"), $"root".as("rb")), Seq("doc_b"), "left")
+      .select(coalesce($"ra", $"doc_a").as("a"),
+        coalesce($"rb", $"doc_b").as("b"))
+    // batch-sized; consumed by the old-root re-root join AND the
+    // new-endpoint read
+    val d = Components.connectedComponents(delta).graftCache()
+    val oldSide = m
+      .join(d.select($"node".as("root"), $"root".as("nr")), Seq("root"), "left")
+      .select($"node", coalesce($"nr", $"root").as("root"))
+    val newSide = newPairs
+      .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
+      .join(m.select($"node"), Seq("node"), "left_anti")
+      .join(d, Seq("node"), "left")
+      .select($"node", coalesce($"root", $"node").as("root"))
+    oldSide.unionByName(newSide)
   }
 
   /** N-gram Jaccard: exact similarity verification over the banded LSH

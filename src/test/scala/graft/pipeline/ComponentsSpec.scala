@@ -458,6 +458,60 @@ class ComponentsSpec extends AnyFunSuite {
       (30L, 30L, -1L, "merged"), (31L, 30L, -1L, "arrival")), out.toString)
   }
 
+  test("mergeComponentMap CHAINS: two sequential arrival batches folded " +
+    "through the intermediate map ≡ one closure over the 3-way union, " +
+    "including a batch-2 pair welding two clusters batch 1 created " +
+    "(r13 verdict #6)") {
+    import spark.implicits._
+    // corpus: components {0,2} and {10,12}, plus untouched {20,22}
+    val p0 = Seq((0L, 2L), (10L, 12L), (20L, 22L)).toDF("doc_a", "doc_b")
+    // batch 1 CREATES two clusters: arrival 1 extends {0,2}; arrivals
+    // 31,33 mint an arrival-only cluster; arrival 41 attaches to {10,12}
+    val b1 = Seq((1L, 2L), (31L, 33L), (41L, 10L)).toDF("doc_a", "doc_b")
+    // batch 2 WELDS the two batch-1 clusters (31's cluster to 41's via a
+    // new pair) and brings a fresh node into the {0,1,2} cluster
+    val b2 = Seq((31L, 41L), (5L, 1L)).toDF("doc_a", "doc_b")
+    val m0 = Components.connectedComponents(p0)
+    val m1 = Dedup.mergeComponentMap(m0, b1)
+    val m2 = Dedup.mergeComponentMap(m1, b2)
+    val chained = m2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Components.connectedComponents(
+        p0.unionByName(b1).unionByName(b2).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chained == full,
+      s"chained folds must equal the 3-way union closure:\n" +
+        s"chained = $chained\nfull    = $full")
+    // the weld is real: batch 1 left {31,33} and {10,12,41} separate...
+    val mid = m1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid(31L) != mid(41L), s"precondition: batch 1 keeps them apart: $mid")
+    // ...and batch 2's (31,41) pair welds them into one min-rooted cluster
+    assert(chained(31L) == chained(41L) && chained(33L) == chained(10L) &&
+      chained(10L) == 10L, s"weld must unify both batch-1 clusters: $chained")
+    // untouched corpus cluster is byte-stable through both folds
+    assert(chained(20L) == 20L && chained(22L) == 20L)
+  }
+
+  test("mergeComponentMap chain ≡ union closure on random batch splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 40 + rnd.nextInt(40)
+      def pairs(k: Int) = Seq.fill(k)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val p0 = pairs(25).toDF("doc_a", "doc_b")
+      val b1 = pairs(15).toDF("doc_a", "doc_b")
+      val b2 = pairs(15).toDF("doc_a", "doc_b")
+      val chained = Dedup.mergeComponentMap(
+          Dedup.mergeComponentMap(Components.connectedComponents(p0), b1), b2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Components.connectedComponents(
+          p0.unionByName(b1).unionByName(b2).toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(chained == full, "chained folds must equal the union closure")
+    }
+  }
+
   test("clusterMerge ≡ from-scratch closure on random mixed-parity graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
