@@ -28,12 +28,13 @@ object SparkEntry {
         "q_cep_absence" -> ((s, dir) => EventPatterns.absence(s, dir)),
         "q_cep_funnel" -> ((s, dir) => EventPatterns.funnel(s, dir)),
         "q_cep_no_purchase" -> ((s, dir) => EventPatterns.noPurchase(s, dir)),
-      ) ++ sql.MrQueries.queries
+      ) ++ sql.MrQueries.queries ++ operators.AsyncEnrich.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (CEP,
     * approximate, streaming-mode) → driver records a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    relational.Queries.oracles ++ pipeline.PipelineQueries.oracles
+    relational.Queries.oracles ++ pipeline.PipelineQueries.oracles ++
+      operators.AsyncEnrich.oracles
 }

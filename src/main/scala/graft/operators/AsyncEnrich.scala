@@ -1,0 +1,208 @@
+package graft.operators
+
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+/** ASYNC EXTERNAL ENRICHMENT — the Flink `AsyncFunction` /
+  * `AsyncDataStream.orderedWait` idiom: per-record lookups against an
+  * external point-lookup store (KV service, REST endpoint, feature store)
+  * with bounded in-flight concurrency, per-request timeout with a
+  * fallback, an LRU result cache, and in-flight request coalescing.
+  *
+  * WHEN TO USE — and when not to: if the dimension can be bulk-read, USE
+  * A JOIN (broadcast or shuffled — Catalyst optimizes it, this operator
+  * cannot). The async path exists for stores a table scan cannot reach:
+  * rate-limited APIs, per-key authorization, stores with no snapshot
+  * export. That is genuinely imperative per-record I/O, which is exactly
+  * the documented `mapPartitions` last-resort case — each partition runs
+  * an async request pipeline so lookup latency overlaps across
+  * up to `capacity` in-flight requests
+  * instead of serializing row-by-row (the naive UDF shape: one blocked
+  * task thread per lookup).
+  *
+  * Emission is ORDERED (input order preserved): in a batch engine,
+  * downstream operators are set-oriented, so Flink's `unorderedWait`
+  * latency optimization buys nothing here — with `capacity` requests
+  * pipelined, head-of-line waiting costs no throughput, and ordered
+  * emission keeps the operator deterministic.
+  *
+  * Timeout semantics: a lookup that has not completed `timeoutMs` after
+  * SUBMISSION yields `None` to `combine` (enrich-with-fallback), not a
+  * job failure — the curation-pipeline contract (a missing enrichment is
+  * a row-level data-quality fact, not an infrastructure error). The
+  * timed-out future stays registered so a later row for the same key can
+  * still use its eventual result.
+  *
+  * Scale: one client per PARTITION (built by the serializable `client`
+  * factory — connections do not serialize), in-flight bounded by
+  * `capacity`, cache bounded by `cacheSize` — executor memory per task is
+  * O(capacity + cacheSize), independent of partition size. Works
+  * unchanged inside `foreachBatch` for streaming micro-batch enrichment;
+  * per-batch replay is slicing-invariant because the operator is
+  * record-local given the store.
+  */
+object AsyncEnrich {
+
+  /** The external store's async point-lookup surface. `lookup` must be
+    * non-blocking (return immediately, complete later); a missing key
+    * completes with null or fails the future — both reach `combine` as
+    * `None`. */
+  trait AsyncClient[K, V] {
+    def lookup(key: K): CompletableFuture[V]
+
+    /** Release connections; called once per partition at drain end. */
+    def close(): Unit = ()
+  }
+
+  /** Enrich `ds` by an async per-record lookup on `keyFn`.
+    *
+    * @param client    per-partition client factory (must be serializable;
+    *                  the CLIENT it builds need not be)
+    * @param timeoutMs per-lookup deadline from submission; expiry → None
+    * @param capacity  max in-flight lookups per partition
+    * @param cacheSize LRU entries per partition (keys repeat in real
+    *                  corpora: hot entities dominate lookups)
+    * @param combine   row + lookup result (None = missing/timeout/error)
+    */
+  def enrich[T, K, V, O: Encoder](
+      ds: Dataset[T],
+      keyFn: T => K,
+      client: () => AsyncClient[K, V],
+      timeoutMs: Long = 10000L,
+      capacity: Int = 64,
+      cacheSize: Int = 10000)(
+      combine: (T, Option[V]) => O): Dataset[O] = {
+    require(capacity > 0 && cacheSize >= 0 && timeoutMs > 0)
+    ds.mapPartitions { it =>
+      enrichPartition(it, keyFn, client(), timeoutMs, capacity, cacheSize, combine)
+    }
+  }
+
+  /** The per-partition pipeline — package-private for direct unit tests. */
+  private[operators] def enrichPartition[T, K, V, O](
+      it: Iterator[T],
+      keyFn: T => K,
+      cl: AsyncClient[K, V],
+      timeoutMs: Long,
+      capacity: Int,
+      cacheSize: Int,
+      combine: (T, Option[V]) => O): Iterator[O] = {
+    // LRU over COMPLETED lookups (access-ordered)
+    val cache = new java.util.LinkedHashMap[K, Option[V]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, Option[V]]): Boolean = size() > cacheSize
+    }
+    // key → in-flight future: a second row for a key already in flight
+    // COALESCES onto the same request instead of issuing a duplicate
+    val inflight = new java.util.HashMap[K, CompletableFuture[V]]()
+    final case class Pending(row: T, key: K, f: CompletableFuture[V], submitNs: Long)
+    val window = new scala.collection.mutable.Queue[Either[(T, Option[V]), Pending]]()
+
+    new Iterator[O] {
+      private var closed = false
+
+      private def fill(): Unit =
+        while (it.hasNext && window.size < capacity) {
+          val row = it.next()
+          val k = keyFn(row)
+          if (cache.containsKey(k)) window += Left((row, cache.get(k)))
+          else {
+            val f = inflight.get(k) match {
+              case null =>
+                val nf = cl.lookup(k)
+                inflight.put(k, nf)
+                nf
+              case existing => existing
+            }
+            window += Right(Pending(row, k, f, System.nanoTime()))
+          }
+        }
+
+      override def hasNext: Boolean = {
+        fill()
+        val more = window.nonEmpty
+        if (!more && !closed) { closed = true; cl.close() }
+        more
+      }
+
+      override def next(): O = {
+        if (!hasNext) throw new NoSuchElementException
+        window.dequeue() match {
+          case Left((row, v)) => combine(row, v)
+          case Right(Pending(row, k, f, t0)) =>
+            val remainingMs =
+              timeoutMs - (System.nanoTime() - t0) / 1000000L
+            val v: Option[V] =
+              try Option(f.get(math.max(0L, remainingMs), TimeUnit.MILLISECONDS))
+              catch { case _: Exception => None }
+            if (f.isDone) {
+              // completed (or failed) — cacheable and no longer in flight
+              if (inflight.get(k) eq f) inflight.remove(k)
+              cache.put(k, v)
+            }
+            // on TIMEOUT the future stays in `inflight`: a later row for
+            // the same key may still harvest its eventual completion
+            combine(row, v)
+        }
+      }
+    }
+  }
+
+  /** A genuinely ASYNC store stub over an in-memory map: lookups complete
+    * on a scheduler thread after `delayMs` — the deterministic stand-in
+    * for the external KV service this container cannot reach (the
+    * multimodal-codec stub convention: the Spark-side machinery is real
+    * and tested; only the wire is faked). Shared by the declared query
+    * and the spec fixtures. */
+  final class MapStoreClient[K, V](m: Map[K, V], delayMs: Long)
+    extends AsyncClient[K, V] {
+    // daemon threads: an abandoned partition iterator (downstream limit)
+    // must not pin the executor JVM on unclosed scheduler threads
+    private val sched = java.util.concurrent.Executors.newScheduledThreadPool(
+      2, (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    override def lookup(key: K): CompletableFuture[V] = {
+      val f = new CompletableFuture[V]()
+      sched.schedule(new Runnable {
+        override def run(): Unit = m.get(key) match {
+          case Some(v) => f.complete(v): Unit
+          case None =>
+            f.completeExceptionally(new NoSuchElementException(key.toString)): Unit
+        }
+      }, delayMs, TimeUnit.MILLISECONDS)
+      f
+    }
+    override def close(): Unit = sched.shutdown()
+  }
+
+  /** Declared query: every customer enriched with its nation name through
+    * the ASYNC pipeline — the store is the 25-row nation table exposed
+    * point-lookup-only through [[MapStoreClient]] (collected once on the
+    * driver: catalog-bounded, the broadcast-dim convention). The DuckDB
+    * oracle is the equivalent bulk JOIN, so hash equality pins the async
+    * path ≡ the join it substitutes for — the exact contract a user
+    * migrating a Flink AsyncFunction needs. */
+  def enrichQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = graft.sources.Tables.table(s, dir, "nation")
+      .select($"n_nationkey".cast("long"), $"n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cust = graft.sources.Tables.table(s, dir, "customer")
+      .select($"c_custkey".cast("long"), $"c_name", $"c_nationkey".cast("long"))
+      .as[(Long, String, Long)]
+    enrich(cust, (c: (Long, String, Long)) => c._3,
+        () => new MapStoreClient(nations, delayMs = 1), capacity = 32)(
+        (c, v) => (c._1, c._2, v.getOrElse("MISSING")))
+      .toDF("c_custkey", "c_name", "nation_name")
+      .orderBy($"c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_async_enrich" -> (enrichQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "q_async_enrich" ->
+      """SELECT c_custkey, c_name, n_name AS nation_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import AsyncEnrich.AsyncClient
+
+/** Async external enrichment: ≡ the join it substitutes for, timeout →
+  * fallback (not failure), in-flight bounded by capacity, LRU cache and
+  * in-flight coalescing suppress duplicate lookups, ordered emission. */
+class AsyncEnrichSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Instrumented fake store: counts lookups and tracks the in-flight
+    * high-water mark; `slowKeys` never complete within any test timeout. */
+  private final class Probe(
+      m: Map[Long, String], delayMs: Long, slowKeys: Set[Long] = Set.empty)
+    extends AsyncClient[Long, String] {
+    val lookups = new AtomicInteger
+    val inflight = new AtomicInteger
+    val maxInflight = new AtomicInteger
+    val closed = new AtomicInteger
+    private val sched = java.util.concurrent.Executors.newScheduledThreadPool(4)
+    override def lookup(key: Long): CompletableFuture[String] = {
+      lookups.incrementAndGet()
+      val cur = inflight.incrementAndGet()
+      maxInflight.getAndUpdate(p => math.max(p, cur)): Unit
+      val f = new CompletableFuture[String]()
+      val d = if (slowKeys(key)) 3600000L else delayMs
+      sched.schedule(new Runnable {
+        override def run(): Unit = {
+          inflight.decrementAndGet()
+          m.get(key) match {
+            case Some(v) => f.complete(v): Unit
+            case None => f.completeExceptionally(new NoSuchElementException): Unit
+          }
+        }
+      }, d, TimeUnit.MILLISECONDS)
+      f
+    }
+    override def close(): Unit = { sched.shutdownNow(); closed.incrementAndGet(): Unit }
+  }
+
+  private val dim = (0L until 50L).map(k => k -> s"v$k").toMap
+
+  private def drain(
+      rows: Seq[Long], cl: Probe, timeoutMs: Long = 5000L,
+      capacity: Int = 8, cacheSize: Int = 1000): Seq[(Long, Option[String])] =
+    AsyncEnrich.enrichPartition[Long, Long, String, (Long, Option[String])](
+      rows.iterator, identity, cl, timeoutMs, capacity, cacheSize,
+      (k, v) => (k, v)).toSeq
+
+  test("enrichment ≡ the lookup map, in input order") {
+    val rows = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val out = drain(rows, new Probe(dim, 2))
+    assert(out == rows.map(k => k -> Some(s"v$k")))
+  }
+
+  test("missing keys and timeouts yield None fallbacks, not failures; " +
+    "other rows are unaffected") {
+    val cl = new Probe(dim, 2, slowKeys = Set(7L))
+    val out = drain(Seq(1L, 999L, 7L, 2L), cl, timeoutMs = 300)
+    assert(out == Seq(
+      1L -> Some("v1"), 999L -> None, 7L -> None, 2L -> Some("v2")))
+  }
+
+  test("in-flight concurrency is bounded by capacity") {
+    val cl = new Probe(dim, 30)
+    drain((0L until 50L).toSeq, cl, capacity = 4)
+    assert(cl.maxInflight.get() <= 4,
+      s"in-flight exceeded capacity: ${cl.maxInflight.get()}")
+    assert(cl.closed.get() == 1, "client must be closed exactly once at drain end")
+  }
+
+  test("the LRU cache and in-flight coalescing suppress duplicate lookups") {
+    val cl = new Probe(dim, 5)
+    // 200 rows over 10 hot keys: ≤10 lookups total (cache after completion,
+    // coalescing while in flight)
+    val rows = (0 until 200).map(i => (i % 10).toLong)
+    val out = drain(rows, cl, cacheSize = 100)
+    assert(out.size == 200 && out.forall { case (k, v) => v.contains(s"v$k") })
+    assert(cl.lookups.get() <= 10,
+      s"expected ≤10 lookups over 10 distinct keys, got ${cl.lookups.get()}")
+  }
+
+  test("cacheSize bounds memory: evicted keys re-fetch") {
+    val cl = new Probe(dim, 1)
+    // alternating working set wider than the cache forces re-fetches but
+    // never incorrect results
+    val rows = (0 until 60).map(i => (i % 6).toLong)
+    val out = drain(rows, cl, capacity = 1, cacheSize = 2)
+    assert(out.forall { case (k, v) => v.contains(s"v$k") })
+    assert(cl.lookups.get() > 6, "a 2-entry cache over 6 keys must re-fetch")
+  }
+
+  test("declared query: async enrichment over the real tables matches the " +
+    "bulk join, including plan-level row counts") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AsyncEnrich.enrichQuery(spark, dir).collect()
+    val joined = {
+      import spark.implicits._
+      graft.sources.Tables.table(spark, dir, "customer").as("c")
+        .join(graft.sources.Tables.table(spark, dir, "nation").as("n"),
+          org.apache.spark.sql.functions.col("c.c_nationkey") ===
+            org.apache.spark.sql.functions.col("n.n_nationkey"))
+        .select($"c_custkey", $"c_name", $"n_name".as("nation_name"))
+        .orderBy($"c_custkey").collect()
+    }
+    assert(out.length == joined.length && out.sameElements(joined),
+      "async enrichment must equal the bulk join it substitutes for")
+  }
+}
