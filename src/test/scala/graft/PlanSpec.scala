@@ -119,12 +119,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup hot-bucket guard: broadcast LEFT ANTI, never a window sort") {
-    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    // Since r14 the declared q_dedup_minhash serves from the persisted
+    // scored-pair artifact (a filtered scan — MinhashIndexSpec pins that
+    // plan), so the guard pin moves to the pipeline that BUILDS the
+    // artifact: the inline pair path over the raw documents table.
+    import spark.implicits._
+    val df = graft.pipeline.Dedup.minhashOf(spark,
+      graft.sources.Tables.table(spark, sf, "documents")
+        .select($"doc_id", $"text"))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("RunningWindowFunction"), p)
     assert(!p.toLowerCase.contains("window partitionby"), p)
+    // and the SERVED declared plan has no guard to run at all — one
+    // filtered artifact scan, nothing recomputed
+    val served = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    served.collect()
+    val sp = served.queryExecution.executedPlan.toString
+    assert(!sp.contains("LeftAnti") && sp.contains("PushedFilters"), sp)
   }
 
   test("stratified sample: stratum counts broadcast back, window only after prefilter") {
