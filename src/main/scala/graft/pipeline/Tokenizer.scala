@@ -284,12 +284,207 @@ object Tokenizer {
       .orderBy($"source")
   }
 
+  // ------------------------------------------------------------ Unigram
+  // SentencePiece-SHAPED trainer beside BPE (Kudo 2018, arXiv:1804.10959
+  // — the r13 verdict's last tokenizer gap): the pipeline SHAPE is
+  // SentencePiece's (substring-seeded candidate vocab → segment the
+  // training vocabulary → usage-prune to the target size → re-segment
+  // with the final model), but Kudo's EM/Viterbi float-likelihood
+  // objective is replaced by an EXACT-INTEGER deterministic one —
+  // longest-piece-first priority segmentation with (length desc, usage
+  // desc, piece asc) order — the same determinism trade this engine makes
+  // everywhere floats would make two engines disagree (integer micro-rank
+  // PageRank, basis-point modularity). Segmentation is a fixed chain of
+  // non-overlapping left-to-right `replace` passes over the padded-symbol
+  // spelling ([[bpeApplyHof]]'s trick generalized to n-char pieces), so
+  // the DuckDB oracle replays training AND encoding exactly.
+  //
+  // At-scale shape: identical to BPE — ONE corpus→vocab collapse, the
+  // capped head collected (it IS the trainer's working set), the learned
+  // piece list streamed back as a literal replace chain over the
+  // vocab-sized word table, occurrences weighted by word count.
+
+  /** Max candidate piece length (chars). */
+  val MaxPieceLen = 4
+
+  /** Seed-candidate vocabulary size (top substrings by corpus frequency). */
+  val SeedTop = 40
+
+  /** Final model size after the usage prune. */
+  val UnigramVocabSize = 20
+
+  /** `"abc"` → `" a  b  c "` — each char wrapped in its own spaces, the
+    * padded-symbol spelling whose double-space boundaries make chained
+    * `replace`s equal greedy left-to-right claiming (see [[bpeApplyHof]]). */
+  private def paddedPiece(p: String): String = p.map(c => s" $c ").mkString
+
+  /** Segment `w` by piece-priority claiming: pieces applied in list order,
+    * each claiming every still-unclaimed non-overlapping occurrence
+    * left-to-right; the residue stays single characters. Bit-identical to
+    * the SQL `replace` chain the oracle runs. */
+  private[graft] def segmentWith(w: String, pieces: Seq[String]): Seq[String] = {
+    var s = paddedPiece(w)
+    pieces.foreach(p => s = s.replace(paddedPiece(p), s" $p "))
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(s.trim.split("  "))
+  }
+
+  /** The trainer (driver-side over the capped vocabulary, the [[bpeTrain]]
+    * convention): substring seeding (overlap-counted, lengths
+    * 2..[[MaxPieceLen]], top [[SeedTop]] by (freq desc, piece)) → seed
+    * segmentation in (length desc, freq desc, piece) priority → usage
+    * counts of emitted multi-char tokens → prune to [[UnigramVocabSize]]
+    * by (usage desc, piece). Returns the final model in APPLICATION
+    * (priority) order as `(piece, usage)`. */
+  private[graft] def unigramTrain(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, c) =>
+      var l = 2
+      while (l <= MaxPieceLen) {
+        var i = 0
+        while (i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          freq(p) = freq.getOrElse(p, 0L) + c
+          i += 1
+        }
+        l += 1
+      }
+    }
+    val seedApp = freq.toSeq.sortBy { case (p, n) => (-n, p) }.take(SeedTop)
+      .sortBy { case (p, n) => (-p.length, -n, p) }.map(_._1)
+    val usage = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, c) =>
+      segmentWith(w, seedApp).foreach { t =>
+        if (t.length > 1) usage(t) = usage.getOrElse(t, 0L) + c
+      }
+    }
+    usage.toSeq.sortBy { case (p, n) => (-n, p) }.take(UnigramVocabSize)
+      .sortBy { case (p, n) => (-p.length, -n, p) }
+  }
+
+  /** Train on `docs`: one corpus→vocab collapse, collect the capped head,
+    * run [[unigramTrain]]. Returns (model in priority order, full vocab). */
+  private[graft] def unigramModelOf(
+      s: SparkSession, docs: DataFrame): (Seq[(String, Long)], DataFrame) = {
+    import s.implicits._
+    val words = docs
+      .select(explode(tokens(lower($"text"))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("wcnt"))
+      .cache() // the capped collect + the full-vocab encode
+    val capped = words.orderBy($"wcnt".desc, $"word").limit(VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (unigramTrain(capped), words)
+  }
+
+  /** Apply a trained piece list: the literal `replace` chain over the
+    * padded spelling — builtin-only, codegen'd, vocab-sized work. */
+  private[graft] def unigramApplyHof(word: Column, pieces: Seq[String]): Column = {
+    val seg0 = regexp_replace(word, "(.)", " $1 ")
+    val segN = pieces.foldLeft(seg0)((sg, p) =>
+      replace(sg, lit(paddedPiece(p)), lit(s" $p ")))
+    split(trim(segN), "  ")
+  }
+
+  /** Declared query: the learned unigram model `(rnk, piece, usage)` in
+    * priority order — the model as a first-class oracle-checkable output
+    * (the oracle replays seeding, [[SeedTop]] segmentation rounds, and the
+    * prune as unrolled CTEs). */
+  def unigramVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (model, _) = unigramModelOf(s, Tables.table(s, dir, "documents"))
+    model.zipWithIndex
+      .map { case ((p, n), i) => (i + 1, p, n) }
+      .toDF("rnk", "piece", "usage")
+      .orderBy($"rnk")
+  }
+
+  /** Declared query: ENCODE the corpus with the learned unigram model —
+    * subword-token corpus frequencies `(tid, token, n)` including the
+    * single-char residue, top [[EncodeTop]]. */
+  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (model, words) = unigramModelOf(s, Tables.table(s, dir, "documents"))
+    words
+      .select($"wcnt",
+        explode(unigramApplyHof($"word", model.map(_._1))).as("token"))
+      .groupBy($"token").agg(sum($"wcnt").as("n"))
+      .withColumn("tid", row_number().over(Window.orderBy($"n".desc, $"token")))
+      .filter($"tid" <= EncodeTop)
+      .select($"tid", $"token", $"n")
+      .orderBy($"tid")
+  }
+
+  /** DuckDB: seed selection + one segmentation round per seed piece over
+    * the capped vocab, ending in `usage` + the final model `finapp`. */
+  private def duckUnigramTrainCtes: String = {
+    val seedRounds = (1 to SeedTop).map { k =>
+      // rank-k seed piece (sentinel chr(1) pattern when absent — a padded
+      // single control char can never match a padded word)
+      s"""sp$k AS (SELECT
+         |    coalesce(regexp_replace(s.piece, '(.)', ' \\1 ', 'g'),
+         |      ' ' || chr(1) || ' ') AS pat,
+         |    coalesce(' ' || s.piece || ' ', ' ' || chr(1) || ' ') AS rep
+         |  FROM (SELECT 1 AS one) o LEFT JOIN
+         |    (SELECT piece FROM seedapp WHERE rnk = $k) s ON true),
+         |u$k AS MATERIALIZED (SELECT word, wcnt,
+         |    replace(u.seg, p.pat, p.rep) AS seg
+         |  FROM u${k - 1} u CROSS JOIN sp$k p)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckVocabCtes,
+       |sub0 AS (SELECT wcnt, unnest(list_transform(
+       |      generate_series(1, length(word) - l + 1),
+       |      i -> substr(word, i, l))) AS piece
+       |  FROM (SELECT word, wcnt FROM w0 WHERE cap)
+       |  CROSS JOIN (SELECT unnest([${(2 to MaxPieceLen).mkString(",")}]) AS l)
+       |  WHERE length(word) >= l),
+       |sf AS MATERIALIZED (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n
+       |  FROM sub0 GROUP BY piece),
+       |seedsel AS (SELECT piece, n FROM (SELECT piece, n,
+       |    row_number() OVER (ORDER BY n DESC, piece) AS r FROM sf)
+       |  WHERE r <= $SeedTop),
+       |seedapp AS MATERIALIZED (SELECT piece, n, row_number() OVER
+       |    (ORDER BY length(piece) DESC, n DESC, piece) AS rnk
+       |  FROM seedsel),
+       |u0 AS MATERIALIZED (SELECT word, wcnt, seg FROM w0 WHERE cap),
+       |$seedRounds,
+       |usage AS MATERIALIZED (SELECT token, CAST(sum(wcnt) AS BIGINT) AS n
+       |  FROM (SELECT wcnt, unnest(string_split(trim(seg), '  ')) AS token
+       |        FROM u$SeedTop)
+       |  WHERE length(token) > 1 GROUP BY token),
+       |finsel AS (SELECT token AS piece, n FROM (SELECT token, n,
+       |    row_number() OVER (ORDER BY n DESC, token) AS r FROM usage)
+       |  WHERE r <= $UnigramVocabSize),
+       |finapp AS MATERIALIZED (SELECT piece, n AS usage, row_number() OVER
+       |    (ORDER BY length(piece) DESC, n DESC, piece) AS rnk
+       |  FROM finsel)""".stripMargin
+  }
+
+  /** DuckDB: final-model segmentation rounds over the FULL vocab, ending
+    * in `f<UnigramVocabSize> (word, wcnt, seg)`. */
+  private def duckUnigramEncodeCtes: String = {
+    val rounds = (1 to UnigramVocabSize).map { k =>
+      s"""fp$k AS (SELECT
+         |    coalesce(regexp_replace(s.piece, '(.)', ' \\1 ', 'g'),
+         |      ' ' || chr(1) || ' ') AS pat,
+         |    coalesce(' ' || s.piece || ' ', ' ' || chr(1) || ' ') AS rep
+         |  FROM (SELECT 1 AS one) o LEFT JOIN
+         |    (SELECT piece FROM finapp WHERE rnk = $k) s ON true),
+         |f$k AS MATERIALIZED (SELECT word, wcnt,
+         |    replace(f.seg, p.pat, p.rep) AS seg
+         |  FROM f${k - 1} f CROSS JOIN fp$k p)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckUnigramTrainCtes,
+       |f0 AS MATERIALIZED (SELECT word, wcnt, seg FROM w0),
+       |$rounds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bpe_pairs" -> bpePairs _,
     "q_text_bpe_merges" -> bpeMerges _,
     "q_text_bpe_encode" -> bpeEncode _,
     "q_text_bpe_doc_tokens" -> bpeDocTokens _,
     "q_text_bpe_fertility" -> bpeFertility _,
+    "q_text_unigram_vocab" -> unigramVocab _,
+    "q_text_unigram_encode" -> unigramEncode _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +517,18 @@ object Tokenizer {
     "q_text_bpe_doc_tokens" ->
       s"""WITH $duckDocTokensCtes
          |SELECT doc_id, n_tokens FROM dt ORDER BY doc_id""".stripMargin,
+    "q_text_unigram_vocab" ->
+      s"""WITH $duckUnigramTrainCtes
+         |SELECT CAST(rnk AS INT) AS rnk, piece, usage FROM finapp
+         |ORDER BY rnk""".stripMargin,
+    "q_text_unigram_encode" ->
+      s"""WITH $duckUnigramEncodeCtes,
+         |t AS (SELECT unnest(string_split(trim(seg), '  ')) AS token, wcnt
+         |  FROM f$UnigramVocabSize),
+         |agg AS (SELECT token, CAST(sum(wcnt) AS BIGINT) AS n FROM t GROUP BY token),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS tid,
+         |    token, n FROM agg)
+         |SELECT tid, token, n FROM r WHERE tid <= $EncodeTop ORDER BY tid""".stripMargin,
     // per-source fertility over the same trained chain: every word is in
     // the vocab (trained on the full corpus), so per-doc word counts equal
     // the token-list lengths

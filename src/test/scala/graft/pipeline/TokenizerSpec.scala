@@ -117,4 +117,72 @@ class TokenizerSpec extends AnyFunSuite {
       .agg(sum($"n_tokens")).as[Long].head()
     assert(docTotal == enc.map(_._3).sum)
   }
+
+  test("unigram segmentation: longest-piece-first priority claiming, " +
+    "left-to-right non-overlap, single-char residue") {
+    // pieces in priority order: "abc" claims first, "ab" only what's left
+    assert(Tokenizer.segmentWith("abcab", Seq("abc", "ab")) == Seq("abc", "ab"))
+    // an earlier claim blocks a later overlapping piece
+    assert(Tokenizer.segmentWith("abcd", Seq("bc", "cd")) ==
+      Seq("a", "bc", "d"))
+    // non-overlapping left-to-right within one piece's pass: "aaa" with
+    // piece "aa" claims positions 1-2, leaving a single residue char
+    assert(Tokenizer.segmentWith("aaa", Seq("aa")) == Seq("aa", "a"))
+    // no pieces → all singles
+    assert(Tokenizer.segmentWith("xy", Seq.empty) == Seq("x", "y"))
+  }
+
+  test("unigram trainer: substring seeding counts overlaps; usage prune " +
+    "keeps the emitted pieces; model is priority-ordered") {
+    // "banana" has "an"×2 + "na"×2 (overlap-counted "ana"×2 too)
+    val model = Tokenizer.unigramTrain(Seq(("banana", 10L), ("band", 5L)))
+    assert(model.nonEmpty)
+    // priority order: length desc, usage desc, piece asc — verify sorted
+    val key = model.map { case (p, n) => (-p.length, -n, p) }
+    assert(key == key.sorted, s"model not in priority order: $model")
+    // every model piece actually appears in the training words
+    assert(model.forall { case (p, _) =>
+      "banana".contains(p) || "band".contains(p) })
+    // usage is word-count-weighted: a piece appearing once in each word
+    // has usage ≥ 5 (band's count) when emitted from both
+    assert(model.forall(_._2 > 0))
+  }
+
+  test("unigramApplyHof ≡ driver-side segmentWith on the trained model " +
+    "over the real vocab") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val (model, words) = Tokenizer.unigramModelOf(spark, docs)
+    val pieces = model.map(_._1)
+    val rows = words.select($"word",
+        Tokenizer.unigramApplyHof($"word", pieces).as("toks"))
+      .as[(String, Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, toks) =>
+      assert(toks == Tokenizer.segmentWith(w, pieces), s"word $w")
+      // segmentation conserves characters
+      assert(toks.map(_.length).sum == w.length, s"mass for $w")
+    }
+    words.unpersist()
+  }
+
+  test("unigram declared queries: dense ranks, model pieces multi-char, " +
+    "encode conserves corpus symbol mass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v = Tokenizer.unigramVocab(spark, "/root/testdata/sf0.001")
+      .as[(Int, String, Long)].collect()
+    assert(v.nonEmpty && v.map(_._1).toSeq == (1 to v.length))
+    assert(v.forall(_._2.length >= 2), "residue singles never enter the model")
+    val enc = Tokenizer.unigramEncode(spark, "/root/testdata/sf0.001")
+      .as[(Int, String, Long)].collect()
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val totalChars = docs
+      .select(explode(Hashing.tokens(lower($"text"))).as("w"))
+      .agg(sum(length($"w"))).as[Long].head()
+    assert(enc.map { case (_, t, n) => t.length.toLong * n }.sum == totalChars)
+  }
 }
