@@ -750,6 +750,38 @@ object ScaleProbe {
     println(f"""{"probe":"pipeline_full","docs":$nPfDocs,"kept":$pfKept,"stages":{${byStage.toSeq.sorted.map { case (k, (d, _)) => s""""$k":$d""" }.mkString(",")}},"secs":$pfSecs%.1f,"docs_per_sec":${(nPfDocs / pfSecs).toLong},"waterfall_secs":$wfSecs%.1f}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pfDir))
 
+    // ---- ASYNC ENRICHMENT pipelining at 200k lookups (r14): the ----
+    // mapPartitions request pipeline must OVERLAP lookup latency across
+    // `capacity` in-flight requests — serial row-by-row awaiting at a
+    // 1 ms store RTT would take ≥ 200 s; the pipelined floor is
+    // ~rows × rtt / (capacity × partitions). HARD checks: every row
+    // enriched correctly (hot keys exercise the cache/coalescing path);
+    // lenient wall-clock: ≥ 5× faster than the serial lower bound.
+    val aeRows = 200000L
+    val aeDim = (0L until 1000L).map(k => k -> s"v$k").toMap
+    val aeIn = spark.range(aeRows)
+      .select(pmod(xxhash64($"id"), lit(10000L)).as("k")).as[Long]
+      .repartition(32)
+    val ((aeHit, aeMiss), aeSecs) = time {
+      val out = graft.operators.AsyncEnrich.enrich(
+        aeIn, identity[Long],
+        () => new graft.operators.AsyncEnrich.MapStoreClient(aeDim, delayMs = 1),
+        capacity = 64, cacheSize = 2000)(
+        (k, v) => (k, v.getOrElse("")))
+      val agg = out.toDF("k", "v")
+        .agg(sum(when($"v" =!= "", 1L).otherwise(0L)),
+          sum(when($"v" === "", 1L).otherwise(0L))).collect()(0)
+      (agg.getLong(0), agg.getLong(1))
+    }
+    // keys are xxhash64 mod 10000, dim covers 0..999: ~10% hits
+    assert(aeHit + aeMiss == aeRows && aeHit > 0 && aeMiss > 0,
+      s"enrichment lost rows: hit=$aeHit miss=$aeMiss")
+    val aeSerialFloorSecs = aeRows * 0.001
+    assert(aeSecs < aeSerialFloorSecs / 5.0,
+      f"async pipeline must beat the serial RTT floor ≥5×: " +
+        f"$aeSecs%.1f s vs serial $aeSerialFloorSecs%.0f s")
+    println(f"""{"probe":"async_enrich","rows":$aeRows,"rtt_ms":1,"hits":$aeHit,"secs":$aeSecs%.1f,"rows_per_sec":${(aeRows / aeSecs).toLong},"serial_floor_secs":${aeSerialFloorSecs.toLong}}""")
+
     spark.stop()
   }
 }

@@ -96,6 +96,42 @@ class AsyncEnrichSpec extends AnyFunSuite {
     assert(cl.lookups.get() > 6, "a 2-entry cache over 6 keys must re-fetch")
   }
 
+  test("streaming twin: foreachBatch enrichment is slicing-invariant — " +
+    "micro-batched stream ≡ one batch run (the operator is record-local " +
+    "given the store)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val keys = Seq(3L, 1L, 999L, 4L, 1L, 5L)
+    // local copy: the task closure must not capture the (unserializable)
+    // spec instance through the `dim` field
+    val d = dim
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String)]())
+    val input = MemoryStream[Long]
+    val q = input.toDS()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        AsyncEnrich.enrich(b, identity[Long],
+            () => new AsyncEnrich.MapStoreClient(d, delayMs = 1))(
+            (k, v) => (k, v.getOrElse("FALLBACK")))
+          .collect().foreach(got.add)
+        (): Unit
+      }.outputMode("append").start()
+    try {
+      keys.grouped(2).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val batch = AsyncEnrich.enrich(spark.createDataset(keys), identity[Long],
+        () => new AsyncEnrich.MapStoreClient(d, delayMs = 1))(
+        (k, v) => (k, v.getOrElse("FALLBACK"))).collect().toSeq
+    assert(got.asScala.toSeq.sorted == batch.sorted,
+      s"streamed ≠ batch: ${got.asScala.toSeq.sorted} vs ${batch.sorted}")
+    assert(batch.contains(999L -> "FALLBACK"), "missing key flows as fallback")
+  }
+
   test("declared query: async enrichment over the real tables matches the " +
     "bulk join, including plan-level row counts") {
     val dir = "/root/testdata/sf0.001"
