@@ -183,31 +183,6 @@ object Dedup {
     s.read.parquet(new org.apache.hadoop.fs.Path(p, "pairs").toString)
   }
 
-  /** Per-doc DISTINCT shingle postings `(doc_id, g)` — the inverted index
-    * [[containment]] and [[recallAudit]]'s truth side join on; md5 keys,
-    * fixed-width, never gram text. */
-  private def postingsOf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs.select($"doc_id",
-      explode(array_distinct(shingleMd5(tokens($"text")))).as("g"))
-  }
-
-  /** Persisted shingle-POSTINGS artifact (IndexStore variant "mhpost",
-    * r14): the inverted index is a pure function of the corpus snapshot
-    * exactly like the signatures and scored pairs, so the containment
-    * detector and the recall audit's exact-truth side serve from one
-    * parquet scan instead of re-running the tokenize→md5-shingle pass per
-    * query. Build folds into the untimed `mh_build_sec`
-    * ([[trainSigIndex]]); [[postingsOf]] stays the inline entry for
-    * arbitrary frames (fixtures, the sampled audit's document subset). */
-  private[pipeline] def corpusPostings(s: SparkSession, dir: String): DataFrame = {
-    val p = IndexStore.getOrBuild(s, dir, "documents", "mhpost") { out =>
-      postingsOf(Tables.table(s, dir, "documents")).write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(out, "postings").toString)
-    }
-    s.read.parquet(new org.apache.hadoop.fs.Path(p, "postings").toString)
-  }
-
   /** [[minhashPairs]] served from the [[corpusScoredPairs]] artifact —
     * zero signature/candidate/verify computation in the plan (pinned in
     * `MinhashIndexSpec`); the threshold filter pushes down to the scan. */
@@ -891,35 +866,26 @@ object Dedup {
     * sample with standard-error guarantees. The input-size require makes
     * the contract explicit instead of a silent 100× foot-gun; the
     * guarded production pendant of this index shape is [[containment]]. */
-  def recallAudit(s: SparkSession, dir: String): DataFrame = {
-    require(Tables.table(s, dir, "documents").count() <= MaxRecallAuditDocs,
-      s"recallAudit's exact truth join is unguarded — audit-scale only " +
-        s"(≤ $MaxRecallAuditDocs docs); run it on a sample at corpus scale")
-    // both sides serve from snapshot artifacts (r14): the truth side from
-    // the persisted postings, the audited criterion from the scored-pair
-    // scan — the audit itself no longer re-hashes the corpus
-    recallAuditFrom(s, corpusPostings(s, dir).graftCache(),
-      minhashPairsIndexed(s, dir))
-  }
+  def recallAudit(s: SparkSession, dir: String): DataFrame =
+    recallAuditOf(s, Tables.table(s, dir, "documents"))
 
   /** [[recallAudit]] over any `(doc_id, text)` table — fixture entry
     * point (the empty-truth and over-cap contracts are pinned there). */
   private[graft] def recallAuditOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    require(docs.count() <= MaxRecallAuditDocs,
+    import s.implicits._
+    // distinct md5 shingle KEYS (fixed-width, the source_overlap precedent)
+    // — the inverted-index join shuffles 32-char hashes, never gram text
+    val base = docs
+      .select($"doc_id", array_distinct(shingleMd5(tokens($"text"))).as("sh"))
+      .graftCache()
+    require(base.count() <= MaxRecallAuditDocs,
       s"recallAudit's exact truth join is unguarded — audit-scale only " +
         s"(≤ $MaxRecallAuditDocs docs); run it on a sample at corpus scale")
-    recallAuditFrom(s, postingsOf(docs).graftCache(), minhashPairs(s, docs))
-  }
-
-  /** The audit body over an inverted-index postings scan + the LSH pair
-    * table under audit: one count aggregate gives |A ∩ B| directly
-    * (postings are distinct per doc: a pair appears exactly once per
-    * shared shingle) — no pair distinct, no array carry, no
-    * array_intersect re-verify. */
-  private def recallAuditFrom(
-      s: SparkSession, inv: DataFrame, lsh0: DataFrame): DataFrame = {
-    import s.implicits._
-    val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = base.select($"doc_id", size($"sh").as("n"))
+    val inv = base.select($"doc_id", explode($"sh").as("g"))
+    // ONE aggregate gives |A ∩ B| directly (sh is distinct per doc: the
+    // pair appears exactly once per shared shingle) — no pair distinct, no
+    // array carry, no array_intersect re-verify
     val inter = inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -929,7 +895,8 @@ object Dedup {
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("lb")), "doc_b")
       .filter($"inter" * 100L >= ($"la" + $"lb" - $"inter") * 30L)
       .select($"doc_a", $"doc_b")
-    val lsh = lsh0.select($"doc_a", $"doc_b")
+    val lsh = minhashPairs(s, docs)
+      .select($"doc_a", $"doc_b")
     val hit = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true")).crossJoin(
         lsh.agg(count(lit(1)).as("n_lsh")))
@@ -996,24 +963,20 @@ object Dedup {
     * the [[MaxBucket]]/MaxFpBucket skew control) with the denominator
     * consistently restricted to the kept shingles. */
   def containment(s: SparkSession, dir: String): DataFrame =
-    // served from the persisted postings artifact (r14): the declared
-    // query's only corpus-shaped work is the index self-join — the
-    // tokenize→md5-shingle pass ran once at artifact build
-    containmentFrom(corpusPostings(s, dir).graftCache())
+    containmentOf(Tables.table(s, dir, "documents"))
 
   /** [[containment]] over any `(doc_id, text)` table — fixture entry point. */
-  def containmentOf(docs: DataFrame): DataFrame =
+  def containmentOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select($"doc_id", array_distinct(shingleMd5(tokens($"text"))).as("sh"))
     // cached at the POSTINGS tier: the tokenize→md5-shingle pipeline is the
     // expensive narrow pass, and it feeds the hot-bucket count AND (via
     // inv) the sizes and both self-join sides — caching only `inv` (the r7
     // placement) still replayed the shingle pass once for `hot`
     // (MEMORY_AND_DISK, so at scale it spills rather than recomputes)
-    containmentFrom(postingsOf(docs).graftCache())
-
-  /** The containment body over an inverted-index postings scan. */
-  private def containmentFrom(all: DataFrame): DataFrame = {
-    val s = all.sparkSession
-    import s.implicits._
+    val all = base.select($"doc_id", explode($"sh").as("g")).graftCache()
     val hot = all.groupBy($"g").agg(count(lit(1)).as("c"))
       .filter($"c" > MaxShingleBucket).select($"g")
     val inv = all.join(broadcast(hot), Seq("g"), "left_anti")
@@ -1263,16 +1226,12 @@ object Dedup {
   def trainMergedIndex(s: SparkSession, dir: String): Unit =
     mergedIndexPath(s, dir): Unit
 
-  /** Materialize the full-corpus snapshot artifacts — signatures
-    * ([[corpusSigs]]), the scored pairs built from them
-    * ([[corpusScoredPairs]], r14) and the shingle postings
-    * ([[corpusPostings]], r14) — untimed: the build half of the
-    * pair-graph / containment / audit suites, same contract as
-    * [[trainIndex]]; all fold into `mh_build_sec`. */
-  def trainSigIndex(s: SparkSession, dir: String): Unit = {
+  /** Materialize the full-corpus signature artifact ([[corpusSigs]]) AND
+    * the scored-pair artifact built from it ([[corpusScoredPairs]], r14)
+    * untimed — the build half of the pair-graph query suite, same
+    * contract as [[trainIndex]]; both fold into `mh_build_sec`. */
+  def trainSigIndex(s: SparkSession, dir: String): Unit =
     corpusScoredPairs(s, dir): Unit
-    corpusPostings(s, dir): Unit
-  }
 
   /** ADMISSION CHECK of an arrival batch against the persisted near-dup
     * index — the declared, oracle-gated serving query (q_dedup_assign, the

@@ -187,28 +187,6 @@ class MinhashIndexSpec extends AnyFunSuite {
         s"no '$tok' site may appear in the frontier plan:\n$fplan")
   }
 
-  test("containment + recall audit serve from the postings artifact: " +
-    "≡ inline, zero shingle/tokenize sites in the served plans (r14)") {
-    import spark.implicits._
-    val docs = graft.sources.Tables.table(spark, sf, "documents")
-    val servedC = Dedup.containment(spark, sf)
-    val inlineC = Dedup.containmentOf(docs)
-    assert(servedC.collect().map(_.toString).toSeq ==
-      inlineC.collect().map(_.toString).toSeq,
-      "artifact-served containment must be bit-identical to inline")
-    val servedR = Dedup.recallAudit(spark, sf)
-    val inlineR = Dedup.recallAuditOf(spark, docs)
-    assert(servedR.collect().map(_.toString).toSeq ==
-      inlineR.collect().map(_.toString).toSeq,
-      "artifact-served recall audit must be bit-identical to inline")
-    for (df <- Seq(servedC, servedR)) {
-      val plan = df.queryExecution.optimizedPlan.toString
-      for (tok <- Seq("shingle_md5", "rot_minhash", "zip_with"))
-        assert(!plan.contains(tok),
-          s"no '$tok' site may appear in the served plan:\n$plan")
-    }
-  }
-
   test("merge-of-merge: two sequential arrival batches ≡ one from-scratch " +
     "build on the 3-way union (r12 verdict #4)") {
     import spark.implicits._
