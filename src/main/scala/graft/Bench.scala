@@ -145,9 +145,18 @@ object Bench {
           // reproduces and stays visible in `reruns`.
           System.err.println(f"[bench] $name rerun (first $first%.3f s)")
           val second = timedRun()
-          val used = if (errors.contains(name)) -1.0 else math.min(first, second)
-          reruns(name) = BenchKit.Rerun(first, second)
-          used
+          if (errors.contains(name)) {
+            // the FIRST run measured fine (it had to, to trigger a rerun);
+            // a transient rerun failure must not erase that valid timing —
+            // keep `first`, drop the error, mark the rerun as -1 so the
+            // failed re-attempt stays visible in the artifact
+            errors.remove(name)
+            reruns(name) = BenchKit.Rerun(first, -1.0)
+            first
+          } else {
+            reruns(name) = BenchKit.Rerun(first, second)
+            math.min(first, second)
+          }
         } else first
       name -> dt
     }.toMap

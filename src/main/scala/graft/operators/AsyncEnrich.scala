@@ -30,9 +30,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
   * Timeout semantics: a lookup that has not completed `timeoutMs` after
   * SUBMISSION yields `None` to `combine` (enrich-with-fallback), not a
   * job failure — the curation-pipeline contract (a missing enrichment is
-  * a row-level data-quality fact, not an infrastructure error). The
-  * timed-out future stays registered so a later row for the same key can
-  * still use its eventual result.
+  * a row-level data-quality fact, not an infrastructure error). A
+  * timed-out lookup is dropped entirely (a later row for the key
+  * re-issues it): keeping it registered would grow per-task state with
+  * every distinct key exactly when the store is slow or down.
   *
   * Scale: one client per PARTITION (built by the serializable `client`
   * factory — connections do not serialize), in-flight bounded by
@@ -75,7 +76,22 @@ object AsyncEnrich {
       combine: (T, Option[V]) => O): Dataset[O] = {
     require(capacity > 0 && cacheSize >= 0 && timeoutMs > 0)
     ds.mapPartitions { it =>
-      enrichPartition(it, keyFn, client(), timeoutMs, capacity, cacheSize, combine)
+      val cl = client()
+      // close-once wrapper + task-completion hook: the drain-end close
+      // never runs when a downstream limit/take or an exception abandons
+      // the iterator mid-partition — for a real client (connections,
+      // thread pools) that leaked one client per task for the executor's
+      // lifetime. The listener closes unconditionally at task end; the
+      // AtomicBoolean keeps the two paths from double-closing.
+      val closedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val once = new AsyncClient[K, V] {
+        override def lookup(key: K): CompletableFuture[V] = cl.lookup(key)
+        override def close(): Unit =
+          if (closedOnce.compareAndSet(false, true)) cl.close()
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => once.close()))
+      enrichPartition(it, keyFn, once, timeoutMs, capacity, cacheSize, combine)
     }
   }
 
@@ -140,9 +156,16 @@ object AsyncEnrich {
               // completed (or failed) — cacheable and no longer in flight
               if (inflight.get(k) eq f) inflight.remove(k)
               cache.put(k, v)
+            } else {
+              // TIMED OUT: drop the registration too. Keeping it for a
+              // later same-key harvest sounded free, but under a slow or
+              // down store — the exact case the timeout exists for — every
+              // distinct key would pin a (key, future) entry and per-task
+              // memory would grow with partition size instead of staying
+              // O(capacity + cacheSize); a later row for the key simply
+              // re-issues the lookup.
+              if (inflight.get(k) eq f) inflight.remove(k)
             }
-            // on TIMEOUT the future stays in `inflight`: a later row for
-            // the same key may still harvest its eventual completion
             combine(row, v)
         }
       }
@@ -190,8 +213,14 @@ object AsyncEnrich {
     val cust = graft.sources.Tables.table(s, dir, "customer")
       .select($"c_custkey".cast("long"), $"c_name", $"c_nationkey".cast("long"))
       .as[(Long, String, Long)]
+    // timeout = a day, NOT the 10 s default: the correctness gate must be
+    // deterministic, and a mere driver/executor stall (GC pause, host
+    // contention) at the default would flip rows to the fallback and
+    // hash-mismatch the oracle's inner join on a run that is only slow —
+    // timeout-fallback SEMANTICS are pinned in AsyncEnrichSpec instead
     enrich(cust, (c: (Long, String, Long)) => c._3,
-        () => new MapStoreClient(nations, delayMs = 1), capacity = 32)(
+        () => new MapStoreClient(nations, delayMs = 1),
+        timeoutMs = 86400000L, capacity = 32)(
         (c, v) => (c._1, c._2, v.getOrElse("MISSING")))
       .toDF("c_custkey", "c_name", "nation_name")
       .orderBy($"c_custkey")

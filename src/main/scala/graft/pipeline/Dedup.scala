@@ -297,11 +297,15 @@ object Dedup {
     import s.implicits._
     val merged = mergeComponentMap(m,
       all.filter($"doc_a" % 2 === 1 || $"doc_b" % 2 === 1))
+    // LEFT join + self-root coalesce: a node the merged map does not cover
+    // (an even-even pair endpoint absent from a stale/truncated frozen
+    // map) stays a visible self-rooted singleton — an inner join would
+    // silently drop it from the assignment
     all.select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
-      .join(merged.select($"node", $"root".as("cluster1")), Seq("node"))
+      .join(merged.select($"node", $"root".as("cluster1")), Seq("node"), "left")
       .join(m.select($"node", $"root".as("prior0")), Seq("node"), "left")
       .select($"node".as("doc_id"),
-        $"cluster1".as("cluster_id"),
+        coalesce($"cluster1", $"node").as("cluster_id"),
         coalesce($"prior0", lit(-1L)).as("prior_cluster_id"))
       .withColumn("status",
         when($"doc_id" % 2 === 1, "arrival")

@@ -328,13 +328,24 @@ object EntityResolution {
     // runtime through this zero-rows-when-healthy union branch.
     val matchedIds = summary.select($"entity_id")
       .join(broadcast(arr0.select($"entity_id")), Seq("entity_id"), "left_semi")
+    // the raise lives in a FILTER over a 1-row AGGREGATE of the orphan
+    // set: a raise in a projected column gets COLUMN-PRUNED whenever the
+    // consumer doesn't read it, and a raise in a plain filter predicate
+    // referencing only left-side columns gets PUSHED below the anti-join
+    // (raising for every arrival — measured, not theoretical). A filter on
+    // an aggregate output can do neither: healthy input aggregates to
+    // n_orphans = 0 and the gate drops the row; any orphan raises with a
+    // sample id in the message.
     val orphans = arr0.select($"entity_id")
       .join(broadcast(matchedIds), Seq("entity_id"), "left_anti")
-      .select($"entity_id",
-        raise_error(concat(lit("mergeIntoSummary: arrival aggregate " +
-          "references an entity_id absent from summary (remap the batch's " +
-          "assign verdicts through the prior merge's entity map): "),
-          $"entity_id".cast("string"))).cast("long").as("n_members"),
+      .agg(count(lit(1)).as("n_orphans"), min($"entity_id").as("orphan_id"))
+      .filter(when($"n_orphans" === 0L, lit(false))
+        .otherwise(raise_error(concat(lit("mergeIntoSummary: arrival " +
+          "aggregate references an entity_id absent from summary (remap " +
+          "the batch's assign verdicts through the prior merge's entity " +
+          "map): "), $"orphan_id".cast("string"))).cast("boolean")))
+      .select(lit(-1L).as("entity_id"),
+        lit(null).cast("long").as("n_members"),
         lit(null).cast(summary.schema("pick").dataType).as("pick"),
         lit(null).cast("long").as("mbc"))
     touched.unionByName(minted).unionByName(orphans)

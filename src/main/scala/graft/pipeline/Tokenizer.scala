@@ -313,10 +313,26 @@ object Tokenizer {
   /** Final model size after the usage prune. */
   val UnigramVocabSize = 20
 
-  /** `"abc"` → `" a  b  c "` — each char wrapped in its own spaces, the
-    * padded-symbol spelling whose double-space boundaries make chained
+  /** Code-point split — the [[bpeTrain]] convention: Spark's
+    * `regexp_replace(word, "(.)", ...)` and DuckDB's regex/substr/length
+    * all treat a supplementary character as ONE symbol, so the driver side
+    * must too or a non-BMP corpus word breaks every pinned equivalence. */
+  private def codePoints(w: String): Vector[String] = {
+    val buf = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val l = Character.charCount(w.codePointAt(i))
+      buf += w.substring(i, i + l)
+      i += l
+    }
+    buf.result()
+  }
+
+  /** `"abc"` → `" a  b  c "` — each code point wrapped in its own spaces,
+    * the padded-symbol spelling whose double-space boundaries make chained
     * `replace`s equal greedy left-to-right claiming (see [[bpeApplyHof]]). */
-  private def paddedPiece(p: String): String = p.map(c => s" $c ").mkString
+  private def paddedPiece(p: String): String =
+    codePoints(p).map(c => s" $c ").mkString
 
   /** Segment `w` by piece-priority claiming: pieces applied in list order,
     * each claiming every still-unclaimed non-overlapping occurrence
@@ -338,27 +354,33 @@ object Tokenizer {
   private[graft] def unigramTrain(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {
     val freq = scala.collection.mutable.Map.empty[String, Long]
     vocab.foreach { case (w, c) =>
+      // lengths and substrings in CODE POINTS ([[codePoints]] — the
+      // oracle's substr/length are code-point-based)
+      val cp = codePoints(w)
       var l = 2
       while (l <= MaxPieceLen) {
         var i = 0
-        while (i + l <= w.length) {
-          val p = w.substring(i, i + l)
+        while (i + l <= cp.length) {
+          val p = cp.slice(i, i + l).mkString
           freq(p) = freq.getOrElse(p, 0L) + c
           i += 1
         }
         l += 1
       }
     }
+    // piece LENGTH in code points everywhere a length orders or filters —
+    // matching the oracle's length()
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
     val seedApp = freq.toSeq.sortBy { case (p, n) => (-n, p) }.take(SeedTop)
-      .sortBy { case (p, n) => (-p.length, -n, p) }.map(_._1)
+      .sortBy { case (p, n) => (-cpLen(p), -n, p) }.map(_._1)
     val usage = scala.collection.mutable.Map.empty[String, Long]
     vocab.foreach { case (w, c) =>
       segmentWith(w, seedApp).foreach { t =>
-        if (t.length > 1) usage(t) = usage.getOrElse(t, 0L) + c
+        if (cpLen(t) > 1) usage(t) = usage.getOrElse(t, 0L) + c
       }
     }
     usage.toSeq.sortBy { case (p, n) => (-n, p) }.take(UnigramVocabSize)
-      .sortBy { case (p, n) => (-p.length, -n, p) }
+      .sortBy { case (p, n) => (-cpLen(p), -n, p) }
   }
 
   /** Train on `docs`: one corpus→vocab collapse, collect the capped head,

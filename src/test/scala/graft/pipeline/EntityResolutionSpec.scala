@@ -277,12 +277,20 @@ class EntityResolutionSpec extends AnyFunSuite {
       .toDF("rec_id", "entity_id", "status")
     val merged = EntityResolution.mergeIntoSummary(batch,
       EntityResolution.masterSummaryOf(master), badAsg)
-    val e = intercept[Exception] { merged.collect() }
     def msgs(t: Throwable): Iterator[String] =
       Iterator.unfold(Option(t))(_.map(x =>
         (Option(x.getMessage).getOrElse(""), Option(x.getCause))))
+    val e = intercept[Exception] { merged.collect() }
     assert(msgs(e).exists(_.contains("absent from summary")),
       s"expected the orphan-arrival raise_error, got: $e")
+    // the guard survives COLUMN PRUNING: a consumer that projects only
+    // entity_id (the raise lives in a filter, not a prunable column) must
+    // still raise instead of receiving a corrupt orphan row
+    val e2 = intercept[Exception] {
+      merged.select("entity_id").count()
+    }
+    assert(msgs(e2).exists(_.contains("absent from summary")),
+      s"guard must survive column pruning, got: $e2")
     // and the healthy path is untouched: a correct assignment still merges
     val goodAsg = Seq((100L, 1L, "MATCHED")).toDF("rec_id", "entity_id", "status")
     val ok = EntityResolution.mergeIntoSummary(batch,
