@@ -73,6 +73,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_stats_ab_chi2",
     // 1-row distinct-user total for the support_bp denominator
     "q_seq_support",
+    // the orphan GATE (r14): the remap-contract guard aggregates the
+    // anti-joined orphan set — batch-sized by construction — to one
+    // (n_orphans, sample) row whose filter raises when non-empty
+    "q_entity_master_merge",
     // 1-row (total, key-count) aggregate over the key-bounded count table
     "q_join_skew_diagnose",
     // 1-row query-set-count aggregate for the recall denominator (r11)
