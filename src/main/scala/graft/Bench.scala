@@ -106,10 +106,15 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val reruns = scala.collection.mutable.LinkedHashMap[String, BenchKit.Rerun]()
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
-    canaries += BenchKit.canaryMs() // run start
+    val canariesPar = scala.collection.mutable.ArrayBuffer[Double]()
+    def canaryTick(): Unit = {
+      canaries += BenchKit.canaryMs()
+      canariesPar += BenchKit.canaryParMs()
+    }
+    canaryTick() // run start
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == sorted.size / 2) canaries += BenchKit.canaryMs() // mid-run
+      if (i == sorted.size / 2) canaryTick() // mid-run
       // stderr marker so interleaved Spark WARNs (large task binaries,
       // broadcast sizes) attribute to the query that caused them
       System.err.println(s"[bench] $name")
@@ -160,12 +165,13 @@ object Bench {
         } else first
       name -> dt
     }.toMap
-    canaries += BenchKit.canaryMs() // run end
+    canaryTick() // run end
     // The per-query map goes to a FILE; stdout gets only a short totals
     // line. Both r3 and r4 lost the head of the long per-query JSON line to
     // the driver's tail-capture ("parsed": null) — a file can't truncate.
     val detail = BenchKit.detailJson(
-      results, errors, reruns, canaries.toSeq, ivfBuildSec, mhBuildSec, sfDir)
+      results, errors, reruns, canaries.toSeq, canariesPar.toSeq,
+      ivfBuildSec, mhBuildSec, sfDir)
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.writeString(detailPath, detail + "\n")
@@ -183,7 +189,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     import BenchKit.r3f
     val canaryJson = canaries.map(r3f).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"canary_ms":$canaryJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    val canaryParJson = canariesPar.map(r3f).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"canary_ms":$canaryJson,"canary_par_ms":$canaryParJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

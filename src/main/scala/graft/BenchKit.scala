@@ -30,25 +30,51 @@ object BenchKit {
     * three runs add ~1 s to a 130+ s bench without moving the total. */
   val CanarySteps: Int = 200000000
 
+  private def xorshiftLoop(steps: Int): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < steps) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
   /** Wall-clock ms of the fixed xorshift64* reference loop, single
     * thread, no allocation — plus a short untimed warmup so JIT
     * compilation never lands in the measured window. */
   def canaryMs(): Double = {
-    def loop(steps: Int): Long = {
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < steps) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        i += 1
-      }
-      x
-    }
-    val sink = loop(CanarySteps / 100) // JIT warmup, untimed
+    val sink = xorshiftLoop(CanarySteps / 100) // JIT warmup, untimed
     val t0 = System.nanoTime()
-    val sink2 = loop(CanarySteps)
+    val sink2 = xorshiftLoop(CanarySteps)
     val dt = (System.nanoTime() - t0) / 1e6
     // keep the loops observable so the JIT cannot eliminate them
     if (sink == 42L && sink2 == 42L) System.err.println("[bench] canary")
+    dt
+  }
+
+  /** Concurrency of the parallel canary — wide enough to feel a squeeze
+    * on most of the box's cores, small enough that three runs stay cheap. */
+  val CanaryThreads: Int = 16
+
+  /** Wall-clock ms of [[CanaryThreads]] CONCURRENT reference loops
+    * (each `CanarySteps / 4`) — the multi-core contention read the
+    * single-thread canary structurally misses: a host can schedule one
+    * guest core cleanly while squeezing the rest (measured in r14: a
+    * window where `canary_ms` read only +6% inflated the 32-way bench
+    * +28%; `canary_par_ms` saturates most cores, so the squeeze shows). */
+  def canaryParMs(): Double = {
+    val steps = CanarySteps / 4
+    val sinks = new java.util.concurrent.atomic.AtomicLong()
+    def spawn(): Seq[Thread] = (1 to CanaryThreads).map { _ =>
+      val t = new Thread(() => { sinks.addAndGet(xorshiftLoop(steps)): Unit })
+      t.setDaemon(true); t.start(); t
+    }
+    spawn().foreach(_.join()) // JIT + scheduler warmup, untimed
+    val t0 = System.nanoTime()
+    spawn().foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (sinks.get() == 42L) System.err.println("[bench] canary-par")
     dt
   }
 
@@ -94,6 +120,7 @@ object BenchKit {
       errors: collection.Map[String, String],
       reruns: collection.Map[String, Rerun],
       canaries: Seq[Double],
+      canariesPar: Seq[Double],
       ivfBuildSec: Double,
       mhBuildSec: Double,
       sfDir: String): String = {
@@ -106,12 +133,14 @@ object BenchKit {
       s"${jstr(k)}:{" + s""""first":${r3f(r.first)},"rerun":${r3f(r.rerun)}}"""
     }.mkString("{", ",", "}")
     val canaryJson = canaries.map(r3f).mkString("[", ",", "]")
+    val canaryParJson = canariesPar.map(r3f).mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val budgetWarn = results.toSeq.filter(_._2 > 5.0).map(_._1).sorted
       .map(jstr).mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3f(total)},"unit":"sec",""" +
       s""""ivf_build_sec":${r3f(ivfBuildSec)},"mh_build_sec":${r3f(mhBuildSec)},""" +
-      s""""canary_ms":$canaryJson,"budget_warn":$budgetWarn,""" +
+      s""""canary_ms":$canaryJson,"canary_par_ms":$canaryParJson,""" +
+      s""""budget_warn":$budgetWarn,""" +
       s""""queries":$qs,"reruns":$rrJson,"errors":$errJson,"sf":"$sfDir"}"""
   }
 }

@@ -14,6 +14,12 @@ class BenchKitSpec extends AnyFunSuite {
     assert(a > 0 && b > 0)
     assert(a / b < 10 && b / a < 10,
       s"two back-to-back canaries in one process diverged >10×: $a vs $b ms")
+    // the parallel canary saturates CanaryThreads cores — positive, and
+    // its fixed work is CanarySteps/4 per thread, so it stays the same
+    // order of magnitude as the single-thread loop on any box
+    val p = BenchKit.canaryParMs()
+    assert(p > 0 && p / a < 20 && a / p < 20,
+      s"parallel canary out of range: $p ms vs single $a ms")
   }
 
   test("rerunThreshold: max(5 s, 2× previous committed time); new or " +
@@ -31,6 +37,7 @@ class BenchKitSpec extends AnyFunSuite {
       errors = Map("q_b" -> "boom \"quoted\""),
       reruns = Map("q_c" -> BenchKit.Rerun(first = 14.2, rerun = 6.5)),
       canaries = Seq(31.0, 30.5, 95.25),
+      canariesPar = Seq(40.0, 41.0, 160.5),
       ivfBuildSec = 8.1, mhBuildSec = 6.0, sfDir = "/data/sf0.1")
     val qs = BenchKit.parseDetailQueries(detail)
     assert(qs == Map("q_a" -> 1.234, "q_b" -> -1.0, "q_c" -> 6.5))
@@ -44,8 +51,10 @@ class BenchKitSpec extends AnyFunSuite {
       errors = Map("q_b" -> "boom \"quoted\"\nline2"),
       reruns = Map("q_c" -> BenchKit.Rerun(first = 14.2, rerun = 6.5)),
       canaries = Seq(31.0, 30.5, 95.25),
+      canariesPar = Seq(40.0, 41.0, 160.5),
       ivfBuildSec = 8.1, mhBuildSec = 6.0, sfDir = "/data/sf0.1")
     assert(detail.contains("\"canary_ms\":[31.000,30.500,95.250]"))
+    assert(detail.contains("\"canary_par_ms\":[40.000,41.000,160.500]"))
     assert(detail.contains(
       "\"reruns\":{\"q_c\":{\"first\":14.200,\"rerun\":6.500}}"))
     // total sums the SERVING times (min of first/rerun), skipping errors
