@@ -107,9 +107,11 @@ object Bench {
     val reruns = scala.collection.mutable.LinkedHashMap[String, BenchKit.Rerun]()
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val canariesPar = scala.collection.mutable.ArrayBuffer[Double]()
+    val canariesMem = scala.collection.mutable.ArrayBuffer[Double]()
     def canaryTick(): Unit = {
       canaries += BenchKit.canaryMs()
       canariesPar += BenchKit.canaryParMs()
+      canariesMem += BenchKit.canaryMemMs()
     }
     canaryTick() // run start
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -171,7 +173,7 @@ object Bench {
     // the driver's tail-capture ("parsed": null) — a file can't truncate.
     val detail = BenchKit.detailJson(
       results, errors, reruns, canaries.toSeq, canariesPar.toSeq,
-      ivfBuildSec, mhBuildSec, sfDir)
+      canariesMem.toSeq, ivfBuildSec, mhBuildSec, sfDir)
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.writeString(detailPath, detail + "\n")
@@ -190,7 +192,8 @@ object Bench {
     import BenchKit.r3f
     val canaryJson = canaries.map(r3f).mkString("[", ",", "]")
     val canaryParJson = canariesPar.map(r3f).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"canary_ms":$canaryJson,"canary_par_ms":$canaryParJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    val canaryMemJson = canariesMem.map(r3f).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"canary_ms":$canaryJson,"canary_par_ms":$canaryParJson,"canary_mem_ms":$canaryMemJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

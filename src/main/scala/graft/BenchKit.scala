@@ -6,15 +6,18 @@ package graft
   * official artifact breached the 2× gate on a commit that measured 2.1×
   * faster in a quiet window. Two machine-readable defenses:
   *
-  *  1. '''CPU canary''' ([[canaryMs]]): a fixed single-threaded
-  *     floating-point/integer loop with NO Spark involvement, timed at
-  *     run start / middle / end and emitted as `canary_ms` in both the
-  *     detail artifact and the stdout headline. The loop's work is
-  *     constant, so its wall time is a direct read of how much CPU the
-  *     host actually gave this guest in that window — a contended box
-  *     shows inflated canaries, letting the driver and the judge
-  *     SEE contamination in the committed artifact instead of
-  *     reconstructing it forensically.
+  *  1. '''Canary trio''' ([[canaryMs]] / [[canaryParMs]] /
+  *     [[canaryMemMs]]): fixed-work reference loads with NO Spark
+  *     involvement, timed at run start / middle / end and emitted in the
+  *     detail artifact. The work is constant, so wall time is a direct
+  *     read of what the host actually gave this guest in that window —
+  *     three loads because contention has three faces: single-core CPU
+  *     (one register loop), multi-core CPU (16 concurrent loops), and
+  *     MEMORY BANDWIDTH (streaming a DRAM-resident array — the one that
+  *     labels the windows where register loops read clean but columnar
+  *     scans crawl). Inflated canaries make contamination machine-
+  *     readable for the driver and the judge instead of forensically
+  *     reconstructed.
   *  2. '''Outlier re-run''' ([[rerunThreshold]]): any query whose first
   *     timing exceeds max(5 s, 2× its entry in the PREVIOUS round's
   *     committed detail) re-runs once; both timings are reported
@@ -78,6 +81,42 @@ object BenchKit {
     dt
   }
 
+  /** Longs in the bandwidth canary's working set — 64 MiB, far past any
+    * cache tier, so each pass streams from DRAM. */
+  val MemCanaryLongs: Int = 8 * 1024 * 1024
+
+  /** Passes per bandwidth-canary measurement (512 MiB of traffic). */
+  val MemCanaryPasses: Int = 8
+
+  private lazy val memArr: Array[Long] = {
+    val a = new Array[Long](MemCanaryLongs)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  /** Wall-clock ms of streaming [[MemCanaryPasses]] sequential-sum passes
+    * over a DRAM-resident 64 MiB array — the MEMORY-BANDWIDTH read the
+    * CPU canaries structurally miss: in an r14 window the register-bound
+    * loops read near-clean (single +8%, parallel flat) while the 32-way
+    * bench ran 37% inflated — co-tenant memory traffic slows columnar
+    * scan/shuffle work long before it slows a register loop. */
+  def canaryMemMs(): Double = {
+    val a = memArr
+    def pass(): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i); i += 1 }
+      s
+    }
+    val sink = pass() // JIT + page-in warmup, untimed
+    val t0 = System.nanoTime()
+    var k = 0; var s2 = 0L
+    while (k < MemCanaryPasses) { s2 += pass(); k += 1 }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (sink == 42L && s2 == 42L) System.err.println("[bench] canary-mem")
+    dt
+  }
+
   /** Re-run trigger: first timing strictly over max(5 s, 2× the previous
     * round's committed time for this query); a query with no previous
     * entry (new this round) uses the 5 s floor alone. */
@@ -121,6 +160,7 @@ object BenchKit {
       reruns: collection.Map[String, Rerun],
       canaries: Seq[Double],
       canariesPar: Seq[Double],
+      canariesMem: Seq[Double],
       ivfBuildSec: Double,
       mhBuildSec: Double,
       sfDir: String): String = {
@@ -134,12 +174,13 @@ object BenchKit {
     }.mkString("{", ",", "}")
     val canaryJson = canaries.map(r3f).mkString("[", ",", "]")
     val canaryParJson = canariesPar.map(r3f).mkString("[", ",", "]")
+    val canaryMemJson = canariesMem.map(r3f).mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val budgetWarn = results.toSeq.filter(_._2 > 5.0).map(_._1).sorted
       .map(jstr).mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3f(total)},"unit":"sec",""" +
       s""""ivf_build_sec":${r3f(ivfBuildSec)},"mh_build_sec":${r3f(mhBuildSec)},""" +
-      s""""canary_ms":$canaryJson,"canary_par_ms":$canaryParJson,""" +
+      s""""canary_ms":$canaryJson,"canary_par_ms":$canaryParJson,"canary_mem_ms":$canaryMemJson,""" +
       s""""budget_warn":$budgetWarn,""" +
       s""""queries":$qs,"reruns":$rrJson,"errors":$errJson,"sf":"$sfDir"}"""
   }

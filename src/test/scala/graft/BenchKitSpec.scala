@@ -20,6 +20,12 @@ class BenchKitSpec extends AnyFunSuite {
     val p = BenchKit.canaryParMs()
     assert(p > 0 && p / a < 20 && a / p < 20,
       s"parallel canary out of range: $p ms vs single $a ms")
+    // the bandwidth canary streams fixed DRAM traffic — positive and
+    // same order of magnitude run-to-run
+    val m1 = BenchKit.canaryMemMs()
+    val m2 = BenchKit.canaryMemMs()
+    assert(m1 > 0 && m2 > 0 && m1 / m2 < 10 && m2 / m1 < 10,
+      s"bandwidth canaries diverged: $m1 vs $m2 ms")
   }
 
   test("rerunThreshold: max(5 s, 2× previous committed time); new or " +
@@ -38,6 +44,7 @@ class BenchKitSpec extends AnyFunSuite {
       reruns = Map("q_c" -> BenchKit.Rerun(first = 14.2, rerun = 6.5)),
       canaries = Seq(31.0, 30.5, 95.25),
       canariesPar = Seq(40.0, 41.0, 160.5),
+      canariesMem = Seq(50.0, 52.0, 201.0),
       ivfBuildSec = 8.1, mhBuildSec = 6.0, sfDir = "/data/sf0.1")
     val qs = BenchKit.parseDetailQueries(detail)
     assert(qs == Map("q_a" -> 1.234, "q_b" -> -1.0, "q_c" -> 6.5))
@@ -52,9 +59,11 @@ class BenchKitSpec extends AnyFunSuite {
       reruns = Map("q_c" -> BenchKit.Rerun(first = 14.2, rerun = 6.5)),
       canaries = Seq(31.0, 30.5, 95.25),
       canariesPar = Seq(40.0, 41.0, 160.5),
+      canariesMem = Seq(50.0, 52.0, 201.0),
       ivfBuildSec = 8.1, mhBuildSec = 6.0, sfDir = "/data/sf0.1")
     assert(detail.contains("\"canary_ms\":[31.000,30.500,95.250]"))
     assert(detail.contains("\"canary_par_ms\":[40.000,41.000,160.500]"))
+    assert(detail.contains("\"canary_mem_ms\":[50.000,52.000,201.000]"))
     assert(detail.contains(
       "\"reruns\":{\"q_c\":{\"first\":14.200,\"rerun\":6.500}}"))
     // total sums the SERVING times (min of first/rerun), skipping errors
