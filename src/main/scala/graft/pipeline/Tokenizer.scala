@@ -435,6 +435,24 @@ object Tokenizer {
       .orderBy($"tid")
   }
 
+  /** Declared query: per-document REAL token counts under the learned
+    * UNIGRAM model — the [[bpeDocTokens]] twin, so every downstream token
+    * budget (mixture, packing) can run on either trained tokenizer. Same
+    * amortization: the model applies once per VOCAB word (broadcast
+    * per-word counts onto one corpus explode), never once per
+    * occurrence. */
+  def unigramDocTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val (model, words) = unigramModelOf(s, docs)
+    val perWord = words.select($"word",
+      size(unigramApplyHof($"word", model.map(_._1))).as("n_tok"))
+    docs.select($"doc_id", explode(tokens(lower($"text"))).as("word"))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy($"doc_id").agg(sum($"n_tok").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** DuckDB: seed selection + one segmentation round per seed piece over
     * the capped vocab, ending in `usage` + the final model `finapp`. */
   private def duckUnigramTrainCtes: String = {
@@ -507,6 +525,7 @@ object Tokenizer {
     "q_text_bpe_fertility" -> bpeFertility _,
     "q_text_unigram_vocab" -> unigramVocab _,
     "q_text_unigram_encode" -> unigramEncode _,
+    "q_text_unigram_doc_tokens" -> unigramDocTokens _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -551,6 +570,14 @@ object Tokenizer {
          |r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS tid,
          |    token, n FROM agg)
          |SELECT tid, token, n FROM r WHERE tid <= $EncodeTop ORDER BY tid""".stripMargin,
+    "q_text_unigram_doc_tokens" ->
+      s"""WITH $duckUnigramEncodeCtes,
+         |wt AS (SELECT word, len(string_split(trim(seg), '  ')) AS n_tok
+         |  FROM f$UnigramVocabSize),
+         |dw AS (SELECT doc_id, unnest(${duckTokens("lower(text)")}) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wt USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // per-source fertility over the same trained chain: every word is in
     // the vocab (trained on the full corpus), so per-doc word counts equal
     // the token-list lengths
