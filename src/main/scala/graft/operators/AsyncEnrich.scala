@@ -109,29 +109,42 @@ object AsyncEnrich {
       override def removeEldestEntry(
           e: java.util.Map.Entry[K, Option[V]]): Boolean = size() > cacheSize
     }
-    // key → in-flight future: a second row for a key already in flight
-    // COALESCES onto the same request instead of issuing a duplicate
-    val inflight = new java.util.HashMap[K, CompletableFuture[V]]()
+    // key → (in-flight future, submit time): a second row for a key already
+    // in flight COALESCES onto the same request instead of issuing a
+    // duplicate — and SHARES its submit timestamp, so every row riding one
+    // lookup sees the same deadline ("timeoutMs from SUBMISSION", not from
+    // each row's enqueue; re-stamping at enqueue let a coalesced row wait
+    // up to ~2x the timeout)
+    final case class InFlight(f: CompletableFuture[V], submitNs: Long)
+    val inflight = new java.util.HashMap[K, InFlight]()
     final case class Pending(row: T, key: K, f: CompletableFuture[V], submitNs: Long)
     val window = new scala.collection.mutable.Queue[Either[(T, Option[V]), Pending]]()
+    // Only PENDING entries count against `capacity` — a cache hit costs no
+    // in-flight slot, so interleaved hot-key rows don't shrink the lookup
+    // pipeline depth. The window itself is still bounded (2*capacity) so a
+    // long run of cache hits can't grow task memory past O(capacity).
+    var pendingCount = 0
 
     new Iterator[O] {
       private var closed = false
 
       private def fill(): Unit =
-        while (it.hasNext && window.size < capacity) {
+        while (it.hasNext && pendingCount < capacity &&
+            window.size < 2 * capacity) {
           val row = it.next()
           val k = keyFn(row)
           if (cache.containsKey(k)) window += Left((row, cache.get(k)))
           else {
-            val f = inflight.get(k) match {
+            val (f, t0) = inflight.get(k) match {
               case null =>
                 val nf = cl.lookup(k)
-                inflight.put(k, nf)
-                nf
-              case existing => existing
+                val t = System.nanoTime()
+                inflight.put(k, InFlight(nf, t))
+                (nf, t)
+              case existing => (existing.f, existing.submitNs)
             }
-            window += Right(Pending(row, k, f, System.nanoTime()))
+            pendingCount += 1
+            window += Right(Pending(row, k, f, t0))
           }
         }
 
@@ -147,25 +160,29 @@ object AsyncEnrich {
         window.dequeue() match {
           case Left((row, v)) => combine(row, v)
           case Right(Pending(row, k, f, t0)) =>
+            pendingCount -= 1
             val remainingMs =
               timeoutMs - (System.nanoTime() - t0) / 1000000L
             val v: Option[V] =
               try Option(f.get(math.max(0L, remainingMs), TimeUnit.MILLISECONDS))
               catch { case _: Exception => None }
-            if (f.isDone) {
-              // completed (or failed) — cacheable and no longer in flight
-              if (inflight.get(k) eq f) inflight.remove(k)
-              cache.put(k, v)
-            } else {
-              // TIMED OUT: drop the registration too. Keeping it for a
-              // later same-key harvest sounded free, but under a slow or
-              // down store — the exact case the timeout exists for — every
-              // distinct key would pin a (key, future) entry and per-task
-              // memory would grow with partition size instead of staying
-              // O(capacity + cacheSize); a later row for the key simply
-              // re-issues the lookup.
-              if (inflight.get(k) eq f) inflight.remove(k)
+            // whether completed, failed, or timed out: the registration is
+            // dropped (keeping a timed-out future for a later same-key
+            // harvest would pin a (key, future) entry per distinct key
+            // exactly when the store is slow or down — per-task memory
+            // would grow with partition size instead of staying
+            // O(capacity + cacheSize); a later row simply re-issues)
+            inflight.get(k) match {
+              case reg if reg != null && (reg.f eq f) => inflight.remove(k): Unit
+              case _ =>
             }
+            // cache only NORMAL completions — a value, or a confirmed
+            // missing-key null. An exceptional completion (transient store
+            // error) yields the fallback for THIS row but is NOT cached:
+            // caching it would turn one transient failure into the fallback
+            // for every later row of that key until LRU eviction, a far
+            // broader blast radius than the per-request contract.
+            if (f.isDone && !f.isCompletedExceptionally) cache.put(k, v)
             combine(row, v)
         }
       }

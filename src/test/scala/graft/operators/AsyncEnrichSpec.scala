@@ -96,6 +96,83 @@ class AsyncEnrichSpec extends AnyFunSuite {
     assert(cl.lookups.get() > 6, "a 2-entry cache over 6 keys must re-fetch")
   }
 
+  test("cache hits do not consume in-flight capacity: interleaved hot-key " +
+    "rows keep the lookup pipeline at full depth") {
+    val warm = Map(0L -> "w0", 1L -> "w1")
+    val cold = (100L until 140L).map(k => k -> s"v$k").toMap
+    val cl = new Probe(warm ++ cold, 20)
+    // warm 2 keys (≤2 concurrent during warm-up), then alternate
+    // hit/miss: with capacity=4, only the 4 cold PENDINGS may count
+    // against capacity — the interleaved cache hits ride free, so the
+    // in-flight high-water mark must reach the full 4 (counting hits
+    // against capacity capped it at ~2 for this interleaving)
+    val rows = Seq(0L, 1L) ++ (0 until 80).map(i =>
+      if (i % 2 == 0) (i / 2 % 2).toLong else 100L + i / 2)
+    val out = drain(rows, cl, capacity = 4, cacheSize = 1000)
+    assert(out.forall(_._2.isDefined))
+    assert(cl.maxInflight.get() >= 4,
+      s"cache hits throttled the pipeline: high-water ${cl.maxInflight.get()} < 4")
+    assert(cl.maxInflight.get() <= 4,
+      s"in-flight exceeded capacity: ${cl.maxInflight.get()}")
+  }
+
+  test("a transient lookup failure yields the fallback for THAT row only — " +
+    "it is not cached, so the next row for the key re-issues and succeeds") {
+    val cl = new AsyncClient[Long, String] {
+      val lookups = new AtomicInteger
+      override def lookup(key: Long): CompletableFuture[String] = {
+        val f = new CompletableFuture[String]()
+        if (lookups.incrementAndGet() == 1)
+          f.completeExceptionally(new RuntimeException("transient store error"))
+        else f.complete(s"v$key"): Unit
+        f
+      }
+    }
+    // capacity=1 forces the first harvest before the second enqueue, so
+    // the second row consults the cache rather than coalescing
+    val out = AsyncEnrich.enrichPartition[Long, Long, String, (Long, Option[String])](
+      Seq(7L, 7L).iterator, identity, cl, 5000L, 1, 1000, (k, v) => (k, v)).toSeq
+    assert(out == Seq(7L -> None, 7L -> Some("v7")),
+      s"transient failure must not poison the cache: $out")
+    assert(cl.lookups.get() == 2)
+  }
+
+  test("a confirmed missing key (normal null completion) IS cached") {
+    val cl = new AsyncClient[Long, String] {
+      val lookups = new AtomicInteger
+      override def lookup(key: Long): CompletableFuture[String] = {
+        lookups.incrementAndGet()
+        CompletableFuture.completedFuture(null)
+      }
+    }
+    val out = AsyncEnrich.enrichPartition[Long, Long, String, (Long, Option[String])](
+      Seq(7L, 7L).iterator, identity, cl, 5000L, 1, 1000, (k, v) => (k, v)).toSeq
+    assert(out == Seq(7L -> None, 7L -> None))
+    assert(cl.lookups.get() == 1,
+      "a confirmed miss is a cacheable fact — the second row must not re-fetch")
+  }
+
+  test("coalesced rows share the original lookup's deadline (timeout runs " +
+    "from SUBMISSION, not from each row's enqueue)") {
+    // rows arrive 200 ms apart (slow upstream iterator); the slow key never
+    // completes. Row 3 coalesces onto row 1's in-flight lookup ~400 ms after
+    // its submission — sharing the submit timestamp, its residual wait is
+    // ~200 ms, so the whole drain finishes around t≈800 ms. Re-stamping at
+    // enqueue (the old bug) gave row 3 its own full 600 ms from t≈600,
+    // stretching the drain to ~1200 ms.
+    val cl = new Probe(dim, 2, slowKeys = Set(7L))
+    val gapped = Seq(7L, 1L, 7L).iterator.map { k => Thread.sleep(200); k }
+    val t0 = System.nanoTime()
+    val out = AsyncEnrich.enrichPartition[Long, Long, String, (Long, Option[String])](
+      gapped, identity, cl, 600L, 4, 1000, (k, v) => (k, v)).toSeq
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(out == Seq(7L -> None, 1L -> Some("v1"), 7L -> None))
+    assert(cl.lookups.get() == 2, "the second slow-key row must coalesce")
+    assert(elapsedMs < 1050,
+      s"coalesced row waited past the shared deadline: ${elapsedMs}ms (shared " +
+        "submit ⇒ ~800ms; per-enqueue re-stamp ⇒ ~1200ms)")
+  }
+
   test("streaming twin: foreachBatch enrichment is slicing-invariant — " +
     "micro-batched stream ≡ one batch run (the operator is record-local " +
     "given the store)") {
