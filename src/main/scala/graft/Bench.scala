@@ -81,17 +81,22 @@ object Bench {
       .takeWhile(_ != null).take(8)
       .find(d => new java.io.File(d, "build.sbt").isFile)
       .getOrElse(new java.io.File("."))
-    val roundN: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND")
-      .flatMap(_.toIntOption)
-      .orElse {
-        val re = "BENCH_r(\\d+)\\.json".r
-        Option(repoRoot.listFiles()).toSeq.flatten
-          .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-          .sorted.lastOption.map(_ + 1)
-      }
-    val round = sys.env.get("SPARK_GRAFT_ROUND")
-      .map(r => r.toIntOption.map(n => f"$n%02d").getOrElse(r))
-      .orElse(roundN.map(n => f"$n%02d"))
+    // A NON-INTEGER env round is rejected loudly, not kept as a label:
+    // keeping it verbatim while roundN silently fell back to file-based
+    // inference let the written round label and the rerun baseline derive
+    // from different rounds for the same run (r14 ADVICE).
+    val envRound = sys.env.get("SPARK_GRAFT_ROUND")
+    val envRoundN = envRound.flatMap(_.toIntOption)
+    envRound.filter(_ => envRoundN.isEmpty).foreach(r => System.err.println(
+      s"[bench] WARNING: non-integer SPARK_GRAFT_ROUND '$r' ignored — " +
+        "label and rerun baseline both fall back to file-based inference"))
+    val roundN: Option[Int] = envRoundN.orElse {
+      val re = "BENCH_r(\\d+)\\.json".r
+      Option(repoRoot.listFiles()).toSeq.flatten
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .sorted.lastOption.map(_ + 1)
+    }
+    val round = roundN.map(n => f"$n%02d")
     // The previous round's committed per-query times — the re-run rule's
     // reference. Falls back through earlier rounds if N-1 never committed
     // a detail (r7's driver overwrite); empty map = 5 s floor alone.
@@ -114,9 +119,24 @@ object Bench {
       canariesMem += BenchKit.canaryMemMs()
     }
     canaryTick() // run start
+    // Per-query contention LOCALIZATION (r14 verdict #2): each query's
+    // start offset plus a ~50 ms mini-canary every MiniEvery queries let
+    // the artifact adjudicate its own outliers — an over-budget query
+    // whose covering mini reading is inflated >25% over the start reading
+    // is labeled `contended` instead of `budget_warn`, no judge
+    // re-measure needed.
+    val runT0 = System.nanoTime()
+    def offS(): Double = (System.nanoTime() - runT0) / 1e9
+    val t0s = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val minis = scala.collection.mutable.ArrayBuffer[BenchKit.MiniReading]()
+    def miniTick(): Unit =
+      minis += BenchKit.MiniReading(offS(), BenchKit.miniCanaryMs())
+    miniTick() // the run-start reading = the contended-classification baseline
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
       if (i == sorted.size / 2) canaryTick() // mid-run
+      if (i > 0 && i % BenchKit.MiniEvery == 0) miniTick()
+      t0s(name) = offS()
       // stderr marker so interleaved Spark WARNs (large task binaries,
       // broadcast sizes) attribute to the query that caused them
       System.err.println(s"[bench] $name")
@@ -167,13 +187,15 @@ object Bench {
         } else first
       name -> dt
     }.toMap
+    miniTick() // run end
     canaryTick() // run end
     // The per-query map goes to a FILE; stdout gets only a short totals
     // line. Both r3 and r4 lost the head of the long per-query JSON line to
     // the driver's tail-capture ("parsed": null) — a file can't truncate.
     val detail = BenchKit.detailJson(
       results, errors, reruns, canaries.toSeq, canariesPar.toSeq,
-      canariesMem.toSeq, ivfBuildSec, mhBuildSec, sfDir)
+      canariesMem.toSeq, t0s.toMap, minis.toSeq, ivfBuildSec, mhBuildSec,
+      sfDir)
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.writeString(detailPath, detail + "\n")

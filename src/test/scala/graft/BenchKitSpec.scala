@@ -7,25 +7,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * detail-JSON shape the driver and judge read. */
 class BenchKitSpec extends AnyFunSuite {
 
-  test("canaryMs: positive, and repeats within the same order of magnitude " +
-    "(fixed work — the whole point is that only HOST contention moves it)") {
+  test("canary trio + mini: positive; divergence is ADVISORY only (a " +
+    "wall-clock bound would fail precisely in the contended host windows " +
+    "the canaries exist to label — r14 ADVICE)") {
     val a = BenchKit.canaryMs()
     val b = BenchKit.canaryMs()
-    assert(a > 0 && b > 0)
-    assert(a / b < 10 && b / a < 10,
-      s"two back-to-back canaries in one process diverged >10×: $a vs $b ms")
-    // the parallel canary saturates CanaryThreads cores — positive, and
-    // its fixed work is CanarySteps/4 per thread, so it stays the same
-    // order of magnitude as the single-thread loop on any box
     val p = BenchKit.canaryParMs()
-    assert(p > 0 && p / a < 20 && a / p < 20,
-      s"parallel canary out of range: $p ms vs single $a ms")
-    // the bandwidth canary streams fixed DRAM traffic — positive and
-    // same order of magnitude run-to-run
     val m1 = BenchKit.canaryMemMs()
     val m2 = BenchKit.canaryMemMs()
-    assert(m1 > 0 && m2 > 0 && m1 / m2 < 10 && m2 / m1 < 10,
-      s"bandwidth canaries diverged: $m1 vs $m2 ms")
+    val mini = BenchKit.miniCanaryMs()
+    assert(a > 0 && b > 0 && p > 0 && m1 > 0 && m2 > 0 && mini > 0)
+    // fixed work, so large divergence means the HOST was squeezed while
+    // this suite ran — report it, don't fail on it
+    if (a / b >= 10 || b / a >= 10)
+      info(f"ADVISORY: single-thread canaries diverged ${math.max(a / b, b / a)}%.1f× ($a%.1f vs $b%.1f ms) — contended test window")
+    if (p / a >= 20 || a / p >= 20)
+      info(f"ADVISORY: parallel canary $p%.1f ms vs single $a%.1f ms — contended test window")
+    if (m1 / m2 >= 10 || m2 / m1 >= 10)
+      info(f"ADVISORY: bandwidth canaries diverged ($m1%.1f vs $m2%.1f ms) — contended test window")
   }
 
   test("rerunThreshold: max(5 s, 2× previous committed time); new or " +
@@ -72,7 +71,62 @@ class BenchKitSpec extends AnyFunSuite {
     assert(detail.contains("\"budget_warn\":[\"q_c\"]"))
     assert(detail.contains("\\\"quoted\\\"") && detail.contains("\\n"))
     assert(detail.contains("\"queries\":{\"q_a\":1.000,\"q_b\":-1,\"q_c\":6.500}"))
+    // no t0s/minis supplied → empty localization fields, conservative warn
+    assert(detail.contains("\"mini_canary\":[]"))
+    assert(detail.contains("\"contended\":[]"))
+    assert(detail.contains("\"t0_s\":{}"))
     // a well-formed single JSON object: balanced braces, one line
+    assert(!detail.contains("\n"))
+    assert(detail.count(_ == '{') == detail.count(_ == '}'))
+  }
+
+  test("contention localization: nearest mini reading per query start " +
+    "offset; >25% over the start reading flips budget_warn → contended") {
+    val minis = Seq(
+      BenchKit.MiniReading(0.0, 50.0),    // run-start baseline
+      BenchKit.MiniReading(30.0, 52.0),   // clean window
+      BenchKit.MiniReading(60.0, 140.0),  // contended window
+      BenchKit.MiniReading(90.0, 51.0))   // clean again
+    assert(BenchKit.nearestMini(minis, 28.0).contains(minis(1)))
+    assert(BenchKit.nearestMini(minis, 58.5).contains(minis(2)))
+    assert(BenchKit.nearestMini(Seq.empty, 1.0).isEmpty)
+    val results = Map(
+      "q_slow_clean" -> 7.0,     // over budget in a clean window → warn
+      "q_slow_squeezed" -> 9.0,  // over budget in the contended window → label
+      "q_fast" -> 0.5,           // under budget → neither list
+      "q_no_offset" -> 8.0)      // over budget, no t0 recorded → warn
+    val t0s = Map(
+      "q_slow_clean" -> 29.0, "q_slow_squeezed" -> 61.0, "q_fast" -> 62.0)
+    val (warn, contended) = BenchKit.classifyBudget(results, t0s, minis)
+    assert(warn == Seq("q_no_offset", "q_slow_clean"))
+    assert(contended == Seq("q_slow_squeezed"))
+    // no minis at all (old artifacts, unit fixtures) → everything over
+    // budget stays a warn: localization can only EXPLAIN, never excuse
+    val (w2, c2) = BenchKit.classifyBudget(results, t0s, Seq.empty)
+    assert(c2.isEmpty && w2.size == 3)
+  }
+
+  test("detailJson carries the localization fields: a synthetic contended " +
+    "window LABELS the slow query instead of warning on it") {
+    val minis = Seq(
+      BenchKit.MiniReading(0.0, 50.0), BenchKit.MiniReading(45.0, 130.0))
+    val detail = BenchKit.detailJson(
+      results = Map("q_hot" -> 12.0, "q_slow" -> 6.0),
+      errors = Map.empty[String, String],
+      reruns = Map.empty[String, BenchKit.Rerun],
+      canaries = Seq(400.0), canariesPar = Seq(410.0), canariesMem = Seq(420.0),
+      t0s = Map("q_hot" -> 44.0, "q_slow" -> 2.0),
+      minis = minis,
+      ivfBuildSec = 1.0, mhBuildSec = 1.0, sfDir = "/data/sf0.1")
+    assert(detail.contains(
+      "\"mini_canary\":[{\"t_s\":0.000,\"ms\":50.000},{\"t_s\":45.000,\"ms\":130.000}]"))
+    assert(detail.contains("\"t0_s\":{\"q_hot\":44.000,\"q_slow\":2.000}"))
+    assert(detail.contains("\"budget_warn\":[\"q_slow\"]"))
+    assert(detail.contains("\"contended\":[\"q_hot\"]"))
+    // the queries map stays flat and parseable despite the nested mini
+    // objects elsewhere in the line
+    assert(BenchKit.parseDetailQueries(detail) ==
+      Map("q_hot" -> 12.0, "q_slow" -> 6.0))
     assert(!detail.contains("\n"))
     assert(detail.count(_ == '{') == detail.count(_ == '}'))
   }
