@@ -178,4 +178,124 @@ private[pipeline] object IndexStore {
     }
     dst.toString
   }
+
+  /** Default crash-orphan safety window: a `.tmp-*` staging dir (or an
+    * unpublished fp-named dir on a non-atomic-rename store) younger than
+    * this may belong to a build in flight and is never touched. Six hours
+    * is far past the longest plausible index build at any corpus scale
+    * this engine targets per snapshot. */
+  val DefaultTmpTtlMs: Long = 6L * 3600 * 1000
+
+  private val FpDirName = "(.+)-fp([0-9a-f]{32})".r
+
+  /** RETENTION for a durable artifact root (r14 verdict #1): without it,
+    * every corpus mutation strands the superseded `variant-fp<hash>` dir —
+    * at one-snapshot-per-day cadence that is unbounded storage creep on
+    * the serving tier — and a crashed build strands its `.tmp-*` staging
+    * dir forever.
+    *
+    * `live` declares the serving set as (data dir, table) pairs; their
+    * CURRENT fingerprints (hashed exactly as [[durableGetOrBuild]] names
+    * publish dirs) are the retention roots. Under `root`:
+    *
+    *  - `<variant>-fp<hash>` with a live hash and a VALID publish marker
+    *    (present, content = a live fingerprint) → kept: the serving
+    *    artifact.
+    *  - `<variant>-fp<hash>` with a non-live hash → removed: superseded
+    *    by a corpus mutation; no current session can resolve to it (the
+    *    dir name is derived from the fingerprint, so a reader of this
+    *    artifact is reading a corpus state that no longer exists).
+    *  - `<variant>-fp<hash>` live-named but with a missing/mismatched
+    *    marker → UNPUBLISHED: [[durableGetOrBuild]] can never serve it
+    *    (`published` is false). Removed once older than `tmpTtlMs` —
+    *    crashed non-atomic-rename publish debris whose presence would
+    *    otherwise deadlock every rebuild at the rename-race `require`;
+    *    younger dirs are left alone (a publish may be landing right now).
+    *  - `.tmp-*` older than `tmpTtlMs` → removed (crash orphan); younger
+    *    → kept (a build in flight — concurrent-publish safety).
+    *  - anything else → never touched: gc deletes only names this store
+    *    created.
+    *
+    * Concurrent-publish safety overall: a racing builder's staging dir is
+    * young (kept); its rename is atomic, so the artifact is visible either
+    * as that young tmp or as a published live dir (kept). A gc'd STALE dir
+    * cannot race a builder: builders only ever write dirs named by current
+    * fingerprints, which gc keeps. Within one root, variants of the same
+    * corpus share the fingerprint hash, so an LSM merge's references into
+    * its base artifact live or die together. A merged artifact in a
+    * DIFFERENT root that absolute-references segments under this root (the
+    * documented relocatability trade, [[IndexArtifact]]) is the operator's
+    * to account for: list its source (dir, table) in `live` here, or
+    * compact it first. */
+  def gc(
+      s: SparkSession,
+      root: String,
+      live: Seq[(String, String)],
+      tmpTtlMs: Long = DefaultTmpTtlMs): IndexRetention.GcReport = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val liveFps = live.map { case (dir, table) => fingerprint(s, dir, table) }.toSet
+    val liveHashes = liveFps.map(fp => java.security.MessageDigest
+      .getInstance("MD5").digest(fp.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    val now = System.currentTimeMillis()
+    val removedStale = Seq.newBuilder[String]
+    val removedOrphans = Seq.newBuilder[String]
+    val kept = Seq.newBuilder[String]
+    def markerIsLive(d: Path): Boolean = {
+      val m = new Path(d, FpMarker)
+      try fs.exists(m) && {
+        val in = fs.open(m)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        liveFps.contains(new String(bytes, "UTF-8"))
+      } catch { case _: java.io.IOException => false }
+    }
+    val children =
+      try fs.listStatus(new Path(root)).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    children.foreach { st =>
+      val p = st.getPath
+      val name = p.getName
+      val olderThanTtl = now - st.getModificationTime > tmpTtlMs
+      name match {
+        case n if n.startsWith(".tmp-") =>
+          if (olderThanTtl) { fs.delete(p, true): Unit; removedOrphans += p.toString }
+          else kept += p.toString
+        case FpDirName(_, hash) =>
+          if (!liveHashes.contains(hash)) {
+            fs.delete(p, true): Unit; removedStale += p.toString
+          } else if (markerIsLive(p)) kept += p.toString
+          else if (olderThanTtl) {
+            fs.delete(p, true): Unit; removedOrphans += p.toString
+          } else kept += p.toString
+        case _ => kept += p.toString
+      }
+    }
+    IndexRetention.GcReport(
+      removedStale.result(), removedOrphans.result(), kept.result())
+  }
+}
+
+/** Public face of durable-index retention — [[IndexStore.gc]] is package-
+  * private with the rest of the store; operators schedule GC through this.
+  * `live` lists the (data dir, table) pairs currently being served; every
+  * superseded-fingerprint artifact and crash-orphaned staging dir under
+  * `root` older than the safety window is removed, in-flight publishes and
+  * foreign files are untouched. */
+object IndexRetention {
+
+  /** What [[gc]] did, full paths — the operator's audit record. */
+  final case class GcReport(
+      removedStale: Seq[String],
+      removedOrphans: Seq[String],
+      kept: Seq[String])
+
+  def gc(
+      s: SparkSession,
+      root: String,
+      live: Seq[(String, String)],
+      tmpTtlMs: Long = IndexStore.DefaultTmpTtlMs): GcReport =
+    IndexStore.gc(s, root, live, tmpTtlMs)
 }
