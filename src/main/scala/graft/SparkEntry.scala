@@ -28,6 +28,7 @@ object SparkEntry {
         "q_cep_absence" -> ((s, dir) => EventPatterns.absence(s, dir)),
         "q_cep_funnel" -> ((s, dir) => EventPatterns.funnel(s, dir)),
         "q_cep_no_purchase" -> ((s, dir) => EventPatterns.noPurchase(s, dir)),
+        "q_cep_until" -> ((s, dir) => EventPatterns.untilStreak(s, dir)),
       ) ++ sql.MrQueries.queries ++ operators.AsyncEnrich.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

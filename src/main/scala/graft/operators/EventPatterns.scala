@@ -141,6 +141,49 @@ object EventPatterns {
       .orderBy($"user_id", $"error_ts", $"click_ts")
   }
 
+  /** `until()` pattern (the one Flink Pattern-API method whose semantics a
+    * plain `where` cannot express — loop and exit predicates OVERLAP here):
+    * everything a user does between a signup and their FIRST purchase.
+    * The loop `B` accepts ANY event, so without the stop condition the
+    * greedy loop would swallow purchases and `P` would bind a later one;
+    * `until(purchase)` forbids the loop from consuming (or ignoring past)
+    * a purchase, so `P` deterministically binds the first. */
+  def untilPattern: Pattern[EventRow] =
+    Pattern.begin[EventRow]("S", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.event_type == "signup")
+      .followedBy("B").where(_ => true)
+      .oneOrMore.optional.until(_.event_type == "purchase")
+      .followedBy("P").where(_.event_type == "purchase")
+      .within(24L * 3600L * 1000L)
+
+  /** Until-streak matches: `(user_id, signup_ts, purchase_ts, n_between)` —
+    * n_between counts the events strictly between the signup and its first
+    * purchase. Pinned against a literal brute-force scan in
+    * `EventPatternsSpec` (no SQL oracle: DuckDB has no MATCH_RECOGNIZE). */
+  def untilStreak(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"event_type")
+      .as[EventRow]
+    val raw = Cep.matchPattern[Long, EventRow, (Long, Long, Long, Int)](
+      events,
+      keyFn = _.user_id,
+      tsFn = _.ts_us / 1000L,
+      pattern = untilPattern,
+      sortCols = Seq($"ts_us", $"event_id"))(
+      emitMatch = (uid, m) =>
+        m.first("S").zip(m.first("P")).map { case (s, p) =>
+          (uid, s.ts_us, p.ts_us, m("B").size)
+        },
+      emitTimeout = (_, _) => None)
+    def sec(c: org.apache.spark.sql.Column) =
+      timestamp_micros(c - pmod(c, lit(1000000L)))
+    raw.toDF("user_id", "signup_us", "purchase_us", "n_between")
+      .select($"user_id", sec($"signup_us").as("signup_ts"),
+        sec($"purchase_us").as("purchase_ts"), $"n_between")
+      .orderBy($"user_id", $"signup_ts", $"purchase_ts")
+  }
+
   /** Funnel matches: `(user_id, signup_ts, purchase_ts, n_engagement)`. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

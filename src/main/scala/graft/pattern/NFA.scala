@@ -318,6 +318,13 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
   private def ignoreAllowed(stage: Int, taken: Int, e: T, ctx: PatternContext[T]): Boolean = {
     if (stage >= n) return false
     val st = stages(stage)
+    // Flink `until` stop condition: a partial INSIDE the loop (taken > 0)
+    // may not ignore past a stop event — its only moves are proceeding to
+    // a later stage (separate entry positions) or dying. A partial merely
+    // WAITING to enter (taken == 0) ignores per the between-stage
+    // contiguity; the stop condition governs loop consumption, not the gap
+    // before the loop.
+    if (taken > 0 && st.until.exists(_(e, ctx))) return false
     val c = if (taken == 0) st.contiguity else st.internal
     c match {
       case Contiguity.Strict => false
@@ -421,8 +428,11 @@ final class NfaRunner[T](val pattern: Pattern[T], tsFn: T => Long) extends Seria
       posns.iterator.zipWithIndex.foreach { case ((s, taken), posIdx) =>
         if (s < n) {
           val st = stages(s)
-          // TAKE (blocked into a stage whose guard tripped earlier in the gap)
-          if (taken < st.max && !(taken == 0 && p.tripped(s)) && st.pred(e, ctx)) {
+          // TAKE (blocked into a stage whose guard tripped earlier in the
+          // gap, or by the stage's `until` stop condition — a stop event is
+          // never accepted into the loop, first take included)
+          if (taken < st.max && !(taken == 0 && p.tripped(s)) &&
+              !st.until.exists(_(e, ctx)) && st.pred(e, ctx)) {
             if (!isInitial || i >= minStartIdx) {
               val newTaken = taken + 1
               // residency stays at (s, newTaken); positions() derives the

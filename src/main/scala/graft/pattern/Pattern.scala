@@ -74,7 +74,17 @@ final case class Stage[T](
     max: Int,
     contiguity: Contiguity,
     internal: Contiguity,
-    greedy: Boolean = true) {
+    greedy: Boolean = true,
+    /** Loop STOP condition (Flink `until`, Pattern API): an event matching
+      * it is never accepted into the loop (take blocked — including the
+      * first take) and a partial resident INSIDE the loop may not ignore
+      * past it either: it can only proceed to a later stage (if its minimum
+      * is met) or die — which releases its state immediately, the
+      * state-cleaning point of Flink's until. Matters whenever the loop
+      * condition and the exit condition overlap; complementary loop/exit
+      * predicates (the reference's B/C split, `FlinkCEPExample.scala:64-73`)
+      * are the lucky special case that never needs it. */
+    until: Option[(T, PatternContext[T]) => Boolean] = None) {
   def isLoop: Boolean = max > 1
   def optionalEntry: Boolean = min == 0
 }
@@ -216,12 +226,32 @@ final case class Pattern[T](
   def times(n: Int): Pattern[T] = updLast(_.copy(min = n, max = n))
   /** Current stage repeats `from`..`to` times. */
   def times(from: Int, to: Int): Pattern[T] = updLast(_.copy(min = from, max = to))
+  /** Current stage repeats `n`..∞ times (Flink `timesOrMore`). */
+  def timesOrMore(n: Int): Pattern[T] = updLast(_.copy(min = n, max = Int.MaxValue))
   /** Lower the current stage's minimum to zero (combine with oneOrMore for `*`). */
   def optional: Pattern[T] = updLast(_.copy(min = 0))
   /** Repetitions of the current (looping) stage must be strictly contiguous. */
   def consecutive: Pattern[T] = updLast(_.copy(internal = Contiguity.Strict))
   /** Repetitions may non-deterministically skip matching events. */
   def allowCombinations: Pattern[T] = updLast(_.copy(internal = Contiguity.NonDeterministic))
+
+  /** Loop STOP condition on the current looping stage (Flink `until`):
+    * an event matching `p` is never taken into the loop, and a partial
+    * inside the loop cannot ignore past it — it proceeds (minimum met) or
+    * dies, releasing its state. Use when the loop predicate and the exit
+    * predicate overlap, where plain `where` cannot stop consumption. */
+  def until(p: T => Boolean): Pattern[T] = untilContext((e, _) => p(e))
+
+  /** [[until]] with an ITERATIVE stop condition (sees current bindings). */
+  def untilContext(p: (T, PatternContext[T]) => Boolean): Pattern[T] =
+    updLast { s =>
+      require(s.isLoop,
+        "until() requires a looping quantifier on the current stage — call " +
+          "oneOrMore/times(from, to) first (Flink: applicable only in " +
+          "conjunction with oneOrMore())")
+      require(s.until.isEmpty, "until() is already set on this stage")
+      s.copy(until = Some(p))
+    }
 
   /** Prefer the LONGEST reading when several complete together (default). */
   def greedy: Pattern[T] = updLast(_.copy(greedy = true))
@@ -248,7 +278,8 @@ final case class Pattern[T](
       (u, ctx) => p(f(u), liftCtx(ctx))
     Pattern(
       stages.map { s =>
-        Stage[U](s.name, liftPred(s.pred), s.min, s.max, s.contiguity, s.internal, s.greedy)
+        Stage[U](s.name, liftPred(s.pred), s.min, s.max, s.contiguity,
+          s.internal, s.greedy, s.until.map(liftPred))
       },
       withinMs, skip,
       guards.map {

@@ -301,4 +301,114 @@ class NFASpec extends AnyFunSuite {
       Pattern.begin[Ev]("A").notFollowedBy("N").oneOrMore
     }
   }
+
+  test("timesOrMore(2): at least two repetitions, unbounded above") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .next("B").where(is("b")).timesOrMore(2)
+      .next("C").where(is("c"))
+    assert(run(p, evs("a", "b", "c"))._1.isEmpty, "one b is below the floor")
+    assert(run(p, evs("a", "b", "b", "c"))._1.size == 1)
+    val (ms, _) = run(p, evs("a", "b", "b", "b", "b", "c"))
+    assert(ms.size == 1 && ms.head("B").size == 4, "no upper bound")
+  }
+
+  // ------------------------------------------------------- until (loop stop)
+
+  test("until: overlapping loop/exit predicates — the stop event freezes " +
+    "loop consumption, so events after it never join the loop") {
+    // B accepts anything, the exit only accepts c2, and c1 is a stop event
+    // the exit can't take: with until the loop FREEZES at c1 (the partial
+    // proceeds and waits at C), so the b after c1 is not in B; without
+    // until the greedy loop consumes c1 and that b.
+    def pat(withUntil: Boolean) = {
+      val base = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent)
+        .where(is("a"))
+        .followedBy("B").where(e => !is("a")(e)).oneOrMore
+      (if (withUntil) base.until(is("c")) else base)
+        .followedBy("C").where(_.tag == "c2")
+    }
+    val events = evs("a", "b", "c1", "b", "c2")
+    val (ms, _) = run(pat(withUntil = true), events)
+    assert(ms.size == 1)
+    assert(ms.head("B").map(_.tag) == Vector("b"),
+      "loop must stop consuming at the first c: no c in B, no post-c b")
+    assert(ms.head("C").map(_.tag) == Vector("c2"))
+    val (ms0, _) = run(pat(withUntil = false), events)
+    assert(ms0.head("B").map(_.tag) == Vector("b", "c1", "b"),
+      "without until the greedy loop consumes c1 and the following b")
+  }
+
+  test("until cleans state: an in-loop partial that cannot proceed on the " +
+    "stop event DIES (no ignoring past the stop)") {
+    // B matches s too; strict next into C which s does not satisfy: on s the
+    // loop may neither take (until) nor ignore (until) → the partial dies,
+    // and the later c finds nothing to complete.
+    val p = Pattern.begin[Ev]("A").where(is("a"))
+      .next("B").where(e => !is("a")(e)).oneOrMore.until(is("s"))
+      .next("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "s", "c"))
+    assert(ms.isEmpty, "stop event must kill the loop partial, not be skipped")
+    // the same sequence WITHOUT until matches (B takes s, then c — B also
+    // matches c but C's strict take on c completes first at its position)
+    val p0 = Pattern.begin[Ev]("A").where(is("a"))
+      .next("B").where(e => !is("a")(e)).oneOrMore
+      .next("C").where(is("c"))
+    assert(run(p0, evs("a", "b", "s", "c"))._1.nonEmpty)
+  }
+
+  test("until blocks even the FIRST take of the loop") {
+    // u matches B's predicate but also the stop condition: with relaxed
+    // entry contiguity the waiting partial can't ignore u (it matches B)
+    // and can't take it (until) → dead before the loop ever starts.
+    val p = Pattern.begin[Ev]("A").where(is("a"))
+      .followedBy("B").where(e => is("b")(e) || is("u")(e)).oneOrMore
+      .until(is("u"))
+      .followedBy("C").where(is("c"))
+    assert(run(p, evs("a", "u", "b", "c"))._1.isEmpty)
+    // a stop event NOT matching the loop predicate is ignorable in the gap
+    // BEFORE the loop: the stop condition governs loop consumption only
+    val (ms2, _) = run(p, evs("a", "x", "b", "c"))
+    assert(ms2.size == 1 && ms2.head("B").map(_.tag) == Vector("b"))
+  }
+
+  test("until on a trailing greedy loop: the stop event finalizes the " +
+    "maximal match immediately (state released)") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .followedBy("B").where(e => !is("a")(e)).oneOrMore.until(is("s"))
+    val (ms, _) = run(p, evs("a", "b1", "b2", "s", "b3"))
+    assert(ms.size == 1)
+    assert(ms.head("B").map(_.tag) == Vector("b1", "b2"),
+      "the maximal match emits at the stop event; b3 cannot extend it")
+  }
+
+  test("untilContext: iterative stop condition sees current bindings") {
+    // stop once two B's are bound: the loop caps at 2 without times()
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .followedBy("B").where(is("b")).oneOrMore
+      .untilContext((_, ctx) => ctx("B").size >= 2)
+      .followedBy("C").where(is("c"))
+    val (ms, _) = run(p, evs("a", "b", "b", "b", "c"))
+    assert(ms.size == 1)
+    assert(ms.head("B").size == 2, "third take blocked by the iterative stop")
+  }
+
+  test("until validation: requires a looping stage; only once") {
+    intercept[IllegalArgumentException] {
+      Pattern.begin[Ev]("A").where(is("a")).until(is("s"))
+    }
+    intercept[IllegalArgumentException] {
+      Pattern.begin[Ev]("A").where(is("a"))
+        .followedBy("B").oneOrMore.until(is("s")).until(is("t"))
+    }
+  }
+
+  test("until survives contramap (wrapper re-targeting keeps the stop condition)") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent).where(is("a"))
+      .followedBy("B").where(_ => true).oneOrMore.optional.until(is("c"))
+      .followedBy("C").where(is("c"))
+    val lifted = p.contramap[(Int, Ev)](_._2)
+    val events = evs("a", "b", "c1", "c2").zipWithIndex.map { case (e, i) => (i, e) }
+    val (ms, _) = NFA.run(events.iterator, (x: (Int, Ev)) => x._2.ts, lifted)
+    assert(ms.size == 1 && ms.head("C").map(_._2.tag) == Vector("c1"))
+  }
 }

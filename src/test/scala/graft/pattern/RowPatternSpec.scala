@@ -21,12 +21,19 @@ class RowPatternSpec extends AnyFunSuite {
   private type Rows = IndexedSeq[Set[String]]
 
   /** Brute force: all matches of `a` anchored at `pos`, lazily, in SQL
-    * preference order; each result = (end-exclusive, (var, row) list). */
-  private def enum(a: Ast, rows: Rows, pos: Int): LazyList[(Int, List[(String, Int)])] =
+    * preference order; each result = (end-exclusive, (var, row) list).
+    * `untilVars`: loop variables carrying a stop condition (label "U") —
+    * a U-row is never taken into that variable's repetition run (Flink
+    * `until`: the stop event is not accepted into the loop; graph mode is
+    * all-strict, so no ignore path exists and the run simply truncates). */
+  private def enum(a: Ast, rows: Rows, pos: Int,
+      untilVars: Set[String] = Set.empty): LazyList[(Int, List[(String, Int)])] =
     a match {
       case AVar(nm, mn, mx, greedy) =>
+        val stopped = untilVars(nm) && mx > 1
         var c = 0
-        while (pos + c < rows.length && c < mx && rows(pos + c)(nm)) c += 1
+        while (pos + c < rows.length && c < mx && rows(pos + c)(nm) &&
+            !(stopped && rows(pos + c)("U"))) c += 1
         val counts = if (greedy) c to mn by -1 else mn to c
         LazyList.from(counts).map(k =>
           (pos + k, (0 until k).map(j => nm -> (pos + j)).toList))
@@ -34,21 +41,22 @@ class RowPatternSpec extends AnyFunSuite {
         def go(its: List[Ast], p: Int): LazyList[(Int, List[(String, Int)])] =
           its match {
             case Nil => LazyList((p, Nil))
-            case h :: t => enum(h, rows, p).flatMap { case (p2, as1) =>
+            case h :: t => enum(h, rows, p, untilVars).flatMap { case (p2, as1) =>
               go(t, p2).map { case (p3, as2) => (p3, as1 ::: as2) }
             }
           }
         go(items, pos)
-      case AAlt(bs) => LazyList.from(bs).flatMap(enum(_, rows, pos))
+      case AAlt(bs) => LazyList.from(bs).flatMap(enum(_, rows, pos, untilVars))
       case APermute(items) =>
-        LazyList.from(items.permutations.toList).flatMap(p => enum(ASeq(p), rows, pos))
-      case AExcl(b) => enum(b, rows, pos)
+        LazyList.from(items.permutations.toList)
+          .flatMap(p => enum(ASeq(p), rows, pos, untilVars))
+      case AExcl(b) => enum(b, rows, pos, untilVars)
       case AQuant(b, mn, mx, greedy) =>
         def go(done: Int, p: Int): LazyList[(Int, List[(String, Int)])] = {
           val stop = if (done >= mn) LazyList((p, List.empty[(String, Int)])) else LazyList.empty
           val more =
             if (done >= mx) LazyList.empty
-            else enum(b, rows, p).flatMap { case (p2, as1) =>
+            else enum(b, rows, p, untilVars).flatMap { case (p2, as1) =>
               if (p2 > p) go(done + 1, p2).map { case (p3, as2) => (p3, as1 ::: as2) }
               // regex empty-iteration rule: a zero-width body match ends the
               // loop AT ITS OWN preference position (it still counts as an
@@ -364,6 +372,71 @@ class RowPatternSpec extends AnyFunSuite {
         case _: IllegalArgumentException => false
       }
       if (ok) { checkSkip(ast, rows, skip); tested += 1 }
+    }
+    assert(tested > 300, s"only $tested viable random patterns")
+  }
+
+  test("property: until (loop stop) in graph mode matches the brute matcher") {
+    // loop variables in `untilVars` stop at label "U": the engine sets
+    // Stage.until on those leaves; the brute matcher truncates their
+    // repetition runs at the first U-row. Directed base cases first.
+    def nfaUntil(a: Ast, rows: Rows, untilVars: Set[String]) = {
+      val Compiled(leaves, graph) = compile(a)
+      val stages = leaves.map { lf =>
+        Stage[Int](lf.name, (r, _) => rows(r)(lf.name), lf.min, lf.max,
+          Contiguity.Strict, Contiguity.Strict, lf.greedy,
+          until = if (untilVars(lf.name) && lf.max > 1)
+            Some((r: Int, _: PatternContext[Int]) => rows(r)("U")) else None)
+      }
+      val pattern = Pattern[Int](stages, None, AfterMatchSkip.SkipPastLastEvent,
+        graph = Some(graph))
+      val (ms, _) = NFA.run(rows.indices.iterator, (r: Int) => r.toLong, pattern)
+      ms.toList.map(m => (m.startTs.toInt, m.events.toList))
+    }
+    def bruteUntil(a: Ast, rows: Rows, untilVars: Set[String]) = {
+      val out = List.newBuilder[(Int, List[(String, Int)])]
+      var s = 0
+      while (s < rows.length) {
+        enum(a, rows, s, untilVars).headOption match {
+          case Some((end, as)) if end > s => out += ((s, as)); s = end
+          case _ => s += 1
+        }
+      }
+      out.result()
+    }
+    def checkUntil(a: Ast, rows: Rows, untilVars: Set[String]): Unit = {
+      val expected = bruteUntil(a, rows, untilVars)
+      val actual = nfaUntil(a, rows, untilVars)
+      assert(actual == expected,
+        s"\npattern: $a until: $untilVars" +
+          s"\nrows: ${rows.zipWithIndex.map { case (r, i) => s"$i:${r.mkString("")}" }.mkString(" ")}" +
+          s"\nexpected: $expected\nactual:   $actual")
+    }
+    // directed: B+ with until stops at the BU row even though B matches it
+    val abu = ASeq(List(AVar("A"), AVar("B", 1, Int.MaxValue), AVar("C")))
+    checkUntil(abu, rowsOf("A", "B", "BU", "C"), Set("B"))
+    assert(nfaUntil(abu, rowsOf("A", "B", "BU", "C"), Set("B")).isEmpty,
+      "strict graph mode: the frozen loop cannot bridge the stop row")
+    checkUntil(abu, rowsOf("A", "B", "B", "CU"), Set("B")) // stop row IS the exit's
+    checkUntil(abu, rowsOf("A", "BU", "B", "C"), Set("B")) // first take blocked
+    // group loop (A B)+ with until on one member
+    checkUntil(AQuant(ASeq(List(AVar("A"), AVar("B"))), 1, Int.MaxValue, greedy = true),
+      rowsOf("A", "B", "AU", "B"), Set("A"))
+    // randomized sweep
+    val genUntilVars = Gen.someOf(varPool).map(_.toSet)
+    val genRowsU: Gen[Rows] = for {
+      n <- Gen.choose(0, 14)
+      rows <- Gen.listOfN(n,
+        Gen.listOf(Gen.frequency(5 -> Gen.oneOf(varPool), 2 -> Gen.const("U")))
+          .map(_.toSet))
+    } yield rows.toIndexedSeq
+    var tested = 0
+    forSamples(Gen.zip(genAst(2), genRowsU, genUntilVars), 600) {
+      case (ast, rows, uv) =>
+        val ok = try { compile(ast); true } catch {
+          case _: IllegalArgumentException => false
+        }
+        if (ok) { checkUntil(ast, rows, uv); tested += 1 }
     }
     assert(tested > 300, s"only $tested viable random patterns")
   }

@@ -128,6 +128,51 @@ class CepStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("until (loop stop) in streaming: micro-batched CepStream ≡ the " +
+    "declared q_cep_until batch query on the real sf0.001 events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.EventPatterns
+    import EventPatterns.EventRow
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"event_type")
+      .as[EventRow].collect()
+      .sortBy(e => (e.ts_us, e.event_id)) // the batch adapter's sort order;
+      // CepStream's stable equal-ts arrival-order contract makes the feed
+      // order the tiebreak, so parity holds through ms-tied events
+    val input = MemoryStream[EventRow]
+    val timed = input.toDS()
+      .withColumn("ets", timestamp_micros($"ts_us"))
+      .withWatermark("ets", "0 seconds")
+      .drop("ets").as[EventRow]
+    val out = CepStream.matchPattern[Long, EventRow, (Long, Long, Long, Int)](
+      timed, _.user_id, _.ts_us / 1000L, EventPatterns.untilPattern,
+      (uid, m) => m.first("S").zip(m.first("P")).map { case (s, p) =>
+        (uid, s.ts_us / 1000000L, p.ts_us / 1000000L, m("B").size)
+      },
+      (_, _) => None)
+    val q = out.writeStream.format("memory").queryName("cep_until_stream")
+      .outputMode("append").start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq); q.processAllAvailable()
+      }
+      // two far-future sentinels flush the watermark buffer + timers
+      (1 to 2).foreach { k =>
+        input.addData(Seq(EventRow(-k.toLong,
+          events.last.ts_us + k * 48L * 3600 * 1000000L, 999999999L, "view")))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cep_until_stream")
+        .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+      val batch = EventPatterns.untilStreak(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L,
+          r.getTimestamp(2).getTime / 1000L, r.getInt(3))).toSeq.sorted
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming until ≠ batch: ${streamed.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the golden input") {
     import spark.implicits._
     val batchOut = graft.operators.BillingAlerts
