@@ -173,10 +173,26 @@ object Curation {
     * prefix-sum shape: no corpus-sized single-partition stage; the only
     * additions are the vocab-sized broadcast join inside the token-count
     * input and the driver-resident merge model. */
-  def packBpe(s: SparkSession, dir: String): DataFrame = {
+  def packBpe(s: SparkSession, dir: String): DataFrame =
+    packDocTokens(s, Tokenizer.bpeDocTokens(s, dir))
+
+  /** [[packBpe]]'s UNIGRAM twin: the same real-token budget packing with
+    * token counts from the trained unigram/SentencePiece-style model
+    * ([[Tokenizer.unigramDocTokens]]) — budget parity across both trained
+    * tokenizer families, so a pipeline standardized on either gets
+    * identical packing machinery (same budget constant, same hierarchical
+    * prefix sum; only the token-count input differs). */
+  def packUnigram(s: SparkSession, dir: String): DataFrame =
+    packDocTokens(s, Tokenizer.unigramDocTokens(s, dir))
+
+  /** Whole-document packing over any `(doc_id, n_tokens)` input — the
+    * hierarchical prefix-sum shape shared by both tokenizer families: no
+    * corpus-sized single-partition stage; group-local window, group totals
+    * through the bounded two-level offset ladder. */
+  private def packDocTokens(
+      s: SparkSession, docTokens: DataFrame): DataFrame = {
     import s.implicits._
-    val toks = Tokenizer.bpeDocTokens(s, dir)
-      .withColumn("g", expr(s"doc_id div $PackGroup"))
+    val toks = docTokens.withColumn("g", expr(s"doc_id div $PackGroup"))
     val inGroup = Window.partitionBy($"g").orderBy($"doc_id")
     val withIn = toks.withColumn("cum_in", sum($"n_tokens").over(inGroup))
     val totals = toks.groupBy($"g").agg(sum($"n_tokens").as("tot"))
@@ -378,6 +394,7 @@ object Curation {
     "q_decontaminate_winnow" -> decontaminateWinnow _,
     "q_text_pack" -> pack _,
     "q_text_pack_bpe" -> packBpe _,
+    "q_text_pack_unigram" -> packUnigram _,
     "q_pipeline_curate" -> curate _,
     "q_pipeline_curate_near" -> curateNear _,
     "q_pipeline_full" -> pipelineFull _,
@@ -498,6 +515,17 @@ object Curation {
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens
          |      AS cum_before
          |  FROM dt)
+         |SELECT doc_id, CAST(cum_before // $PackBpeBudget AS BIGINT) AS pack_id,
+         |  n_tokens
+         |FROM cum ORDER BY doc_id""".stripMargin,
+    // the unigram twin: identical serial prefix-sum statement over the
+    // unigram-trained doc-token CTE chain
+    "q_text_pack_unigram" ->
+      s"""WITH ${Tokenizer.duckUnigramDocTokensCtes},
+         |cum AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens
+         |      AS cum_before
+         |  FROM dtu)
          |SELECT doc_id, CAST(cum_before // $PackBpeBudget AS BIGINT) AS pack_id,
          |  n_tokens
          |FROM cum ORDER BY doc_id""".stripMargin,

@@ -571,13 +571,8 @@ object Tokenizer {
          |    token, n FROM agg)
          |SELECT tid, token, n FROM r WHERE tid <= $EncodeTop ORDER BY tid""".stripMargin,
     "q_text_unigram_doc_tokens" ->
-      s"""WITH $duckUnigramEncodeCtes,
-         |wt AS (SELECT word, len(string_split(trim(seg), '  ')) AS n_tok
-         |  FROM f$UnigramVocabSize),
-         |dw AS (SELECT doc_id, unnest(${duckTokens("lower(text)")}) AS word
-         |  FROM documents)
-         |SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-         |FROM dw JOIN wt USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckUnigramDocTokensCtes
+         |SELECT doc_id, n_tokens FROM dtu ORDER BY doc_id""".stripMargin,
     // per-source fertility over the same trained chain: every word is in
     // the vocab (trained on the full corpus), so per-doc word counts equal
     // the token-list lengths
@@ -594,6 +589,19 @@ object Tokenizer {
          |FROM dt JOIN dwc USING (doc_id)
          |GROUP BY dwc.source ORDER BY dwc.source""".stripMargin,
   )
+
+  /** DuckDB: UNIGRAM training + per-doc real token counts, ending in
+    * `dtu (doc_id, n_tokens)` — the [[duckDocTokensCtes]] twin for the
+    * unigram tokenizer, shared by the unigram doc-tokens oracle and the
+    * unigram-budget packing oracle ([[Curation]]). */
+  private[pipeline] def duckUnigramDocTokensCtes: String =
+    s"""$duckUnigramEncodeCtes,
+       |uwt AS (SELECT word, len(string_split(trim(seg), '  ')) AS n_tok
+       |  FROM f$UnigramVocabSize),
+       |udw AS (SELECT doc_id, unnest(${duckTokens("lower(text)")}) AS word
+       |  FROM documents),
+       |dtu AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM udw JOIN uwt USING (word) GROUP BY doc_id)""".stripMargin
 
   /** DuckDB: training + per-doc real token counts, ending in
     * `dt (doc_id, n_tokens)` — shared by the doc-tokens oracle and the

@@ -32,7 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * recursion tier), never corpus-sized. */
   private val singlePartitionOk = Set(
     // hierarchical prefix sum base case: ≤ input/4096² rows by construction
-    "q_text_pack", "q_text_pack_bpe",
+    "q_text_pack", "q_text_pack_bpe", "q_text_pack_unigram",
     "q_pipeline_full", // its packing stage — the same bounded base tier
     // hierarchical suffix-min base case: ≤ buckets/4096² rows (same machinery)
     "q_skyline",
