@@ -380,6 +380,82 @@ object StreamProbe {
     }
     println(f"""{"probe":"dq_stream","rows":$nDq,"sources":20,"batches":4,"emissions":$dqN,"secs":$dqSecs%.1f,"rows_per_sec":${(nDq / dqSecs).toLong}}""")
 
+    // ---- DynamicRuleStream at 1M rows / 100k keys (r15, r14 verdict #5):
+    // ~20% rule rows flip each key's threshold register MID-STREAM across 4
+    // in-order micro-batches on RocksDB state; two far-future sentinels
+    // flush the watermark buffer. Contracts asserted at volume: the alert
+    // set EQUALS the batch window-pass twin (slicing invariance — the
+    // operator's determinism contract from DynamicRuleStreamSpec, now at
+    // 1M), and state stays bounded by KEYS (register + armed timer + the
+    // within-delay buffer), never by event volume.
+    import graft.streaming.DynamicRuleStream
+    val nDyn = args.lift(3).map(_.toLong).getOrElse(1000000L)
+    val dynSpan = 4L * 3600 // seconds of event time
+    val dynRaw = spark.range(nDyn).select(
+        when(pmod(xxhash64($"id" * 37 + 13), lit(5L)) === 0, lit("rule"))
+          .otherwise(lit("data")).as("kind"),
+        concat(lit("k"), pmod(xxhash64($"id" * 7 + 1), lit(users)).cast("string"))
+          .as("key"),
+        timestamp_millis(lit(baseSec * 1000) +
+          pmod(xxhash64($"id" * 13 + 5), lit(dynSpan * 1000))).as("ts"),
+        pmod(xxhash64($"id" * 11 + 3), lit(100L)).as("balanceBefore"),
+        pmod(xxhash64($"id" * 29 + 17), lit(100L)).as("balanceAfter"),
+        (lit(10L) + pmod(xxhash64($"id" * 41 + 19), lit(9L)) * 10L)
+          .as("threshold"))
+      .as[DynamicRuleStream.RuleOrEvent].collect()
+      .sortBy(_.ts.getTime)
+    // contract: at most one RULE per (key, ts) — drop random collisions so
+    // the fold order (hence the parity check) is well-defined
+    val ruleSeen = scala.collection.mutable.HashSet.empty[(String, Long)]
+    val dynRows = dynRaw.filter(r =>
+      r.kind != "rule" || ruleSeen.add((r.key, r.ts.getTime)))
+    // state-row tracking (the session section enables it too; re-set here
+    // so this section stands alone if earlier sections are ever gated)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "true")
+    val dynMem = MemoryStream[DynamicRuleStream.RuleOrEvent]
+    val dynQ = DynamicRuleStream.detect(dynMem.toDS())
+      .writeStream.format("memory").queryName("dyn_probe")
+      .outputMode("append").start()
+    var dynStateRows = 0L
+    val dynT0 = System.nanoTime()
+    dynRows.grouped(dynRows.length / 4 + 1).foreach { b =>
+      dynMem.addData(b.toIndexedSeq); dynQ.processAllAvailable()
+      Option(dynQ.lastProgress).foreach(p =>
+        p.stateOperators.foreach(so =>
+          dynStateRows = dynStateRows.max(so.numRowsTotal)))
+    }
+    // sentinel data rows (balance 0 ≥ no threshold → alert-free) advance
+    // the watermark past every buffered row; two so the timer batch runs
+    (1 to 2).foreach { k =>
+      dynMem.addData(Seq(DynamicRuleStream.RuleOrEvent(
+        "data", "zzz", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          baseSec + dynSpan * (10 * k))), 0L, 0L, 0L)))
+      dynQ.processAllAvailable()
+    }
+    val dynSecs = (System.nanoTime() - dynT0) / 1e9
+    val dynGot = spark.table("dyn_probe")
+    val nAlerts = dynGot.count()
+    dynQ.stop()
+    // parity at volume: streamed alerts ≡ the batch twin, as multisets
+    val dynExp = DynamicRuleStream.detectBatch(
+      spark.createDataset(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(dynRows)))
+    val cols = Seq("key", "ts", "balanceBefore", "balanceAfter", "threshold")
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(cols.map(col): _*).count()
+    val dynDiff = grouped(dynGot).except(grouped(dynExp.toDF())).count() +
+      grouped(dynExp.toDF()).except(grouped(dynGot)).count()
+    assert(dynDiff == 0L,
+      s"dynamic-rule parity broken: $dynDiff grouped rows differ " +
+        s"(streamed $nAlerts vs batch ${dynExp.count()})")
+    assert(nAlerts > 0, "probe fixture produced no alerts — thresholds dead")
+    // register + armed-timer + buffer rows: bounded by keys and the
+    // watermark delay (buffer drains to ~0 at the sentinel), not by volume
+    assert(dynStateRows > 0L,
+      "state-row tracking must be on (session section enables it)")
+    println(f"""{"probe":"dynamic_rule_stream","rows":$nDyn,"keys":$users,"rules":${dynRows.count(_.kind == "rule")},"batches":4,"alerts":$nAlerts,"max_state_rows":$dynStateRows,"secs":$dynSecs%.1f,"rows_per_sec":${(nDyn / dynSecs).toLong}}""")
+
     spark.stop()
   }
 }
