@@ -43,18 +43,24 @@ object BenchKit {
     x
   }
 
-  /** Wall-clock ms of the fixed xorshift64* reference loop, single
-    * thread, no allocation — plus a short untimed warmup so JIT
-    * compilation never lands in the measured window. */
-  def canaryMs(): Double = {
-    val sink = xorshiftLoop(CanarySteps / 100) // JIT warmup, untimed
+  /** Shared measurement kernel: wall-clock ms of `steps` xorshift64*
+    * iterations, single thread, no allocation — plus a short untimed
+    * warmup so JIT compilation never lands in the measured window. ONE
+    * kernel for the full and mini canaries, so a future timing/DCE fix
+    * can never skew the contended-classification baseline against the
+    * start/middle/end readings. */
+  private def canaryMsOf(steps: Int, tag: String): Double = {
+    val sink = xorshiftLoop(steps / 100) // JIT warmup, untimed
     val t0 = System.nanoTime()
-    val sink2 = xorshiftLoop(CanarySteps)
+    val sink2 = xorshiftLoop(steps)
     val dt = (System.nanoTime() - t0) / 1e6
     // keep the loops observable so the JIT cannot eliminate them
-    if (sink == 42L && sink2 == 42L) System.err.println("[bench] canary")
+    if (sink == 42L && sink2 == 42L) System.err.println(s"[bench] $tag")
     dt
   }
+
+  /** Wall-clock ms of the fixed full-length reference loop. */
+  def canaryMs(): Double = canaryMsOf(CanarySteps, "canary")
 
   /** Concurrency of the parallel canary — wide enough to feel a squeeze
     * on most of the box's cores, small enough that three runs stay cheap. */
@@ -134,17 +140,9 @@ object BenchKit {
   /** One interleaved mini-canary reading: `tS` seconds from run start. */
   final case class MiniReading(tS: Double, ms: Double)
 
-  /** Wall-clock ms of the mini reference loop (same xorshift kernel as
-    * [[canaryMs]], so JIT state is shared; a short untimed warmup guards
-    * the first call). */
-  def miniCanaryMs(): Double = {
-    val sink = xorshiftLoop(MiniCanarySteps / 100)
-    val t0 = System.nanoTime()
-    val sink2 = xorshiftLoop(MiniCanarySteps)
-    val dt = (System.nanoTime() - t0) / 1e6
-    if (sink == 42L && sink2 == 42L) System.err.println("[bench] mini-canary")
-    dt
-  }
+  /** Wall-clock ms of the mini reference loop — [[canaryMsOf]] at 1/8
+    * length (same kernel, shared JIT state). */
+  def miniCanaryMs(): Double = canaryMsOf(MiniCanarySteps, "mini-canary")
 
   /** Contention threshold: a query's covering mini-canary reading more
     * than 25% over the run-start reading marks its window contended. */
@@ -178,7 +176,7 @@ object BenchKit {
         m <- nearestMini(minis, t0)
       } yield m.ms > ContendedRatio * base
       !covering.getOrElse(false) // None/clean → warn; inflated → contended
-    } match { case (warn, contended) => (warn, contended) }
+    }
   }
 
   /** Extract the per-query seconds map from a committed detail line —

@@ -454,6 +454,13 @@ object StreamProbe {
     // watermark delay (buffer drains to ~0 at the sentinel), not by volume
     assert(dynStateRows > 0L,
       "state-row tracking must be on (session section enables it)")
+    // ENFORCED upper bound (measured 144k at 1M rows): ≤ 2 rows/key
+    // (register + armed timer) + one micro-batch of within-delay buffer.
+    // A leak that grows state with event volume (e.g. a buffer that never
+    // clears) blows through this long before the keys term matters.
+    assert(dynStateRows <= 2 * users + nDyn / 4,
+      s"dynamic-rule state rows $dynStateRows exceed the keys+buffer bound " +
+        s"${2 * users + nDyn / 4} — state is growing with volume")
     println(f"""{"probe":"dynamic_rule_stream","rows":$nDyn,"keys":$users,"rules":${dynRows.count(_.kind == "rule")},"batches":4,"alerts":$nAlerts,"max_state_rows":$dynStateRows,"secs":$dynSecs%.1f,"rows_per_sec":${(nDyn / dynSecs).toLong}}""")
 
     spark.stop()

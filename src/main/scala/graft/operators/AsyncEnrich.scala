@@ -46,9 +46,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 object AsyncEnrich {
 
   /** The external store's async point-lookup surface. `lookup` must be
-    * non-blocking (return immediately, complete later); a missing key
-    * completes with null or fails the future — both reach `combine` as
-    * `None`. */
+    * non-blocking (return immediately, complete later). Missing-key vs
+    * error signaling is CACHING-relevant: complete with null for a
+    * CONFIRMED missing key (reaches `combine` as `None` and is cached, so
+    * a missing hot key costs one lookup); fail the future for a TRANSIENT
+    * error (also `None`, but NOT cached — the next row for the key
+    * re-issues). A client that signals permanent misses exceptionally
+    * still gets correct fallbacks but re-fetches the missing key per row —
+    * the wrong shape against a rate-limited store. */
   trait AsyncClient[K, V] {
     def lookup(key: K): CompletableFuture[V]
 
@@ -181,8 +186,14 @@ object AsyncEnrich {
             // error) yields the fallback for THIS row but is NOT cached:
             // caching it would turn one transient failure into the fallback
             // for every later row of that key until LRU eviction, a far
-            // broader blast radius than the per-request contract.
-            if (f.isDone && !f.isCompletedExceptionally) cache.put(k, v)
+            // broader blast radius than the per-request contract. Cache the
+            // future's OWN value, not `v`: a lookup that completes in the
+            // race window between the timed-out get and the isDone check
+            // must cache the real value (this row still gets the fallback —
+            // its deadline passed — but later rows must not inherit a
+            // spurious permanent miss).
+            if (f.isDone && !f.isCompletedExceptionally)
+              cache.put(k, Option(f.getNow(null.asInstanceOf[V])))
             combine(row, v)
         }
       }
@@ -204,11 +215,11 @@ object AsyncEnrich {
     override def lookup(key: K): CompletableFuture[V] = {
       val f = new CompletableFuture[V]()
       sched.schedule(new Runnable {
-        override def run(): Unit = m.get(key) match {
-          case Some(v) => f.complete(v): Unit
-          case None =>
-            f.completeExceptionally(new NoSuchElementException(key.toString)): Unit
-        }
+        // a map miss is a CONFIRMED missing key → null completion (the
+        // cacheable-miss convention of the AsyncClient contract), not an
+        // exceptional one (which signals a transient, uncacheable error)
+        override def run(): Unit =
+          f.complete(m.getOrElse(key, null.asInstanceOf[V])): Unit
       }, delayMs, TimeUnit.MILLISECONDS)
       f
     }

@@ -75,17 +75,9 @@ private[pipeline] object IndexStore {
     * which is the pre-existing behavior for an unreadable table — and
     * WARNS instead of degrading silently. */
   def fingerprint(s: SparkSession, dir: String, table: String): String = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$dir/$table.parquet")
-    try {
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(p)
-      def stamp(s: org.apache.hadoop.fs.FileStatus): String =
-        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
-      if (st.isDirectory)
-        fs.listStatus(p).sortBy(_.getPath.getName).map(stamp).mkString(",")
-      else stamp(st)
-    } catch {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    try fingerprintOrThrow(s, dir, table)
+    catch {
       case e: java.io.IOException =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"IndexStore.fingerprint: cannot stat $p (${e.getMessage}); " +
@@ -93,6 +85,23 @@ private[pipeline] object IndexStore {
             "source will keep serving its stale index")
         p.toString
     }
+  }
+
+  /** [[fingerprint]] without the constant-key fallback — for callers where
+    * a wrong fingerprint is worse than an error ([[gc]]: a fallback key
+    * would silently reclassify the live artifact as stale and DELETE it;
+    * for getOrBuild the fallback merely disables staleness detection). */
+  private def fingerprintOrThrow(
+      s: SparkSession, dir: String, table: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    def stamp(s: org.apache.hadoop.fs.FileStatus): String =
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    if (st.isDirectory)
+      fs.listStatus(p).sortBy(_.getPath.getName).map(stamp).mkString(",")
+    else stamp(st)
   }
 
   private val tempDirs =
@@ -140,29 +149,43 @@ private[pipeline] object IndexStore {
     * does NOT advance on a second-session open. */
   private[graft] val durableBuilds = new java.util.concurrent.atomic.AtomicLong
 
+  /** MD5 of a source fingerprint — the publish-dir name suffix; ONE
+    * encoding shared by publish ([[durableGetOrBuild]]) and retention
+    * ([[gc]]) so the two can never drift. */
+  private def fpHash(fp: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The publish marker's content inside `dir`, if present and readable —
+    * the single marker-read shared by publish validation and retention. */
+  private def readMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[String] = {
+    val m = new org.apache.hadoop.fs.Path(dir, FpMarker)
+    try {
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        Some(new String(bytes, "UTF-8"))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
   private def durableGetOrBuild(
       s: SparkSession, root: String, variant: String, fp: String)(
       build: String => Unit): String = {
     import org.apache.hadoop.fs.Path
     val hadoop = s.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(hadoop)
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dst = new Path(root, s"$variant-fp$hash")
-    def published: Boolean = {
-      val m = new Path(dst, FpMarker)
-      fs.exists(m) && {
-        val in = fs.open(m)
-        val bytes =
-          try org.apache.commons.io.IOUtils.toByteArray(in)
-          finally in.close()
-        new String(bytes, "UTF-8") == fp
-      }
-    }
+    val dst = new Path(root, s"$variant-fp${fpHash(fp)}")
+    def published: Boolean = readMarker(fs, dst).contains(fp)
     if (published) return dst.toString
     durableBuilds.incrementAndGet()
     val tmp = new Path(root,
-      s".tmp-$variant-$hash-${java.util.UUID.randomUUID().toString.take(8)}")
+      s".tmp-$variant-${fpHash(fp)}-${java.util.UUID.randomUUID().toString.take(8)}")
     build(tmp.toString)
     val mo = fs.create(new Path(tmp, FpMarker), true)
     try mo.write(fp.getBytes("UTF-8")) finally mo.close()
@@ -201,10 +224,14 @@ private[pipeline] object IndexStore {
     *  - `<variant>-fp<hash>` with a live hash and a VALID publish marker
     *    (present, content = a live fingerprint) → kept: the serving
     *    artifact.
-    *  - `<variant>-fp<hash>` with a non-live hash → removed: superseded
-    *    by a corpus mutation; no current session can resolve to it (the
-    *    dir name is derived from the fingerprint, so a reader of this
-    *    artifact is reading a corpus state that no longer exists).
+    *  - `<variant>-fp<hash>` with a non-live hash → removed ONCE OLDER
+    *    than `tmpTtlMs`: superseded by a corpus mutation; no current
+    *    session can resolve to it (the dir name is derived from the
+    *    fingerprint, so a reader of this artifact is reading a corpus
+    *    state that no longer exists). The age guard closes the
+    *    mutation-during-gc race: a corpus that mutates AFTER gc snapshots
+    *    the live fingerprints gets its freshly-published new-fingerprint
+    *    artifact kept (young), collected only by a later gc.
     *  - `<variant>-fp<hash>` live-named but with a missing/mismatched
     *    marker → UNPUBLISHED: [[durableGetOrBuild]] can never serve it
     *    (`published` is false). Removed once older than `tmpTtlMs` —
@@ -234,24 +261,25 @@ private[pipeline] object IndexStore {
       tmpTtlMs: Long = DefaultTmpTtlMs): IndexRetention.GcReport = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val liveFps = live.map { case (dir, table) => fingerprint(s, dir, table) }.toSet
-    val liveHashes = liveFps.map(fp => java.security.MessageDigest
-      .getInstance("MD5").digest(fp.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString)
+    // STRICT fingerprints: the warn-and-fall-back behavior getOrBuild
+    // tolerates (it merely disables staleness detection) would here turn a
+    // transient stat failure into a constant key that matches no published
+    // dir — silently reclassifying the live serving artifact as stale and
+    // DELETING it. A gc that cannot see a live table must abort loudly.
+    val liveFps = live.map { case (dir, table) =>
+      try fingerprintOrThrow(s, dir, table)
+      catch {
+        case e: java.io.IOException => throw new java.io.IOException(
+          s"IndexRetention.gc aborted: cannot fingerprint live table " +
+            s"$dir/$table.parquet — deleting anything now could collect " +
+            s"its serving artifact (${e.getMessage})", e)
+      }
+    }.toSet
+    val liveHashes = liveFps.map(fpHash)
     val now = System.currentTimeMillis()
     val removedStale = Seq.newBuilder[String]
     val removedOrphans = Seq.newBuilder[String]
     val kept = Seq.newBuilder[String]
-    def markerIsLive(d: Path): Boolean = {
-      val m = new Path(d, FpMarker)
-      try fs.exists(m) && {
-        val in = fs.open(m)
-        val bytes =
-          try org.apache.commons.io.IOUtils.toByteArray(in)
-          finally in.close()
-        liveFps.contains(new String(bytes, "UTF-8"))
-      } catch { case _: java.io.IOException => false }
-    }
     val children =
       try fs.listStatus(new Path(root)).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty }
@@ -265,8 +293,11 @@ private[pipeline] object IndexStore {
           else kept += p.toString
         case FpDirName(_, hash) =>
           if (!liveHashes.contains(hash)) {
-            fs.delete(p, true): Unit; removedStale += p.toString
-          } else if (markerIsLive(p)) kept += p.toString
+            // superseded — but only past the safety window (see scaladoc:
+            // the mutation-during-gc race)
+            if (olderThanTtl) { fs.delete(p, true): Unit; removedStale += p.toString }
+            else kept += p.toString
+          } else if (readMarker(fs, p).exists(liveFps.contains)) kept += p.toString
           else if (olderThanTtl) {
             fs.delete(p, true): Unit; removedOrphans += p.toString
           } else kept += p.toString

@@ -154,23 +154,26 @@ class AsyncEnrichSpec extends AnyFunSuite {
 
   test("coalesced rows share the original lookup's deadline (timeout runs " +
     "from SUBMISSION, not from each row's enqueue)") {
-    // rows arrive 200 ms apart (slow upstream iterator); the slow key never
-    // completes. Row 3 coalesces onto row 1's in-flight lookup ~400 ms after
-    // its submission — sharing the submit timestamp, its residual wait is
-    // ~200 ms, so the whole drain finishes around t≈800 ms. Re-stamping at
-    // enqueue (the old bug) gave row 3 its own full 600 ms from t≈600,
-    // stretching the drain to ~1200 ms.
+    // rows arrive 400 ms apart (slow upstream iterator); the slow key never
+    // completes. Row 3 coalesces onto row 1's in-flight lookup ~800 ms
+    // after its submission — sharing the submit timestamp, its residual
+    // wait is ~0, so the drain finishes around t≈1600 ms. Re-stamping at
+    // enqueue (the old bug) gave row 3 a fresh 1200 ms deadline from
+    // t≈1200, stretching the drain to ~2400 ms. The 500 ms slack is over
+    // sleeps and timed waits (which overshoot by scheduler ms, not the
+    // multiples CPU-bound loops stretch by in contended windows), and the
+    // lookup-count assert pins the coalescing itself clock-free.
     val cl = new Probe(dim, 2, slowKeys = Set(7L))
-    val gapped = Seq(7L, 1L, 7L).iterator.map { k => Thread.sleep(200); k }
+    val gapped = Seq(7L, 1L, 7L).iterator.map { k => Thread.sleep(400); k }
     val t0 = System.nanoTime()
     val out = AsyncEnrich.enrichPartition[Long, Long, String, (Long, Option[String])](
-      gapped, identity, cl, 600L, 4, 1000, (k, v) => (k, v)).toSeq
+      gapped, identity, cl, 1200L, 4, 1000, (k, v) => (k, v)).toSeq
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
     assert(out == Seq(7L -> None, 1L -> Some("v1"), 7L -> None))
     assert(cl.lookups.get() == 2, "the second slow-key row must coalesce")
-    assert(elapsedMs < 1050,
+    assert(elapsedMs < 2100,
       s"coalesced row waited past the shared deadline: ${elapsedMs}ms (shared " +
-        "submit ⇒ ~800ms; per-enqueue re-stamp ⇒ ~1200ms)")
+        "submit ⇒ ~1600ms; per-enqueue re-stamp ⇒ ~2400ms)")
   }
 
   test("streaming twin: foreachBatch enrichment is slicing-invariant — " +

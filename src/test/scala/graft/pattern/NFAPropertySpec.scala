@@ -151,6 +151,66 @@ class NFAPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Brute force for the UNTIL shape `A followedBy B+ until(u) followedBy C,
+    * skipPastLast, no within` with u NOT matching B's predicate: before the
+    * first b, a u is an ordinary ignorable event (the stop condition
+    * governs loop consumption, not the gap before it); once inside the
+    * loop, the first u FREEZES collection (the partial may neither take nor
+    * ignore within the loop — it proceeds and waits at C); the first c with
+    * ≥1 collected b completes with the b-count frozen at that point; b's
+    * and u's after the freeze are ignored at C. Earliest start wins, resume
+    * after the match. */
+  private def bruteUntil(events: List[Ev]): List[(Long, Long, Int)] = {
+    val ev = events.toIndexedSeq
+    var out = List.empty[(Long, Long, Int)]
+    var i = 0
+    while (i < ev.length) {
+      if (ev(i).kind != 'a') { i += 1 }
+      else {
+        var j = i + 1
+        var nB = 0
+        var frozen = false
+        var end = -1
+        while (j < ev.length && end < 0) {
+          ev(j).kind match {
+            case 'c' if nB >= 1 => end = j
+            case 'b' if !frozen => nB += 1
+            case 'u' if nB >= 1 => frozen = true
+            case _ => ()
+          }
+          if (end < 0) j += 1
+        }
+        if (end >= 0) { out ::= ((ev(i).ts, ev(end).ts, nB)); i = end + 1 }
+        else i += 1
+      }
+    }
+    out.reverse
+  }
+
+  private val genEventsU: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 40)
+    kinds <- Gen.listOfN(n, Gen.frequency(
+      3 -> 'a', 4 -> 'b', 3 -> 'c', 2 -> 'u', 2 -> 'x'))
+    gaps <- Gen.listOfN(n, Gen.choose(1L, 40L))
+  } yield {
+    val ts = gaps.scanLeft(0L)(_ + _).tail
+    ts.zip(kinds).map { case (t, k) => Ev(t, k) }
+  }
+
+  test("until (loop stop) matches the brute-force oracle on random " +
+    "sequences — relaxed contiguity, freeze-then-proceed semantics") {
+    val p = Pattern.begin[Ev]("A", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.kind == 'a')
+      .followedBy("B").where(_.kind == 'b').oneOrMore.until(_.kind == 'u')
+      .followedBy("C").where(_.kind == 'c')
+    forSamples(genEventsU, 400) { events =>
+      val (nm, _) = NFA.run(events.iterator, (_: Ev).ts, p)
+      val got = nm.map(m => (m.startTs, m.endTs, m("B").size)).toList
+      assert(got == bruteUntil(events),
+        s"until matches differ for $events: got $got, want ${bruteUntil(events)}")
+    }
+  }
+
   test("incremental runner with snapshot/restore at arbitrary cut == single-shot run") {
     forSamples(genEvents.flatMap(es => Gen.choose(0, 40).map(c => (es, c))), 300) {
       case (events, cutRaw) =>

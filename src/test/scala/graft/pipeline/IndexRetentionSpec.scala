@@ -63,9 +63,14 @@ class IndexRetentionSpec extends AnyFunSuite {
       val liveDir = Dedup.minhashIndexPath(s2, dataA)
       assert(liveDir.contains(root))
       val ttl = IndexStore.DefaultTmpTtlMs
-      // superseded fingerprint (fake hash ≠ any live) — any age, even fresh
-      val stale = mkDir(root, "mh-fp" + "0" * 32,
+      // superseded fingerprint (fake hash ≠ any live), past the safety
+      // window — collected; a YOUNG non-live dir is kept (it may be a
+      // fresh publish for a corpus that mutated after gc snapshotted the
+      // live fingerprints — the mutation-during-gc race)
+      val stale = mkDir(root, "mh-fp" + "0" * 32, ageMs = ttl + 60000,
         marker = Some("some-old-fingerprint"))
+      val youngStale = mkDir(root, "mh-fp" + "1" * 32,
+        marker = Some("a-just-published-newer-fingerprint"))
       // crash-orphaned staging dirs: one past the TTL, one in flight
       val oldTmp = mkDir(root, ".tmp-mh-abc-deadbeef", ageMs = ttl + 60000)
       val youngTmp = mkDir(root, ".tmp-mh-abc-12345678")
@@ -81,6 +86,8 @@ class IndexRetentionSpec extends AnyFunSuite {
       val report = IndexRetention.gc(s2, root, Seq(dataA -> "documents"))
 
       assert(!stale.exists(), "superseded fp dir must be removed")
+      assert(youngStale.exists(),
+        "a young non-live dir may be a mid-gc mutation's fresh publish — kept")
       assert(!oldTmp.exists(), "past-TTL staging orphan must be removed")
       assert(youngTmp.exists(), "in-flight staging dir must be kept")
       assert(!crashedOld.exists(),
@@ -116,6 +123,22 @@ class IndexRetentionSpec extends AnyFunSuite {
       report.kept.isEmpty)
   }
 
+  test("gc ABORTS when a live table cannot be fingerprinted — a fallback " +
+    "key would reclassify the serving artifact as stale and delete it") {
+    val root = java.nio.file.Files.createTempDirectory("ix_gc_root3").toString
+    try {
+      val survivor = mkDir(root, "mh-fp" + "2" * 32,
+        ageMs = IndexStore.DefaultTmpTtlMs + 60000)
+      val e = intercept[java.io.IOException] {
+        IndexRetention.gc(spark, root,
+          Seq("/tmp/ix_gc_missing_table_dir" -> "documents"))
+      }
+      assert(e.getMessage.contains("aborted"))
+      assert(survivor.exists(), "an aborted gc must delete NOTHING")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("a corpus MUTATION then gc: the new artifact is live, the " +
     "superseded one is collected") {
     val root = java.nio.file.Files.createTempDirectory("ix_gc_root2").toString
@@ -132,6 +155,10 @@ class IndexRetentionSpec extends AnyFunSuite {
       val v2 = Dedup.minhashIndexPath(s2, data)
       assert(v2 != v1)
       assert(new java.io.File(v1).exists() && new java.io.File(v2).exists())
+      // age the superseded snapshot past the safety window (a fresh one is
+      // kept until the next gc — the mutation-during-gc race guard)
+      assert(new java.io.File(v1).setLastModified(
+        System.currentTimeMillis() - IndexStore.DefaultTmpTtlMs - 60000))
       val report = IndexRetention.gc(s2, root, Seq(data -> "documents"))
       assert(!new java.io.File(v1).exists(), "superseded snapshot collected")
       assert(new java.io.File(v2).exists(), "current snapshot serves on")
