@@ -662,6 +662,41 @@ object TextAnalysis {
       .orderBy($"pos")
   }
 
+  /** Admission thresholds swept by [[classifierFrontier]], in milli-score
+    * units (the keep rule generalized from `score > 0` to `score > t`). */
+  val ClfThresholds: Seq[Long] = Seq(-200L, -100L, -50L, 0L, 50L, 100L, 200L)
+
+  /** THRESHOLD-FREQUENCY FRONTIER of the trained quality classifier — the
+    * `q_dedup_threshold_frontier` / `q_ann_recall_frontier` measure-first
+    * discipline applied to the admission rule: [[classifierEval]] reports
+    * the keep confusion at the single shipped threshold (`score > 0`);
+    * this query sweeps the rule across [[ClfThresholds]] and reports, per
+    * (threshold, label class), the admission rate in exact basis points —
+    * the measured keep/purity trade a pipeline reads to PICK its operating
+    * point before a 100 TB run trusts `keep` (a stricter threshold buys
+    * purity only if the positive class's keep_bp falls slower than the
+    * negative's — visible in one table, not re-runs).
+    *
+    * Shape at scale: the frozen literal-array scorer is the same single
+    * narrow codegen pass as the eval; the threshold axis EXPLODES FROM A
+    * LITERAL (the `q_ann_recall_trunc` convention — no BNLJ, no join);
+    * the report is one map-side-combinable aggregate over ≤ |thresholds|×2
+    * cells. */
+  def classifierFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val w = fitWeightArrayOf(classifierFitOf(docs))
+    fittedScorerOf(w)(docs.select($"doc_id", $"text"))
+      .join(docs.select($"doc_id", ($"lang" === "en").cast("long").as("pos")),
+        "doc_id")
+      .withColumn("thr_milli", explode(typedLit(ClfThresholds)))
+      .groupBy($"thr_milli", $"pos")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"score_milli" > $"thr_milli").cast("long")).as("n_keep"))
+      .withColumn("keep_bp", expr("(n_keep * 10000) div n_docs"))
+      .orderBy($"thr_milli", $"pos")
+  }
+
   /** The JOIN-PATH twin of [[fittedScorerOf]] — explode → broadcast-join
     * the fitted model table → per-doc sum. The literal-array scorer must
     * equal this bit-for-bit (`ClassifierFitSpec`); production uses the
@@ -962,6 +997,7 @@ object TextAnalysis {
     "q_text_classifier" -> classifier _,
     "q_text_classifier_fit" -> classifierFit _,
     "q_text_classifier_eval" -> classifierEval _,
+    "q_classifier_frontier" -> classifierFrontier _,
     "q_langid_eval" -> langIdEval _,
     "q_text_vocab" -> vocab _,
     "q_text_vocab_approx" -> vocabApprox _,
@@ -1280,6 +1316,33 @@ object TextAnalysis {
          |  CAST(sum(keep) AS BIGINT) AS n_keep,
          |  CAST((sum(keep) * 10000) // count(*) AS BIGINT) AS keep_bp
          |FROM kd GROUP BY pos ORDER BY pos""".stripMargin,
+    // the eval chain with the score CARRIED, crossed with the threshold
+    // literal — per (threshold, class) admission rates
+    "q_classifier_frontier" ->
+      s"""WITH d AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
+         |    ${duckTokens("lower(text)")} AS w FROM documents),
+         |tk AS (SELECT doc_id, pos, unnest(w) AS t FROM d),
+         |gt AS (SELECT doc_id, pos, t, '<' || t || '>' AS g FROM tk),
+         |bt AS (SELECT doc_id, pos, unnest($duckClfFeatures) AS bucket
+         |  FROM gt),
+         |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
+         |  FROM bt GROUP BY bucket),
+         |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
+         |  FROM c),
+         |m AS (SELECT bucket,
+         |    (1000 * (np + 1)) // (nt + 2) - p.prior AS w_milli
+         |  FROM c, p),
+         |sc AS (SELECT bt.doc_id, sum(m.w_milli) AS score
+         |  FROM bt JOIN m USING (bucket) GROUP BY bt.doc_id),
+         |sd AS (SELECT d.pos, COALESCE(sc.score, 0) AS score
+         |  FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |t AS (SELECT unnest([${ClfThresholds.mkString(", ")}]) AS thr)
+         |SELECT CAST(t.thr AS BIGINT) AS thr_milli, pos,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(score > t.thr AS BIGINT)) AS BIGINT) AS n_keep,
+         |  CAST((sum(CAST(score > t.thr AS BIGINT)) * 10000) // count(*)
+         |    AS BIGINT) AS keep_bp
+         |FROM sd, t GROUP BY t.thr, pos ORDER BY thr_milli, pos""".stripMargin,
     // the count-based fit replayed exactly: token-occurrence explode,
     // feature-hash bucket, smoothed-centered integer weight
     "q_text_classifier_fit" ->

@@ -68,6 +68,27 @@ class ClassifierFitSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold frontier: keep_bp is non-increasing in the threshold per " +
+    "class, and the thr=0 row reproduces the shipped eval exactly") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val frontier = TextAnalysis.classifierFrontier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(frontier.length == TextAnalysis.ClfThresholds.length * 2)
+    // a stricter threshold can only admit fewer documents
+    frontier.groupBy(_._2).foreach { case (pos, rows) =>
+      val byThr = rows.sortBy(_._1).map(_._5)
+      assert(byThr.zip(byThr.tail).forall { case (a, b) => a >= b },
+        s"keep_bp not monotone in threshold for class $pos: ${byThr.toSeq}")
+    }
+    // the swept rule at thr=0 IS the shipped keep rule
+    val eval = TextAnalysis.classifierEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val atZero = frontier.filter(_._1 == 0L)
+      .map { case (_, pos, n, k, bp) => (pos, n, k, bp) }.toSet
+    assert(atZero == eval, s"thr=0 frontier $atZero != eval $eval")
+  }
+
   test("native ClfGramBuckets == the HOF feature spelling on the real corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
