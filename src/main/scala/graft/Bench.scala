@@ -130,7 +130,8 @@ object Bench {
     val t0s = scala.collection.mutable.LinkedHashMap[String, Double]()
     val minis = scala.collection.mutable.ArrayBuffer[BenchKit.MiniReading]()
     def miniTick(): Unit =
-      minis += BenchKit.MiniReading(offS(), BenchKit.miniCanaryMs())
+      minis += BenchKit.MiniReading(
+        offS(), BenchKit.miniCanaryMs(), BenchKit.miniMemMs())
     miniTick() // the run-start reading = the contended-classification baseline
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.zipWithIndex.map { case ((name, fn), i) =>

@@ -101,13 +101,10 @@ object BenchKit {
     a
   }
 
-  /** Wall-clock ms of streaming [[MemCanaryPasses]] sequential-sum passes
-    * over a DRAM-resident 64 MiB array — the MEMORY-BANDWIDTH read the
-    * CPU canaries structurally miss: in an r14 window the register-bound
-    * loops read near-clean (single +8%, parallel flat) while the 32-way
-    * bench ran 37% inflated — co-tenant memory traffic slows columnar
-    * scan/shuffle work long before it slows a register loop. */
-  def canaryMemMs(): Double = {
+  /** Shared bandwidth kernel: wall-clock ms of `passes` sequential-sum
+    * passes over the DRAM-resident 64 MiB array, untimed page-in/JIT
+    * warmup pass first. One kernel for the full and mini mem canaries. */
+  private def memMsOf(passes: Int, tag: String): Double = {
     val a = memArr
     def pass(): Long = {
       var s = 0L; var i = 0
@@ -117,11 +114,30 @@ object BenchKit {
     val sink = pass() // JIT + page-in warmup, untimed
     val t0 = System.nanoTime()
     var k = 0; var s2 = 0L
-    while (k < MemCanaryPasses) { s2 += pass(); k += 1 }
+    while (k < passes) { s2 += pass(); k += 1 }
     val dt = (System.nanoTime() - t0) / 1e6
-    if (sink == 42L && s2 == 42L) System.err.println("[bench] canary-mem")
+    if (sink == 42L && s2 == 42L) System.err.println(s"[bench] $tag")
     dt
   }
+
+  /** Wall-clock ms of streaming [[MemCanaryPasses]] sequential-sum passes
+    * over a DRAM-resident 64 MiB array — the MEMORY-BANDWIDTH read the
+    * CPU canaries structurally miss: in an r14 window the register-bound
+    * loops read near-clean (single +8%, parallel flat) while the 32-way
+    * bench ran 37% inflated — co-tenant memory traffic slows columnar
+    * scan/shuffle work long before it slows a register loop. */
+  def canaryMemMs(): Double = memMsOf(MemCanaryPasses, "canary-mem")
+
+  /** Passes of the MINI bandwidth reading (128 MiB of traffic, ~15-25 ms
+    * when idle) — interleaved beside the CPU mini so the per-query
+    * contended classification sees BOTH contention faces: the r15 first
+    * bench run proved the need (CPU minis flat at 50-56 ms through a
+    * window whose full mem canary read 1.7× inflated — a register loop is
+    * structurally blind to bandwidth squeeze). */
+  val MiniMemPasses: Int = 2
+
+  /** Wall-clock ms of the mini bandwidth reading. */
+  def miniMemMs(): Double = memMsOf(MiniMemPasses, "mini-canary-mem")
 
   /** Re-run trigger: first timing strictly over max(5 s, 2× the previous
     * round's committed time for this query); a query with no previous
@@ -137,8 +153,10 @@ object BenchKit {
   /** Interleave cadence: one mini-canary reading every N queries. */
   val MiniEvery: Int = 8
 
-  /** One interleaved mini-canary reading: `tS` seconds from run start. */
-  final case class MiniReading(tS: Double, ms: Double)
+  /** One interleaved mini-canary reading: `tS` seconds from run start,
+    * `ms` the CPU loop, `memMs` the bandwidth pass (−1 in legacy fixtures
+    * without one — treated as a clean reading). */
+  final case class MiniReading(tS: Double, ms: Double, memMs: Double = -1.0)
 
   /** Wall-clock ms of the mini reference loop — [[canaryMsOf]] at 1/8
     * length (same kernel, shared JIT state). */
@@ -158,23 +176,26 @@ object BenchKit {
     * WARNED vs merely CONTENDED (r14 verdict #2: the driver-window
     * "regressions" needed a judge re-measure to adjudicate — with per-query
     * localization the artifact adjudicates itself). A query is `contended`
-    * rather than `budget_warn` when the mini-canary reading nearest its
-    * start offset exceeds the run-start reading by >25% — fixed reference
-    * work ran slow in that window, so the query's timing is a host fact,
-    * not an engine fact. Queries with no recorded offset (or no minis)
-    * stay conservatively in `budget_warn`. */
+    * rather than `budget_warn` when the mini reading nearest its start
+    * offset exceeds the run-start reading by >25% on EITHER face — the CPU
+    * loop or the bandwidth pass (contention has both; a register loop is
+    * blind to memory squeeze) — fixed reference work ran slow in that
+    * window, so the query's timing is a host fact, not an engine fact.
+    * Queries with no recorded offset (or no minis) stay conservatively in
+    * `budget_warn`. */
   def classifyBudget(
       results: Map[String, Double],
       t0s: Map[String, Double],
       minis: Seq[MiniReading]): (Seq[String], Seq[String]) = {
     val over = results.toSeq.filter(_._2 > 5.0).map(_._1).sorted
-    val baseline = minis.headOption.map(_.ms)
+    val baseline = minis.headOption
     over.partition { name =>
       val covering = for {
         base <- baseline
         t0 <- t0s.get(name)
         m <- nearestMini(minis, t0)
-      } yield m.ms > ContendedRatio * base
+      } yield m.ms > ContendedRatio * base.ms ||
+        (base.memMs > 0 && m.memMs > ContendedRatio * base.memMs)
       !covering.getOrElse(false) // None/clean → warn; inflated → contended
     }
   }
@@ -241,7 +262,7 @@ object BenchKit {
       .map { case (k, v) => s"${jstr(k)}:${r3f(v)}" }
       .mkString("{", ",", "}")
     val miniJson = minis
-      .map(m => s"""{"t_s":${r3f(m.tS)},"ms":${r3f(m.ms)}}""")
+      .map(m => s"""{"t_s":${r3f(m.tS)},"ms":${r3f(m.ms)},"mem_ms":${r3f(m.memMs)}}""")
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val (warn, contended) = classifyBudget(results, t0s, minis)

@@ -106,10 +106,28 @@ class BenchKitSpec extends AnyFunSuite {
     assert(c2.isEmpty && w2.size == 3)
   }
 
+  test("contention localization sees the BANDWIDTH face too: a window " +
+    "whose CPU minis read flat but whose mem reading is inflated labels " +
+    "contended (the r15 blind spot: register loops can't feel memory " +
+    "squeeze)") {
+    val minis = Seq(
+      BenchKit.MiniReading(0.0, 50.0, memMs = 20.0),  // baseline: both clean
+      BenchKit.MiniReading(40.0, 52.0, memMs = 48.0)) // CPU flat, mem 2.4×
+    val (warn, contended) = BenchKit.classifyBudget(
+      Map("q_scan_heavy" -> 6.0), Map("q_scan_heavy" -> 41.0), minis)
+    assert(warn.isEmpty && contended == Seq("q_scan_heavy"))
+    // legacy fixtures without a mem reading (−1) classify on CPU alone
+    val legacy = Seq(
+      BenchKit.MiniReading(0.0, 50.0), BenchKit.MiniReading(40.0, 52.0))
+    val (w2, c2) = BenchKit.classifyBudget(
+      Map("q_scan_heavy" -> 6.0), Map("q_scan_heavy" -> 41.0), legacy)
+    assert(w2 == Seq("q_scan_heavy") && c2.isEmpty)
+  }
+
   test("detailJson carries the localization fields: a synthetic contended " +
     "window LABELS the slow query instead of warning on it") {
     val minis = Seq(
-      BenchKit.MiniReading(0.0, 50.0), BenchKit.MiniReading(45.0, 130.0))
+      BenchKit.MiniReading(0.0, 50.0, 20.0), BenchKit.MiniReading(45.0, 130.0, 21.0))
     val detail = BenchKit.detailJson(
       results = Map("q_hot" -> 12.0, "q_slow" -> 6.0),
       errors = Map.empty[String, String],
@@ -119,7 +137,8 @@ class BenchKitSpec extends AnyFunSuite {
       minis = minis,
       ivfBuildSec = 1.0, mhBuildSec = 1.0, sfDir = "/data/sf0.1")
     assert(detail.contains(
-      "\"mini_canary\":[{\"t_s\":0.000,\"ms\":50.000},{\"t_s\":45.000,\"ms\":130.000}]"))
+      "\"mini_canary\":[{\"t_s\":0.000,\"ms\":50.000,\"mem_ms\":20.000}," +
+        "{\"t_s\":45.000,\"ms\":130.000,\"mem_ms\":21.000}]"))
     assert(detail.contains("\"t0_s\":{\"q_hot\":44.000,\"q_slow\":2.000}"))
     assert(detail.contains("\"budget_warn\":[\"q_slow\"]"))
     assert(detail.contains("\"contended\":[\"q_hot\"]"))
