@@ -176,10 +176,13 @@ object BenchKit {
     * WARNED vs merely CONTENDED (r14 verdict #2: the driver-window
     * "regressions" needed a judge re-measure to adjudicate — with per-query
     * localization the artifact adjudicates itself). A query is `contended`
-    * rather than `budget_warn` when the mini reading nearest its start
-    * offset exceeds the run-start reading by >25% on EITHER face — the CPU
-    * loop or the bandwidth pass (contention has both; a register loop is
-    * blind to memory squeeze) — fixed reference work ran slow in that
+    * rather than `budget_warn` when a mini reading COVERING it — any
+    * reading inside its [t0, t0 + serving] interval (the bench takes a
+    * dedicated one at every over-budget query's end, so the set is never
+    * just cadence luck), or the reading nearest its start when none falls
+    * inside — exceeds the run-start reading by >25% on EITHER face: the
+    * CPU loop or the bandwidth pass (contention has both; a register loop
+    * is blind to memory squeeze). Fixed reference work ran slow in that
     * window, so the query's timing is a host fact, not an engine fact.
     * Queries with no recorded offset (or no minis) stay conservatively in
     * `budget_warn`. */
@@ -189,13 +192,21 @@ object BenchKit {
       minis: Seq[MiniReading]): (Seq[String], Seq[String]) = {
     val over = results.toSeq.filter(_._2 > 5.0).map(_._1).sorted
     val baseline = minis.headOption
+    def inflated(base: MiniReading)(m: MiniReading): Boolean =
+      m.ms > ContendedRatio * base.ms ||
+        (base.memMs > 0 && m.memMs > ContendedRatio * base.memMs)
     over.partition { name =>
       val covering = for {
         base <- baseline
         t0 <- t0s.get(name)
-        m <- nearestMini(minis, t0)
-      } yield m.ms > ContendedRatio * base.ms ||
-        (base.memMs > 0 && m.memMs > ContendedRatio * base.memMs)
+      } yield {
+        val dt = results(name)
+        // +1 s: the dedicated end reading lands just past t0 + serving
+        // (and a rerun's serving min understates the wall interval)
+        val inside = minis.filter(m => m.tS >= t0 - 0.5 && m.tS <= t0 + dt + 1.0)
+        val considered = if (inside.nonEmpty) inside else nearestMini(minis, t0).toSeq
+        considered.exists(inflated(base))
+      }
       !covering.getOrElse(false) // None/clean → warn; inflated → contended
     }
   }

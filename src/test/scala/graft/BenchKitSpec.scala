@@ -124,6 +124,25 @@ class BenchKitSpec extends AnyFunSuite {
     assert(w2 == Seq("q_scan_heavy") && c2.isEmpty)
   }
 
+  test("interval coverage: a burst caught only by the dedicated END " +
+    "reading labels contended even when a clean mini sits nearer the start") {
+    val minis = Seq(
+      BenchKit.MiniReading(0.0, 50.0, 20.0),   // baseline
+      BenchKit.MiniReading(99.0, 51.0, 20.0),  // clean, 1 s BEFORE the query
+      BenchKit.MiniReading(108.7, 140.0, 21.0)) // the query's own end reading
+    // query starts at 100, serves 8.5 s: the end reading is inside the
+    // interval and inflated → contended, even though the nearest-to-start
+    // reading (99.0) is clean
+    val (warn, contended) = BenchKit.classifyBudget(
+      Map("q_burst" -> 8.5), Map("q_burst" -> 100.0), minis)
+    assert(warn.isEmpty && contended == Seq("q_burst"))
+    // and a clean end reading keeps the warn (genuine slowness)
+    val cleanMinis = minis.updated(2, BenchKit.MiniReading(108.7, 52.0, 20.0))
+    val (w2, c2) = BenchKit.classifyBudget(
+      Map("q_burst" -> 8.5), Map("q_burst" -> 100.0), cleanMinis)
+    assert(w2 == Seq("q_burst") && c2.isEmpty)
+  }
+
   test("detailJson carries the localization fields: a synthetic contended " +
     "window LABELS the slow query instead of warning on it") {
     val minis = Seq(
