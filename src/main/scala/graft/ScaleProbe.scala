@@ -115,6 +115,88 @@ object ScaleProbe {
       s"hot-key live partials $maxPartials exceed the within-horizon bound $horizonEvents")
     println(s"""{"probe":"cep_skew_state","hot_events_replayed":${hotEvents.length},"max_live_partials":$maxPartials,"horizon_bound":$horizonEvents}""")
 
+    // ---- CEP `until` at 10M events (r15): S(0) B(kind≥1)* until(7) P(7),
+    // within 1h, skip past last — the worst consumption shape the DSL can
+    // express (the loop accepts EVERY non-signup event, purchases
+    // included, so only the stop condition can halt it; a plain where
+    // cannot). Three reads: whole-job throughput; driver-side brute-scan
+    // parity on one full key (the EventPatternsSpec oracle at volume); and
+    // a hot-key state replay — with until, every attempt resolves at the
+    // key's FIRST kind-7 event, so live partials track the purchase gap
+    // (~10 events at a 10% rate), not the within horizon.
+    val untilPat = Pattern.begin[Ev]("S", AfterMatchSkip.SkipPastLastEvent)
+      .where(_.kind == 0)
+      .followedBy("B").where(_.kind >= 1).oneOrMore.optional.until(_.kind == 7)
+      .followedBy("P").where(_.kind == 7)
+      .within(3600L * 1000L)
+    val ((nUntil, pinKey, pinGot), untilSecs) = time {
+      val out = Cep.matchPattern[Long, Ev, (Long, Long, Long, Int)](
+        events, _.user_id, _.ts / 1000L, untilPat, Seq($"ts", $"event_id"))(
+        (k, m) => m.first("S").zip(m.first("P")).map { case (s, p) =>
+          (k, s.ts, p.ts, m("B").size)
+        },
+        (_, _) => None).cache()
+      val n = out.count()
+      // parity key: the smallest key that actually MATCHED (a fixed key
+      // would usually have zero matches at these gap statistics — a
+      // vacuous pin)
+      val k = out.map(_._1).reduce(math.min)
+      val got = out.filter(_._1 == k).collect()
+        .map(r => (r._2, r._3, r._4)).sortBy(x => (x._1, x._2)).toSeq
+      (n, k, got)
+    }
+    spark.catalog.clearCache()
+    assert(pinGot.nonEmpty, "parity key must carry matches")
+    // brute scan of the parity key's full event sequence, straight from the
+    // spec's oracle: per signup, the FIRST kind-7 event completes inside
+    // the horizon or kills the attempt; n_between counts the B-taken
+    // (kind≥1) events; SKIP PAST LAST ROW resumes after the purchase
+    val pinEvents = events.filter($"user_id" === pinKey)
+      .orderBy($"ts", $"event_id").collect()
+    val pinWant = {
+      val out = Seq.newBuilder[(Long, Long, Int)]
+      var i = 0
+      while (i < pinEvents.length) {
+        if (pinEvents(i).kind != 0) i += 1
+        else {
+          var j = i + 1
+          while (j < pinEvents.length && pinEvents(j).kind != 7) j += 1
+          if (j < pinEvents.length &&
+              pinEvents(j).ts / 1000L < pinEvents(i).ts / 1000L + 3600000L) {
+            out += ((pinEvents(i).ts, pinEvents(j).ts,
+              (i + 1 until j).count(x => pinEvents(x).kind >= 1)))
+            i = j + 1
+          } else i += 1
+        }
+      }
+      out.result().sortBy(x => (x._1, x._2))
+    }
+    assert(pinGot == pinWant,
+      s"until parity broken on key $pinKey: got ${pinGot.size} matches, " +
+        s"want ${pinWant.size}")
+    // hot-key state replay: the skewed key's first 300k events through the
+    // string-typed untilStreak pattern — live partials must track the
+    // purchase gap, far inside the within-horizon bound the plain B*-loop
+    // needs (the stop condition IS the state-cleaning)
+    val uRunner = new graft.pattern.NfaRunner[EventPatterns.EventRow](
+      EventPatterns.untilPattern, _.ts_us / 1000L)
+    var uMax = 0
+    // the skewed frame's type map has no "signup" — relabel its "search"
+    // slot (10% of events) so the string-typed untilPattern actually
+    // anchors attempts on the hot key
+    hotEvents.foreach { e0 =>
+      val e = if (e0.event_type == "search") e0.copy(event_type = "signup") else e0
+      uRunner.onEvent(e)
+      // per-EVENT high-water mark: until-resolved attempts are short-lived
+      // (gap to the next purchase), so a sampled read misses them entirely
+      uMax = uMax.max(uRunner.snapshot().partials.size)
+    }
+    uRunner.flush()
+    assert(uMax > 0, "hot-key replay anchored no attempts — vacuous probe")
+    assert(uMax <= horizonEvents,
+      s"until live partials $uMax exceed the horizon bound $horizonEvents")
+    println(s"""{"probe":"cep_until","rows":$nEvents,"keys":$users,"matches":$nUntil,"pin_key":$pinKey,"pin_matches":${pinGot.size},"secs":${f"$untilSecs%.1f"},"rows_per_sec":${(nEvents / untilSecs).toLong},"hot_max_live_partials":$uMax,"horizon_bound":$horizonEvents}""")
+
     // ---- custom as-of join: 10M events ⋈ 1M orders on user ----
     val left = syntheticEvents(spark, nEvents, users)
       .select($"event_id", $"user_id", $"ts")
