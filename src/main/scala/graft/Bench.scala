@@ -129,9 +129,9 @@ object Bench {
     def offS(): Double = (System.nanoTime() - runT0) / 1e9
     val t0s = scala.collection.mutable.LinkedHashMap[String, Double]()
     val minis = scala.collection.mutable.ArrayBuffer[BenchKit.MiniReading]()
-    def miniTick(): Unit =
+    def miniTick(forQuery: Option[String] = None): Unit =
       minis += BenchKit.MiniReading(
-        offS(), BenchKit.miniCanaryMs(), BenchKit.miniMemMs())
+        offS(), BenchKit.miniCanaryMs(), BenchKit.miniMemMs(), forQuery)
     miniTick() // the run-start reading = the contended-classification baseline
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
@@ -148,6 +148,15 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        // A slow run gets a DEDICATED covering reading at its end, TAGGED
+        // with the query name (authoritative coverage — rerun spans and
+        // clear latency distort pure window arithmetic) and taken BEFORE
+        // the cache evictions below: the bench's own unpersist churn must
+        // not inflate the bandwidth face and excuse a genuinely slow query
+        // as contended. The every-MiniEvery cadence alone leaves ~8-query
+        // gaps a short burst can hide in (measured r15: q_basket_pairs
+        // 8.55 s with clean surrounding minis).
+        if (dt > 5.0) miniTick(Some(name))
         // Caches are per-query working sets (multi-branch reuse inside ONE
         // plan); dropping them between queries keeps a 220-query run from
         // accumulating dead blocks + GC pressure (r2: back-half inflation).
@@ -163,12 +172,6 @@ object Bench {
         dt
       }
       val first = timedRun()
-      // a query over the 5 s budget line gets a DEDICATED covering reading
-      // at its end: the every-MiniEvery cadence leaves ~8-query gaps a
-      // short contention burst can hide in (measured r15: q_basket_pairs
-      // 8.55 s in a window whose surrounding minis read clean), and these
-      // are exactly the queries the warn/contended split adjudicates
-      if (first > 5.0) miniTick()
       val dt =
         if (errors.contains(name)) -1.0
         else if (first > BenchKit.rerunThreshold(prevTimes.get(name))) {

@@ -155,8 +155,13 @@ object BenchKit {
 
   /** One interleaved mini-canary reading: `tS` seconds from run start,
     * `ms` the CPU loop, `memMs` the bandwidth pass (−1 in legacy fixtures
-    * without one — treated as a clean reading). */
-  final case class MiniReading(tS: Double, ms: Double, memMs: Double = -1.0)
+    * without one — treated as a clean reading), `forQuery` the query this
+    * reading was DEDICATED to (taken at its end) — authoritative coverage,
+    * immune to the window arithmetic that rerun spans and cache-clear
+    * latency would otherwise distort. */
+  final case class MiniReading(
+      tS: Double, ms: Double, memMs: Double = -1.0,
+      forQuery: Option[String] = None)
 
   /** Wall-clock ms of the mini reference loop — [[canaryMsOf]] at 1/8
     * length (same kernel, shared JIT state). */
@@ -176,16 +181,18 @@ object BenchKit {
     * WARNED vs merely CONTENDED (r14 verdict #2: the driver-window
     * "regressions" needed a judge re-measure to adjudicate — with per-query
     * localization the artifact adjudicates itself). A query is `contended`
-    * rather than `budget_warn` when a mini reading COVERING it — any
-    * reading inside its [t0, t0 + serving] interval (the bench takes a
-    * dedicated one at every over-budget query's end, so the set is never
-    * just cadence luck), or the reading nearest its start when none falls
-    * inside — exceeds the run-start reading by >25% on EITHER face: the
-    * CPU loop or the bandwidth pass (contention has both; a register loop
-    * is blind to memory squeeze). Fixed reference work ran slow in that
-    * window, so the query's timing is a host fact, not an engine fact.
-    * Queries with no recorded offset (or no minis) stay conservatively in
-    * `budget_warn`. */
+    * rather than `budget_warn` when a mini reading COVERING it — every
+    * reading TAGGED with its name (the bench takes a dedicated one at the
+    * end of each over-budget run, rerun included — name tags make
+    * coverage authoritative where rerun spans and cache-clear latency
+    * distort window arithmetic), plus any cadence reading inside its
+    * [t0, t0 + serving] interval, falling back to the reading nearest its
+    * start when neither exists — exceeds the run-start reading by >25% on
+    * EITHER face: the CPU loop or the bandwidth pass (contention has
+    * both; a register loop is blind to memory squeeze). Fixed reference
+    * work ran slow in that window, so the query's timing is a host fact,
+    * not an engine fact. Queries with no recorded offset (or no minis)
+    * stay conservatively in `budget_warn`. */
   def classifyBudget(
       results: Map[String, Double],
       t0s: Map[String, Double],
@@ -201,10 +208,12 @@ object BenchKit {
         t0 <- t0s.get(name)
       } yield {
         val dt = results(name)
-        // +1 s: the dedicated end reading lands just past t0 + serving
-        // (and a rerun's serving min understates the wall interval)
-        val inside = minis.filter(m => m.tS >= t0 - 0.5 && m.tS <= t0 + dt + 1.0)
-        val considered = if (inside.nonEmpty) inside else nearestMini(minis, t0).toSeq
+        val tagged = minis.filter(_.forQuery.contains(name))
+        val inside = minis.filter(m =>
+          m.forQuery.isEmpty && m.tS >= t0 - 0.5 && m.tS <= t0 + dt + 1.0)
+        val considered =
+          if (tagged.nonEmpty || inside.nonEmpty) tagged ++ inside
+          else nearestMini(minis, t0).toSeq
         considered.exists(inflated(base))
       }
       !covering.getOrElse(false) // None/clean → warn; inflated → contended
@@ -273,7 +282,8 @@ object BenchKit {
       .map { case (k, v) => s"${jstr(k)}:${r3f(v)}" }
       .mkString("{", ",", "}")
     val miniJson = minis
-      .map(m => s"""{"t_s":${r3f(m.tS)},"ms":${r3f(m.ms)},"mem_ms":${r3f(m.memMs)}}""")
+      .map(m => s"""{"t_s":${r3f(m.tS)},"ms":${r3f(m.ms)},"mem_ms":${r3f(m.memMs)}""" +
+        m.forQuery.fold("")(q => s""","q":${jstr(q)}""") + "}")
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val (warn, contended) = classifyBudget(results, t0s, minis)

@@ -137,6 +137,8 @@ object ScaleProbe {
         },
         (_, _) => None).cache()
       val n = out.count()
+      assert(n > 0, "until probe produced no matches at 10M events — " +
+        "either the NFA path regressed or the event count is too small")
       // parity key: the smallest key that actually MATCHED (a fixed key
       // would usually have zero matches at these gap statistics — a
       // vacuous pin)

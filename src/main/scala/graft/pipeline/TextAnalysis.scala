@@ -651,15 +651,47 @@ object TextAnalysis {
     * plan-time model collect (the dsir/knn frozen-literal convention). */
   def classifierEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    scoredLabeledDocs(s, dir)
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_keep"))
+      .withColumn("keep_bp", expr("(n_keep * 10000) div n_docs"))
+      .orderBy($"pos")
+  }
+
+  /** DuckDB twin of [[scoredLabeledDocs]] — the fit replayed (token
+    * explode, feature buckets, smoothed-centered weights) and every doc
+    * scored via the join path, ending in `sd (pos, score)` with
+    * zero-token docs at score 0 (LEFT join + coalesce). ONE chain shared
+    * by the eval and frontier oracles so they can never drift. */
+  private def duckClfScoreCtes: String =
+    s"""d AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
+       |    ${duckTokens("lower(text)")} AS w FROM documents),
+       |tk AS (SELECT doc_id, pos, unnest(w) AS t FROM d),
+       |gt AS (SELECT doc_id, pos, t, '<' || t || '>' AS g FROM tk),
+       |bt AS (SELECT doc_id, pos, unnest($duckClfFeatures) AS bucket
+       |  FROM gt),
+       |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
+       |  FROM bt GROUP BY bucket),
+       |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
+       |  FROM c),
+       |m AS (SELECT bucket,
+       |    (1000 * (np + 1)) // (nt + 2) - p.prior AS w_milli
+       |  FROM c, p),
+       |sc AS (SELECT bt.doc_id, sum(m.w_milli) AS score
+       |  FROM bt JOIN m USING (bucket) GROUP BY bt.doc_id),
+       |sd AS (SELECT d.pos, COALESCE(sc.score, 0) AS score
+       |  FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
+
+  /** Fit → freeze → score → label join, shared by the eval and the
+    * frontier so the two can never drift on the scoring chain:
+    * `(doc_id, score_milli, keep, pos)` for every document. */
+  private def scoredLabeledDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.table(s, dir, "documents")
     val w = fitWeightArrayOf(classifierFitOf(docs))
     fittedScorerOf(w)(docs.select($"doc_id", $"text"))
       .join(docs.select($"doc_id", ($"lang" === "en").cast("long").as("pos")),
         "doc_id")
-      .groupBy($"pos")
-      .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_keep"))
-      .withColumn("keep_bp", expr("(n_keep * 10000) div n_docs"))
-      .orderBy($"pos")
   }
 
   /** Admission thresholds swept by [[classifierFrontier]], in milli-score
@@ -684,11 +716,7 @@ object TextAnalysis {
     * cells. */
   def classifierFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.table(s, dir, "documents")
-    val w = fitWeightArrayOf(classifierFitOf(docs))
-    fittedScorerOf(w)(docs.select($"doc_id", $"text"))
-      .join(docs.select($"doc_id", ($"lang" === "en").cast("long").as("pos")),
-        "doc_id")
+    scoredLabeledDocs(s, dir)
       .withColumn("thr_milli", explode(typedLit(ClfThresholds)))
       .groupBy($"thr_milli", $"pos")
       .agg(count(lit(1)).as("n_docs"),
@@ -1294,48 +1322,16 @@ object TextAnalysis {
     // scorer, pinned in ClassifierFitSpec) + the 2-row keep confusion;
     // zero-token docs score 0 via the LEFT join + coalesce
     "q_text_classifier_eval" ->
-      s"""WITH d AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
-         |    ${duckTokens("lower(text)")} AS w FROM documents),
-         |tk AS (SELECT doc_id, pos, unnest(w) AS t FROM d),
-         |gt AS (SELECT doc_id, pos, t, '<' || t || '>' AS g FROM tk),
-         |bt AS (SELECT doc_id, pos, unnest($duckClfFeatures) AS bucket
-         |  FROM gt),
-         |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
-         |  FROM bt GROUP BY bucket),
-         |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
-         |  FROM c),
-         |m AS (SELECT bucket,
-         |    (1000 * (np + 1)) // (nt + 2) - p.prior AS w_milli
-         |  FROM c, p),
-         |sc AS (SELECT bt.doc_id, sum(m.w_milli) AS score
-         |  FROM bt JOIN m USING (bucket) GROUP BY bt.doc_id),
-         |kd AS (SELECT d.pos,
-         |    CAST(COALESCE(sc.score, 0) > 0 AS BIGINT) AS keep
-         |  FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+      s"""WITH $duckClfScoreCtes,
+         |kd AS (SELECT pos, CAST(score > 0 AS BIGINT) AS keep FROM sd)
          |SELECT pos, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(keep) AS BIGINT) AS n_keep,
          |  CAST((sum(keep) * 10000) // count(*) AS BIGINT) AS keep_bp
          |FROM kd GROUP BY pos ORDER BY pos""".stripMargin,
-    // the eval chain with the score CARRIED, crossed with the threshold
-    // literal — per (threshold, class) admission rates
+    // the same shared score chain crossed with the threshold literal —
+    // per (threshold, class) admission rates
     "q_classifier_frontier" ->
-      s"""WITH d AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
-         |    ${duckTokens("lower(text)")} AS w FROM documents),
-         |tk AS (SELECT doc_id, pos, unnest(w) AS t FROM d),
-         |gt AS (SELECT doc_id, pos, t, '<' || t || '>' AS g FROM tk),
-         |bt AS (SELECT doc_id, pos, unnest($duckClfFeatures) AS bucket
-         |  FROM gt),
-         |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
-         |  FROM bt GROUP BY bucket),
-         |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
-         |  FROM c),
-         |m AS (SELECT bucket,
-         |    (1000 * (np + 1)) // (nt + 2) - p.prior AS w_milli
-         |  FROM c, p),
-         |sc AS (SELECT bt.doc_id, sum(m.w_milli) AS score
-         |  FROM bt JOIN m USING (bucket) GROUP BY bt.doc_id),
-         |sd AS (SELECT d.pos, COALESCE(sc.score, 0) AS score
-         |  FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+      s"""WITH $duckClfScoreCtes,
          |t AS (SELECT unnest([${ClfThresholds.mkString(", ")}]) AS thr)
          |SELECT CAST(t.thr AS BIGINT) AS thr_milli, pos,
          |  CAST(count(*) AS BIGINT) AS n_docs,

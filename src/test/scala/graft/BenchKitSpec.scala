@@ -124,6 +124,28 @@ class BenchKitSpec extends AnyFunSuite {
     assert(w2 == Seq("q_scan_heavy") && c2.isEmpty)
   }
 
+  test("tagged coverage: a reading dedicated to a query adjudicates it " +
+    "even when rerun spans or clear latency push it outside the serving " +
+    "window — and never pollutes other queries") {
+    // rerun scenario: first run 12 s (burst), rerun 5.5 s; committed
+    // serving = 5.5, so the window arithmetic [t0-0.5, t0+6.5] excludes
+    // the dedicated reading taken at the first run's end (t0+12)
+    val minis = Seq(
+      BenchKit.MiniReading(0.0, 50.0, 20.0),                       // baseline
+      BenchKit.MiniReading(99.8, 51.0, 20.0),                      // clean, pre-start
+      BenchKit.MiniReading(112.0, 145.0, 21.0, Some("q_rerun")),   // 1st-run end
+      BenchKit.MiniReading(118.0, 52.0, 20.0, Some("q_rerun")))    // rerun end, clean
+    val (warn, contended) = BenchKit.classifyBudget(
+      Map("q_rerun" -> 5.5, "q_other" -> 6.0),
+      Map("q_rerun" -> 100.0, "q_other" -> 99.0), minis)
+    // q_rerun: its tagged first-run reading is inflated → contended
+    assert(contended == Seq("q_rerun"))
+    // q_other (starts at 99, serves 6 s): q_rerun's tagged readings are
+    // excluded from its window even though 112.0 falls outside... and the
+    // only untagged in-window reading (99.8) is clean → stays a warn
+    assert(warn == Seq("q_other"))
+  }
+
   test("interval coverage: a burst caught only by the dedicated END " +
     "reading labels contended even when a clean mini sits nearer the start") {
     val minis = Seq(
