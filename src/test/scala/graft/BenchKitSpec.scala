@@ -122,6 +122,16 @@ class BenchKitSpec extends AnyFunSuite {
     val (w2, c2) = BenchKit.classifyBudget(
       Map("q_scan_heavy" -> 6.0), Map("q_scan_heavy" -> 41.0), legacy)
     assert(w2 == Seq("q_scan_heavy") && c2.isEmpty)
+    // the mem face uses the WIDER 1.5 threshold: a 1.4× reading is inside
+    // short-DRAM-timing idle variance (±30% measured) and must stay a
+    // warn — a clean-window slow query may never be excused as contended
+    val noisy = Seq(
+      BenchKit.MiniReading(0.0, 50.0, 20.0),
+      BenchKit.MiniReading(40.0, 52.0, 28.0))
+    val (w3, c3) = BenchKit.classifyBudget(
+      Map("q_scan_heavy" -> 6.0), Map("q_scan_heavy" -> 41.0), noisy)
+    assert(w3 == Seq("q_scan_heavy") && c3.isEmpty,
+      "1.4x mem reading is noise-class, not contention")
   }
 
   test("tagged coverage: a reading dedicated to a query adjudicates it " +
