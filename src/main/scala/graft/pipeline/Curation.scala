@@ -245,7 +245,11 @@ object Curation {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
       .filter(size(tokens($"text")) >= MinTokens)
-    val pairs = Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b")
+    // the gated slice serves its signatures from the corpus snapshot
+    // artifact (r15, [[Dedup.minhashPairsSubset]]): the pipeline never
+    // re-hashes text the snapshot build already hashed
+    val pairs = Dedup.minhashPairsSubset(s, dir, docs.select($"doc_id"))
+      .select($"doc_a", $"doc_b")
     val clusters = Components.connectedComponents(pairs)
       .select($"node".as("doc_id"), $"root".as("cluster_id"))
     docs.join(clusters, Seq("doc_id"), "left")
@@ -302,7 +306,10 @@ object Curation {
       .join(broadcast(evalSh), "sh")
       .select($"doc_id").distinct()
     val clean = corpus.join(dirty, Seq("doc_id"), "left_anti")
-    val pairs = Dedup.minhashPairs(s, clean).select($"doc_a", $"doc_b")
+    // near-dedup of the clean slice serves signatures from the snapshot
+    // artifact (r15, [[Dedup.minhashPairsSubset]] — zero re-hashing)
+    val pairs = Dedup.minhashPairsSubset(s, dir, clean.select($"doc_id"))
+      .select($"doc_a", $"doc_b")
     val clusters = Components.connectedComponents(pairs)
       .select($"node".as("doc_id"), $"root".as("cluster_id"))
     // no broadcast hint on the cluster map (see curateNear: 30-50% near-dup
@@ -367,7 +374,8 @@ object Curation {
       .withColumn("is_dirty", lit(true))
     val clean = corpus.join(dirty.select($"doc_id"), Seq("doc_id"), "left_anti")
     val clusters = Components.connectedComponents(
-        Dedup.minhashPairs(s, clean).select($"doc_a", $"doc_b"))
+        Dedup.minhashPairsSubset(s, dir, clean.select($"doc_id"))
+          .select($"doc_a", $"doc_b"))
       .select($"node".as("doc_id"), $"root".as("cluster_id"))
     docs
       .join(lfail, Seq("doc_id"), "left")

@@ -191,6 +191,31 @@ object Dedup {
     corpusScoredPairs(s, dir).filter($"matches" >= 4)
   }
 
+  /** [[minhashPairs]] for a doc-id SUBSET of the corpus snapshot (r15):
+    * signatures are a pure per-doc function of the text, so a filtered
+    * corpus slice — a quality gate, decontamination survivors, a sampled
+    * audit — serves its signatures from the one-per-snapshot
+    * [[corpusSigs]] artifact via a doc_id semi-join, with ZERO
+    * re-tokenize / re-shingle / re-hash in the serving plan. The band
+    * candidate join and the [[MaxBucket]] hot-bucket guard still run on
+    * the SUBSET's band table: the guard is population-relative (a bucket
+    * over the cap in the full corpus can be under it in the slice, so a
+    * full-corpus drop does not imply a slice drop), which is exactly why
+    * the [[corpusScoredPairs]] tier can NOT be endpoint-restricted to
+    * serve a slice — the signature tier is the deepest subset-invariant
+    * one. At 100 TB the semi-join moves the per-run cost from re-hashing
+    * corpus TEXT (KBs per doc) to scanning signatures (~100 B per doc).
+    * Answer-identical to the inline spelling by construction; the
+    * equivalence is pinned in `MinhashIndexSpec`. */
+  private[pipeline] def minhashPairsSubset(
+      s: SparkSession, dir: String, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    pairsFromSigs(
+      corpusSigs(s, dir)
+        .join(ids.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .graftCache())
+  }
+
   /** The candidates→verify pair pipeline over any `(doc_id, sig)` table. */
   private def pairsFromSigs(sg: DataFrame): DataFrame = {
     import sg.sparkSession.implicits._
@@ -871,11 +896,22 @@ object Dedup {
     * the contract explicit instead of a silent 100× foot-gun; the
     * guarded production pendant of this index shape is [[containment]]. */
   def recallAudit(s: SparkSession, dir: String): DataFrame =
-    recallAuditOf(s, Tables.table(s, dir, "documents"))
+    // the MEASURED side serves from the pair artifact (it IS the
+    // production criterion's output — bit-equal to the inline spelling,
+    // pinned in `MinhashIndexSpec`); the truth side is gram-level and
+    // stays inline by design (the artifact stores signatures, not grams)
+    recallAuditCore(Tables.table(s, dir, "documents"),
+      minhashPairsIndexed(s, dir))
 
   /** [[recallAudit]] over any `(doc_id, text)` table — fixture entry
     * point (the empty-truth and over-cap contracts are pinned there). */
-  private[graft] def recallAuditOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def recallAuditOf(s: SparkSession, docs: DataFrame): DataFrame =
+    recallAuditCore(docs, minhashPairs(s, docs))
+
+  /** The audit body: exact-Jaccard truth from the UNGUARDED shingle
+    * inverted index vs any measured pair table. */
+  private def recallAuditCore(docs: DataFrame, lshPairs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     // distinct md5 shingle KEYS (fixed-width, the source_overlap precedent)
     // — the inverted-index join shuffles 32-char hashes, never gram text
@@ -899,8 +935,7 @@ object Dedup {
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("lb")), "doc_b")
       .filter($"inter" * 100L >= ($"la" + $"lb" - $"inter") * 30L)
       .select($"doc_a", $"doc_b")
-    val lsh = minhashPairs(s, docs)
-      .select($"doc_a", $"doc_b")
+    val lsh = lshPairs.select($"doc_a", $"doc_b")
     val hit = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true")).crossJoin(
         lsh.agg(count(lit(1)).as("n_lsh")))
@@ -928,9 +963,15 @@ object Dedup {
     * audit is reproducible and oracle-gated like the full one. */
   def recallAuditSampled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    recallAuditOf(s, Tables.table(s, dir, "documents")
+    val sample = Tables.table(s, dir, "documents")
       .filter(charFoldHash(concat(lit("rsamp:"), $"doc_id".cast("string")))
-        % 100 < RecallSamplePct))
+        % 100 < RecallSamplePct)
+    // the sample is a SUBSET of the snapshot, so its measured side serves
+    // its signatures from the corpus artifact ([[minhashPairsSubset]]) —
+    // the guard stays population-relative to the sample, exactly what
+    // "run the audit on a sample" means
+    recallAuditCore(sample,
+      minhashPairsSubset(s, dir, sample.select($"doc_id")))
   }
 
   /** [[containment]] thresholds: flag A-in-B when ≥ 80% of A's shingles

@@ -967,10 +967,18 @@ object TextAnalysis {
     * pipeline + two combinable count shuffles + candidate-bounded scoring
     * joins on (doc, term). */
   def tfidfPairs(s: SparkSession, dir: String): DataFrame =
-    tfidfPairsOf(Tables.table(s, dir, "documents"))
+    // the candidate set is the full-corpus pair graph — served from the
+    // snapshot pair artifact (r15; bit-equal to the inline spelling,
+    // pinned in `MinhashIndexSpec`) instead of re-hashing the corpus
+    tfidfPairsCore(Tables.table(s, dir, "documents"),
+      Dedup.minhashPairsIndexed(s, dir))
 
   /** [[tfidfPairs]] over any `(doc_id, text)` table — fixture entry point. */
-  def tfidfPairsOf(docs: DataFrame): DataFrame = {
+  def tfidfPairsOf(docs: DataFrame): DataFrame =
+    tfidfPairsCore(docs, Dedup.minhashPairs(docs.sparkSession, docs))
+
+  /** The scoring body over any candidate pair table. */
+  private def tfidfPairsCore(docs: DataFrame, candPairs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
@@ -985,7 +993,7 @@ object TextAnalysis {
           .as("wt"))
       .graftCache()
     val norms = wts.groupBy($"doc_id").agg(sum($"wt" * $"wt").as("n2"))
-    val cand = Dedup.minhashPairs(s, docs).select($"doc_a", $"doc_b")
+    val cand = candPairs.select($"doc_a", $"doc_b")
     cand
       .join(wts.select($"doc_id".as("doc_a"), $"term", $"wt".as("wa")), "doc_a")
       .join(wts.select($"doc_id".as("doc_b"), $"term", $"wt".as("wb")),

@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * engine-exact; any lift ordering is the [[graft.pipeline.TextAnalysis]]
   * collocations cross-multiplication applied to these columns).
   *
-  * Shape at scale: distinct (order, part) — one shuffle — then the
-  * WITHIN-ORDER self-join: candidate fan-out is C(items-per-order, 2),
-  * BOUNDED by basket size (TPC-H orders hold ≤ 7 lineitems → ≤ 21 pairs),
-  * never corpus-quadratic; the pair counts are one more map-side-
-  * combinable shuffle, and the head is a TakeOrderedAndProject. The same
-  * plan at 100 TB: basket size is a domain constant, so the pair table is
-  * a constant multiple of the lineitem scan. */
+  * Shape at scale: ONE order-keyed shuffle collapses lineitem into sorted
+  * basket arrays (the distinct folds into `collect_set`'s partial merge);
+  * pair GENERATION is then map-side over the array — fan-out
+  * C(items-per-order, 2), BOUNDED by basket size (TPC-H orders hold ≤ 7
+  * lineitems → ≤ 21 pairs), never corpus-quadratic — the pair counts and
+  * part frequencies are map-side-combinable shuffles over that bounded
+  * fan-out, and the head is a TakeOrderedAndProject. The same plan at
+  * 100 TB: basket size is a domain constant, so the pair table is a
+  * constant multiple of the lineitem scan and no corpus-sized self-join
+  * ever forms. */
 object Basket {
 
   /** Minimum pair support and ranking cutoff. */
@@ -33,24 +36,30 @@ object Basket {
   def basketPairsOf(lineitem: DataFrame): DataFrame = {
     val s = lineitem.sparkSession
     import s.implicits._
-    // cached: the distinct (order, part) incidence feeds the frequency
-    // count, the support prefilter, and (via hot) both self-join sides —
-    // uncached the lineitem scan + distinct shuffle replays 4×
-    val li = lineitem
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      .distinct()
+    // ONE map-side-combinable shuffle folds the per-order DISTINCT into a
+    // sorted basket ARRAY; every downstream input derives from it map-side.
+    // This replaces the r-earlier incidence spelling (distinct → Apriori
+    // semi-join prefilter → o-keyed SELF-JOIN), which exchanged the
+    // corpus-sized incidence three more times just to rediscover pairs the
+    // basket array already holds: with baskets domain-bounded (TPC-H ≤ 7
+    // items ⟹ ≤ 21 pairs), in-array pair GENERATION is O(1) per order and
+    // the Apriori prune had no join input left to shrink — the support
+    // gate lives on the pair-count HAVING, exactly answer-preserving.
+    // cached: the basket table feeds pair generation AND the per-part
+    // order-frequency count.
+    val baskets = lineitem
+      .groupBy($"l_orderkey".as("o"))
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
       .graftCache()
-    val freq = li.groupBy($"p").agg(count(lit(1)).as("c"))
-    // Apriori pruning: pair support ≤ min(c1, c2), so parts in fewer than
-    // MinSupport orders can never reach the gate — drop their postings
-    // BEFORE the self-join (the candidate-generation monotonicity that
-    // makes Apriori tractable; on a long-tail catalog this removes most
-    // of the join input, and it is exactly answer-preserving).
-    val hot = li.join(
-      freq.filter($"c" >= BasketMinSupport).select($"p"), Seq("p"), "left_semi")
-    val pairs = hot.as("a").join(hot.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+    val freq = baskets.select(explode($"ps").as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("c"))
+    // sorted-array pair generation: (pos, p1) × the strictly-later slice —
+    // distinctness and p1 < p2 are structural (collect_set + array_sort)
+    val pairs = baskets
+      .select($"ps", posexplode($"ps"))
+      .select(col("col").as("p1"),
+        explode(slice($"ps", col("pos") + lit(2), size($"ps"))).as("p2"))
+      .groupBy($"p1", $"p2")
       .agg(count(lit(1)).as("pair_cnt"))
       .filter($"pair_cnt" >= BasketMinSupport)
     pairs

@@ -187,6 +187,30 @@ class MinhashIndexSpec extends AnyFunSuite {
         s"no '$tok' site may appear in the frontier plan:\n$fplan")
   }
 
+  test("subset serving from the signature artifact: minhashPairsSubset " +
+    "on a filtered slice ≡ inline signatures on the same slice; zero " +
+    "hashing sites in the served plan (r15)") {
+    import spark.implicits._
+    // a gate-shaped slice (drop a doc-id stripe): signatures are per-doc
+    // pure, so the artifact semi-join must reproduce the inline run —
+    // including the hot-bucket guard evaluated on the SLICE's band table
+    val slice = graft.sources.Tables.table(spark, sf, "documents")
+      .filter($"doc_id" % 3 =!= 1)
+    val sub = Dedup.minhashPairsSubset(spark, sf, slice.select($"doc_id"))
+    val inline = Dedup.minhashPairs(spark, slice)
+    val a = sub.orderBy($"doc_a", $"doc_b").collect().map(_.toString).toSeq
+    val b = inline.orderBy($"doc_a", $"doc_b").collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b,
+      "subset pairs served from the signature artifact must be " +
+        "bit-identical to inline signatures on the slice")
+    // the slice is never re-hashed: no tokenize/shingle/minhash site in
+    // the served plan (the band join and guard DO run — on artifact rows)
+    val plan = sub.queryExecution.optimizedPlan.toString
+    for (tok <- Seq("rot_minhash", "shingle_md5"))
+      assert(!plan.contains(tok),
+        s"no '$tok' site may appear in the subset-served plan:\n$plan")
+  }
+
   test("merge-of-merge: two sequential arrival batches ≡ one from-scratch " +
     "build on the 3-way union (r12 verdict #4)") {
     import spark.implicits._
