@@ -430,14 +430,36 @@ object Components {
     * (node, label) count, and ONE combinable argmax `max(struct(cnt,
     * −label))` per node (no per-node window, no sort); a hub's million
     * neighbors collapse in partial aggregation. Round count bounds total
-    * work at `rounds` shuffles of the edge list.
+    * work at `rounds` shuffles of the edge list. A working set at or
+    * below [[LocalSolveThreshold]] edges instead runs the identical
+    * update rule in the driver (r15 — the [[connectedComponents]] hybrid:
+    * the last rounds of any shrinking iterative operator are all latency,
+    * no data).
     *
     * @param pairs two long columns `(src, dst)`, one row per undirected
     *              edge, self-loops/duplicates assumed pre-filtered.
     * @return `(node, label)` after `rounds` synchronous updates — nodes
     *         sharing a label are one community.
     */
-  def labelPropagation(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+  def labelPropagation(pairs: DataFrame, rounds: Int = 4): DataFrame =
+    labelPropagation(pairs, rounds, LocalSolveThreshold)
+
+  /** [[labelPropagation]] with the driver-tail gate exposed —
+    * `localSolveThreshold` overrides [[LocalSolveThreshold]] (0 = always
+    * distributed; tests force both paths and pin them equal). The gate is
+    * the [[connectedComponents]] hybrid applied to the OTHER iterative
+    * operator here: each synchronous round costs 3 shuffle stages of
+    * round-trip latency (label join, (node, label) count, argmax), which
+    * dominates long before data volume does — a ≤[[LocalSolveThreshold]]-
+    * edge graph is ≤8 MB in the driver and `rounds` local sweeps run in
+    * milliseconds, with the IDENTICAL update rule (most frequent neighbor
+    * label, ties to the smallest). At 100 TB the edge list is far over the
+    * gate and the Pregel rounds run distributed, unchanged. The gate fires
+    * on a measured edge COUNT of the already-checkpointed edge list (one
+    * cheap action), and only for 64-bit node ids — exotic key types keep
+    * the distributed path so the output schema never shifts. */
+  private[graft] def labelPropagation(
+      pairs: DataFrame, rounds: Int, localSolveThreshold: Long): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     val p = pairs.toDF("a", "b")
@@ -447,6 +469,34 @@ object Components {
     val edges = materialize(
       p.select($"a".as("u"), $"b".as("v"))
         .union(p.select($"b".as("u"), $"a".as("v"))))
+    val longKeys = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longKeys && localSolveThreshold > 0 &&
+        edges.count() <= localSolveThreshold) {
+      val es = edges.as[(Long, Long)].collect()
+      val adj = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (u, v) =>
+        adj.getOrElseUpdate(v,
+          new scala.collection.mutable.ArrayBuffer[Long]()) += u
+      }
+      var lab: Map[Long, Long] = adj.keysIterator.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lab = adj.iterator.map { case (v, us) =>
+          val cnt = new scala.collection.mutable.HashMap[Long, Long]()
+          us.foreach { u =>
+            val l = lab(u); cnt.update(l, cnt.getOrElse(l, 0L) + 1L)
+          }
+          // max count, ties to the SMALLEST label — max(struct(cnt, -label))
+          var bestL = Long.MaxValue; var bestC = -1L
+          cnt.foreach { case (l, c) =>
+            if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          }
+          v -> bestL
+        }.toMap
+      }
+      return s.createDataset(lab.toSeq).toDF("node", "label")
+    }
     var labels = edges.select($"u".as("node")).distinct()
       .select($"node", $"node".as("label"))
     for (_ <- 1 to rounds) {
@@ -538,14 +588,69 @@ object Components {
     * all map-side-combinable aggregates keyed on node or community; the
     * candidate table is bounded by Σ_i (distinct neighbor communities of
     * i) + 1 ≤ |sym edges| + |nodes|; the 1-row m crossJoins on (bounded,
-    * allowlisted). Output one row per node: `(node, label, refined)`. */
-  def refineOf(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    * allowlisted). Output one row per node: `(node, label, refined)`. A
+    * working set at or below [[LocalSolveThreshold]] edges runs the
+    * identical score/argmax in the driver instead (r15 — the local-move
+    * ROUND of an iterative algorithm, the same tail-latency hybrid as
+    * [[connectedComponents]] and [[labelPropagation]]; exact in Long under
+    * the gate: every term is ≤ 4·m·m ≤ 10¹² at 500 k edges). */
+  def refineOf(pairs: DataFrame, labels: DataFrame): DataFrame =
+    refineOf(pairs, labels, LocalSolveThreshold)
+
+  /** [[refineOf]] with the driver-tail gate exposed (0 = always
+    * distributed; tests force both paths and pin them equal). */
+  private[graft] def refineOf(
+      pairs: DataFrame, labels: DataFrame,
+      localSolveThreshold: Long): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     val dec = "CAST(4 AS DECIMAL(38,0))"
     val e = pairs.toDF("a", "b").filter($"a" =!= $"b")
       .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
       .distinct().graftCache() // m count + degree pass + neighbor join
+    val longKeys = (e.schema.fields ++ labels.schema.fields)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longKeys && localSolveThreshold > 0 &&
+        e.count() <= localSolveThreshold) {
+      val es = e.as[(Long, Long)].collect()
+      val lab = labels.toDF("node", "label")
+        .as[(Long, Long)].collect().toMap
+      val m = es.length.toLong
+      val adj = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u,
+          new scala.collection.mutable.ArrayBuffer[Long]()) += v
+        adj.getOrElseUpdate(v,
+          new scala.collection.mutable.ArrayBuffer[Long]()) += u
+      }
+      val k = adj.iterator.map { case (n, ns) => n -> ns.length.toLong }.toMap
+      // inner-join semantics mirrored from the distributed plan: community
+      // degree sums over deg ⋈ lab; neighbors without a label contribute
+      // nothing; output nodes = labels ⋈ deg
+      val dSum = new scala.collection.mutable.HashMap[Long, Long]()
+      k.foreach { case (n, d) =>
+        lab.get(n).foreach(c => dSum.update(c, dSum.getOrElse(c, 0L) + d))
+      }
+      val out = lab.iterator.filter(kv => k.contains(kv._1))
+        .map { case (u, a) =>
+          val kic = new scala.collection.mutable.HashMap[Long, Long]()
+          adj(u).foreach(v => lab.get(v).foreach(c =>
+            kic.update(c, kic.getOrElse(c, 0L) + 1L)))
+          kic.getOrElseUpdate(a, 0L) // "stay" is always a candidate
+          val ku = k(u)
+          var bestC = Long.MaxValue; var bestS = Long.MinValue
+          kic.foreach { case (c, e_ic) =>
+            val s0 = 4L * m * e_ic -
+              2L * ku * (dSum.getOrElse(c, 0L) - (if (c == a) ku else 0L))
+            if (s0 > bestS || (s0 == bestS && c < bestC)) {
+              bestS = s0; bestC = c
+            }
+          }
+          (u, a, bestC)
+        }.toSeq
+      return s.createDataset(out).toDF("node", "label", "refined")
+    }
     val lab = labels.toDF("node", "label").graftCache() // four join sides
     val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
     val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("k"))

@@ -331,6 +331,29 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: distributed rounds (local solve off) == driver " +
+    "tail solve == sync recurrence (r15)") {
+    import spark.implicits._
+    val rnd = new Random(407)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(40)
+      val m = n + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("u", "v").repartition(4)
+        val dist = Components.labelPropagation(df, 3, localSolveThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val local = Components.labelPropagation(df, 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist == local, s"trial $trial n=$n m=$m")
+        assert(local == lpaRef(edges, 3), s"trial $trial n=$n m=$m")
+      }
+    }
+  }
+
   test("labelPropagation separates bridged dense clusters components weld") {
     // barbell: triangles {0,1,2} and {10,11,12} joined by the bridge 2–10 —
     // one COMPONENT, but each triangle's majority vote keeps its own label
@@ -367,6 +390,31 @@ class ComponentsSpec extends AnyFunSuite {
       (10L, 10L), (11L, 11L), (12L, 12L)).toDF("node", "label")
     val r2 = Components.modularityOf(tri, anti).collect().head
     assert(r2.getLong(2) < 0L, s"singleton labels should score negative, got $r2")
+  }
+
+  test("refine: distributed round (local solve off) == driver tail solve " +
+    "on random graphs and LPA labels (r15)") {
+    import spark.implicits._
+    val rnd = new Random(811)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(40)
+      val m = n + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("u", "v").repartition(4)
+        val lpa = Components.labelPropagation(df, 3)
+        val dist = Components.refineOf(df, lpa, localSolveThreshold = 0L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val local = Components.refineOf(df, lpa)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(dist == local, s"trial $trial n=$n m=$m")
+      }
+    }
   }
 
   test("refine: never degrades Q on the fixtures; lifts a singleton start") {
