@@ -76,6 +76,12 @@ object Bench {
     try graft.pipeline.TextAnalysis.trainClassifier(spark, sfDir)
     catch { case _: Throwable => () }
     val clfBuildSec = (System.nanoTime() - clfT0) / 1e9
+    // the PQ codebook+code artifact (r15) — q_embedding_pq / q_ann_recall_pq
+    // measure ADC serving from the compressed index, not its training
+    val pqT0 = System.nanoTime()
+    try graft.pipeline.Embeddings.trainPq(spark, sfDir)
+    catch { case _: Throwable => () }
+    val pqBuildSec = (System.nanoTime() - pqT0) / 1e9
     Caches.clear()
     spark.catalog.clearCache()
 
@@ -213,7 +219,7 @@ object Bench {
     val detail = BenchKit.detailJson(
       results, errors, reruns, canaries.toSeq, canariesPar.toSeq,
       canariesMem.toSeq, t0s.toMap, minis.toSeq, ivfBuildSec, mhBuildSec,
-      clfBuildSec, sfDir)
+      clfBuildSec, pqBuildSec, sfDir)
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.writeString(detailPath, detail + "\n")

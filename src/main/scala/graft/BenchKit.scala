@@ -280,6 +280,7 @@ object BenchKit {
       ivfBuildSec: Double,
       mhBuildSec: Double,
       clfBuildSec: Double = 0.0,
+      pqBuildSec: Double = 0.0,
       sfDir: String): String = {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${r3f(v)}" }
@@ -305,7 +306,7 @@ object BenchKit {
     val contendedJson = contended.map(jstr).mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3f(total)},"unit":"sec",""" +
       s""""ivf_build_sec":${r3f(ivfBuildSec)},"mh_build_sec":${r3f(mhBuildSec)},""" +
-      s""""clf_build_sec":${r3f(clfBuildSec)},""" +
+      s""""clf_build_sec":${r3f(clfBuildSec)},"pq_build_sec":${r3f(pqBuildSec)},""" +
       s""""canary_ms":$canaryJson,"canary_par_ms":$canaryParJson,"canary_mem_ms":$canaryMemJson,""" +
       s""""mini_canary":$miniJson,""" +
       s""""budget_warn":$budgetWarn,"contended":$contendedJson,""" +

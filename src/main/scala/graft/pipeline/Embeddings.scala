@@ -95,23 +95,56 @@ object Embeddings {
       .orderBy($"vec_id")
   }
 
-  /** The trained PQ model: `(codebooks (m, cid, cq, cn2), assignment
-    * (vec_id, m, cell, q, d))` — shared by [[pqAudit]] and the ADC search
-    * ([[annPq]]). ALL subspaces train in ONE k-means fold: subspace id
-    * `m` becomes a key column, so one broadcast equi-join on m
-    * (BroadcastHashJoin, 16 rows per key) + one (vec_id, m) aggregation
-    * per refinement trains all 8 codebooks simultaneously — 5 jobs total,
-    * vs 8 sequential trainers (~50 jobs; measured 12.6 s → this shape,
-    * 2-3 s). */
-  private[pipeline] def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Subspace explode of an embeddings frame: `(vec_id, m, q, n2)` — one
+    * row per (vector, subspace), `q` the [[PqDim]]-long subvector. Shared
+    * by the trainer and the serving side's query-subvector derivation. */
+  private def subVectorsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sub = Tables.table(s, dir, "embeddings")
+    docs
       .select($"vec_id", quantize($"embedding").as("qf"))
       .select($"vec_id", explode(expr(
         s"transform(sequence(0, ${PqSub - 1}), m -> " +
           s"named_struct('m', m, 'q', slice(qf, m * $PqDim + 1, $PqDim)))")).as("s"))
       .select($"vec_id", $"s.m".cast("int").as("m"), $"s.q".as("q"))
       .withColumn("n2", qdot($"q", $"q"))
+  }
+
+  /** The PQ model served from its SNAPSHOT ARTIFACT (IndexStore variant
+    * "pqmodel", r15 — the IVF train-once/serve-many contract applied to
+    * the compressed index): `(codebooks (m, cid, cq, cn2), codes
+    * (vec_id, m, cell, d))`. The artifact stores CODES ONLY — persisting
+    * the subvectors beside them would re-materialize the very data the
+    * 64× compression exists to shed; the serving side's query vectors
+    * re-derive their subvectors from the source scan ([[subVectorsOf]] —
+    * queries are the live input at search time anyway). Build cost is
+    * emitted untimed by the bench as `pq_build_sec`. */
+  private[pipeline] def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = IndexStore.getOrBuild(s, dir, "embeddings", "pqmodel") { out =>
+      val (cents, assigned) = trainPqModel(s, dir)
+      cents.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(out, "cents").toString)
+      assigned.select(col("vec_id"), col("m"), col("cell"), col("d"))
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(out, "codes").toString)
+    }
+    (s.read.parquet(new org.apache.hadoop.fs.Path(p, "cents").toString),
+      s.read.parquet(new org.apache.hadoop.fs.Path(p, "codes").toString))
+  }
+
+  /** Ensure the PQ artifact exists — the bench's untimed train hook. */
+  def trainPq(s: SparkSession, dir: String): Unit = { pqModel(s, dir); () }
+
+  /** One-pass PQ TRAINING: `(codebooks (m, cid, cq, cn2), assignment
+    * (vec_id, m, cell, q, d))`. ALL subspaces train in ONE k-means fold:
+    * subspace id `m` becomes a key column, so one broadcast equi-join on m
+    * (BroadcastHashJoin, 16 rows per key) + one (vec_id, m) aggregation
+    * per refinement trains all 8 codebooks simultaneously — 5 jobs total,
+    * vs 8 sequential trainers (~50 jobs; measured 12.6 s → this shape,
+    * 2-3 s). */
+  private def trainPqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sub = subVectorsOf(Tables.table(s, dir, "embeddings"))
       .graftCache()
     // seeds: subspace m's first PqK subvectors (same rule as the IVF model)
     val seeds = sub.filter($"vec_id" < PqK)
@@ -161,8 +194,12 @@ object Embeddings {
     import s.implicits._
     val (cents, assigned) = pqModel(s, dir)
     val codes = assigned.select($"vec_id", $"m", $"cell")
-    // queries × subspaces × K: ≤ 5·8·16 = 640 rows — broadcast
-    val qd = assigned.filter($"vec_id" < Similarity.QueryVecs)
+    // queries × subspaces × K: ≤ 5·8·16 = 640 rows — broadcast. Query
+    // subvectors derive from the SOURCE scan (the codes-only artifact
+    // carries no subvectors — see [[pqModel]]); at serving time queries
+    // are the live input, never the index
+    val qd = subVectorsOf(Tables.table(s, dir, "embeddings")
+        .filter($"vec_id" < Similarity.QueryVecs))
       .select($"vec_id".as("query_id"), $"m", $"q")
       .join(broadcast(cents), Seq("m"))
       .select($"query_id", $"m", $"cid".as("cell"), qdot($"q", $"cq").as("pd"))
