@@ -50,11 +50,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row sketch aggregates probed via scalar subquery
     "q_dedup_incremental", // BloomFilterAggregate over the batch spans
     "q_text_heavyhitters", // count_min_sketch over the token stream
-    // Spark's own InjectRuntimeFilter: a 1-row bloom_filter_agg it builds
-    // from the query-set join side (q_ann_recall_ivf lost its entry in r8:
-    // the shared IVF model serves cells from parquet, no filterable join)
-    "q_ann_recall_pq",
-    // InjectRuntimeFilter again (r10): the cluster-map side of the
+    // (q_ann_recall_pq lost its InjectRuntimeFilter entry in r15: the PQ
+    // model serves codes from the parquet artifact, no filterable join)
+    // InjectRuntimeFilter (r10): the cluster-map side of the
     // keep-filter join became a checkpointed-RDD scan (Components now
     // checkpoints its input pair lineage), so Spark builds a 1-row bloom
     // from the gated-docs side — a bounded runtime-filter aggregate
@@ -84,9 +82,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row edge-count aggregate (m) + the 1-row final modularity fold
     // over the community-bounded per-label table (r11)
     "q_dedup_modularity",
-    // 1-row edge-count aggregate (m) for the refinement gain score (r12)
-    "q_dedup_refine",
-    // the same 1-row m aggregate plus the two 1-row modularity folds the
+    // (q_dedup_refine lost its 1-row m entry in r15: the refinement round
+    // runs the driver tail solve under the gate — no distributed fold)
+    // the 1-row m aggregate plus the two 1-row modularity folds the
     // Q gate compares (r13)
     "q_dedup_canonical_refined",
     // 1-row class-prior aggregate over the ≤ClfBuckets-row count table (r11)
@@ -142,9 +140,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row m (edge count) crossJoined onto the community-bounded
     // per-label table (r11 modularity)
     "q_dedup_modularity",
-    // 1-row m crossJoined onto the neighbor-community candidate table
-    // (r12 refinement round)
-    "q_dedup_refine",
+    // (q_dedup_refine lost its entry in r15 — driver tail solve, no
+    // distributed m crossJoin under the gate)
     // the refinement's 1-row m crossJoins + the 1-row × 1-row Q gate
     // broadcast onto the per-node table (r13)
     "q_dedup_canonical_refined",
