@@ -571,18 +571,37 @@ object TextAnalysis {
     * positive corpus — the eval query caught it, which is what it's for.
     * The prior reduces from the bucket-count table itself (one 1-row
     * aggregate over ≤ [[ClfBuckets]] rows — no second corpus pass). */
-  def classifierFitOf(docs: DataFrame): DataFrame = {
+  def classifierFitOf(docs: DataFrame): DataFrame =
+    weightsOfCounts(clfCountsOf(docs))
+
+  /** The per-bucket (n_pos, n_neg) token-occurrence counts of a labeled
+    * frame — the COMBINABLE half of the fit: plain sums on the bucket
+    * key, so batch counts FOLD ([[mergeClfCounts]]) and merged counts ≡
+    * counts of the union bucket-for-bucket. One map-side-combinable
+    * aggregate; output ≤ [[ClfBuckets]] rows regardless of corpus size. */
+  private[pipeline] def clfCountsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // two consumers (the prior aggregate + the weight projection) of a
-    // ≤ClfBuckets-row table
-    val counts = graft.Caches.cached(docs
+    docs
       .select(($"lang" === "en").cast("long").as("pos"),
         explode(tokens(lower($"text"))).as("t"))
       .select($"pos", explode(clfFeatureBuckets($"t")).as("bucket"))
       .groupBy($"bucket")
       .agg(sum($"pos").as("n_pos"),
-        (count(lit(1)) - sum($"pos")).as("n_neg")))
+        (count(lit(1)) - sum($"pos")).as("n_neg"))
+  }
+
+  /** Freeze a count table into weights: the identically-smoothed global
+    * prior reduces from the counts themselves, every bucket's smoothed
+    * positive rate centers on it — pure integer arithmetic over a
+    * ≤[[ClfBuckets]]-row table, so a fit is recoverable from COUNTS alone
+    * (what makes the incremental [[classifierMerge]] exact). */
+  private[pipeline] def weightsOfCounts(countsIn: DataFrame): DataFrame = {
+    val s = countsIn.sparkSession
+    import s.implicits._
+    // two consumers (the prior aggregate + the weight projection) of a
+    // ≤ClfBuckets-row table
+    val counts = graft.Caches.cached(countsIn)
     val prior = counts.agg(
       expr("(1000 * (sum(n_pos) + 1)) div (sum(n_pos) + sum(n_neg) + 2)")
         .as("prior_milli"))
@@ -590,6 +609,32 @@ object TextAnalysis {
       .select($"bucket", $"n_pos", $"n_neg",
         expr("(1000 * (n_pos + 1)) div (n_pos + n_neg + 2) - prior_milli")
           .as("w_milli"))
+  }
+
+  /** INCREMENTAL MODEL MERGE — the index/master/component merge
+    * discipline applied to the classifier: fold one labeled batch's
+    * count table into an existing one by per-bucket addition. Because
+    * the fit's sufficient statistics are plain sums (and the prior
+    * re-derives from the merged table), the weights frozen from a merged
+    * count table are IDENTICAL to a full retrain on the union — the
+    * declared `q_classifier_merge`'s oracle replays exactly that full
+    * retrain, so hash equality at every SF IS the merge ≡ retrain
+    * contract (and the fold chains: summaries in, summaries out). Cost
+    * ∝ |batch| + [[ClfBuckets]], never the corpus. */
+  private[pipeline] def mergeClfCounts(base: DataFrame, batch: DataFrame): DataFrame =
+    base.unionByName(batch)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+
+  /** Declared query: fold the `doc_id % 3 == 0` labeled batch into the
+    * rest-of-corpus count table and freeze weights from the merged
+    * counts — oracled against a FULL retrain on the whole corpus. */
+  def classifierMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val base = clfCountsOf(docs.filter($"doc_id" % 3 =!= 0))
+    val batch = clfCountsOf(docs.filter($"doc_id" % 3 === 0))
+    weightsOfCounts(mergeClfCounts(base, batch)).orderBy($"bucket")
   }
 
   /** Freeze a fitted `(bucket, w_milli)` model into the length-
@@ -696,8 +741,11 @@ object TextAnalysis {
     * as `clf_build_sec` (the IVF/MinHash convention). */
   private[pipeline] def corpusClfWeights(s: SparkSession, dir: String): Seq[Long] = {
     val p = IndexStore.getOrBuild(s, dir, "documents", "clfw") { out =>
+      // the full model row (counts + weight): weights serve the scorer,
+      // counts are the fit's sufficient statistics — what a labeled
+      // arrival batch folds into ([[mergeClfCounts]]) without re-reading
+      // the corpus
       classifierFitOf(Tables.table(s, dir, "documents"))
-        .select(col("bucket"), col("w_milli"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(out, "w").toString)
@@ -1063,6 +1111,7 @@ object TextAnalysis {
     "q_text_perplexity_bigram" -> perplexityBigram _,
     "q_text_classifier" -> classifier _,
     "q_text_classifier_fit" -> classifierFit _,
+    "q_classifier_merge" -> classifierMerge _,
     "q_text_classifier_eval" -> classifierEval _,
     "q_classifier_frontier" -> classifierFrontier _,
     "q_langid_eval" -> langIdEval _,
@@ -1381,6 +1430,25 @@ object TextAnalysis {
     // the count-based fit replayed exactly: token-occurrence explode,
     // feature-hash bucket, smoothed-centered integer weight
     "q_text_classifier_fit" ->
+      s"""WITH d AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+         |    ${duckTokens("lower(text)")} AS w FROM documents),
+         |tk AS (SELECT pos, unnest(w) AS t FROM d),
+         |gt AS (SELECT pos, t, '<' || t || '>' AS g FROM tk),
+         |b AS (SELECT pos, unnest($duckClfFeatures) AS bucket FROM gt),
+         |c AS (SELECT bucket, sum(pos) AS np, count(*) AS nt
+         |  FROM b GROUP BY bucket),
+         |p AS (SELECT (1000 * (sum(np) + 1)) // (sum(nt) + 2) AS prior
+         |  FROM c)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(np AS BIGINT) AS n_pos,
+         |  CAST(nt - np AS BIGINT) AS n_neg,
+         |  CAST((1000 * (np + 1)) // (nt + 2) - p.prior AS BIGINT)
+         |    AS w_milli
+         |FROM c, p ORDER BY bucket""".stripMargin,
+    // merge ≡ retrain: the Spark side folds the %3==0 batch's counts into
+    // the rest-of-corpus counts; the oracle replays a FULL retrain on the
+    // whole corpus — hash equality IS the incremental-fit contract
+    "q_classifier_merge" ->
       s"""WITH d AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
          |    ${duckTokens("lower(text)")} AS w FROM documents),
          |tk AS (SELECT pos, unnest(w) AS t FROM d),

@@ -49,6 +49,36 @@ class ClassifierFitSpec extends AnyFunSuite {
     assert(got == want && got.size == rows.size)
   }
 
+  test("frozen-weights artifact serves the inline fit bit-for-bit (r15)") {
+    val art = TextAnalysis.corpusClfWeights(spark, sf)
+    val inline = TextAnalysis.fitWeightArrayOf(
+      TextAnalysis.classifierFit(spark, sf))
+    assert(art == inline,
+      "weights reopened from the clfw artifact must equal the inline fit")
+  }
+
+  test("classifier merge chains: two sequential count folds == one " +
+    "retrain on the 3-way union (r15)") {
+    import spark.implicits._
+    // three disjoint labeled slices with overlapping vocabulary so merged
+    // buckets genuinely SUM (not a disjoint-key union)
+    def slice(off: Int, lang: String, tok: String) = (1 to 8).map(i =>
+      ((off + i).toLong, lang, s"$tok$i shared$i $tok${i % 3}"))
+    val a = slice(0, "en", "alpha").toDF("doc_id", "lang", "text")
+    val b = slice(100, "de", "alpha").toDF("doc_id", "lang", "text")
+    val c = slice(200, "en", "beta").toDF("doc_id", "lang", "text")
+    val folded = TextAnalysis.mergeClfCounts(
+      TextAnalysis.mergeClfCounts(
+        TextAnalysis.clfCountsOf(a), TextAnalysis.clfCountsOf(b)),
+      TextAnalysis.clfCountsOf(c))
+    val got = TextAnalysis.weightsOfCounts(folded)
+      .orderBy($"bucket").collect().map(_.toSeq).toSeq
+    val want = TextAnalysis.classifierFitOf(a.unionByName(b).unionByName(c))
+      .orderBy($"bucket").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      "weights from chained count folds must equal a full retrain")
+  }
+
   test("the fit separates a planted label") {
     import spark.implicits._
     // 'en' docs use only goodtokN, others only badtokN — disjoint buckets

@@ -88,7 +88,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // Q gate compares (r13)
     "q_dedup_canonical_refined",
     // 1-row class-prior aggregate over the ≤ClfBuckets-row count table (r11)
-    "q_text_classifier_fit"
+    "q_text_classifier_fit",
+    // the same 1-row prior, re-derived from the MERGED count table (r15)
+    "q_classifier_merge"
     // (q_text_bpe_pairs' global ranking window needs no exchange: Catalyst's
     // LimitPushdownThroughWindow turns rnk<=K into TakeOrderedAndProject;
     // q_sample_priority's global top-(k+1) collapses the same way)
@@ -147,6 +149,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_canonical_refined",
     // 1-row class prior crossJoined onto the ≤ClfBuckets-row count table
     "q_text_classifier_fit",
+    // the same prior crossJoin over the merged count table (r15)
+    "q_classifier_merge",
     // 1-row scan-only lineitem count crossed onto the 1-row audit row
     "q_dq_cross",
     // the MinhashK-row threshold table non-equi-joined (matches >= t) onto
