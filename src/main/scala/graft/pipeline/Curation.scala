@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Caches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -300,11 +301,16 @@ object Curation {
       .select(explode(array_distinct(
         shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
       .distinct()
+    // cached: the contaminated-id set is batch-small but its lineage is
+    // the corpus-wide 8-gram explode + eval join — `clean` is consumed by
+    // TWO branches (the near-dedup ids and the kept join), which uncached
+    // re-ran the whole decon pass per branch (r15)
     val dirty = corpus
       .select($"doc_id", explode(array_distinct(
         shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
       .join(broadcast(evalSh), "sh")
       .select($"doc_id").distinct()
+      .graftCache()
     val clean = corpus.join(dirty, Seq("doc_id"), "left_anti")
     // near-dedup of the clean slice serves signatures from the snapshot
     // artifact (r15, [[Dedup.minhashPairsSubset]] — zero re-hashing)
@@ -366,12 +372,15 @@ object Curation {
       .select(explode(array_distinct(
         shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
       .distinct()
+    // cached for the same two-consumer reason as pipelineFull: the dirty
+    // set feeds the clean anti-join AND the attribution flag join
     val dirty = corpus
       .select($"doc_id", explode(array_distinct(
         shingleMd5(tokens($"text"), FullDeconK))).as("sh"))
       .join(broadcast(evalSh), "sh")
       .select($"doc_id").distinct()
       .withColumn("is_dirty", lit(true))
+      .graftCache()
     val clean = corpus.join(dirty.select($"doc_id"), Seq("doc_id"), "left_anti")
     val clusters = Components.connectedComponents(
         Dedup.minhashPairsSubset(s, dir, clean.select($"doc_id"))
