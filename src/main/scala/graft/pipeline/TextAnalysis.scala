@@ -579,7 +579,7 @@ object TextAnalysis {
     * key, so batch counts FOLD ([[mergeClfCounts]]) and merged counts ≡
     * counts of the union bucket-for-bucket. One map-side-combinable
     * aggregate; output ≤ [[ClfBuckets]] rows regardless of corpus size. */
-  private[pipeline] def clfCountsOf(docs: DataFrame): DataFrame = {
+  private[graft] def clfCountsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -596,7 +596,7 @@ object TextAnalysis {
     * positive rate centers on it — pure integer arithmetic over a
     * ≤[[ClfBuckets]]-row table, so a fit is recoverable from COUNTS alone
     * (what makes the incremental [[classifierMerge]] exact). */
-  private[pipeline] def weightsOfCounts(countsIn: DataFrame): DataFrame = {
+  private[graft] def weightsOfCounts(countsIn: DataFrame): DataFrame = {
     val s = countsIn.sparkSession
     import s.implicits._
     // two consumers (the prior aggregate + the weight projection) of a
@@ -621,7 +621,7 @@ object TextAnalysis {
     * retrain, so hash equality at every SF IS the merge ≡ retrain
     * contract (and the fold chains: summaries in, summaries out). Cost
     * ∝ |batch| + [[ClfBuckets]], never the corpus. */
-  private[pipeline] def mergeClfCounts(base: DataFrame, batch: DataFrame): DataFrame =
+  private[graft] def mergeClfCounts(base: DataFrame, batch: DataFrame): DataFrame =
     base.unionByName(batch)
       .groupBy(col("bucket"))
       .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
