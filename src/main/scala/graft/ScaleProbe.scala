@@ -866,6 +866,46 @@ object ScaleProbe {
         f"$aeSecs%.1f s vs serial $aeSerialFloorSecs%.0f s")
     println(f"""{"probe":"async_enrich","rows":$aeRows,"rtt_ms":1,"hits":$aeHit,"secs":$aeSecs%.1f,"rows_per_sec":${(aeRows / aeSecs).toLong},"serial_floor_secs":${aeSerialFloorSecs.toLong}}""")
 
+    // ---- Classifier INCREMENTAL MERGE at 1M docs (r15): the fold's ----
+    // cost must scale with the BATCH, not the corpus — the merge ≡
+    // retrain contract at probe scale. Corpus: 1M synthetic labeled docs
+    // (~14 tokens each, hashed vocab, ~half 'en'); counts materialized
+    // once (the snapshot-artifact stand-in); a 10k arrival batch folds in
+    // and the merged weights must EQUAL a full refit over the union —
+    // asserted exactly, not sampled. The timing claim is the ratio:
+    // fold ≪ refit (the refit re-reads 101× the batch's text).
+    val clfDocs = 1000000L
+    val clfBatch = 10000L
+    def clfSynth(n: Long, off: Long) = spark.range(n).select(
+      ($"id" + off).as("doc_id"),
+      when(pmod(xxhash64($"id" + off), lit(2L)) === 0L, "en")
+        .otherwise("de").as("lang"),
+      concat_ws(" ", (0 until 14).map(j =>
+        concat(lit("w"), pmod(xxhash64($"id" * 31 + off + j), lit(5000L)))): _*)
+        .as("text"))
+    val corpusC = clfSynth(clfDocs, 0L)
+    val batchC = clfSynth(clfBatch, 10000000L)
+    val (baseCounts, clfBaseSecs) = time {
+      Caches.materialize(graft.pipeline.TextAnalysis.clfCountsOf(corpusC))
+    }
+    val (mergedW, clfFoldSecs) = time {
+      graft.pipeline.TextAnalysis.fitWeightArrayOf(
+        graft.pipeline.TextAnalysis.weightsOfCounts(
+          graft.pipeline.TextAnalysis.mergeClfCounts(
+            baseCounts, graft.pipeline.TextAnalysis.clfCountsOf(batchC))))
+    }
+    val (refitW, clfRefitSecs) = time {
+      graft.pipeline.TextAnalysis.fitWeightArrayOf(
+        graft.pipeline.TextAnalysis.classifierFitOf(
+          corpusC.unionByName(batchC)))
+    }
+    Caches.clearAll(); spark.catalog.clearCache()
+    assert(mergedW == refitW,
+      "merged weights must equal the full refit over the union")
+    assert(clfFoldSecs < clfRefitSecs,
+      f"fold ($clfFoldSecs%.1f s) should beat the union refit ($clfRefitSecs%.1f s)")
+    println(f"""{"probe":"clf_merge","corpus_docs":$clfDocs,"batch_docs":$clfBatch,"base_fit_secs":$clfBaseSecs%.1f,"fold_secs":$clfFoldSecs%.1f,"union_refit_secs":$clfRefitSecs%.1f,"speedup":${(clfRefitSecs / clfFoldSecs).round}}""")
+
     spark.stop()
   }
 }

