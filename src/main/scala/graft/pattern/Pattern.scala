@@ -186,6 +186,15 @@ final case class Pattern[T](
   def or(p: T => Boolean): Pattern[T] =
     updPred((a, b) => (e, c) => a(e, c) || b(e, c), (e, _) => p(e))
 
+  /** Restrict the current stage to events of runtime class `S` — Flink's
+    * `subtype(SubEvent.class)` (the one condition combinator a migrating
+    * user reaches for on an ADT event stream). ANDs like [[where]]: a
+    * non-`S` event can never match this stage. Class-level only (erasure
+    * — `subtype[Wrap[Int]]` checks `Wrap`), exactly Flink's semantics;
+    * refine fields with a following [[where]]. */
+  def subtype[S <: T](implicit ct: scala.reflect.ClassTag[S]): Pattern[T] =
+    where(e => ct.runtimeClass.isInstance(e))
+
   private def append(name: String, c: Contiguity): Pattern[T] = {
     val np = copy(
       stages = stages :+ Stage.simple[T](name, _ => true, 1, 1, c, Contiguity.Relaxed),

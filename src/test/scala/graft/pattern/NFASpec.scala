@@ -24,6 +24,33 @@ class NFASpec extends AnyFunSuite {
   private def run(p: Pattern[Ev], events: IndexedSeq[Ev]) =
     NFA.run(events.iterator, (_: Ev).ts, p)
 
+  test("subtype restricts a stage to the runtime class, ANDing with " +
+    "where (Flink subtype parity, r15)") {
+    sealed trait E { def ts: Long }
+    case class Click(ts: Long, target: String) extends E
+    case class Purchase(ts: Long, amount: Long) extends E
+    val events: IndexedSeq[E] = IndexedSeq(
+      Click(0, "home"), Purchase(1, 5), Click(2, "cart"), Purchase(3, 100))
+    // any Click followed (relaxed) by a big Purchase — the Purchase stage
+    // narrows by CLASS first, then refines the field with where
+    val p = Pattern.begin[E]("C", AfterMatchSkip.SkipPastLastEvent)
+      .subtype[Click]
+      .followedBy("P").subtype[Purchase]
+      .where { case pu: Purchase => pu.amount >= 100; case _ => false }
+    val (ms, _) = NFA.run(events.iterator, (_: E).ts, p)
+    assert(ms.size == 1)
+    val bound = ms.head.bindings
+    assert(bound("C").head.asInstanceOf[Click].ts == 0,
+      s"relaxed contiguity matches from the EARLIEST Click: $bound")
+    assert(bound("P").head.asInstanceOf[Purchase].amount == 100)
+    // a subtype-only stage rejects the other class outright: no Purchase
+    // can ever bind a Click stage even with a vacuous where
+    val pc = Pattern.begin[E]("X", AfterMatchSkip.NoSkip).subtype[Purchase]
+    val (msAll, _) = NFA.run(events.iterator, (_: E).ts, pc)
+    assert(msAll.flatMap(_.bindings("X")).forall(_.isInstanceOf[Purchase])
+      && msAll.size == 2)
+  }
+
   test("golden shape: a b b c matches once, binds all stages") {
     val (ms, ts) = run(abc(), evs("a", "b", "b", "c"))
     assert(ts.isEmpty)
