@@ -832,6 +832,41 @@ object ScaleProbe {
     assert(byStage.values.map(_._2).sum == pfTotTok,
       s"token accounting broke: ${byStage.values.map(_._2).sum} != $pfTotTok")
     println(f"""{"probe":"pipeline_full","docs":$nPfDocs,"kept":$pfKept,"stages":{${byStage.toSeq.sorted.map { case (k, (d, _)) => s""""$k":$d""" }.mkString(",")}},"secs":$pfSecs%.1f,"docs_per_sec":${(nPfDocs / pfSecs).toLong},"waterfall_secs":$wfSecs%.1f}""")
+
+    // ---- SUBSET signature serving at 1M docs (r15): a gated 80% ----
+    // slice's near-dup pairs served from the snapshot signature artifact
+    // (doc_id semi-join, zero re-hash) vs the inline re-hash spelling —
+    // the measured form of the minhashPairsSubset claim, with EXACT pair
+    // equality asserted distributed (symmetric difference must be empty,
+    // never a sampled check).
+    // slice modulus 7: the planted pairs are ((i−1), i) at i % 100 == 1,
+    // so a %5 gate would remove EVERY left endpoint (multiples of 100) —
+    // a %7 gate drops ~14% of docs while most planted pairs survive
+    val ssSlice = spark.read.parquet(s"$pfDir/documents.parquet")
+      .filter($"doc_id" % 7 =!= 3)
+    val (ssInline, ssInlineSecs) = time {
+      val p = graft.pipeline.Dedup.minhashOf(spark, ssSlice)
+        .select($"doc_a", $"doc_b")
+      val n = p.count(); (p, n)
+    }
+    val (_, ssBuildSecs) = time {
+      // one-per-snapshot artifact build (sigs + scored pairs), untimed in
+      // the bench; reported here so the amortization claim has a number
+      graft.pipeline.Dedup.trainSigIndex(spark, pfDir)
+    }
+    val (ssServed, ssServeSecs) = time {
+      val p = graft.pipeline.Dedup
+        .minhashPairsSubset(spark, pfDir, ssSlice.select($"doc_id"))
+        .select($"doc_a", $"doc_b")
+      val n = p.count(); (p, n)
+    }
+    assert(ssInline._2 == ssServed._2 && ssInline._2 > 0,
+      s"pair counts diverge: inline ${ssInline._2} vs served ${ssServed._2}")
+    assert(ssInline._1.exceptAll(ssServed._1).count() == 0L &&
+      ssServed._1.exceptAll(ssInline._1).count() == 0L,
+      "artifact-served subset pairs must equal the inline re-hash exactly")
+    Caches.clearAll(); spark.catalog.clearCache()
+    println(f"""{"probe":"subset_sigs","docs":$nPfDocs,"slice_docs":${(nPfDocs * 6) / 7},"pairs":${ssInline._2},"inline_secs":$ssInlineSecs%.1f,"artifact_build_secs":$ssBuildSecs%.1f,"served_secs":$ssServeSecs%.1f}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pfDir))
 
     // ---- ASYNC ENRICHMENT pipelining at 200k lookups (r14): the ----

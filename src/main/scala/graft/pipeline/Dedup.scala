@@ -207,7 +207,7 @@ object Dedup {
     * corpus TEXT (KBs per doc) to scanning signatures (~100 B per doc).
     * Answer-identical to the inline spelling by construction; the
     * equivalence is pinned in `MinhashIndexSpec`. */
-  private[pipeline] def minhashPairsSubset(
+  private[graft] def minhashPairsSubset(
       s: SparkSession, dir: String, ids: DataFrame): DataFrame = {
     import s.implicits._
     pairsFromSigs(
